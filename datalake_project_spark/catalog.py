@@ -1,0 +1,63 @@
+"""Table registry over a Parquet data directory.
+
+The reference resolves tables by hand-built directory paths with the date
+and run time embedded in the path string
+(`scripts/script_api_apify_to_spark.py:116-117,129,204`,
+`airflow/dags/apify_dag.py:128-141`), invisible to the optimizer. Here a
+Catalog maps logical table names to Parquet locations and registers them
+as temp views so both the DataFrame API and ``spark.sql`` see one
+namespace; partition columns (``ingest_date``, ``run_ts`` in the medallion
+layer) are real columns, so Catalyst partition-prunes instead of the
+application globbing paths (`airflow/dags/apify_dag.py:134-146`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# The driver-generated star schema + LLM-operator tables (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Logical-name -> DataFrame resolution over one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    # Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+    # int64 under spark.sql.legacy.parquet.nanosAsLong (session.py); the
+    # engine's contract type is timestamp at microsecond precision.
+    _NANOS_TS_COLS = {"events": ["ts"]}
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy Parquet scan; Catalyst prunes columns/filters at the scan."""
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            for col in self._NANOS_TS_COLS.get(name, []):
+                if dict(df.dtypes).get(col) == "bigint":
+                    df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Expose every table to ``spark.sql`` as a temp view."""
+        for name in names:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)

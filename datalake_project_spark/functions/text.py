@@ -1,0 +1,124 @@
+"""Text-analysis expression library (all JVM-side built-ins — no Python UDFs).
+
+Column-valued helpers for the LLM-data-pipeline surface: tokenization,
+shingling, language-ID heuristic, quality scoring, rolling-hash
+fingerprinting. Every function returns a Column built purely from
+``pyspark.sql.functions`` so the whole pipeline stays inside
+whole-stage codegen; on 100 TB these run at scan speed with zero
+Python-worker round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+FP_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31+code within int64
+
+# Tiny embedded stopword sets for the language-ID heuristic. Real
+# deployments would broadcast a larger lexicon table; the heuristic
+# (per-language stopword hit-ratio, argmax with deterministic
+# tie-break) is the operator under test.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alphanumeric tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token array.
+
+    Built from n shifted slices zipped together — array ops inside
+    codegen, no explode/re-group. Docs with fewer than n tokens yield [].
+    """
+    if n < 2:
+        raise ValueError("shingle size must be >= 2")
+    width = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, width) for i in range(n)]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = F.zip_with(combined, p, lambda a, b: F.concat_ws(" ", a, b))
+    empty = F.slice(toks, 1, 0)
+    return F.when(F.size(toks) >= n, F.array_distinct(combined)).otherwise(empty)
+
+
+def stopword_ratio(toks: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    in_set = F.filter(toks, lambda t: t.isin(*words))
+    return F.when(F.size(toks) > 0,
+                  F.size(in_set).cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def lang_guess(toks: Column) -> Column:
+    """Argmax of per-language stopword ratios; 'unknown' if all zero.
+
+    Deterministic tie-break: first language (in STOPWORDS key order)
+    whose score equals the max.
+    """
+    scores = {lang: stopword_ratio(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    # Build the when-chain in reverse so earlier languages win ties.
+    for lang in reversed(list(STOPWORDS)):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, "[A-Za-z0-9\\s]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped).cast("double") / F.length(col).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0,
+                  total.cast("double") / F.size(toks).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column, toks: Column) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards length (log-scaled)
+    and stopword presence, penalizes punctuation density and extreme
+    token lengths. Deterministic closed-form — same formula as the oracle.
+    """
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(F.lit(1.0), F.log(F.lit(1.0) + n_tok) / F.log(F.lit(101.0)))
+    stop_score = F.least(F.lit(1.0), stopword_ratio(toks, "en") * 5.0)
+    punct_pen = F.least(F.lit(1.0), punct_ratio(text_col) * 4.0)
+    wordlen = avg_token_len(toks)
+    wordlen_pen = F.when((wordlen < 2.0) | (wordlen > 12.0), F.lit(0.5)).otherwise(F.lit(0.0))
+    raw = 0.5 * len_score + 0.3 * stop_score - 0.3 * punct_pen - wordlen_pen * 0.2
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+def fingerprint(toks: Column) -> Column:
+    """Order-sensitive rolling-hash fingerprint of the normalized token
+    stream: fold (acc*31 + codepoint) mod (2^31-1) over the characters of
+    the space-joined tokens. Pure integer arithmetic => bit-identical in
+    any engine (the correctness oracle reproduces it in SQL).
+    """
+    norm = F.concat_ws(" ", toks)
+    # Java's split("", -1) keeps a trailing "" element — drop empties so the
+    # fold sees exactly the characters (parity with the SQL oracle).
+    chars = F.filter(F.split(norm, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FP_MOD,
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup is a deterministic keep-first per key (row_number over an
+  explicit tie-break order — Spark's dropDuplicates keeps an *arbitrary*
+  row, which is not reproducible across runs/cluster sizes).
+- Pairwise similarity NEVER materializes the O(n^2) cross product.
+  The n-gram path builds an inverted index (explode shingles -> self-join
+  on shingle -> count) so cost is sum over shingles of df^2, not n^2.
+  The MinHash-LSH path reduces that further: fixed-size signatures
+  (num_perm ints/doc regardless of doc length), banded bucketing, and
+  only bucket-colliding pairs are verified exactly.
+- All hashing is closed-form integer arithmetic inside codegen
+  (xxhash64 reduced mod 2^31-1, then universal hashing a*x+b mod p with
+  a,b < 2^20 so products stay < 2^52 — no int64 overflow under ANSI mode).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from datalake_project_spark.functions.text import shingles, tokens
+
+MERSENNE31 = 2_147_483_647  # field for minhash arithmetic
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: list[Column] | None = None) -> DataFrame:
+    """Keep exactly one row per key group, deterministically (first row by
+    ``order_by``, which defaults to all non-key columns ascending)."""
+    order = order_by or [F.col(c).asc_nulls_first() for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    sh = shingles(tokens(text_col), n=n)
+    return (docs.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
+            .where(F.size("_shingles") >= 1))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact near-duplicate pairs by word-``n``-gram Jaccard >= threshold.
+
+    Inverted-index plan: explode distinct shingles, self-join on shingle
+    (only docs sharing >=1 shingle ever meet), count shared shingles per
+    pair, then J = inter / (|A| + |B| - inter). Jaccard is a ratio of
+    ints -> bit-identical across engines.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_shingles").alias("_n"))
+    inv = sh.select("_id", F.explode("_shingles").alias("_s"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("_n").alias("_nb"))
+    jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+    return (
+        inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(jac >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    # a,b < 2^20 and x < 2^31 keeps a*x + b < 2^52 (ANSI-safe in int64).
+    return [(rng.randrange(1, 1 << 20), rng.randrange(0, 1 << 20)) for _ in range(num_perm)]
+
+
+def minhash_signature(shingle_arr: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """Array of ``num_perm`` minhash values for a shingle array — pure
+    higher-order-function expression, no UDF, no explode."""
+    params = _minhash_params(num_perm, seed)
+
+    def perm_hash(a: int, b: int):
+        # factory (not default-arg lambda): PySpark requires the lambda
+        # passed to higher-order functions to take exactly 1-2 params.
+        def h(s):
+            base = F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+            return F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE31))
+        return h
+
+    mins = [F.array_min(F.transform(shingle_arr, perm_hash(a, b))) for a, b in params]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, exact-verified.
+
+    num_perm=64 / bands=16 (rows-per-band 4) puts the S-curve threshold at
+    ~(1/16)^(1/4) ~= 0.5; candidate pairs are then verified with the exact
+    shingle-set Jaccard, so the output contains no LSH false positives —
+    only (possibly) false negatives, and for J >= 0.8 the miss probability
+    is (1 - 0.8^4)^16 ~= 2e-4 per pair.
+    """
+    rows_per_band = num_perm // bands
+    sh = _doc_shingles(docs, id_col, text_col, n).cache()
+    sig = sh.select("_id", minhash_signature(F.col("_shingles"), num_perm, seed).alias("_sig"))
+
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.slice("_sig", i * rows_per_band + 1, rows_per_band)).alias("h"))
+        for i in range(bands)
+    ]
+    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("_b"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .distinct()
+    )
+    # Exact verification of candidates only.
+    sha = sh.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("_sa"))
+    shb = sh.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(sha, "a_id").join(shb, "b_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(jac >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_signature(token_arr: Column, bits: int = 64) -> Column:
+    """SimHash over distinct tokens: bit b of the signature is the sign of
+    sum over tokens of (2*bit_b(xxhash64(token)) - 1)."""
+    toks = F.array_distinct(token_arr)
+
+    def bit_contrib(b: int):
+        def f(acc, t):
+            bit_b = F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+            return acc + (bit_b * 2 - 1)
+        return f
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_contrib(b))
+        bit = F.when(contrib >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        if b < 63:
+            sig = sig + F.shiftleft(bit, b)
+        else:
+            # avoid setting the sign bit via overflow under ANSI mode
+            sig = F.when(bit == 1, sig + F.lit(-9223372036854775808)).otherwise(sig)
+    return sig
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by the pigeonhole principle: split the signature
+    into max_hamming+1 chunks; any pair within distance max_hamming agrees
+    on >= 1 chunk, so bucket-join per chunk has perfect recall.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    sig = (docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+           .where(F.size("_toks") >= 1)
+           .select("_id", simhash_signature(F.col("_toks")).alias("_sig"))
+           .cache())
+
+    chunk_cols = [
+        F.struct(F.lit(i).alias("c"),
+                 F.shiftrightunsigned("_sig", i * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"))
+        for i in range(n_chunks)
+    ]
+    buckets = sig.select("_id", "_sig", F.explode(F.array(*chunk_cols)).alias("_b"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
+    return (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.5) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine >= threshold.
+
+    Baseline is the exact O(n^2/2) self-join (id< id) — correct at test SF.
+    The scale path for 100 TB is `similarity.hyperplane_bucketed_pairs`
+    (LSH pre-bucketing), same output contract minus recall guarantees.
+    """
+    from datalake_project_spark.functions.vectors import cosine
+
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .where(cos >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )

@@ -1,0 +1,141 @@
+"""Snapshot-diff / CDC queries — the reference's core capability.
+
+The reference's flagship computation (`scripts/script_api_apify_to_spark.py:238-248`,
+`airflow/dags/apify_dag.py:198-211`) is a labeled set-difference between two
+snapshots of the same logical table. Here the star schema stands in:
+"the set of customers active in year Y" is a snapshot series keyed by year.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.operators.diff import snapshot_diff
+from datalake_project_spark.queries import register
+
+
+def _active_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT custkey, 'added' AS change FROM y96
+    WHERE NOT EXISTS (SELECT 1 FROM y95 WHERE y95.custkey = y96.custkey)
+    UNION ALL
+    SELECT custkey, 'deleted' AS change FROM y95
+    WHERE NOT EXISTS (SELECT 1 FROM y96 WHERE y96.custkey = y95.custkey)
+    """,
+    doc="FLAGSHIP: labeled snapshot diff (added/deleted) via two left-anti "
+        "joins + union — reference J1+J2+U1+P3 "
+        "(scripts/script_api_apify_to_spark.py:238-248). At scale the "
+        "runtime Bloom filter prunes the probe-side scan.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = _active_custkeys(spark, sf_dir, 1995)
+    cur = _active_custkeys(spark, sf_dir, 1996)
+    return snapshot_diff(cur, prev, keys=["custkey"])
+
+
+@register(
+    "q_snapshot_diff_global",
+    oracle="""
+    WITH now AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+         old AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1996-01-01')
+    SELECT custkey, 'added_global' AS change FROM now
+    WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.custkey = now.custkey)
+    UNION ALL
+    SELECT custkey, 'deleted_global' AS change FROM old
+    WHERE NOT EXISTS (SELECT 1 FROM now WHERE now.custkey = old.custkey)
+    """,
+    doc="Global diff vs an old snapshot with *_global labels — reference J3 "
+        "(airflow/dags/apify_dag.py:198-211).",
+)
+def q_snapshot_diff_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    now = (o.where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    old = (o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+           .select(F.col("o_custkey").alias("custkey")).distinct())
+    return snapshot_diff(now, old, keys=["custkey"],
+                         added_label="added_global", deleted_label="deleted_global")
+
+
+@register(
+    "q_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rk
+          FROM events) t
+    WHERE rk = 1
+    """,
+    doc="Latest-snapshot resolution: max(run_ts) per key over a snapshot "
+        "series — reference S7 (scripts/script_api_apify_to_spark.py:214-236) "
+        "as a window over a partition column instead of os.listdir.",
+)
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                "event_type")
+    )
+
+
+@register(
+    "q_snapshot_series_diff",
+    oracle="""
+    WITH snaps AS (
+        SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               o_custkey AS custkey
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+    ts AS (SELECT DISTINCT yr FROM snaps),
+    bounds AS (SELECT MIN(yr) AS first_yr, MAX(yr) AS last_yr FROM ts),
+    ordered AS (
+        SELECT custkey, yr,
+               LAG(yr)  OVER (PARTITION BY custkey ORDER BY yr) AS lag_yr,
+               LEAD(yr) OVER (PARTITION BY custkey ORDER BY yr) AS lead_yr
+        FROM snaps)
+    SELECT custkey, yr AS snapshot_ts, 'added' AS change
+    FROM ordered, bounds
+    WHERE yr <> first_yr AND (lag_yr IS NULL OR lag_yr <> yr - 1)
+    UNION ALL
+    SELECT custkey, yr + 1 AS snapshot_ts, 'deleted' AS change
+    FROM ordered, bounds
+    WHERE yr <> last_yr AND (lead_yr IS NULL OR lead_yr <> yr + 1)
+    """,
+    doc="Windowed N-snapshot diff: ONE shuffle diffs every consecutive "
+        "snapshot pair of a series (SURVEY §2.7's lag formulation) — the "
+        "scale-path alternative to N anti-join diffs.",
+)
+def q_snapshot_series_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.diff import snapshot_diff_windowed
+    o = Catalog(spark, sf_dir).table("orders")
+    snaps = (
+        o.where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        .select(F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return snapshot_diff_windowed(snaps, keys=["custkey"], ts_col="yr") \
+        .select("custkey", "snapshot_ts", "change")

@@ -1,0 +1,132 @@
+"""Deduplication queries over `documents` (and `lineitem` for keyed dedup).
+
+The brute-force DuckDB oracle (list_intersect Jaccard over all pairs)
+checks BOTH the exact inverted-index implementation and the MinHash-LSH
+implementation: LSH candidates are exact-verified, so if recall is 1 on
+the fixture (planted near-dups at J >= 0.8 vs background < 0.1, and the
+16-band/4-row S-curve misses a J=0.8 pair with p ~= 2e-4) the outputs are
+identical. SimHash has no SQL-expressible oracle (xxhash64) -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.operators import dedup as D
+from datalake_project_spark.queries import register
+
+_PAIRS_ORACLE = """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)))::DOUBLE, 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+    FROM (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey,
+                                             l_suppkey, l_quantity) AS rn
+          FROM lineitem) t
+    WHERE rn = 1
+    """,
+    doc="Exact keyed dedup: deterministic keep-first per key (row_number "
+        "over a TOTAL order — NOT dropDuplicates, which keeps an "
+        "arbitrary row and is irreproducible across cluster sizes; the "
+        "fixture has duplicate (orderkey, linenumber) pairs, so every "
+        "remaining column joins the tie-break).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    return D.dedup_exact(li, keys=["l_orderkey"],
+                         order_by=[F.asc("l_linenumber"), F.asc("l_partkey"),
+                                   F.asc("l_suppkey"), F.asc("l_quantity")])
+
+
+@register(
+    "q_dedup_exact_text",
+    oracle="""
+    SELECT lower(text) AS text_norm, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY lower(text)
+    """,
+    doc="Exact content dedup by normalized text hash-groupBy: group "
+        "identical texts, keep min doc_id as representative.",
+)
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return (
+        d.groupBy(F.lower("text").alias("text_norm"))
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=_PAIRS_ORACLE,
+    doc="Exact near-dup pairs by 3-gram Jaccard >= 0.5 via inverted "
+        "shingle index (explode -> self-join on shingle -> pair counts): "
+        "cost ~ sum(shingle_df^2), never the n^2 cross product.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_PAIRS_ORACLE,
+    doc="MinHash (64 perms) + banded LSH (16 bands x 4 rows, S-curve "
+        "threshold ~0.5) with exact verification of candidates. Same "
+        "output contract as the exact query; the oracle doubles as a "
+        "recall check.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based signature not reproducible in SQL
+    doc="SimHash near-dup pairs (hamming <= 3 of 64-bit signatures); "
+        "pigeonhole 4-chunk bucketing gives perfect recall for d <= 3.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.simhash_pairs(d, max_hamming=3)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.5); brute-force "
+        "baseline, LSH-bucketed variant is the scale path.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    return D.embedding_near_dup_pairs(e, threshold=0.5)

@@ -1,0 +1,160 @@
+"""Event/time-series queries over the `events` table: tumbling windows,
+sessionization, as-of join, range join.
+
+Batch formulations here (with DuckDB oracles); the streaming module
+(`datalake_project_spark.streaming`) exposes the same window/dedup
+semantics over Structured Streaming sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.operators.joins import asof_join, range_join
+from datalake_project_spark.queries import register
+
+
+@register(
+    "q_events_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation (batch form of the streaming "
+        "windowed agg; F.window start == epoch-aligned hour truncation).",
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value", "n_users",
+        )
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap (gaps-and-islands: "
+        "lag -> new-session flag -> running sum -> per-session agg). One "
+        "shuffle on user_id serves both windows and the final group-by. "
+        "Streaming equivalent: F.session_window (streaming module).",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(e.ts)              AS err_ts_us,
+           s.event_id                  AS signup_event_id,
+           epoch_us(s.ts)              AS signup_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    doc="Backward as-of join: each error event matched to the latest "
+        "prior-or-equal signup of the same user. Implemented union+window "
+        "(one shuffle on user_id) — not a nested-loop range join.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event_id"), "ts")
+    joined = asof_join(errors, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+                       right_cols=["signup_event_id", "ts"], suffix="_s")
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("err_ts_us"),
+        F.col("signup_event_id_s").alias("signup_event_id"),
+        F.unix_micros("ts_s").alias("signup_ts_us"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           COUNT(*)   AS n_follow,
+           ROUND(SUM(f.value), 2) AS follow_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN events f
+      ON f.user_id = s.user_id
+     AND f.ts >= s.ts
+     AND f.ts < s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id
+    """,
+    doc="Range join: activity within 1h after each signup. The user_id "
+        "equality keeps it a hash join with the range as join filter.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    s = e.where(F.col("event_type") == "signup").alias("s")
+    f = e.alias("f")
+    joined = range_join(
+        s, f,
+        condition=(F.col("f.user_id") == F.col("s.user_id"))
+        & (F.col("f.ts") >= F.col("s.ts"))
+        & (F.col("f.ts") < F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(F.col("s.event_id").alias("signup_event_id")).agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum(F.col("f.value")), 2).alias("follow_value"),
+    )

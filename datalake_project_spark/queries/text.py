@@ -1,0 +1,153 @@
+"""Text-analysis queries over `documents`: token stats, quality scoring,
+language-ID heuristic, rolling-hash fingerprinting.
+
+Every formula is closed-form and integer/rational where it matters, so
+the DuckDB oracle reproduces it exactly (same tokenizer regex, same
+arithmetic) — these are full value-hash-checked queries, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.functions import text as T
+from datalake_project_spark.queries import register
+
+# Shared DuckDB fragments (same semantics as functions/text.py).
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, t -> t IN ({words})))::DOUBLE / len(toks)::DOUBLE "
+            f"ELSE 0.0 END")
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                           / len(toks)::DOUBLE, 4)
+                ELSE 0.0 END AS avg_token_len
+    FROM tok
+    """,
+    doc="Token counting (whitespace/alnum regex tokenizer): counts, "
+        "distinct counts, mean token length — all array ops in codegen.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(T.avg_token_len(toks), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id,
+               len(toks)::DOUBLE AS n_tok,
+               LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0)) AS len_score,
+               LEAST(1.0, ({_stop_sql('en')}) * 5.0) AS stop_score,
+               LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                   length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                   / length(text)::DOUBLE ELSE 0.0 END) * 4.0) AS punct_pen,
+               CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)::DOUBLE
+                   ELSE 0.0 END AS wordlen
+        FROM tok)
+    SELECT doc_id,
+           ROUND(GREATEST(0.0, LEAST(1.0,
+               0.5 * len_score + 0.3 * stop_score - 0.3 * punct_pen
+               - (CASE WHEN wordlen < 2.0 OR wordlen > 12.0 THEN 0.5 ELSE 0.0 END) * 0.2
+           )), 4) AS quality
+    FROM feat
+    """,
+    doc="Heuristic quality score: log-length + stopword density - "
+        "punctuation density - degenerate-token-length penalty, clipped "
+        "to [0,1].",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text"), toks), 4).alias("quality"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_stop_sql('en')} AS s_en,
+               {_stop_sql('es')} AS s_es,
+               {_stop_sql('fr')} AS s_fr,
+               {_stop_sql('de')} AS s_de
+        FROM tok)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0 THEN 'unknown'
+                WHEN s_en >= GREATEST(s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es >= GREATEST(s_fr, s_de) THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           ROUND(GREATEST(s_en, s_es, s_fr, s_de), 4) AS score
+    FROM scored
+    """,
+    doc="Language-ID n-gram/stopword heuristic with deterministic argmax "
+        "tie-break (STOPWORDS key order: en, es, fr, de).",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    scores = {lang: T.stopword_ratio(toks, lang) for lang in T.STOPWORDS}
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_guess(toks).alias("predicted_lang"),
+        F.round(F.greatest(*scores.values()), 4).alias("score"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    norm AS (SELECT doc_id, array_to_string(toks, ' ') AS s FROM tok)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform([s[i] FOR i IN range(1, length(s) + 1)],
+                                  c -> unicode(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fp
+    FROM norm
+    WHERE length(s) > 0
+    """,
+    doc="Order-sensitive rolling-hash document fingerprint "
+        "((acc*31+codepoint) mod 2^31-1 over normalized text) — exact "
+        "integer arithmetic, bit-identical across engines.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    return (
+        d.select("doc_id", T.fingerprint(toks).alias("fp"),
+                 F.length(F.concat_ws(" ", toks)).alias("_len"))
+        .where(F.col("_len") > 0)
+        .drop("_len")
+    )
