@@ -1,0 +1,78 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The suite spans every operator family (scan/agg, star join, CDC diff,
+windows, sessionization, as-of join, text, dedup incl. MinHash-LSH, ANN)
+so a regression in any plan shows up in the total. Each query runs to a
+driver-side count() (full materialization of the result, no I/O skew from
+collecting wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datalake_project_spark.queries import load_all  # noqa: E402
+from datalake_project_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_snapshot_diff",
+    "q_snapshot_series_diff",
+    "q_window_topn",
+    "q_events_sessionize",
+    "q_asof_join",
+    "q_range_join",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_embedding",
+    "q_ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    # sf encoded in the directory name, e.g. .../sf0.1 -> 0.1
+    base = os.path.basename(sf_dir)
+    sf = float(base[2:]) if base.startswith("sf") else 0.1
+
+    registry = load_all()
+    spark = get_spark("bench")
+    # One warmup action so JVM/codegen startup isn't billed to the first query.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Dedup operator semantics: exact keep-first, n-gram Jaccard inverted
+index, MinHash-LSH recall vs the exact pairs, SimHash pigeonhole recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_project_spark.operators import dedup as D
+from tests.conftest import rows
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+def _docs(spark):
+    near = BASE.replace("lazy", "sleepy")          # 1-token edit => high J
+    far = "completely different text about databases and query engines only"
+    data = [(1, BASE), (2, BASE), (3, near), (4, far),
+            (5, "tiny"), (6, "")]
+    return spark.createDataFrame(data, "doc_id long, text string")
+
+
+def test_dedup_exact_deterministic_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "z", 5)], "k long, s string, v int")
+    got = rows(D.dedup_exact(df, keys=["k"], order_by=[F.asc("s")]))
+    assert got == [(1, "a", 20), (2, "z", 5)]
+
+
+def test_dedup_exact_default_order_total(spark):
+    # default order = all non-key columns => stable regardless of input order
+    df1 = spark.createDataFrame([(1, "b"), (1, "a")], "k long, s string")
+    df2 = spark.createDataFrame([(1, "a"), (1, "b")], "k long, s string")
+    assert rows(D.dedup_exact(df1, keys=["k"])) == rows(D.dedup_exact(df2, keys=["k"]))
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = rows(D.ngram_jaccard_pairs(_docs(spark), threshold=0.5))
+    pairs = {(r[0], r[1]) for r in got}
+    assert (1, 2) in pairs                      # identical
+    assert (1, 3) in pairs and (2, 3) in pairs  # near-dup
+    assert all(4 not in p and 5 not in p and 6 not in p for p in pairs)
+    exact_dup = [r for r in got if (r[0], r[1]) == (1, 2)][0]
+    assert exact_dup[2] == 1.0
+
+
+def test_minhash_lsh_matches_exact_on_separated_fixture(spark):
+    """Planted near-dups (J>=0.8) vs background (J~0): LSH candidates are
+    exact-verified, so outputs must equal the exact inverted-index pairs."""
+    docs = _docs(spark)
+    exact = rows(D.ngram_jaccard_pairs(docs, threshold=0.5))
+    lsh = rows(D.minhash_lsh_pairs(docs, threshold=0.5))
+    assert lsh == exact
+
+
+def test_simhash_pairs_identical_docs(spark):
+    got = rows(D.simhash_pairs(_docs(spark), max_hamming=3))
+    pairs = {(r[0], r[1]): r[2] for r in got}
+    assert pairs.get((1, 2)) == 0               # identical => hamming 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_embedding_near_dup_pairs(spark):
+    data = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~same direction
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    e = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got = rows(D.embedding_near_dup_pairs(e, threshold=0.9))
+    assert [(r[0], r[1]) for r in got] == [(1, 2)]

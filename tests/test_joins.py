@@ -1,0 +1,60 @@
+"""As-of join and range join semantics on handwritten event fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from datalake_project_spark.operators.joins import asof_join, range_join
+from tests.conftest import rows
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame([
+        (1, 10, _ts("2024-01-01 10:00:00")),
+        (2, 10, _ts("2024-01-01 12:00:00")),
+        (3, 20, _ts("2024-01-01 09:00:00")),   # before any right row
+        (4, 30, _ts("2024-01-01 10:30:00")),   # equal-ts match (inclusive)
+    ], "id long, k long, ts timestamp")
+    right = spark.createDataFrame([
+        (100, 10, _ts("2024-01-01 09:30:00")),
+        (101, 10, _ts("2024-01-01 11:00:00")),
+        (102, 20, _ts("2024-01-01 09:30:00")),
+        (103, 30, _ts("2024-01-01 10:30:00")),
+    ], "rid long, k long, ts timestamp")
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_cols=["rid"], suffix="_r")
+    m = {r["id"]: r["rid_r"] for r in got.collect()}
+    assert m == {1: 100, 2: 101, 3: None, 4: 103}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_cols=["rid"], suffix="_r",
+                    tolerance_seconds=1800)
+    m = {r["id"]: r["rid_r"] for r in got.collect()}
+    # id=1: 10:00 vs 09:30 => 1800s, within (<=); id=2: 12:00 vs 11:00 => out.
+    assert m == {1: 100, 2: None, 3: None, 4: 103}
+
+
+def test_range_join_window(spark):
+    left, right = _frames(spark)
+    l, r = left.alias("l"), right.alias("r")
+    got = range_join(
+        l, r,
+        condition=(F.col("l.k") == F.col("r.k"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") < F.col("l.ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(F.col("l.id"), F.col("r.rid"))
+    assert rows(got) == [(1, 101), (3, 102), (4, 103)]

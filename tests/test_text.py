@@ -1,0 +1,58 @@
+"""Text expression library: known-value checks for tokenizer, shingles,
+language-ID, fingerprint (all pure JVM expressions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_project_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_tokens(spark):
+    assert _one(spark, "Hello, World! 42x", T.tokens("text")) == ["hello", "world", "42x"]
+    assert _one(spark, "", T.tokens("text")) == []
+
+
+def test_shingles(spark):
+    toks = T.tokens("text")
+    got = _one(spark, "a b c d", T.shingles(toks, n=3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", T.shingles(toks, n=3)) == []
+
+
+def test_shingles_distinct(spark):
+    got = _one(spark, "x y x y x y", T.shingles(T.tokens("text"), n=2))
+    assert sorted(got) == ["x y", "y x"]
+
+
+def test_lang_guess(spark):
+    toks = T.tokens("text")
+    assert _one(spark, "the cat is in the house and it is big", T.lang_guess(toks)) == "en"
+    assert _one(spark, "el gato y la casa de los nenes", T.lang_guess(toks)) == "es"
+    assert _one(spark, "zzz qqq www", T.lang_guess(toks)) == "unknown"
+
+
+def test_fingerprint_known_value(spark):
+    # "ab" -> ((0*31+97) % M)*31 + 98 = 3105
+    got = _one(spark, "ab", T.fingerprint(T.tokens("text")))
+    assert got == 97 * 31 + 98
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = _one(spark, "alpha beta", T.fingerprint(T.tokens("text")))
+    b = _one(spark, "beta alpha", T.fingerprint(T.tokens("text")))
+    assert a != b
+
+
+def test_quality_bounds(spark):
+    d = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog in a field of green",),
+         ("!!!! ???? ####",), ("",)], "text string")
+    vals = [r["q"] for r in d.select(
+        T.quality_score(F.col("text"), T.tokens("text")).alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert vals[0] > vals[1]  # prose beats punctuation soup

@@ -1,0 +1,89 @@
+"""Vector expression library vs numpy ground truth; LSH top-k recall vs
+brute force on clustered vectors."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from datalake_project_spark.functions.vectors import cosine, dot, norm
+from datalake_project_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+
+def test_dot_norm_cosine_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    a = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    df = spark.createDataFrame([(a.tolist(), b.tolist())],
+                               "a array<float>, b array<float>")
+    got = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).first()
+    ad, bd = a.astype(np.float64), b.astype(np.float64)
+    assert got["d"] == pytest.approx(float(ad @ bd), rel=1e-12)
+    assert got["n"] == pytest.approx(float(np.linalg.norm(ad)), rel=1e-12)
+    assert got["c"] == pytest.approx(
+        float(ad @ bd / (np.linalg.norm(ad) * np.linalg.norm(bd))), rel=1e-12)
+
+
+def _clustered(spark, n_clusters=8, per_cluster=20, dim=64, seed=3, noise=0.15):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for ci in range(n_clusters):
+        pts = centers[ci] + noise * rng.standard_normal((per_cluster, dim))
+        vecs += [(ci * per_cluster + i, p.astype(np.float32).tolist())
+                 for i, p in enumerate(pts)]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    # noise=0.04 => intra-cluster cosine ~0.9: the near-duplicate regime
+    # hyperplane LSH is built for (16 planes / 4-bit bands => ~96% recall
+    # per neighbor at 25 deg; diffuse clouds at cos~0.4 are NOT the
+    # operator's contract and would need more probes).
+    e = _clustered(spark, noise=0.04)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(q, e, k=5).collect()
+    approx = cosine_topk_lsh(q, e, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r["neighbor_id"] in exact_sets[r["query_id"]]
+    # clustered fixture: same-cluster neighbors share hyperplane buckets
+    assert total > 0 and hits / total >= 0.8
+
+
+def test_bruteforce_topk_deterministic_rank(spark):
+    e = _clustered(spark, n_clusters=2, per_cluster=10)
+    q = e.where(F.col("vec_id") == 0)
+    out = cosine_topk(q, e, k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert not math.isnan(sims[0])
+
+
+def test_block_pairwise_equals_bruteforce(spark):
+    """Block-matmul exact pairs must equal the expression-join brute force,
+    including pairs that straddle blocks in both id orders."""
+    from datalake_project_spark.operators.dedup import embedding_near_dup_pairs
+    from datalake_project_spark.operators.similarity import block_pairwise_cosine
+
+    e = _clustered(spark, n_clusters=4, per_cluster=15, dim=16, seed=11)
+    brute = {(r["a_id"], r["b_id"]) for r in
+             embedding_near_dup_pairs(e, threshold=0.8).collect()}
+    # tiny blocks force many off-diagonal block pairs
+    blocked = {(r["a_id"], r["b_id"]) for r in
+               block_pairwise_cosine(e, threshold=0.8, block_rows=7).collect()}
+    assert blocked == brute and len(brute) > 0
