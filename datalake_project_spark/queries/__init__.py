@@ -40,6 +40,6 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from datalake_project_spark.queries import (  # noqa: F401
-        relational, cdc, events, text, dedup, similarity,
+        relational, relational2, cdc, events, text, dedup, similarity,
     )
     return REGISTRY
