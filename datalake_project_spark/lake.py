@@ -1,0 +1,91 @@
+"""Medallion lake layout: raw / formatted / usage layers with REAL
+partition columns.
+
+The reference encodes time in directory paths built by hand
+(`scripts/script_api_apify_to_spark.py:116-117,129,204`;
+`airflow/dags/apify_dag.py:128-141`) and resolves "the previous snapshot"
+by ``os.listdir`` + lexicographic sort
+(`scripts/script_api_apify_to_spark.py:214-236`). Here ``ingest_date``
+and ``run_ts`` are partition COLUMNS written with ``partitionBy``: the
+optimizer partition-prunes (including dynamically, from a join), and
+snapshot resolution is a metadata-only aggregate over the partition
+values — no filesystem walking in application code.
+
+Write semantics match the reference:
+- formatted: append per ``ingest_date`` (K2);
+- usage: overwrite per (``ingest_date``, ``run_ts``) — with
+  ``partitionOverwriteMode=dynamic`` (session factory) a re-run replaces
+  only its own partition, which makes re-runs idempotent WITHOUT the
+  whole-table truncation a naive overwrite would do at 100 TB (K3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class Lake:
+    """One medallion data lake rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- paths -------------------------------------------------------------
+    def formatted_path(self, table: str) -> str:
+        return f"{self.root}/formatted/{table}"
+
+    def usage_path(self, table: str) -> str:
+        return f"{self.root}/usage/{table}"
+
+    # -- writers -----------------------------------------------------------
+    def write_formatted(self, df: DataFrame, table: str, ingest_date: str) -> None:
+        """Append-mode formatted layer, partitioned by ingest_date (K2)."""
+        (df.withColumn("ingest_date", F.lit(ingest_date))
+         .write.mode("append").partitionBy("ingest_date")
+         .parquet(self.formatted_path(table)))
+
+    def write_usage(self, df: DataFrame, table: str, ingest_date: str,
+                    run_ts: str) -> None:
+        """Usage layer snapshot, dynamic-overwrite of exactly the
+        (ingest_date, run_ts) partition (K3)."""
+        (df.withColumn("ingest_date", F.lit(ingest_date))
+         .withColumn("run_ts", F.lit(run_ts))
+         .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
+         .parquet(self.usage_path(table)))
+
+    # -- readers -----------------------------------------------------------
+    def read_usage(self, table: str, ingest_date: str | None = None,
+                   run_ts: str | None = None) -> DataFrame:
+        """Partition-pruned usage scan (predicates on partition columns
+        never touch data files)."""
+        df = self.spark.read.parquet(self.usage_path(table))
+        if ingest_date is not None:
+            df = df.where(F.col("ingest_date") == ingest_date)
+        if run_ts is not None:
+            df = df.where(F.col("run_ts") == run_ts)
+        return df
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.usage_path(table))
+
+    def latest_run_before(self, table: str, ingest_date: str,
+                          run_ts: str) -> str | None:
+        """Previous-snapshot resolution (reference S7): max(run_ts) among
+        partitions of ``ingest_date`` strictly before ``run_ts``.
+
+        The scan touches only partition metadata (the filter and the
+        aggregate are on partition columns), so this is a listing-scale
+        job even when the table holds billions of rows.
+        """
+        if not self.exists(table):
+            return None
+        row = (
+            self.read_usage(table, ingest_date)
+            .where(F.col("run_ts") < run_ts)
+            .agg(F.max("run_ts").alias("prev"))
+            .first()
+        )
+        return row["prev"] if row else None

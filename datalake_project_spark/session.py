@@ -47,6 +47,10 @@ def get_spark(app_name: str = "datalake_project_spark", master: str | None = Non
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- Writes: overwrite only the partitions present in the output.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Partition values keep their written string form ("0900" must not
+        # become int 900 — run_ts/ingest_date are fixed-width strings whose
+        # lexicographic order IS their time order).
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # --- Shuffle sizing: local default; cluster deployments override.
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MiB
