@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the media bytes are an opaque
+``binary`` column co-located with a typed metadata struct (mime, size,
+dimensions); decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``, so the bytes never
+leave the executor and flow Python-ward one Arrow batch at a time
+(bounded memory, no driver collect).
+
+The container has no image/audio codec libraries, so the REAL decoders
+are stubbed behind import-guards (``decode_image``/``decode_audio``
+raise ``NotImplementedError`` unless PIL/soundfile are present); the
+deterministic byte-level fakes below keep the full Spark-side plumbing —
+schema, Arrow batch shape, partitioning — real and testable.
+
+The reference has no media handling; this is a north-star extension
+(BASELINE.json) on top of its binary-free schema (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+def media_meta() -> "F.Column":
+    """Typed metadata struct carried alongside every payload."""
+    return F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.length(F.col("payload")).alias("n_bytes"),
+    )
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """documents -> media table: (doc_id, payload binary, meta struct).
+    The fixture's text stands in for media bytes; real ingestion would
+    read image/audio files with ``spark.read.format('binaryFile')``."""
+    return (
+        documents
+        .withColumn("payload", F.encode(F.col("text"), "UTF-8"))
+        .withColumn("meta", media_meta())
+        .select("doc_id", "payload", "meta")
+    )
+
+
+# --- real decoders: stubbed (no codec libs in this container) -------------
+
+def decode_image(payload: bytes) -> "object":
+    """Decode image bytes -> pixel array. Requires PIL (absent here)."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow on the cluster "
+            "image — the mapInPandas plumbing around this stub is real"
+        ) from e
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Decode audio bytes -> samples. Requires soundfile (absent here)."""
+    try:
+        import io
+        import soundfile  # noqa: F401
+        return soundfile.read(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires soundfile; install it on the cluster "
+            "image — the mapInPandas plumbing around this stub is real"
+        ) from e
+
+
+# --- deterministic byte-level feature extraction (the fake decode) --------
+
+FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("n_e", LongType()),
+    StructField("n_space", LongType()),
+])
+
+HIST_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("byte_hist", ArrayType(FloatType())),
+])
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch scalar features straight off the payload bytes."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.map(len).astype("int64"),
+            "n_e": payloads.map(lambda b: b.count(b"e")).astype("int64"),
+            "n_space": payloads.map(lambda b: b.count(b" ")).astype("int64"),
+        })
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level scalar features via ``mapInPandas`` (the decode seam:
+    swap ``_feature_batches`` for a real codec on a cluster with libs)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _feature_batches, FEATURES_SCHEMA)
+
+
+def _hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """16-bin byte histogram, L1-normalized — a deterministic stand-in
+    for an embedding-style media feature vector."""
+    import numpy as np
+    for pdf in batches:
+        vecs = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=16).astype("float32")
+            total = hist.sum()
+            vecs.append((hist / total if total else hist).tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "byte_hist": vecs})
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """Fixed-width feature vector per payload (``array<float>``), ready
+    for the similarity-search operators (cosine top-k / LSH)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _hist_batches, HIST_SCHEMA)
+
+
+# --- frame sampling (video-style) -----------------------------------------
+
+FRAME_BYTES = 16   # fake codec: one "frame" per 16 payload bytes
+FRAME_STEP = 4     # sample every 4th frame
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Deterministic frame sampling: treat each FRAME_BYTES-byte slice as
+    one frame, keep every FRAME_STEP-th index. Pure Spark expression
+    (sequence + explode) — the sampling PLAN is exactly what a real video
+    pipeline uses; only the per-frame decode (a mapInPandas over
+    (doc_id, frame_idx, payload-slice)) is stubbed."""
+    n_frames = (F.length("payload") / F.lit(FRAME_BYTES)).cast(IntegerType())
+    return (
+        media
+        .withColumn("n_frames", n_frames)
+        .where(F.col("n_frames") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STEP))
+            ).alias("frame_idx"),
+        )
+    )

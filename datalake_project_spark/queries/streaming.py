@@ -1,0 +1,103 @@
+"""Structured Streaming queries, drained to batch results via
+``trigger(availableNow=True)`` so the driver's DuckDB oracle can check
+them value-for-value against the same parquet.
+
+These run the REAL streaming plans (FileStreamSource -> stateful
+aggregation -> memory sink); availableNow makes them deterministic and
+bounded. The continuous deployment path is the same code with a live
+directory, a watermark, and a durable sink (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_project_spark.queries import register
+from datalake_project_spark.streaming import (
+    events_stream, run_available_now, sessionized_agg, stream_dedup,
+    user_profile_stream, windowed_agg,
+)
+
+
+@register(
+    "q_stream_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)                AS n_events,
+           ROUND(SUM(value), 2)    AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling 1-hour windowed aggregation (complete mode, "
+        "availableNow drain) — value-identical to the batch/DuckDB form.",
+)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        windowed_agg(events_stream(spark, sf_dir), "1 hour"), "complete")
+
+
+@register(
+    "q_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Streaming sessionization via F.session_window (30-min gap) — "
+        "must equal the batch gaps-and-islands formulation exactly.",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        sessionized_agg(events_stream(spark, sf_dir), "30 minutes"), "complete")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming first-occurrence dedup on (user_id, event_type); the "
+        "watermarked bounded-state variant is exercised in unit tests.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        stream_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"]),
+        "append")
+
+
+@register(
+    "q_stream_user_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           epoch_us(MIN(ts))    AS first_ts_us,
+           epoch_us(MAX(ts))    AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "running per-user profile. availableNow processes the fixture in "
+        "one micro-batch, so the final emitted rows equal the batch "
+        "aggregate; in continuous mode each micro-batch re-emits the "
+        "updated profile per active user.",
+)
+def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        user_profile_stream(events_stream(spark, sf_dir)), "append")

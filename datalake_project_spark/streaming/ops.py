@@ -1,0 +1,157 @@
+"""Streaming operators: event-time windows, sessions, dedup, custom state.
+
+Each operator is the streaming formulation of a batch query in
+``datalake_project_spark.queries.events`` — same semantics, verified
+against the same DuckDB oracles by draining the stream with
+``trigger(availableNow=True)`` (one deterministic pass over all files).
+
+Execution model at scale: streaming aggregations shuffle by their group
+key exactly like batch; state lives in the HDFS/RocksDB state store
+partitioned by that key, so a 1000-executor cluster holds 1/1000 of the
+state per executor. Watermarks bound state growth for append-mode
+continuous deployment; ``complete`` mode (used by the availableNow
+backfill path) keeps the full aggregate, appropriate for bounded
+backfills only.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
+
+_query_seq = itertools.count()
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a streaming DataFrame to a batch result: process every
+    available file with ``trigger(availableNow=True)``, sink to memory,
+    return the sink table. Test/backfill entry point — the SAME streaming
+    plan that would run continuously, executed to exhaustion."""
+    name = f"dlps_stream_sink_{next(_query_seq)}"
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_agg(events: DataFrame, window: str = "1 hour",
+                 slide: str | None = None,
+                 watermark: str | None = None) -> DataFrame:
+    """Tumbling (or sliding, if ``slide``) event-time window aggregation
+    per event_type: count, total value, distinct users.
+
+    Streaming disallows exact ``countDistinct``; ``collect_set`` size is
+    the exact equivalent (bounded by users-per-window — for heavy keys
+    switch to ``approx_count_distinct``).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.size(F.collect_set("user_id")).alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value", "n_users",
+        )
+    )
+
+
+def sessionized_agg(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str | None = None) -> DataFrame:
+    """Per-user sessions with an inactivity gap via ``F.session_window``
+    — the streaming-native form of the batch gaps-and-islands query
+    (q_events_sessionize). Session bounds are reported as min/max event
+    time (not window end = last+gap) so both formulations agree."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end",
+                "n_events", "session_value")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 watermark: str | None = None) -> DataFrame:
+    """First-occurrence dedup over a stream. With ``watermark`` the state
+    is BOUNDED (``dropDuplicatesWithinWatermark`` evicts keys older than
+    the watermark) — the only viable form for a 24/7 stream; without it,
+    exact global dedup with unbounded state (backfill use)."""
+    projected = events.select(*keys) if watermark is None else events
+    if watermark is not None:
+        return (
+            projected.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+    return projected.dropDuplicates(keys)
+
+
+# --- custom stateful operator: running per-user profile -------------------
+
+PROFILE_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("first_ts_us", LongType()),
+    StructField("last_ts_us", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("tot", DoubleType()),
+    StructField("first_us", LongType()),
+    StructField("last_us", LongType()),
+])
+
+
+def _update_profile(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Arrow-batched state update: fold this micro-batch's events into the
+    user's running (count, sum, first, last) and emit the refreshed row."""
+    n, tot, first_us, last_us = state.get if state.exists else (0, 0.0, None, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        tot += float(pdf["value"].sum())
+        us = pdf["ts"].astype("int64") // 1000
+        mn, mx = int(us.min()), int(us.max())
+        first_us = mn if first_us is None else min(first_us, mn)
+        last_us = mx if last_us is None else max(last_us, mx)
+    state.update((n, tot, first_us, last_us))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n],
+        "total_value": [round(tot, 2)],
+        "first_ts_us": [first_us], "last_ts_us": [last_us],
+    })
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profile as a CUSTOM stateful operator
+    (``applyInPandasWithState``): the streaming generalization of the
+    reference's per-account snapshot state, which it rebuilds from disk
+    every hour (`scripts/script_api_apify_to_spark.py:214-248`). One row
+    per user per micro-batch reflecting all events seen so far; state is
+    partitioned by user_id across the cluster."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile, PROFILE_SCHEMA, _STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,70 @@
+"""Multimodal binary columns: schema/typing, Arrow-batch feature
+extraction determinism, frame sampling, and the stubbed decode seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.functions.multimodal import (
+    as_media, byte_histogram, decode_audio, decode_image, extract_features,
+    frame_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return Catalog(spark, SF).table("documents")
+
+
+def test_media_schema(spark):
+    m = as_media(_docs(spark))
+    dtypes = dict(m.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"] == "struct<mime:string,n_bytes:int>"
+
+
+def test_features_match_native_expressions(spark):
+    """mapInPandas byte features == Catalyst string expressions."""
+    got = extract_features(as_media(_docs(spark)))
+    exp = _docs(spark).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        (F.length("text") - F.length(F.replace("text", F.lit("e"), F.lit(""))))
+        .cast("long").alias("n_e"),
+        (F.length("text") - F.length(F.replace("text", F.lit(" "), F.lit(""))))
+        .cast("long").alias("n_space"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_byte_histogram_deterministic_and_normalized(spark):
+    h = byte_histogram(as_media(_docs(spark).limit(50)))
+    rows = {r["doc_id"]: r["byte_hist"] for r in h.collect()}
+    rows2 = {r["doc_id"]: r["byte_hist"] for r in h.collect()}
+    assert rows == rows2
+    for vec in rows.values():
+        assert len(vec) == 16
+        assert abs(sum(vec) - 1.0) < 1e-5
+
+
+def test_frame_sample_counts(spark):
+    m = as_media(_docs(spark))
+    got = frame_sample(m).groupBy("doc_id").count()
+    exp = m.select(
+        "doc_id",
+        (F.floor((F.length("payload") / 16 - 1) / 4) + 1).alias("expected"),
+    ).where(F.length("payload") >= 16)
+    joined = got.join(exp, "doc_id", "full")
+    bad = joined.where(
+        F.col("count").isNull() | F.col("expected").isNull()
+        | (F.col("count") != F.col("expected"))).count()
+    assert bad == 0
+
+
+def test_decode_stubs_raise_without_libs(spark):
+    for decoder in (decode_image, decode_audio):
+        with pytest.raises((NotImplementedError, Exception)):
+            decoder(b"\x00\x01\x02")
