@@ -107,14 +107,37 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     shingle-set Jaccard, so the output contains no LSH false positives —
     only (possibly) false negatives, and for J >= 0.8 the miss probability
     is (1 - 0.8^4)^16 ~= 2e-4 per pair.
+
+    Physical shape: each shingle string is xxhash64'd exactly ONCE; the
+    ``num_perm`` permutations are min-aggregates of closed-form integer
+    expressions over an exploded (doc, shingle-hash) inverted index — a
+    single shuffle on doc id with map-side partial mins, no wide nested
+    array expressions (which blow up codegen compile time), and the
+    hashed arrays are reused for the exact verification join.
     """
     rows_per_band = num_perm // bands
-    sh = _doc_shingles(docs, id_col, text_col, n).cache()
-    sig = sh.select("_id", minhash_signature(F.col("_shingles"), num_perm, seed).alias("_sig"))
+    params = _minhash_params(num_perm, seed)
+
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    # hash once: all minhash arithmetic and verification run on int64s
+    hashed = sh.select(
+        "_id",
+        F.transform("_shingles",
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))).alias("_hs"),
+    ).cache()
+
+    inv = hashed.select("_id", F.explode("_hs").alias("_h"))
+    sig = inv.groupBy("_id").agg(*[
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(MERSENNE31))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ])
 
     band_cols = [
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.slice("_sig", i * rows_per_band + 1, rows_per_band)).alias("h"))
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(*[f"_m{i * rows_per_band + j}"
+                         for j in range(rows_per_band)]).alias("h"),
+        )
         for i in range(bands)
     ]
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("_b"))
@@ -125,9 +148,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()
     )
-    # Exact verification of candidates only.
-    sha = sh.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("_sa"))
-    shb = sh.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("_sb"))
+    # Exact verification of candidates only, on the hashed shingle sets
+    # (set Jaccard is preserved: shingles are distinct and xxhash64
+    # collisions are negligible at any realistic corpus size).
+    sha = hashed.select(F.col("_id").alias("a_id"), F.col("_hs").alias("_sa"))
+    shb = hashed.select(F.col("_id").alias("b_id"), F.col("_hs").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -174,10 +199,27 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
 
-    sig = (docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
-           .where(F.size("_toks") >= 1)
-           .select("_id", simhash_signature(F.col("_toks")).alias("_sig"))
-           .cache())
+    # Same math as simhash_signature, but shaped for scale: explode the
+    # distinct tokens, hash each once, and take the 64 per-bit sums as
+    # groupBy aggregates (one shuffle, map-side partials, small codegen
+    # expressions) instead of 64 array folds per row.
+    inv = (docs.select(F.col(id_col).alias("_id"),
+                       F.explode(F.array_distinct(tokens(text_col))).alias("_t"))
+           .select("_id", F.xxhash64("_t").alias("_h")))
+    contribs = inv.groupBy("_id").agg(*[
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_c{b}")
+        for b in range(bits)
+    ])
+
+    sig_col = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"_c{b}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        if b < 63:
+            sig_col = sig_col + F.shiftleft(bit, b)
+        else:
+            # avoid setting the sign bit via overflow under ANSI mode
+            sig_col = F.when(bit == 1, sig_col + F.lit(-9223372036854775808)).otherwise(sig_col)
+    sig = contribs.select("_id", sig_col.alias("_sig")).cache()
 
     chunk_cols = [
         F.struct(F.lit(i).alias("c"),
