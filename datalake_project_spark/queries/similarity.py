@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from datalake_project_spark.operators.similarity import (
+    cosine_topk, cosine_topk_ivf, cosine_topk_lsh,
+)
 from datalake_project_spark.queries import register
 
 
@@ -52,3 +54,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     q = e.where(F.col("vec_id") < 10)
     return cosine_topk_lsh(q, e, k=5)
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate by design; recall asserted in unit tests
+    doc="IVF approximate top-5: KMeans coarse quantizer (16 cells), each "
+        "query probes its 4 nearest cells, exact rescoring inside. The "
+        "alternative 100 TB path to LSH — candidate tables can be stored "
+        "partitioned by cell, so a probe is a partition-pruned scan of "
+        "n_probe/n_clusters of the data.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(q, e, k=5)

@@ -64,6 +64,25 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert total > 0 and hits / total >= 0.8
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with 8 true clusters / 8 cells / 3 probes: a query's own cell
+    plus two neighbors must hold nearly all true top-5 neighbors."""
+    from datalake_project_spark.operators.similarity import cosine_topk_ivf
+
+    e = _clustered(spark, noise=0.04)
+    q = e.where(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(q, e, k=5).collect()
+    approx = cosine_topk_ivf(q, e, k=5, n_clusters=8, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r["neighbor_id"] in exact_sets[r["query_id"]]
+    assert total > 0 and hits / total >= 0.8
+
+
 def test_bruteforce_topk_deterministic_rank(spark):
     e = _clustered(spark, n_clusters=2, per_cluster=10)
     q = e.where(F.col("vec_id") == 0)
