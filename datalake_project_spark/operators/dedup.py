@@ -52,10 +52,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     (only docs sharing >=1 shingle ever meet), count shared shingles per
     pair, then J = inter / (|A| + |B| - inter). Jaccard is a ratio of
     ints -> bit-identical across engines.
+
+    The index carries xxhash64 of each shingle, not the shingle string:
+    the self-join shuffles 8-byte keys instead of ~20-byte-per-word
+    n-grams (at 100 TB the shuffle IS the cost; hash collisions merging
+    two distinct shingles are negligible at any corpus size).
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     sizes = sh.select("_id", F.size("_shingles").alias("_n"))
-    inv = sh.select("_id", F.explode("_shingles").alias("_s"))
+    inv = sh.select("_id", F.explode(
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
 
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
