@@ -31,16 +31,26 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q_snapshot_diff",
     "q_snapshot_series_diff",
+    "q_gender_enrichment",
     "q_window_topn",
     "q_events_sessionize",
+    "q_events_sliding_window",
     "q_asof_join",
     "q_range_join",
+    "q_stream_tumbling_window",
+    "q_stream_user_profile",
     "q_text_quality",
+    "q_text_langid",
     "q_text_fingerprint",
     "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_ann_cosine_topk",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_multimodal_features",
 ]
 
 

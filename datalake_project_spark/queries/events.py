@@ -47,6 +47,37 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_sliding_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts)
+                    + TO_MINUTES(CAST(FLOOR(minute(ts) / 15) * 15 AS BIGINT))
+                    - TO_MINUTES(CAST(i * 15 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events, range(0, 4) t(i)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding 1-hour window, 15-minute slide: every event lands in "
+        "exactly 4 windows (starts at the 4 preceding 15-min marks). "
+        "F.window(ts, '1 hour', '15 minutes') expands to the same set.",
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@register(
     "q_events_sessionize",
     oracle="""
     WITH flagged AS (
