@@ -40,7 +40,7 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from datalake_project_spark.queries import (  # noqa: F401
-        relational, relational2, cdc, events, text, dedup, similarity,
-        streaming, multimodal,
+        relational, relational2, relational3, cdc, events, text, dedup,
+        similarity, streaming, multimodal,
     )
     return REGISTRY

@@ -1,0 +1,285 @@
+"""Relational surface, tranche 3: TPC-H-shaped multi-join analytics
+adapted to the fixture star schema (no partsupp/shipmode/commitdate
+columns — the query SHAPES are what's exercised: exists-subqueries,
+two-sided dimension joins, conditional aggregation, having-over-join,
+disjunctive bracket predicates, scalar-subquery + anti-join).
+
+Scale notes per query are in the docstrings; the common theme: dimensions
+broadcast, the fact table shuffles at most once (for its group-by), and
+every filter lands in PushedFilters (tests/test_plans.py pins the star-
+join pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table(name)
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery = left-semi join with "
+        "a non-equi residual (l_shipdate > o_orderdate); one shuffle on "
+        "orderkey, date filter pushed to the orders scan.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(li, (o.o_orderkey == li.l_orderkey)
+                 & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: two-sided nation qualification (supplier AND "
+        "customer dimension chains) with an OR-pair predicate; all five "
+        "dimension joins broadcast, lineitem shuffles once for the final "
+        "group-by.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+               | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_top",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: lost-revenue top-20 customers from returned "
+        "items; deterministic (revenue DESC, custkey ASC) ordering; the "
+        "returnflag + date filters both push to their scans. Revenue is "
+        "summed as DECIMAL so the ranking/rounding is summation-order-"
+        "independent (double sums differ in the last ulp across engines).",
+)
+def q10_returned_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                           .cast("decimal(18,6)")), 2)
+             .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation ratio over a broadcast "
+        "part join; a single global aggregate — zero-row-group-by, one "
+        "partial/final reduction, no data shuffle.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+             .alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(t.sum_qty, 2)      AS sum_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 180) t
+    JOIN orders o   ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: HAVING over a fact-table group-by feeding a "
+        "dimension join — the aggregate runs FIRST so only qualifying "
+        "orderkeys (a tiny set) join orders/customer (broadcast-able).",
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_sq"))
+           .where(F.col("_sq") > 180))
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("_sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_bracket_predicates",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brackets across both "
+        "join sides. Catalyst derives common prefilters (quantity/size "
+        "ranges) pushed below the join; the OR residual evaluates post-"
+        "join inside codegen.",
+)
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    br = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(br).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)                 AS n_cust,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar subquery (global average, computed once "
+        "and broadcast as a literal) + anti-join against recent orders — "
+        "rich customers with no order since 1999, by segment.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal")).first()[0])
+    rich = c.where(F.col("c_acctbal") > avg_bal)
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    idle = rich.join(recent.select("o_custkey"),
+                     rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
