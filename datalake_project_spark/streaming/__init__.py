@@ -32,3 +32,7 @@ from datalake_project_spark.streaming.ops import (  # noqa: F401
     user_profile_stream,
     windowed_agg,
 )
+from datalake_project_spark.streaming.sinks import (  # noqa: F401
+    run_ts_of_batch,
+    stream_to_lake,
+)

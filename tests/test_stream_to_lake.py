@@ -1,0 +1,83 @@
+"""End-to-end streaming CDC: snapshot files arrive as micro-batches,
+land as run_ts partitions of the usage layer via foreachBatch, and the
+batch diff/latest-snapshot operators work unchanged on what the stream
+wrote. Also pins the exactly-once property (re-landing a batch does not
+duplicate rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_project_spark.lake import Lake
+from datalake_project_spark.operators.diff import snapshot_diff
+from datalake_project_spark.streaming import run_ts_of_batch, stream_to_lake
+
+SCHEMA = "username string, full_name string"
+SNAP1 = [("ana", "Ana A"), ("bo", "Bo B"), ("cy", "Cy C")]
+SNAP2 = [("bo", "Bo B"), ("cy", "Cy C"), ("di", "Di D")]  # -ana +di
+
+
+@pytest.fixture()
+def snap_dir(spark, tmp_path):
+    """Two snapshot files written one-per-file so maxFilesPerTrigger=1
+    yields two ordered micro-batches."""
+    d = tmp_path / "incoming"
+    for i, data in enumerate((SNAP1, SNAP2)):
+        df = spark.createDataFrame(data, SCHEMA)
+        # one file per snapshot, named so batch order == snapshot order
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+    d.mkdir()
+    import glob
+    import os
+    import shutil
+    import time
+    now = time.time()
+    for i in range(2):
+        src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        dst = d / f"snap{i}.parquet"
+        shutil.copy(src, dst)
+        # FileStreamSource orders batches by modification time, not name
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+    return str(d)
+
+
+def test_stream_lands_partitions_and_diff_works(spark, tmp_path, snap_dir):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(snap_dir))
+    q = stream_to_lake(stream, lake, "followers", "20260813",
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    # two micro-batches -> two run_ts partitions
+    parts = [r["run_ts"] for r in
+             lake.read_usage("followers", "20260813")
+             .select("run_ts").distinct().collect()]
+    assert sorted(parts) == [run_ts_of_batch(0), run_ts_of_batch(1)]
+
+    # batch operators over stream-written partitions
+    prev_ts = lake.latest_run_before("followers", "20260813", run_ts_of_batch(1))
+    assert prev_ts == run_ts_of_batch(0)
+    cur = lake.read_usage("followers", "20260813", run_ts_of_batch(1)) \
+        .select("username", "full_name")
+    prev = lake.read_usage("followers", "20260813", prev_ts) \
+        .select("username", "full_name")
+    diff = {(r["username"], r["change"])
+            for r in snapshot_diff(cur, prev, keys=["username", "full_name"]).collect()}
+    assert diff == {("di", "added"), ("ana", "deleted")}
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path, snap_dir):
+    """Re-running the stream with a FRESH checkpoint re-lands the same
+    batch ids; dynamic partition overwrite makes that a no-op instead of
+    an append-duplication."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    for attempt in range(2):  # second run replays batches 0 and 1
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(snap_dir))
+        q = stream_to_lake(stream, lake, "followers", "20260813",
+                           checkpoint_dir=str(tmp_path / f"ckpt{attempt}"))
+        q.awaitTermination()
+    total = lake.read_usage("followers", "20260813").count()
+    assert total == len(SNAP1) + len(SNAP2)  # no duplication
