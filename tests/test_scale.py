@@ -1,0 +1,89 @@
+"""Scale-hardening operators: bucketed joins must elide the exchange;
+salted joins must match unsalted results while splitting hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_project_spark.operators.scale import (
+    bucketed, salt_column, salted_join, write_bucketed,
+)
+from datalake_project_spark.plans import exchange_count
+from tests.conftest import rows
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, path=str(base / "o"))
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 8, path=str(base / "l"))
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Both sides bucketed by the join key into the same bucket count:
+    the sort-merge join consumes the bucket layout — ZERO exchanges
+    (query-time shuffle paid once at write time)."""
+    ot, lt = bucketed_tables
+    j = (bucketed(spark, lt).hint("merge")
+         .join(bucketed(spark, ot),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy("o_orderpriority")
+         .agg(F.sum("l_quantity").alias("qty")))
+    # the join itself adds no exchange; only the group-by shuffles
+    assert exchange_count(j) == 1
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    got = (bucketed(spark, lt)
+           .join(bucketed(spark, ot), F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+    exp = (spark.read.parquet(f"{SF}/lineitem.parquet")
+           .join(spark.read.parquet(f"{SF}/orders.parquet"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+    assert rows(got) == rows(exp)
+
+
+def _skewed(spark):
+    """90% of rows share one hot key."""
+    import itertools
+    data = [(1 if i % 10 else i, f"v{i}") for i in range(2000)]
+    big = spark.createDataFrame(data, "k long, payload string")
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(200)],
+                                  "k long, label string")
+    return big, small
+
+
+def test_salted_join_matches_plain(spark):
+    big, small = _skewed(spark)
+    got = salted_join(big, small, on="k", n_salts=8)
+    exp = big.join(small, "k")
+    assert rows(got.select("k", "payload", "label")) == \
+        rows(exp.select("k", "payload", "label"))
+
+
+def test_salted_left_join_matches_plain(spark):
+    big, small = _skewed(spark)
+    got = salted_join(big, small.where(F.col("k") < 50), on="k",
+                      n_salts=4, how="left")
+    exp = big.join(small.where(F.col("k") < 50), "k", "left")
+    assert rows(got.select("k", "payload", "label")) == \
+        rows(exp.select("k", "payload", "label"))
+
+
+def test_salt_spreads_hot_key(spark):
+    big, _ = _skewed(spark)
+    n = (big.where(F.col("k") == 1)
+         .select(salt_column(8, F.col("payload")).alias("s"))
+         .select(F.countDistinct("s").alias("n")).first()["n"])
+    assert n == 8  # the hot key's rows now span all 8 sub-keys
