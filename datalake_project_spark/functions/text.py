@@ -36,6 +36,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 also
+# supports (no lookahead) so the DuckDB oracle can run the IDENTICAL
+# regex: contractions, letter runs, digit runs, punctuation runs.
+BPE_PATTERN = "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+SUBWORD_LEN = 4  # BPE-ish proxy: a word of n chars ≈ ceil(n/4) merges
+
+
+def bpe_pieces(text: Column | str) -> Column:
+    """Pre-tokenizer piece count (the unit a BPE vocab would merge from)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0))
+
+
+def subword_count(toks: Column) -> Column:
+    """Deterministic proxy for BPE token count: sum of ceil(len/4) over
+    alphanumeric tokens — the budget estimator used for corpus sizing
+    when the real tokenizer isn't on the cluster."""
+    return F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(float(SUBWORD_LEN))))
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined) from a token array.
 

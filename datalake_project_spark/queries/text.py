@@ -53,6 +53,32 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_bpe_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+               AS n_pieces,
+           COALESCE(list_sum(list_transform(
+               toks, t -> CAST(CEIL(len(t) / 4.0) AS BIGINT))), 0) AS n_subwords
+    FROM tok
+    """,
+    doc="BPE-ish token counting for corpus budgeting: pre-tokenizer piece "
+        "count (GPT-2-style regex, RE2-compatible so the oracle runs the "
+        "IDENTICAL pattern) + ceil(len/4) subword estimate per token.",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    return d.select(
+        "doc_id",
+        T.bpe_pieces("text").alias("n_pieces"),
+        T.subword_count(toks).alias("n_subwords"),
+    )
+
+
+@register(
     "q_text_quality",
     oracle=f"""
     WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),

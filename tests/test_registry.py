@@ -30,3 +30,22 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() >= 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_sql_entrypoint_equals_dataframe_query(spark):
+    """The spark.sql surface over Catalog views must agree with the
+    DataFrame formulation of the same query (one namespace, two APIs)."""
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.queries import load_all
+    from tests.conftest import rows
+
+    cat = Catalog(spark, SF_SMOKE)
+    via_sql = cat.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+    via_df = (load_all()["q1_pricing_summary"].fn(spark, SF_SMOKE)
+              .select("l_returnflag", "l_linestatus", "count_order"))
+    assert rows(via_sql) == rows(via_df)

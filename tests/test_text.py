@@ -56,3 +56,15 @@ def test_quality_bounds(spark):
         T.quality_score(F.col("text"), T.tokens("text")).alias("q")).collect()]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert vals[0] > vals[1]  # prose beats punctuation soup
+
+
+def test_bpe_pieces_contractions_and_runs(spark):
+    got = _one(spark, "don't stop 123 now!!", T.bpe_pieces("text"))
+    # don | 't | stop | 123 | now | !! -> 6 pre-tokenizer pieces
+    assert got == 6
+
+
+def test_subword_count_ceil(spark):
+    # lengths 2, 4, 9 -> ceil/4 = 1 + 1 + 3
+    got = _one(spark, "ab cdef governance", T.subword_count(T.tokens("text")))
+    assert got == 5
