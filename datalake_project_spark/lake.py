@@ -71,6 +71,35 @@ class Lake:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.usage_path(table))
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self, table: str, ingest_date: str, run_ts: str,
+                target_files: int = 1) -> int:
+        """Rewrite one usage partition into ``target_files`` files.
+
+        Streaming sinks and frequent small appends accumulate small files;
+        at scale the file count (not byte count) becomes the scan- and
+        listing-cost driver. Dynamic partition overwrite replaces exactly
+        this (ingest_date, run_ts) partition, so compaction is idempotent
+        and safe to run concurrently with readers of other partitions.
+        Returns the file count before compaction.
+        """
+        part = self.read_usage(table, ingest_date, run_ts)
+        before = (part.select(F.input_file_name().alias("f"))
+                  .distinct().count())
+        if before > target_files:
+            # break the lineage to the files being replaced (Spark refuses
+            # to overwrite a path it is still reading); at cluster scale a
+            # write-to-staging + partition swap does the same job without
+            # holding the partition in executor storage.
+            staged = part.drop("ingest_date", "run_ts").localCheckpoint(eager=True)
+            (staged
+             .repartition(target_files)
+             .withColumn("ingest_date", F.lit(ingest_date))
+             .withColumn("run_ts", F.lit(run_ts))
+             .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
+             .parquet(self.usage_path(table)))
+        return before
+
     def latest_run_before(self, table: str, ingest_date: str,
                           run_ts: str) -> str | None:
         """Previous-snapshot resolution (reference S7): max(run_ts) among

@@ -39,6 +39,29 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts)
+                    + TO_MINUTES(CAST(FLOOR(minute(ts) / 15) * 15 AS BIGINT))
+                    - TO_MINUTES(CAST(i * 15 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)                AS n_events,
+           ROUND(SUM(value), 2)    AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events, range(0, 4) t(i)
+    GROUP BY 1, 2
+    """,
+    doc="Streaming sliding window (1 hour, 15-minute slide): every event "
+        "contributes to 4 overlapping windows; complete-mode availableNow "
+        "drain equals the batch expansion exactly.",
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        windowed_agg(events_stream(spark, sf_dir), "1 hour", slide="15 minutes"),
+        "complete")
+
+
+@register(
     "q_stream_sessionize",
     oracle="""
     WITH flagged AS (

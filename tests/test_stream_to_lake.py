@@ -81,3 +81,23 @@ def test_replayed_batch_is_idempotent(spark, tmp_path, snap_dir):
         q.awaitTermination()
     total = lake.read_usage("followers", "20260813").count()
     assert total == len(SNAP1) + len(SNAP2)  # no duplication
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    """Many small files (a streaming sink's natural output) compact to one
+    per partition, with row-for-row identical content."""
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")).repartition(16)
+    lake.write_usage(df, "t", "20260813", "0100")
+
+    before = lake.compact("t", "20260813", "0100", target_files=1)
+    assert before == 16
+    after_df = lake.read_usage("t", "20260813", "0100")
+    assert (after_df.select(F.input_file_name()).distinct().count() == 1)
+    assert after_df.count() == 1000
+    assert after_df.agg(F.sum("id")).first()[0] == 499500
+    # idempotent: second run is a no-op
+    assert lake.compact("t", "20260813", "0100", target_files=1) == 1
