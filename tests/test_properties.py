@@ -1,0 +1,93 @@
+"""Hypothesis property tests (SURVEY.md §5.2 #4).
+
+- Diff round-trip: for any two snapshots, prev - deleted + added == cur
+  and added/deleted are disjoint from each other and from the overlap.
+- Union-fold == multi-path scan: the reference's iterative unionByName
+  (`airflow/dags/apify_dag.py:148,168`) must equal one scan of all paths.
+- Gender parity: the JVM-native broadcast-join enrichment and the
+  Arrow pandas-UDF variant implement the same function.
+
+Strategy sizes stay small (Spark job per example); determinism matters
+more than volume here — the operators are set-algebraic, so shrunk
+counterexamples would be tiny anyway.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datalake_project_spark.functions.gender import (
+    enrich_gender_native, enrich_gender_pandas_udf,
+)
+from datalake_project_spark.operators.diff import snapshot_diff
+from tests.conftest import rows
+
+_PROP = settings(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+names = st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+                min_size=0, max_size=12)
+
+
+def _snap(spark, users):
+    return spark.createDataFrame(
+        [(u, f"Full {u}") for u in sorted(users)] or [],
+        "username string, full_name string")
+
+
+@given(prev=names, cur=names)
+@_PROP
+def test_diff_round_trip(spark, prev, cur):
+    d = snapshot_diff(_snap(spark, cur), _snap(spark, prev),
+                      keys=["username", "full_name"]).collect()
+    added = {r["username"] for r in d if r["change"] == "added"}
+    deleted = {r["username"] for r in d if r["change"] == "deleted"}
+    assert added == cur - prev
+    assert deleted == prev - cur
+    assert (prev - deleted) | added == cur
+
+
+@given(parts=st.lists(
+    st.lists(st.tuples(st.integers(0, 99),
+                       st.text(alphabet="xyz", min_size=1, max_size=3)),
+             min_size=0, max_size=5),
+    min_size=1, max_size=4))
+@_PROP
+def test_union_fold_equals_multipath_scan(spark, parts, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ufold")
+    paths = []
+    dfs = []
+    for i, data in enumerate(parts):
+        df = spark.createDataFrame(data, "k long, v string") if data else \
+            spark.createDataFrame([], "k long, v string")
+        p = str(base / f"p{i}")
+        df.write.mode("overwrite").parquet(p)
+        paths.append(p)
+        dfs.append(df)
+    folded = dfs[0]
+    for df in dfs[1:]:
+        folded = folded.unionByName(df)
+    multi = spark.read.parquet(*paths)
+    assert rows(multi) == rows(folded)
+
+
+LOOKUP = {"ana": "female", "bob": "male", "cab": "mostly_female",
+          "dad": "mostly_male", "eee": "andy"}
+
+name_strat = st.one_of(
+    st.sampled_from(sorted(LOOKUP) + ["zzz", ""]),
+    st.text(alphabet="abcde._8 ", max_size=8),
+)
+
+
+@given(rows_in=st.lists(st.tuples(name_strat, name_strat), min_size=1, max_size=8))
+@_PROP
+def test_gender_native_equals_pandas_udf(spark, rows_in):
+    df = spark.createDataFrame(rows_in, "username string, full_name string")
+    lookup_df = spark.createDataFrame(list(LOOKUP.items()),
+                                      "first_name string, gender string")
+    via_native = enrich_gender_native(df, lookup_df)
+    via_udf = enrich_gender_pandas_udf(df, LOOKUP)
+    cols = ["username", "full_name", "predicted_gender", "confidence"]
+    assert rows(via_native.select(*cols)) == rows(via_udf.select(*cols))
