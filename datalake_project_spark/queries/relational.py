@@ -140,6 +140,28 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Arbitrary grouping sets (neither rollup nor cube): per-priority, "
+        "per-status, and grand total in one Expand+Agg pass over the scan.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets([["o_orderpriority"], ["o_orderstatus"], []],
+                       "o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
     "q_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
