@@ -560,3 +560,37 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@register(
+    "q_map_functions",
+    oracle="""
+    WITH m AS (SELECT event_id, event_type,
+                      CAST(json_extract(props, '$.k') AS INT) AS k
+               FROM events WHERE event_id <= 2000)
+    SELECT event_type,
+           COUNT(*)                 AS n,
+           MIN(k)                   AS min_k,
+           MAX(k)                   AS max_k,
+           ROUND(AVG(k), 4)         AS avg_k
+    FROM m GROUP BY event_type
+    """,
+    doc="MapType column path: JSON props parsed to map<string,int> with "
+        "from_json, element access + aggregation over map values — the "
+        "semi-structured column pattern (schema_of_json at design time, "
+        "explicit map schema at run time).",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    m = e.select(
+        "event_id", "event_type",
+        F.from_json("props", "map<string,int>").alias("props_map"),
+    )
+    return (
+        m.select("event_type", F.col("props_map")["k"].alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             F.round(F.avg("k"), 4).alias("avg_k"))
+    )

@@ -73,3 +73,57 @@ def test_user_profile_stream_matches_group_by(spark):
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
     ))
     assert _rows(got, "user_id") == _rows(exp, "user_id")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving in a
+    later micro-batch, with event time older than (max seen - delay), is
+    excluded from its (already finalized) window."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late"
+    d.mkdir()
+    base = "2024-01-01 00:{m:02d}:00"
+
+    def write_file(i, rows_):
+        df = spark.createDataFrame(rows_, "ts timestamp, v long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        src = glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0]
+        dst = d / f"f{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 600 + i * 60,) * 2)
+
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    # batch 0: events through 00:40 -> watermark (after commit) = 00:30
+    write_file(0, [(t(1), 1), (t(12), 1), (t(40), 1)])
+    # batch 1: on-time event; windows ending <= 00:30 are evicted+emitted
+    write_file(1, [(t(35), 1)])
+    # batch 2: LATE event (00:02 < watermark) — dropped. NB the watermark
+    # contract is "dropped once the window's state is gone": a late row
+    # racing the SAME batch as the eviction may still merge (Spark's
+    # documented 'may be dropped' looseness), hence the separate batch.
+    write_file(2, [(t(2), 100)])
+
+    stream = (spark.readStream.schema("ts timestamp, v long")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "10 minutes").alias("w"))
+           .agg(F.sum("v").alias("total")))
+    q = (agg.writeStream.format("memory").queryName("late_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["w"]["start"].minute: r["total"]
+           for r in spark.table("late_sink").collect()}
+    # window 00:00-00:10 closed with total 1 — the late v=100 was dropped;
+    # windows not yet past the final watermark are withheld in append mode
+    assert got.get(0) == 1
+    assert 100 not in got.values()
