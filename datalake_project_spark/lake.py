@@ -71,6 +71,28 @@ class Lake:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.usage_path(table))
 
+    def upsert(self, updates: DataFrame, table: str, ingest_date: str,
+               run_ts: str, keys: list[str]) -> None:
+        """MERGE semantics into one usage partition: rows in ``updates``
+        replace same-key rows of the (ingest_date, run_ts) partition;
+        new keys are inserted (matched-update + not-matched-insert).
+
+        Parquet has no row-level MERGE, so this is the partition-rewrite
+        formulation: target ANTI-JOIN updates (keep unmatched rows) UNION
+        updates, then dynamic-overwrite of exactly this partition. At
+        cluster scale the anti-join gets the Bloom-filter pushdown, and
+        only partitions named in the write are replaced; on Delta/Iceberg
+        the same call maps 1:1 onto MERGE INTO.
+        """
+        if not self.exists(table):
+            self.write_usage(updates, table, ingest_date, run_ts)
+            return
+        target = (self.read_usage(table, ingest_date, run_ts)
+                  .drop("ingest_date", "run_ts"))
+        keep = target.join(updates.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(updates).localCheckpoint(eager=True)
+        self.write_usage(merged, table, ingest_date, run_ts)
+
     # -- maintenance -------------------------------------------------------
     def compact(self, table: str, ingest_date: str, run_ts: str,
                 target_files: int = 1) -> int:

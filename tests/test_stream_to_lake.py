@@ -101,3 +101,33 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert after_df.agg(F.sum("id")).first()[0] == 499500
     # idempotent: second run is a no-op
     assert lake.compact("t", "20260813", "0100", target_files=1) == 1
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    """Matched keys are replaced, unmatched inserted, untouched rows kept."""
+    lake = Lake(spark, str(tmp_path / "lake"))
+    base = spark.createDataFrame(
+        [("ana", "Ana A"), ("bo", "Bo B"), ("cy", "Cy C")], SCHEMA)
+    lake.write_usage(base, "followers", "20260813", "0900")
+
+    updates = spark.createDataFrame(
+        [("bo", "Bo B2"), ("di", "Di D")], SCHEMA)  # update bo, insert di
+    lake.upsert(updates, "followers", "20260813", "0900", keys=["username"])
+
+    got = {(r["username"], r["full_name"])
+           for r in lake.read_usage("followers", "20260813", "0900").collect()}
+    assert got == {("ana", "Ana A"), ("bo", "Bo B2"),
+                   ("cy", "Cy C"), ("di", "Di D")}
+
+    # idempotent: applying the same updates again changes nothing
+    lake.upsert(updates, "followers", "20260813", "0900", keys=["username"])
+    again = {(r["username"], r["full_name"])
+             for r in lake.read_usage("followers", "20260813", "0900").collect()}
+    assert again == got
+
+
+def test_upsert_creates_table_when_absent(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    updates = spark.createDataFrame([("zz", "Zz Z")], SCHEMA)
+    lake.upsert(updates, "fresh", "20260813", "0900", keys=["username"])
+    assert lake.read_usage("fresh", "20260813", "0900").count() == 1
