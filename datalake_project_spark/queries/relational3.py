@@ -103,6 +103,60 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: one nation's share of a region's market by year "
+        "— six-way snowflake join (all dims broadcast) feeding a "
+        "conditional-aggregation ratio; the fact table shuffles once.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat1 = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
+    joined = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(nat1) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+@register(
     "q10_returned_top",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
