@@ -10,7 +10,7 @@ directory, a watermark, and a durable sink (SURVEY.md §2.9).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.queries import register
 from datalake_project_spark.streaming import (
@@ -102,6 +102,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"]),
         "append")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT s.event_id AS signup_event_id,
+           e.event_id AS err_event_id,
+           s.user_id,
+           epoch_us(e.ts) - epoch_us(s.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join: errors within 1h after a signup of "
+        "the same user, both sides watermarked so join state is evicted "
+        "once the watermark passes (left rows older than watermark-1h "
+        "can never match). availableNow drain equals the batch range "
+        "join exactly.",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.streaming.ops import interval_join
+
+    ev = events_stream(spark, sf_dir)
+    signups = (ev.where("event_type = 'signup'")
+               .select(F.col("event_id").alias("signup_event_id"),
+                       "user_id", F.col("ts").alias("s_ts")))
+    errors = (ev.where("event_type = 'error'")
+              .select(F.col("event_id").alias("err_event_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("e_ts")))
+    # interval_join keys on one column name: align by renaming
+    joined = interval_join(
+        signups, errors.withColumnRenamed("e_user_id", "user_id"),
+        on="user_id", left_ts="s_ts", right_ts="e_ts",
+        upper="1 HOUR", watermark="2 hours")
+    out = joined.select(
+        "l.signup_event_id", "r.err_event_id", F.col("l.user_id").alias("user_id"),
+        (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts")).alias("lag_us"))
+    return run_available_now(out, "append")
 
 
 @register(

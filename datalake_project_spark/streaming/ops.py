@@ -106,6 +106,28 @@ def stream_dedup(events: DataFrame, keys: list[str],
     return projected.dropDuplicates(keys)
 
 
+def interval_join(left: DataFrame, right: DataFrame, on: str,
+                  left_ts: str, right_ts: str, upper: str,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: right events within
+    ``[left_ts, left_ts + upper)`` of a matching left event.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, which is what lets Spark EVICT join state: a left row older
+    than (watermark - upper) can never match future right rows, so its
+    state is dropped. Without the time bound, stream-stream join state
+    grows forever — this operator encodes the bounded form only.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 # --- custom stateful operator: running per-user profile -------------------
 
 PROFILE_SCHEMA = StructType([

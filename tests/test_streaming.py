@@ -127,3 +127,32 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # windows not yet past the final watermark are withheld in append mode
     assert got.get(0) == 1
     assert 100 not in got.values()
+
+
+def test_stream_stream_join_matches_batch_range_join(spark):
+    """Watermarked stream-stream interval join == batch range join."""
+    from datalake_project_spark.streaming.ops import interval_join
+
+    ev = events_stream(spark, SF)
+    s = (ev.where("event_type = 'signup'")
+         .select(F.col("event_id").alias("sid"), "user_id",
+                 F.col("ts").alias("s_ts")))
+    e = (ev.where("event_type = 'error'")
+         .select(F.col("event_id").alias("eid"),
+                 F.col("user_id").alias("user_id"), F.col("ts").alias("e_ts")))
+    got = run_available_now(
+        interval_join(s, e, on="user_id", left_ts="s_ts", right_ts="e_ts",
+                      upper="1 HOUR", watermark="2 hours")
+        .select("l.sid", "r.eid"), "append")
+
+    b = Catalog(spark, SF).table("events")
+    bs = b.where("event_type = 'signup'").select(
+        F.col("event_id").alias("sid"), "user_id", F.col("ts").alias("s_ts"))
+    be = b.where("event_type = 'error'").select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("e_ts"))
+    exp = bs.join(be, (F.col("user_id") == F.col("u2"))
+                  & (F.col("e_ts") >= F.col("s_ts"))
+                  & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+                  ).select("sid", "eid")
+    assert _rows(got, "sid", "eid") == _rows(exp, "sid", "eid")
