@@ -337,3 +337,70 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: per-supplier revenue feeding a scalar MAX "
+        "subquery over the same aggregate — the aggregate computes once "
+        "and the max arrives as a broadcast literal (no second scan of "
+        "the fact table).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    rev = rev.cache()  # reused by the scalar max and the final join
+    max_rev = rev.agg(F.max("total_revenue")).first()[0]
+    return (
+        s.join(rev.where(F.col("total_revenue") == max_rev),
+               s.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average as the filter "
+        "threshold — decorrelated into ONE window (avg over partkey) on "
+        "the already-filtered fact rows joined to the brand's parts, "
+        "instead of re-scanning lineitem per part.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    joined = li.join(F.broadcast(p.select("p_partkey")),
+                     li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flagged = joined.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
