@@ -68,9 +68,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape: two-sided nation qualification (supplier AND "
-        "customer dimension chains) with an OR-pair predicate; all five "
-        "dimension joins broadcast, lineitem shuffles once for the final "
-        "group-by.",
+        "customer dimension chains) with an OR-pair predicate; AQE "
+        "broadcasts each join side that is small at runtime (all of them "
+        "at test scale; orders degrades to shuffle join at 100 TB), and "
+        "lineitem shuffles once for the final group-by.",
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
@@ -83,12 +84,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     joined = (
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+        li.join(o.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -123,8 +124,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="TPC-H Q8 shape: one nation's share of a region's market by year "
-        "— six-way snowflake join (all dims broadcast) feeding a "
-        "conditional-aggregation ratio; the fact table shuffles once.",
+        "— six-way snowflake join feeding a conditional-aggregation ratio; "
+        "nation/region broadcast by hint, the rest by AQE runtime size, "
+        "and the fact table shuffles once.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -140,13 +142,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat1 = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
     joined = (
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey", "o_orderdate")),
+        li.join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        .join(c.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r.select("r_regionkey")), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
     )
@@ -187,9 +189,9 @@ def q10_returned_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+        li.join(o.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+        .join(c.select("c_custkey", "c_name", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -226,7 +228,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
              .alias("promo_revenue_pct"))
     )
@@ -260,7 +262,7 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("_sq") > 180))
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_name")),
+        .join(c.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey",
@@ -294,7 +296,7 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     br = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 20))
@@ -396,7 +398,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
-    joined = li.join(F.broadcast(p.select("p_partkey")),
+    joined = li.join(p.select("p_partkey"),
                      li.l_partkey == F.col("p_partkey"))
     w = Window.partitionBy("l_partkey")
     flagged = joined.withColumn("_avg_qty", F.avg("l_quantity").over(w))
