@@ -77,6 +77,16 @@ def test_ann_brute_force_broadcasts_queries(spark, registry):
     assert any("vec_id" in f for f in pushed_filters(df))
 
 
+def test_q8_snowflake_single_exchange(spark, registry):
+    """Six-way snowflake with NO explicit hints on the large sides: at
+    this SF the planner still broadcasts all six (size-based), leaving
+    one exchange for the year group-by. At 100 TB the same plan degrades
+    per-join to shuffle — no code change."""
+    df = registry["q8_market_share"].fn(spark, SF)
+    assert broadcast_join_count(df) == 6
+    assert exchange_count(df) == 1
+
+
 def test_codegen_active(spark, registry):
     """Whole-stage codegen fuses the hot path (non-zero spans on a plain
     agg query — UDF-free plans must stay inside the JVM)."""
