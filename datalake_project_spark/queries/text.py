@@ -177,3 +177,44 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_len") > 0)
         .drop("_len")
     )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM tok WHERE len(ws) >= 3),
+    n AS (SELECT COUNT(*) AS n_docs FROM sh),
+    df AS (
+        SELECT u.s AS shingle, COUNT(*) AS doc_freq
+        FROM sh, unnest(sh.shingles) AS u(s)
+        GROUP BY u.s)
+    SELECT shingle, doc_freq,
+           ROUND(doc_freq::DOUBLE / n.n_docs, 4) AS doc_ratio
+    FROM df, n
+    WHERE doc_freq >= 5
+    """,
+    doc="Boilerplate detection (corpus-cleaning heavy hitters): 3-gram "
+        "shingles present in >= 5 documents by DOCUMENT frequency "
+        "(distinct per doc). One explode + one count per shingle with "
+        "map-side partial aggregation; the flagged set is then a "
+        "broadcast filter for a cleaning pass.",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import shingles
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (d.select("doc_id", shingles(T.tokens("text"), 3).alias("_sh"))
+          .where(F.size("_sh") >= 1))
+    n_docs = sh.count()
+    df_counts = (sh.select(F.explode("_sh").alias("shingle"))
+                 .groupBy("shingle")
+                 .agg(F.count(F.lit(1)).alias("doc_freq")))
+    ratio = F.col("doc_freq").cast("double") / F.lit(float(n_docs))
+    return (df_counts
+            .withColumn("doc_ratio", F.round(ratio, 4))
+            .where(F.col("doc_freq") >= 5))
