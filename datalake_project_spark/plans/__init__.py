@@ -19,6 +19,7 @@ from datalake_project_spark.plans.introspect import (  # noqa: F401
     exchange_count,
     final_plan,
     formatted_plan,
+    partition_filters,
     plan_summary,
     pushed_filters,
     scan_columns,

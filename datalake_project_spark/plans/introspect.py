@@ -58,6 +58,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-column predicates applied at file listing time — these
+    prune entire directories before any file is opened (the IVF probe /
+    snapshot-resolution fast path)."""
+    found = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+    return [f for f in found if f.strip()]
+
+
 def scan_columns(df: DataFrame) -> list[str]:
     """ReadSchema of each file scan — proves column pruning reached
     storage (a 2-column projection must not read 16 columns)."""

@@ -87,3 +87,23 @@ def test_salt_spreads_hot_key(spark):
          .select(salt_column(8, F.col("payload")).alias("s"))
          .select(F.countDistinct("s").alias("n")).first()["n"])
     assert n == 8  # the hot key's rows now span all 8 sub-keys
+
+
+def test_ivf_cells_partition_prune(spark, tmp_path):
+    """The IVF storage story: candidates written partitionBy(cell) make an
+    n-probe query a partition-PRUNED scan — the cell predicate runs at
+    file-listing time, touching n_probe/n_clusters of the directories."""
+    from datalake_project_spark.plans import partition_filters
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .withColumn("cell", (F.col("vec_id") % 8).cast("int"))
+    path = str(tmp_path / "ivf")
+    e.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("cell").isin(2, 5))
+    pf = partition_filters(probe)
+    assert pf and "cell" in pf[0]
+    assert probe.count() == e.where(F.col("cell").isin(2, 5)).count()
+    # and non-partition predicates do NOT appear as partition filters
+    plain = spark.read.parquet(path).where(F.col("vec_id") < 10)
+    assert all("vec_id" not in f for f in partition_filters(plain))
