@@ -406,3 +406,35 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           day_no,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING), 2) AS window_spend
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_no
+          FROM orders)
+    """,
+    doc="RANGE-framed window (value bounds, not row counts): per customer, "
+        "total spend within +/-30 days of each order. The frame is by the "
+        "ORDER BY VALUE, so same-day orders share one frame — semantics "
+        "ROWS frames cannot express; one shuffle on custkey.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("timestamp")).cast("long").alias("day_no"))
+    w = (Window.partitionBy("o_custkey").orderBy("day_no")
+         .rangeBetween(-30, 30))
+    return o.select(
+        "o_orderkey", "o_custkey", "day_no",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("window_spend"))
