@@ -438,3 +438,60 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_custkey", "day_no",
         F.round(F.sum("o_totalprice").over(w), 2).alias("window_spend"))
+
+
+@register(
+    "q_window_rank_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist,
+           NTILE(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    doc="The full ranking-function family over one window definition — "
+        "ties handled by rank vs dense_rank, distribution stats by "
+        "percent_rank/cume_dist, equi-depth bucketing by ntile; a single "
+        "shuffle+sort on the partition key serves all five.",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND doc_id % 2 = 0)
+       OR (lang <> 'en' AND doc_id % 10 = 0)
+    """,
+    doc="Deterministic stratified sampling (training-data curation): keep "
+        "50% of English docs and 10% of everything else by a key-modulus "
+        "predicate — reproducible across runs/engines/cluster sizes "
+        "(unlike rand()-based sample()), and the predicate pushes to the "
+        "scan. At scale substitute pmod(xxhash64(key), 100) < rate for "
+        "key-distribution independence.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    keep = (
+        ((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+        | ((F.col("lang") != "en") & (F.col("doc_id") % 10 == 0))
+    )
+    return d.where(keep).select("doc_id", "lang")
