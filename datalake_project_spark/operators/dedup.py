@@ -244,6 +244,42 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id", max_iter: int = 30) -> DataFrame:
+    """Connected components over near-duplicate pairs: returns
+    (``id``, ``rep``) where ``rep`` is the minimum id reachable in the
+    undirected pair graph — the canonical representative used to keep
+    ONE document per duplicate cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds. Each round is one join + one min-aggregate (both
+    shuffles on the node id, so they co-partition), with
+    ``localCheckpoint`` truncating the growing lineage — the classic
+    Spark formulation of an iterative graph algorithm without GraphX.
+    Near-dup clusters are short-diameter by construction, so rounds stay
+    in the low single digits.
+    """
+    und = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = (edges.select("u").distinct()
+              .withColumn("label", F.col("u")))
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label"))
+        new_labels = (labels.union(neighbor_labels)
+                      .groupBy("u").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+                   .where(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("rep"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.5) -> DataFrame:

@@ -134,3 +134,42 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.operators.similarity import block_pairwise_cosine
     e = Catalog(spark, sf_dir).table("embeddings")
     return block_pairwise_cosine(e, threshold=0.5)
+
+
+@register(
+    "q_dedup_components",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
+    SELECT u AS id, LEAST(u, MIN(v)) AS rep
+    FROM reach GROUP BY u
+    """,
+    doc="Duplicate-cluster resolution: connected components over the "
+        "near-dup pair graph (min-label propagation, one join + one "
+        "min-agg per round) -> (id, rep) canonical representative per "
+        "cluster. The oracle recomputes components via a recursive-CTE "
+        "transitive closure over the exact-Jaccard pairs.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    return D.connected_components(pairs)

@@ -70,3 +70,18 @@ def test_embedding_near_dup_pairs(spark):
     e = spark.createDataFrame(data, "vec_id long, embedding array<float>")
     got = rows(D.embedding_near_dup_pairs(e, threshold=0.9))
     assert [(r[0], r[1]) for r in got] == [(1, 2)]
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolate-free pair: labels converge to min id."""
+    from datalake_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain {1,2,3,4}
+         (10, 11),                    # pair {10,11}
+         (20, 21), (22, 21)],         # chain {20,21,22} via shared 21
+        "a_id long, b_id long")
+    got = {(r["id"], r["rep"]) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
