@@ -45,6 +45,13 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         """Lazy Parquet scan; Catalyst prunes columns/filters at the scan."""
         if name not in self._cache:
+            # Session-independent nanos handling: testdata parquet stores
+            # TIMESTAMP(NANOS), which Spark throws on (PARQUET_TYPE_ILLEGAL)
+            # unless this legacy conf is on. Our own session sets it at build
+            # (session.py), but callers may hand us any SparkSession (the
+            # correctness driver uses a vanilla one), so set it at runtime
+            # here — it is runtime-settable on this build.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(self.path(name))
             for col in self._NANOS_TS_COLS.get(name, []):
                 if dict(df.dtypes).get(col) == "bigint":
@@ -53,10 +60,19 @@ class Catalog:
         return self._cache[name]
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
-        """Expose every table to ``spark.sql`` as a temp view."""
+        """Expose tables to ``spark.sql`` as temp views.
+
+        Per-table isolation: one unreadable/corrupt table must never fail a
+        query that doesn't touch it, so registration failures are skipped
+        (the failing table simply stays unregistered and any query that DOES
+        need it fails with the underlying error at its own read).
+        """
         for name in names:
             if os.path.exists(self.path(name)):
-                self.table(name).createOrReplaceTempView(name)
+                try:
+                    self.table(name).createOrReplaceTempView(name)
+                except Exception:
+                    self._cache.pop(name, None)
 
     def sql(self, query: str) -> DataFrame:
         self.register_views()
