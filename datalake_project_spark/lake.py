@@ -32,6 +32,11 @@ class Lake:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        # Session-independent K3 semantics: overwrite must replace only the
+        # partitions present in the written data. Our session factory sets
+        # this at build, but the Lake must behave the same under any
+        # externally-created SparkSession, and the conf is runtime-settable.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- paths -------------------------------------------------------------
     def formatted_path(self, table: str) -> str:

@@ -104,6 +104,56 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_write_roundtrip",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS order_count,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           '1995-06-01' AS ingest_date,
+           '19950601T000000' AS run_ts
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY o_custkey
+    """,
+    doc="Medallion WRITE path made oracle-checkable (reference K2/K3, "
+        "scripts/script_api_apify_to_spark.py:194-209): aggregate orders, "
+        "write a usage snapshot partition via dynamic partition overwrite, "
+        "read it BACK with a partition-pruned scan, and return the re-read "
+        "rows. The oracle computes the same aggregate directly, so a pass "
+        "proves write->scan round-trip fidelity (schema, values, partition "
+        "columns), not just the read path. Idempotent: a re-run dynamically "
+        "overwrites exactly its own (ingest_date, run_ts) partition.",
+)
+def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_project_spark.lake import Lake
+
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    lake = Lake(spark, f"/root/repo/.scratch/roundtrip_{sf_tag}")
+    lake.write_usage(snap, "cust_orders", "1995-06-01", "19950601T000000")
+    return (
+        lake.read_usage("cust_orders", "1995-06-01", "19950601T000000")
+        .select("custkey", "order_count", "total_price",
+                F.col("ingest_date").cast("string").alias("ingest_date"),
+                F.col("run_ts").cast("string").alias("run_ts"))
+    )
+
+
+@register(
     "q_snapshot_series_diff",
     oracle="""
     WITH snaps AS (

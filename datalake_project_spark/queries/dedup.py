@@ -117,6 +117,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_simhash_recall",
+    oracle="""
+    WITH groups AS (
+        SELECT lower(text) AS t, COUNT(*) AS n
+        FROM documents GROUP BY lower(text) HAVING COUNT(*) > 1)
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
+           CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_caught,
+           TRUE AS recall_is_1
+    FROM groups
+    """,
+    doc="End-to-end recall check for the SimHash pipeline: every "
+        "exact-duplicate pair (identical normalized text) has identical "
+        "token sets, hence identical signatures (hamming 0 <= 3), so the "
+        "pigeonhole bucketing MUST emit it — recall vs exact dups is "
+        "provably 1.0. The Spark side runs the full simhash_pairs "
+        "operator and counts how many exact-dup pairs it actually caught; "
+        "the oracle computes the exact-dup pair count from the data. Any "
+        "bucketing/signature/join defect that drops pairs breaks the "
+        "match. (A jaccard-based floor would be dishonest: hamming<=3 on "
+        "64-bit signatures is far stricter than J>=0.8.)",
+)
+def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    norm = d.select("doc_id", F.lower("text").alias("_t"))
+    a, b = norm.alias("a"), norm.alias("b")
+    exact_pairs = (
+        a.join(b, (F.col("a._t") == F.col("b._t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    )
+    caught = exact_pairs.join(
+        D.simhash_pairs(d, max_hamming=3).select("a_id", "b_id"),
+        ["a_id", "b_id"])
+    n_exact = exact_pairs.count()
+    n_caught = caught.count()
+    return spark.createDataFrame(
+        [(n_exact, n_caught, bool(n_exact == n_caught))],
+        "n_exact_pairs long, n_caught long, recall_is_1 boolean")
+
+
+@register(
     "q_dedup_embedding",
     oracle="""
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,

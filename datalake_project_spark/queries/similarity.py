@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.operators.similarity import (
-    cosine_topk, cosine_topk_ivf, cosine_topk_lsh,
+    build_ivf_index, cosine_topk, cosine_topk_lsh, ivf_probe,
 )
 from datalake_project_spark.queries import register
 
@@ -56,16 +56,90 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(q, e, k=5)
 
 
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF index path for one embeddings table. Keyed by the
+    source file's (size, mtime) so a regenerated fixture triggers a
+    rebuild; otherwise every probe reuses the stored index — the
+    train-once / probe-many lifecycle the 100 TB design calls for."""
+    import os
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}"
+           f"_{st.st_size}_{int(st.st_mtime)}")
+    index_path = f"/root/repo/.scratch/ivf/{tag}"
+    if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
+        e = Catalog(spark, sf_dir).table("embeddings")
+        build_ivf_index(e, index_path, n_clusters=16)
+    return index_path
+
+
 @register(
     "q_ann_ivf_topk",
-    oracle=None,  # approximate by design; recall asserted in unit tests
-    doc="IVF approximate top-5: KMeans coarse quantizer (16 cells), each "
-        "query probes its 4 nearest cells, exact rescoring inside. The "
-        "alternative 100 TB path to LSH — candidate tables can be stored "
-        "partitioned by cell, so a probe is a partition-pruned scan of "
-        "n_probe/n_clusters of the data.",
+    oracle=None,  # approximate by design; recall floor checked by q_ann_ivf_recall
+    doc="IVF approximate top-5 against a PERSISTED index: build step "
+        "(KMeans coarse quantizer, 16 cells, candidates written "
+        "partitionBy(cell)) runs once per fixture; the query is "
+        "probe-only — each query's 4 nearest cells are a partition-pruned "
+        "scan of n_probe/n_clusters of the data, exact rescoring inside.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return cosine_topk_ivf(q, e, k=5)
+    return ivf_probe(q, _ivf_index_for(spark, sf_dir), k=5, n_probe=4)
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, approx: DataFrame,
+                floor: float) -> DataFrame:
+    """Aggregate recall@5 of an approximate top-k against the exact
+    brute-force top-k, reduced to an oracle-checkable floor assertion.
+    The exact side is recomputed in-engine; the oracle states the
+    invariant (n_queries from the data, the floor literal, and that the
+    floor holds). A recall regression flips meets_floor and fails the
+    value hash."""
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(approx.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    recall = hits / total if total else 0.0
+    return spark.createDataFrame(
+        [(total // 5, float(floor), bool(recall >= floor))],
+        "n_queries long, recall_floor double, meets_floor boolean")
+
+
+_ANN_RECALL_ORACLE = """
+    SELECT COUNT(DISTINCT vec_id) AS n_queries,
+           CAST({floor} AS DOUBLE) AS recall_floor,
+           TRUE AS meets_floor
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+@register(
+    "q_ann_lsh_recall",
+    oracle=_ANN_RECALL_ORACLE.format(floor="0.3"),
+    doc="Recall floor for the LSH ANN path: aggregate recall@5 vs the "
+        "exact brute-force top-5 must be >= 0.3 (measured 0.40-0.46 on "
+        "the fixtures). Converts the approximate query from rows-only to "
+        "a value-checked row: any recall regression fails the hash.",
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return _ann_recall(spark, sf_dir, cosine_topk_lsh(q, e, k=5), floor=0.3)
+
+
+@register(
+    "q_ann_ivf_recall",
+    oracle=_ANN_RECALL_ORACLE.format(floor="0.4"),
+    doc="Recall floor for the IVF ANN path (probe of the persisted "
+        "index): aggregate recall@5 vs exact top-5 must be >= 0.4 "
+        "(measured 0.56-0.58 on the fixtures).",
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    approx = ivf_probe(q, _ivf_index_for(spark, sf_dir), k=5, n_probe=4)
+    return _ann_recall(spark, sf_dir, approx, floor=0.4)
