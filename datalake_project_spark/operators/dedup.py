@@ -43,9 +43,28 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
             .where(F.size("_shingles") >= 1))
 
 
+def _verify_pairs_exact(hashed: DataFrame, cands: DataFrame,
+                        threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs only. ``hashed`` is
+    (_id, _hs: array<long>) of xxhash64'd distinct shingles; set Jaccard
+    is preserved (shingles are distinct, hash collisions negligible)."""
+    sha = hashed.select(F.col("_id").alias("a_id"), F.col("_hs").alias("_sa"))
+    shb = hashed.select(F.col("_id").alias("b_id"), F.col("_hs").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(sha, "a_id").join(shb, "b_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(jac >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact near-duplicate pairs by word-``n``-gram Jaccard >= threshold.
 
     Inverted-index plan: explode distinct shingles, self-join on shingle
@@ -57,8 +76,32 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     the self-join shuffles 8-byte keys instead of ~20-byte-per-word
     n-grams (at 100 TB the shuffle IS the cost; hash collisions merging
     two distinct shingles are negligible at any corpus size).
+
+    ``max_df`` is the skew valve for corpus scale: the self-join costs
+    sum over shingles of df^2, and boilerplate shingles (site chrome,
+    license headers) dominate that sum. With ``max_df`` set, shingles
+    with document frequency > max_df are dropped from the CANDIDATE
+    index only; surviving pairs are then re-verified against the FULL
+    shingle sets, so every emitted Jaccard value is still exact — the
+    cap can only lose pairs whose overlap is exclusively ultra-common
+    shingles, which at threshold >= 0.5 means near-pure boilerplate.
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
+    if max_df is not None:
+        hashed = sh.select("_id", F.transform(
+            "_shingles", lambda s: F.xxhash64(s)).alias("_hs"))
+        inv = hashed.select("_id", F.explode("_hs").alias("_s"))
+        rare = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_df).select("_s"))
+        inv = inv.join(rare, "_s")  # drop heavy-hitter shingles
+        a, b = inv.alias("a"), inv.alias("b")
+        cands = (
+            a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+            .distinct()
+        )
+        return _verify_pairs_exact(hashed, cands, threshold)
+
     sizes = sh.select("_id", F.size("_shingles").alias("_n"))
     inv = sh.select("_id", F.explode(
         F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
@@ -125,12 +168,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     params = _minhash_params(num_perm, seed)
 
     sh = _doc_shingles(docs, id_col, text_col, n)
-    # hash once: all minhash arithmetic and verification run on int64s
+    # hash once: all minhash arithmetic and verification run on int64s.
+    # localCheckpoint (not cache): materializes once for the three uses
+    # below AND truncates lineage; the blocks are released when the RDD
+    # is garbage-collected, so repeated calls in a long-lived session
+    # don't accumulate executor storage the way never-unpersisted
+    # .cache() entries do.
     hashed = sh.select(
         "_id",
         F.transform("_shingles",
                     lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))).alias("_hs"),
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     inv = hashed.select("_id", F.explode("_hs").alias("_h"))
     sig = inv.groupBy("_id").agg(*[
@@ -157,17 +205,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     # Exact verification of candidates only, on the hashed shingle sets
     # (set Jaccard is preserved: shingles are distinct and xxhash64
     # collisions are negligible at any realistic corpus size).
-    sha = hashed.select(F.col("_id").alias("a_id"), F.col("_hs").alias("_sa"))
-    shb = hashed.select(F.col("_id").alias("b_id"), F.col("_hs").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size("_sa") + F.size("_sb") - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        cands.join(sha, "a_id").join(shb, "b_id")
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(jac >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _verify_pairs_exact(hashed, cands, threshold)
 
 
 def simhash_signature(token_arr: Column, bits: int = 64) -> Column:
@@ -225,7 +263,9 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         else:
             # avoid setting the sign bit via overflow under ANSI mode
             sig_col = F.when(bit == 1, sig_col + F.lit(-9223372036854775808)).otherwise(sig_col)
-    sig = contribs.select("_id", sig_col.alias("_sig")).cache()
+    # localCheckpoint, not cache: see minhash_lsh_pairs — blocks are
+    # released on GC instead of pinning executor storage forever.
+    sig = contribs.select("_id", sig_col.alias("_sig")).localCheckpoint(eager=True)
 
     chunk_cols = [
         F.struct(F.lit(i).alias("c"),
@@ -285,11 +325,26 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                              threshold: float = 0.5) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine >= threshold.
 
-    Baseline is the exact O(n^2/2) self-join (id< id) — correct at test SF.
-    The scale path for 100 TB is `similarity.hyperplane_bucketed_pairs`
-    (LSH pre-bucketing), same output contract minus recall guarantees.
+    Baseline is the exact O(n^2/2) self-join (id< id) — correct at test SF
+    and ONLY at test SF. The scale paths are
+    `similarity.block_pairwise_cosine` (exact, block-matrix) and the
+    hyperplane-LSH bucketing; a guard below refuses to run the quadratic
+    join on inputs where n^2 is plainly unreasonable.
     """
+    import warnings
+
     from datalake_project_spark.functions.vectors import cosine
+
+    n = emb.count()
+    if n > 100_000:
+        raise ValueError(
+            f"embedding_near_dup_pairs is the O(n^2) correctness baseline; "
+            f"{n} rows means {n * (n - 1) // 2} pairs. Use "
+            f"similarity.block_pairwise_cosine (exact) or the LSH path.")
+    if n > 20_000:
+        warnings.warn(
+            f"embedding_near_dup_pairs on {n} rows is quadratic; prefer "
+            f"similarity.block_pairwise_cosine", stacklevel=2)
 
     a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))

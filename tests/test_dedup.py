@@ -85,3 +85,40 @@ def test_connected_components_known_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)}
+
+
+def test_ngram_jaccard_max_df_keeps_exact_values(spark):
+    """The df-cap drops heavy-hitter shingles from the CANDIDATE index
+    only; emitted pairs are re-verified on full shingle sets, so values
+    match the uncapped run exactly (planted dups share rare shingles)."""
+    docs = _docs(spark)
+    uncapped = rows(D.ngram_jaccard_pairs(docs, threshold=0.5))
+    capped = rows(D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=3))
+    assert capped == uncapped
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate_candidates(spark):
+    """A shingle shared by every doc (boilerplate) must not generate
+    candidates once its df exceeds the cap: docs whose ONLY overlap is
+    the boilerplate prefix produce no pair."""
+    boiler = "all rights reserved by the site "
+    data = [(i, boiler + body) for i, body in enumerate([
+        "alpha beta gamma delta epsilon zeta", "eta theta iota kappa mu nu",
+        "xi omicron pi rho sigma tau", "upsilon phi chi psi omega one",
+    ])]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    got = rows(D.ngram_jaccard_pairs(docs, threshold=0.1, max_df=2))
+    assert got == []
+    # uncapped finds the boilerplate-only overlaps at a low threshold
+    assert rows(D.ngram_jaccard_pairs(docs, threshold=0.1)) != []
+
+
+def test_embedding_near_dup_guard():
+    import pytest as _pytest
+
+    class _FakeCount:
+        def count(self):
+            return 200_000
+
+    with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        D.embedding_near_dup_pairs(_FakeCount())
