@@ -218,3 +218,76 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (df_counts
             .withColumn("doc_ratio", F.round(ratio, 4))
             .where(F.col("doc_freq") >= 5))
+
+
+@register(
+    "q_text_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+    SELECT term, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+    doc="Vocabulary building (tokenizer-training precursor): corpus-wide "
+        "term table with occurrence and document frequency, df-filtered. "
+        "One explode + one groupBy with map-side partial aggregation — "
+        "at 100 TB this is the canonical first pass of BPE/unigram vocab "
+        "induction.",
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"),
+             F.count_distinct("doc_id").alias("doc_freq"))
+        .where(F.col("doc_freq") >= 5)
+    )
+
+
+@register(
+    "q_text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * LN(n.n_docs::DOUBLE / df.df::DOUBLE), 4) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rk
+    FROM ranked WHERE rk <= 5 AND doc_id < 100
+    """,
+    doc="TF-IDF top-5 terms per document: exploded term counts joined to "
+        "corpus document frequencies and scored tf*ln(N/df). Ranking is "
+        "over the INTEGER triple (tf desc, df asc, term asc) so the "
+        "window order is engine-exact; the double-valued tfidf is "
+        "reported, not sorted on. The df table is the small side (vocab "
+        "<< corpus) and broadcasts at scale.",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 5) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
