@@ -229,3 +229,48 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     return D.ngram_jaccard_pairs(d, threshold=0.5, max_df=50)
+
+
+@register(
+    "q_dedup_resolved",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.id = d.doc_id
+                      AND comp.id <> comp.rep)
+    """,
+    doc="END-TO-END dedup resolution: the surviving corpus after "
+        "near-dup clustering — pairs (inverted-index Jaccard) -> "
+        "connected components -> keep only cluster representatives "
+        "(min id) and untouched documents, via one anti-join of the "
+        "corpus against non-representative members. This is the actual "
+        "training-data operation the pair/component queries feed.",
+)
+def q_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    comp = D.connected_components(pairs)
+    non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
+    return d.join(non_reps, d.doc_id == non_reps.id, "left_anti").select("doc_id")

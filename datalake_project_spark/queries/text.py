@@ -291,3 +291,82 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rk") <= 5) & (F.col("doc_id") < 100))
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+@register(
+    "q_text_contamination",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    probes AS (
+        SELECT list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS pshingles
+        FROM words WHERE doc_id < 3 AND len(ws) >= 3),
+    probe_sh AS (SELECT DISTINCT unnest(pshingles) AS s FROM probes)
+    SELECT DISTINCT sh.doc_id
+    FROM sh JOIN probe_sh ON list_contains(sh.shingles, probe_sh.s)
+    WHERE sh.doc_id >= 3
+    """,
+    doc="Benchmark-contamination check: which corpus documents share any "
+        "word-3-gram with a (small) probe set — the held-out/eval-leak "
+        "scan every training pipeline needs. Spark plan: explode corpus "
+        "shingles ONCE, broadcast the probe shingle set, semi-join — at "
+        "100 TB the probe side is tiny and the corpus side is the same "
+        "inverted index the dedup family already builds.",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import shingles
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = d.select("doc_id", shingles(T.tokens("text"), n=3).alias("_sh")) \
+        .where(F.size("_sh") >= 1)
+    probe = (sh.where(F.col("doc_id") < 3)
+             .select(F.explode("_sh").alias("_s")).distinct())
+    corpus = (sh.where(F.col("doc_id") >= 3)
+              .select("doc_id", F.explode("_sh").alias("_s")))
+    return (corpus.join(F.broadcast(probe), "_s", "left_semi")
+            .select("doc_id").distinct())
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH tc AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                    AS BIGINT) AS bin_id
+        FROM tc)
+    SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """,
+    doc="Sequence packing for training batches: documents chunked into "
+        "~2048-token bins by exclusive running token count over a "
+        "deterministic total order. The window runs as ONE global "
+        "ordered pass here; at 100 TB the order key becomes "
+        "(shard, doc_id) so each shard packs independently — packing "
+        "is embarrassingly parallel given a partitioned sort key.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tc = d.select("doc_id", T.token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = tc.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)))
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"))
