@@ -142,3 +142,17 @@ def test_runtime_bloom_filter_on_diff_shapes(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_tfidf_broadcasts_vocab_side(spark, registry):
+    """TF-IDF: the document-frequency table (vocab-sized) broadcasts;
+    the exploded corpus side is never shuffled for the join."""
+    df = registry["q_text_tfidf_top_terms"].fn(spark, SF)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_contamination_broadcasts_probe_set(spark, registry):
+    """Contamination scan: the probe shingle set broadcasts into a semi
+    join — the corpus inverted index must not shuffle against it."""
+    df = registry["q_text_contamination"].fn(spark, SF)
+    assert broadcast_join_count(df) >= 1
