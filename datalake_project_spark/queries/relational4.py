@@ -174,3 +174,37 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               no_other_failed.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q_salted_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-mitigation join made oracle-checkable: fact-to-dimension "
+        "join routed through operators/scale.salted_join (deterministic "
+        "8-way salt on the big side, small side replicated per salt, "
+        "join on (key, salt)) and aggregated. The oracle is the PLAIN "
+        "join — a pass proves salting changes no results while splitting "
+        "each hot key's shuffle 8 ways. At 100 TB this is the manual "
+        "fallback when AQE's skew-join split can't engage (e.g. "
+        "pre-shuffle-aggregated inputs).",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.scale import salted_join
+
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = c.table("orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
