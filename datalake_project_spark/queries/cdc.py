@@ -154,6 +154,48 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_compact_roundtrip",
+    oracle="""
+    SELECT 4 AS files_before, 1 AS files_after,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+    doc="Small-file compaction as a checkable round-trip: write one "
+        "usage partition as 4 files, Lake.compact it to 1 (dynamic "
+        "partition overwrite of exactly that partition), and prove "
+        "(a) the file counts before/after and (b) that no row or value "
+        "was lost — the oracle recomputes count+sum from the source. At "
+        "scale file count, not byte count, drives scan/listing cost; "
+        "this is the maintenance op streaming sinks need.",
+)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_project_spark.lake import Lake
+
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice").repartition(4)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    lake = Lake(spark, f"/root/repo/.scratch/compact_{sf_tag}")
+    lake.write_usage(snap, "orders97", "1997-01-01", "19970101T000000")
+    before = lake.compact("orders97", "1997-01-01", "19970101T000000",
+                          target_files=1)
+    part = lake.read_usage("orders97", "1997-01-01", "19970101T000000")
+    after = (part.select(F.input_file_name().alias("f")).distinct().count())
+    agg = part.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.round(F.sum("o_totalprice"), 2).alias("total_price")).first()
+    return spark.createDataFrame(
+        [(before, after, agg["n_rows"], float(agg["total_price"]))],
+        "files_before int, files_after int, n_rows long, total_price double")
+
+
+@register(
     "q_snapshot_series_diff",
     oracle="""
     WITH snaps AS (
