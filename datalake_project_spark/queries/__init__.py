@@ -47,17 +47,22 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 PRIORITY: tuple[str, ...] = (
     # CDC / medallion (the reference's core computation)
     "q_snapshot_diff", "q_snapshot_diff_global", "q_latest_snapshot",
-    "q_snapshot_series_diff", "q_write_roundtrip",
-    # Deduplication family
+    "q_snapshot_series_diff", "q_write_roundtrip", "q_compact_roundtrip",
+    # Deduplication family (incl. the end-to-end corpus resolution and
+    # the df-capped near-dup skew valve — promoted in round 3)
     "q_dedup_exact", "q_dedup_exact_text", "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_embedding",
-    "q_dedup_components", "q_dedup_simhash_recall",
+    "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_dedup_embedding", "q_dedup_components",
+    "q_dedup_simhash_recall", "q_dedup_resolved",
     # Similarity / ANN family (+ recall floors for the approximate paths)
     "q_ann_cosine_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
     "q_ann_lsh_recall", "q_ann_ivf_recall",
-    # Text-analysis family
+    # Text-analysis family (incl. vocab build, TF-IDF, contamination
+    # scan, sequence packing — promoted in round 3)
     "q_text_token_stats", "q_text_bpe_tokens", "q_text_quality",
     "q_text_langid", "q_text_fingerprint", "q_text_boilerplate",
+    "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
+    "q_pack_sequences",
     # Events: windows, sessionization, as-of / range joins
     "q_events_tumbling_window", "q_events_sliding_window",
     "q_events_sessionize", "q_asof_join", "q_range_join",
@@ -67,13 +72,15 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_tumbling_window", "q_stream_sliding_window",
     "q_stream_sessionize", "q_stream_dedup", "q_stream_stream_join",
     "q_stream_user_profile",
-    # Relational representatives (one per family; the full TPC-H battery
-    # and remaining variants follow past the window)
+    # Relational representatives + scale equipment (the full TPC-H
+    # battery and remaining variants follow past the window; the former
+    # window members q_map_functions/q_correlated_subquery/q_pivot/
+    # q_percentiles/q_join_full_outer/q_explode_posexplode/
+    # q_date_functions/q_sample_stratified earned driver-green stamps in
+    # rounds 1-2 and rotate to the tail, which the judge re-runs)
     "q1_pricing_summary", "q3_shipping_priority", "q_json_extract",
-    "q_map_functions", "q_correlated_subquery", "q_gender_enrichment",
-    "q_window_rank_family", "q_pivot", "q_percentiles",
-    "q_join_full_outer", "q_explode_posexplode", "q_date_functions",
-    "q_sample_stratified",
+    "q_gender_enrichment", "q_window_rank_family",
+    "q_salted_join_revenue",
 )
 
 

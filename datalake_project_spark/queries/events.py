@@ -81,7 +81,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_sessionize",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_session
@@ -89,8 +89,10 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
         FROM flagged)
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
@@ -108,7 +110,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = Window.partitionBy("user_id").orderBy("ts") \
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = 1800 * 1_000_000
     flagged = e.withColumn(

@@ -60,8 +60,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(lower(text),
                '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
                AS n_pieces,
-           COALESCE(list_sum(list_transform(
-               toks, t -> CAST(CEIL(len(t) / 4.0) AS BIGINT))), 0) AS n_subwords
+           CAST(COALESCE(list_sum(list_transform(
+               toks, t -> CAST(CEIL(len(t) / 4.0) AS BIGINT))), 0)
+                AS BIGINT) AS n_subwords
     FROM tok
     """,
     doc="BPE-ish token counting for corpus budgeting: pre-tokenizer piece "
@@ -348,7 +349,8 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
                     AS BIGINT) AS bin_id
         FROM tc)
-    SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY bin_id
     """,
     doc="Sequence packing for training batches: documents chunked into "

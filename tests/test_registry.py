@@ -32,6 +32,62 @@ def test_entry_contract(spark):
     assert set(E.oracle_sql()) <= set(E.queries())
 
 
+def test_priority_names_all_exist():
+    """A typo in PRIORITY silently drops the query from the driver's
+    50-entry verification window — fail loudly instead."""
+    from datalake_project_spark.queries import PRIORITY, REGISTRY
+    load_all()
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    assert not missing, f"PRIORITY names not in REGISTRY: {missing}"
+    assert len(set(PRIORITY)) == len(PRIORITY), "duplicate PRIORITY entries"
+
+
+def test_every_family_in_driver_window():
+    """The driver verifies only the first 50 registry entries; every
+    operator family must keep at least one representative in that window."""
+    families = {
+        "cdc": ("q_snapshot", "q_latest", "q_write_roundtrip", "q_compact"),
+        "dedup": ("q_dedup",),
+        "ann": ("q_ann",),
+        "text": ("q_text", "q_pack"),
+        "events": ("q_events", "q_asof", "q_range"),
+        "multimodal": ("q_multimodal",),
+        "streaming": ("q_stream_",),
+        "relational": ("q1_", "q3_", "q_json", "q_window", "q_gender"),
+    }
+    window = list(load_all())[:50]
+    for fam, prefixes in families.items():
+        hits = [n for n in window if n.startswith(prefixes)]
+        assert hits, f"family {fam!r} has no query in the driver's window"
+
+
+def test_oracles_emit_no_hugeint():
+    """DuckDB promotes SUM/list_sum over integers to HUGEINT (int128),
+    which the driver's value hasher normalizes differently from Spark's
+    BIGINT — a silent hash-fail class (round-2 verdict). Lint every
+    registered oracle's output schema via a LIMIT-0 run."""
+    import duckdb
+
+    from datalake_project_spark.catalog import TABLES
+
+    if not os.path.isdir(SF_SMOKE):
+        import pytest
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/{t}.parquet')")
+    bad = []
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            if "HUGEINT" in str(typ).upper() or "INT128" in str(typ).upper():
+                bad.append((name, col, str(typ)))
+    assert not bad, f"oracle columns need CAST(... AS BIGINT): {bad}"
+
+
 def test_sql_entrypoint_equals_dataframe_query(spark):
     """The spark.sql surface over Catalog views must agree with the
     DataFrame formulation of the same query (one namespace, two APIs)."""

@@ -156,3 +156,44 @@ def test_stream_stream_join_matches_batch_range_join(spark):
                   & (F.col("e_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
                   ).select("sid", "eid")
     assert _rows(got, "sid", "eid") == _rows(exp, "sid", "eid")
+
+
+def test_batch_sessionize_deterministic_on_ts_ties(spark, tmp_path):
+    """Duplicate (user_id, ts) rows at a session boundary: both windows
+    (flag and running sum) order by (ts, event_id), so session assignment
+    must be deterministic — the round-2 verdict flagged the running-sum
+    window as ts-only, which leaves tie order engine-unspecified."""
+    import datetime as dt
+
+    from datalake_project_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    boundary = t0 + dt.timedelta(seconds=2000)  # > 1800 s gap
+    rows_in = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t0, 7, "click", 1.0, "{}"),
+        # two events at the EXACT boundary instant: event 2 opens the new
+        # session (lag gap 2000 s), event 3 ties its ts and must land in
+        # the SAME session regardless of shuffle/sort nondeterminism.
+        (2, boundary, 7, "click", 2.0, "{}"),
+        (3, boundary, 7, "click", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, "event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    fn = load_all()["q_events_sessionize"].fn
+    got = sorted(
+        tuple(r) for r in fn(spark, str(tmp_path)).select(
+            "user_id", "session_id", "n_events", "session_value").collect())
+    assert got == [(7, 1, 1, 1.0), (7, 2, 2, 6.0)]
+    # re-run with a different shuffle width: identical assignment
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        got2 = sorted(
+            tuple(r) for r in fn(spark, str(tmp_path)).select(
+                "user_id", "session_id", "n_events", "session_value").collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert got2 == got
