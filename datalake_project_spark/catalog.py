@@ -14,6 +14,7 @@ application globbing paths (`airflow/dags/apify_dag.py:134-146`).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,6 +34,7 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        self._failed_views: set[str] = set()
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
@@ -63,16 +65,26 @@ class Catalog:
         """Expose tables to ``spark.sql`` as temp views.
 
         Per-table isolation: one unreadable/corrupt table must never fail a
-        query that doesn't touch it, so registration failures are skipped
-        (the failing table simply stays unregistered and any query that DOES
-        need it fails with the underlying error at its own read).
+        query that doesn't touch it, so a failing table stays unregistered
+        and any query that DOES need it fails at its own read — but the
+        failure is surfaced as a warning (table name + root cause, once),
+        not swallowed, so the eventual TABLE_OR_VIEW_NOT_FOUND downstream
+        is traceable. Failed names are remembered and not re-read on every
+        subsequent ``sql()`` call.
         """
         for name in names:
+            if name in self._failed_views:
+                continue
             if os.path.exists(self.path(name)):
                 try:
                     self.table(name).createOrReplaceTempView(name)
-                except Exception:
+                except Exception as exc:
                     self._cache.pop(name, None)
+                    self._failed_views.add(name)
+                    warnings.warn(
+                        f"Catalog: could not register table {name!r} at "
+                        f"{self.path(name)}: {exc!r}; it will be missing "
+                        f"from the SQL namespace", stacklevel=2)
 
     def sql(self, query: str) -> DataFrame:
         self.register_views()

@@ -21,6 +21,7 @@ Write semantics match the reference:
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -32,11 +33,25 @@ class Lake:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        # Session-independent K3 semantics: overwrite must replace only the
-        # partitions present in the written data. Our session factory sets
-        # this at build, but the Lake must behave the same under any
-        # externally-created SparkSession, and the conf is runtime-settable.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    @contextlib.contextmanager
+    def _dynamic_overwrite(self):
+        """Session-independent K3 semantics: overwrite must replace only
+        the partitions present in the written data. Scoped save/restore
+        (writes are eager, so the conf only needs to hold for the write
+        call) — constructing a Lake must NOT silently change overwrite
+        semantics for a caller's own unrelated writes on the same session.
+        """
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            yield
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     # -- paths -------------------------------------------------------------
     def formatted_path(self, table: str) -> str:
@@ -56,10 +71,11 @@ class Lake:
                     run_ts: str) -> None:
         """Usage layer snapshot, dynamic-overwrite of exactly the
         (ingest_date, run_ts) partition (K3)."""
-        (df.withColumn("ingest_date", F.lit(ingest_date))
-         .withColumn("run_ts", F.lit(run_ts))
-         .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
-         .parquet(self.usage_path(table)))
+        with self._dynamic_overwrite():
+            (df.withColumn("ingest_date", F.lit(ingest_date))
+             .withColumn("run_ts", F.lit(run_ts))
+             .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
+             .parquet(self.usage_path(table)))
 
     # -- readers -----------------------------------------------------------
     def read_usage(self, table: str, ingest_date: str | None = None,
@@ -119,12 +135,13 @@ class Lake:
             # write-to-staging + partition swap does the same job without
             # holding the partition in executor storage.
             staged = part.drop("ingest_date", "run_ts").localCheckpoint(eager=True)
-            (staged
-             .repartition(target_files)
-             .withColumn("ingest_date", F.lit(ingest_date))
-             .withColumn("run_ts", F.lit(run_ts))
-             .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
-             .parquet(self.usage_path(table)))
+            with self._dynamic_overwrite():
+                (staged
+                 .repartition(target_files)
+                 .withColumn("ingest_date", F.lit(ingest_date))
+                 .withColumn("run_ts", F.lit(run_ts))
+                 .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
+                 .parquet(self.usage_path(table)))
         return before
 
     def latest_run_before(self, table: str, ingest_date: str,

@@ -126,8 +126,6 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrites exactly its own (ingest_date, run_ts) partition.",
 )
 def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from datalake_project_spark.lake import Lake
 
     o = Catalog(spark, sf_dir).table("orders")
@@ -142,8 +140,9 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    lake = Lake(spark, f"/root/repo/.scratch/roundtrip_{sf_tag}")
+    from datalake_project_spark.scratch import scratch_dir
+
+    lake = Lake(spark, scratch_dir("roundtrip", sf_dir))
     lake.write_usage(snap, "cust_orders", "1995-06-01", "19950601T000000")
     return (
         lake.read_usage("cust_orders", "1995-06-01", "19950601T000000")
@@ -172,8 +171,6 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this is the maintenance op streaming sinks need.",
 )
 def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from datalake_project_spark.lake import Lake
 
     o = Catalog(spark, sf_dir).table("orders")
@@ -181,8 +178,9 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_totalprice").repartition(4)
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    lake = Lake(spark, f"/root/repo/.scratch/compact_{sf_tag}")
+    from datalake_project_spark.scratch import scratch_dir
+
+    lake = Lake(spark, scratch_dir("compact", sf_dir))
     lake.write_usage(snap, "orders97", "1997-01-01", "19970101T000000")
     before = lake.compact("orders97", "1997-01-01", "19970101T000000",
                           target_files=1)

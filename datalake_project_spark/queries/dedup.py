@@ -121,7 +121,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH groups AS (
         SELECT lower(text) AS t, COUNT(*) AS n
-        FROM documents GROUP BY lower(text) HAVING COUNT(*) > 1)
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+        GROUP BY lower(text) HAVING COUNT(*) > 1)
     SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_exact_pairs,
            CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT) AS n_caught,
            TRUE AS recall_is_1
@@ -140,7 +142,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    norm = d.select("doc_id", F.lower("text").alias("_t"))
+    # mirror the operator's implicit filter: docs whose text yields zero
+    # tokens get no signature (explode of an empty array), so they can't
+    # appear in ANY pair — exclude them from the exact-pair base too, or
+    # two identical punctuation-only docs would flip recall_is_1 false.
+    from datalake_project_spark.functions.text import tokens
+    norm = (d.where(F.size(tokens("text")) > 0)
+            .select("doc_id", F.lower("text").alias("_t")))
     a, b = norm.alias("a"), norm.alias("b")
     exact_pairs = (
         a.join(b, (F.col("a._t") == F.col("b._t"))

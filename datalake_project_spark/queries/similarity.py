@@ -63,11 +63,12 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     train-once / probe-many lifecycle the 100 TB design calls for."""
     import os
 
+    from datalake_project_spark.scratch import scratch_dir
+
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     st = os.stat(src)
-    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}"
-           f"_{st.st_size}_{int(st.st_mtime)}")
-    index_path = f"/root/repo/.scratch/ivf/{tag}"
+    index_path = (f"{scratch_dir('ivf', sf_dir)}"
+                  f"/{st.st_size}_{int(st.st_mtime)}")
     if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
         e = Catalog(spark, sf_dir).table("embeddings")
         build_ivf_index(e, index_path, n_clusters=16)

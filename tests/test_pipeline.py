@@ -141,3 +141,24 @@ def test_es_option_assembly():
     opts = EsConfig().options("final_aggregated_index", "username")
     assert opts["es.resource"] == "final_aggregated_index"
     assert opts["es.mapping.id"] == "username"
+
+
+def test_lake_write_does_not_mutate_session_conf(spark, tmp_path):
+    """Constructing/using a Lake must not silently flip
+    partitionOverwriteMode for the caller's own unrelated writes
+    (round-2 advice): the conf is scoped save/restore around the write."""
+    from datalake_project_spark.lake import Lake
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        lake = Lake(spark, str(tmp_path / "lake"))
+        df = spark.range(5).withColumnRenamed("id", "k")
+        lake.write_usage(df, "t", "2024-01-01", "20240101T000000")
+        assert spark.conf.get(key).lower() == "static"
+        # and the write itself still used dynamic semantics: a second
+        # write of a DIFFERENT partition must not truncate the first
+        lake.write_usage(df, "t", "2024-01-02", "20240102T000000")
+        assert lake.read_usage("t").count() == 10
+    finally:
+        spark.conf.unset(key)
