@@ -35,23 +35,30 @@ class Lake:
         self.root = root.rstrip("/")
 
     @contextlib.contextmanager
-    def _dynamic_overwrite(self):
+    def _dynamic_overwrite(self, session: SparkSession | None = None):
         """Session-independent K3 semantics: overwrite must replace only
         the partitions present in the written data. Scoped save/restore
         (writes are eager, so the conf only needs to hold for the write
         call) — constructing a Lake must NOT silently change overwrite
         semantics for a caller's own unrelated writes on the same session.
+
+        The conf must be set on the session that OWNS the DataFrame being
+        written: Structured Streaming hands ``foreachBatch`` a DataFrame
+        bound to a cloned session with isolated conf, and setting the key
+        on the original session would leave the clone in static-overwrite
+        mode (each batch would truncate the whole table).
         """
+        sess = session or self.spark
         key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(key, None)
-        self.spark.conf.set(key, "dynamic")
+        prev = sess.conf.get(key, None)
+        sess.conf.set(key, "dynamic")
         try:
             yield
         finally:
             if prev is None:
-                self.spark.conf.unset(key)
+                sess.conf.unset(key)
             else:
-                self.spark.conf.set(key, prev)
+                sess.conf.set(key, prev)
 
     # -- paths -------------------------------------------------------------
     def formatted_path(self, table: str) -> str:
@@ -71,7 +78,7 @@ class Lake:
                     run_ts: str) -> None:
         """Usage layer snapshot, dynamic-overwrite of exactly the
         (ingest_date, run_ts) partition (K3)."""
-        with self._dynamic_overwrite():
+        with self._dynamic_overwrite(df.sparkSession):
             (df.withColumn("ingest_date", F.lit(ingest_date))
              .withColumn("run_ts", F.lit(run_ts))
              .write.mode("overwrite").partitionBy("ingest_date", "run_ts")
@@ -135,7 +142,7 @@ class Lake:
             # write-to-staging + partition swap does the same job without
             # holding the partition in executor storage.
             staged = part.drop("ingest_date", "run_ts").localCheckpoint(eager=True)
-            with self._dynamic_overwrite():
+            with self._dynamic_overwrite(staged.sparkSession):
                 (staged
                  .repartition(target_files)
                  .withColumn("ingest_date", F.lit(ingest_date))

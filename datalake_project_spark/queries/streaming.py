@@ -65,7 +65,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sessionize",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_session
@@ -73,7 +73,7 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged)
     SELECT user_id,
