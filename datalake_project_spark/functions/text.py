@@ -129,6 +129,28 @@ def quality_score(text_col: Column, toks: Column) -> Column:
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
 
 
+# PII patterns restricted to constructs Java regex and RE2 share (no
+# lookahead/backrefs) so the DuckDB oracle runs the IDENTICAL regexes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, then phone numbers, then IPv4 addresses with typed
+    placeholders. Order matters and is fixed: the oracle applies the same
+    three replacements in the same order. Pure JVM regexp_replace —
+    codegen-resident, no Python workers."""
+    out = F.regexp_replace(col, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4, "[IP]")
+
+
 def fingerprint(toks: Column) -> Column:
     """Order-sensitive rolling-hash fingerprint of the normalized token
     stream: fold (acc*31 + codepoint) mod (2^31-1) over the characters of

@@ -123,6 +123,41 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ngram_jaccard_pairs_between(left: DataFrame, right: DataFrame,
+                                id_col: str = "doc_id", text_col: str = "text",
+                                n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Cross-set near-duplicate pairs (left x right) by word-n-gram
+    Jaccard >= threshold — the INCREMENTAL dedup primitive: a new batch
+    is checked against the existing corpus without recomputing any
+    corpus-corpus pairs.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (cost is
+    sum over shared shingles of df_left * df_right, never |L| x |R|),
+    but the join is between two indexes instead of a self-join. At
+    100 TB the corpus index is built once and the daily batch index is
+    tiny, so AQE broadcasts the batch side of the shingle join and the
+    corpus is never shuffled.
+    """
+    shl = _doc_shingles(left, id_col, text_col, n)
+    shr = _doc_shingles(right, id_col, text_col, n)
+    sl = shl.select(F.col("_id").alias("a_id"), F.size("_shingles").alias("_na"))
+    sr = shr.select(F.col("_id").alias("b_id"), F.size("_shingles").alias("_nb"))
+    invl = shl.select(F.col("_id").alias("a_id"), F.explode(
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
+    invr = shr.select(F.col("_id").alias("b_id"), F.explode(
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
+    inter = (invl.join(invr, "_s")
+             .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("_inter")))
+    jac = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+    return (
+        inter.join(sl, "a_id").join(sr, "b_id")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(jac >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def _minhash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     # a,b < 2^20 and x < 2^31 keeps a*x + b < 2^52 (ANSI-safe in int64).

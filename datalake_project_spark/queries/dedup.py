@@ -240,6 +240,57 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+    words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    near_hits AS (
+        SELECT b.doc_id
+        FROM sh b JOIN sh c
+          ON b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+        WHERE len(list_intersect(b.shingles, c.shingles))::DOUBLE /
+              (len(b.shingles) + len(c.shingles)
+               - len(list_intersect(b.shingles, c.shingles)))::DOUBLE >= 0.5)
+    SELECT b.doc_id
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                      WHERE lower(c.text) = lower(b.text))
+      AND NOT EXISTS (SELECT 1 FROM near_hits nh WHERE nh.doc_id = b.doc_id)
+    """,
+    doc="INCREMENTAL dedup: the daily-batch operation at corpus scale — "
+        "new documents (doc_id %% 5 = 4) are admitted only if they have "
+        "no exact text match and no 3-gram-Jaccard >= 0.5 near-dup in "
+        "the EXISTING corpus. Exact pass = hash semi-join; near pass = "
+        "cross-index inverted join (batch index x corpus index, so "
+        "corpus-corpus pairs are never recomputed and the batch side "
+        "broadcasts at scale); survivors via two anti-joins.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    batch = d.where(F.col("doc_id") % 5 == 4)
+    corpus = d.where(F.col("doc_id") % 5 != 4)
+    exact_hits = (
+        batch.select("doc_id", F.lower("text").alias("_t"))
+        .join(corpus.select(F.lower("text").alias("_t")).distinct(), "_t",
+              "left_semi")
+        .select("doc_id"))
+    near_hits = (
+        D.ngram_jaccard_pairs_between(batch, corpus, threshold=0.5)
+        .select(F.col("a_id").alias("doc_id")).distinct())
+    dropped = exact_hits.union(near_hits).distinct()
+    return batch.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
     "q_dedup_resolved",
     oracle="""
     WITH RECURSIVE words AS (
