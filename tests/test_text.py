@@ -68,3 +68,24 @@ def test_subword_count_ceil(spark):
     # lengths 2, 4, 9 -> ceil/4 = 1 + 1 + 3
     got = _one(spark, "ab cdef governance", T.subword_count(T.tokens("text")))
     assert got == 5
+
+
+def test_redact_pii_replaces_all_three_kinds(spark):
+    from datalake_project_spark.functions.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_count, redact_pii,
+    )
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org, call +1 (555) 123-4567, host 10.0.255.7."),
+         (2, "no pii here at all"),
+         (3, "two mails x@y.io y@z.co and 192.168.0.1")],
+        "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id", redact_pii("t").alias("red"),
+        pii_count("t", PII_EMAIL).alias("ne"),
+        pii_count("t", PII_PHONE).alias("np"),
+        pii_count("t", PII_IPV4).alias("ni")).collect()}
+    assert got[1]["red"] == "mail [EMAIL], call [PHONE], host [IP]."
+    assert (got[1]["ne"], got[1]["np"], got[1]["ni"]) == (1, 1, 1)
+    assert got[2]["red"] == "no pii here at all"
+    assert got[3]["red"] == "two mails [EMAIL] [EMAIL] and [IP]"
+    assert got[3]["ne"] == 2 and got[3]["ni"] == 1

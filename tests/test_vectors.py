@@ -106,3 +106,26 @@ def test_block_pairwise_equals_bruteforce(spark):
     blocked = {(r["a_id"], r["b_id"]) for r in
                block_pairwise_cosine(e, threshold=0.8, block_rows=7).collect()}
     assert blocked == brute and len(brute) > 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized values differ from the original by at most scale/2
+    per element (round-to-nearest), and zero vectors survive."""
+    from datalake_project_spark.operators.similarity import (
+        dequantize, quantize_int8,
+    )
+    import math
+    data = [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-3.5, 2.5, 0.001, -0.002])]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    qz = quantize_int8(df)
+    deq = {r["vec_id"]: r["embedding"]
+           for r in dequantize(qz).collect()}
+    scales = {r["vec_id"]: r["scale"] for r in qz.collect()}
+    for vid, orig in data:
+        for a, b in zip(orig, deq[vid]):
+            assert math.isclose(a, b, abs_tol=scales[vid] / 2 + 1e-7), \
+                (vid, a, b, scales[vid])
+    assert deq[2] == [0.0, 0.0, 0.0, 0.0]
+    for r in qz.collect():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
