@@ -88,7 +88,8 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module; return the registry in PRIORITY order."""
     from datalake_project_spark.queries import (  # noqa: F401
         relational, relational2, relational3, relational4, cdc, events,
-        text, quality, dedup, similarity, streaming, multimodal, formats,
+        relational5, text, quality, dedup, similarity, streaming,
+        multimodal, formats,
     )
     ordered: dict[str, QuerySpec] = {}
     for name in PRIORITY:

@@ -1,0 +1,256 @@
+"""Relational surface, tranche 5: the six TPC-H shapes that complete the
+22-query battery (Q2, Q5, Q6, Q11, Q12, Q16), adapted to the fixture
+star schema. The fixture has no partsupp table, so Q2/Q11/Q16 derive the
+part-supplier relation from lineitem (distinct (l_partkey, l_suppkey)
+pairs with MIN(l_extendedprice / l_quantity) as the unit-cost proxy) —
+the query SHAPES (correlated scalar-min subquery, same-nation join
+chain, filter-only aggregate, relative-threshold HAVING, conditional
+counts, NOT-IN + count-distinct) are what's exercised.
+
+Cross-engine determinism notes: the Q2 unit cost is MIN over per-row
+IEEE divisions — exact and summation-order-independent, so the
+correlated ``cost = min(cost)`` equality is bit-identical in Spark and
+DuckDB (an AVG-based cost would be order-dependent). Conditional counts
+in Q12 use COUNT(CASE ...) not SUM(CASE ...) so the DuckDB oracle stays
+BIGINT (SUM over INTEGER promotes to HUGEINT, which the driver's hasher
+can't match — the round-2 lesson, linted by tests/test_registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table(name)
+
+
+def _unit_cost(li: DataFrame) -> DataFrame:
+    """lineitem-derived partsupp stand-in: per (part, supplier) the
+    minimum observed unit price. MIN of exact per-row divisions — no
+    summation-order sensitivity across engines."""
+    return (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("unit_cost")))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM cost c
+        JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           ROUND(e.unit_cost, 2) AS unit_cost
+    FROM part p JOIN eu e ON p.p_partkey = e.l_partkey
+    WHERE p.p_size IN (5, 15, 25, 35, 45) AND p.p_type IN ('LARGE', 'SMALL')
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eu e2
+                         WHERE e2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q2 shape: correlated scalar-MIN subquery (cheapest "
+        "regional supplier per part) over the lineitem-derived partsupp "
+        "relation. Spark plan: per-part min as a groupBy re-joined on "
+        "(partkey, unit_cost) — one shuffle on partkey reused by both "
+        "the min and the equality join; dims broadcast.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & F.col("p_type").isin("LARGE", "SMALL"))
+    eu = (_unit_cost(li)
+          .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name"))
+    best = eu.groupBy("l_partkey").agg(F.min("unit_cost").alias("unit_cost"))
+    return (eu.join(best, ["l_partkey", "unit_cost"])
+            .join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                    F.round("unit_cost", 2).alias("unit_cost")))
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: same-nation customer/supplier chain (the join "
+        "carries BOTH an equi-key and the c_nationkey = s_nationkey "
+        "residual) under a region filter; lineitem shuffles once on "
+        "orderkey, every dimension broadcasts.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: filter-only global aggregate — every predicate "
+        "(date range, discount band, quantity cap) lands in "
+        "PushedFilters, zero joins, map-side partials reduce to one row.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue")))
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH value AS (
+        SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, ROUND(val, 2) AS part_value
+    FROM value
+    WHERE val > (SELECT SUM(val) * 0.001 FROM value)
+    """,
+    doc="TPC-H Q11 shape: relative-threshold HAVING — per-part value "
+        "filtered against a scalar subquery over the SAME aggregate. "
+        "Spark plan: the per-part aggregate is computed once, the global "
+        "total derived from it as a 1-row broadcast cross join (no "
+        "second scan, no collect).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("val"))
+    )
+    total = value.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (value.crossJoin(F.broadcast(total))
+            .where(F.col("val") > F.col("threshold"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("val", 2).alias("part_value")))
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: conditional counts over a fact-fact join "
+        "(priority-class split per return flag; the fixture has no "
+        "l_shipmode so l_returnflag is the grouping dimension). "
+        "COUNT(CASE), not SUM(CASE): DuckDB's SUM over INTEGER is "
+        "HUGEINT, the round-2 hash-fail class.",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.when(high, 1)).alias("high_line_count"),
+                 F.count(F.when(~high, 1)).alias("low_line_count")))
+
+
+@register(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape: NOT IN anti-join against a filtered supplier "
+        "list + COUNT(DISTINCT) per part descriptor over the lineitem-"
+        "derived part-supplier relation. The excluded-supplier side is "
+        "tiny and broadcast; distinct-count shuffles once on the "
+        "(brand, type, size) grouping key.",
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%7")).select("s_suppkey")
+    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
