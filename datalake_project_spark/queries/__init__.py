@@ -54,33 +54,41 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_embedding", "q_dedup_components",
     "q_dedup_simhash_recall", "q_dedup_resolved",
-    # Similarity / ANN family (+ recall floors for the approximate paths)
+    # Similarity / ANN family (+ recall floors for the approximate paths
+    # and the int8 quantization fidelity floor — promoted in round 3)
     "q_ann_cosine_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
-    "q_ann_lsh_recall", "q_ann_ivf_recall",
+    "q_ann_lsh_recall", "q_ann_ivf_recall", "q_embed_quantize_recall",
     # Text-analysis family (incl. vocab build, TF-IDF, contamination
     # scan, sequence packing — promoted in round 3)
     "q_text_token_stats", "q_text_bpe_tokens", "q_text_quality",
     "q_text_langid", "q_text_fingerprint", "q_text_boilerplate",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
     "q_pack_sequences",
+    # Corpus assembly: deterministic split + source-weighted mixing
+    # (round-3 additions; q_events_sliding_window and
+    # q_stream_sliding_window earned driver-green stamps in r1-r2 and
+    # rotate to the tail to make room)
+    "q_split_train_test", "q_corpus_mix",
     # Events: windows, sessionization, as-of / range joins
-    "q_events_tumbling_window", "q_events_sliding_window",
+    "q_events_tumbling_window",
     "q_events_sessionize", "q_asof_join", "q_range_join",
     # Multimodal plumbing
     "q_multimodal_features", "q_multimodal_frame_sample",
     # Structured Streaming
-    "q_stream_tumbling_window", "q_stream_sliding_window",
+    "q_stream_tumbling_window",
     "q_stream_sessionize", "q_stream_dedup", "q_stream_stream_join",
     "q_stream_user_profile",
+    # Interchange-format round-trip representative (round 3; ORC/JSONL
+    # variants sit in the tail)
+    "q_csv_roundtrip",
     # Relational representatives + scale equipment (the full TPC-H
     # battery and remaining variants follow past the window; the former
     # window members q_map_functions/q_correlated_subquery/q_pivot/
     # q_percentiles/q_join_full_outer/q_explode_posexplode/
     # q_date_functions/q_sample_stratified earned driver-green stamps in
     # rounds 1-2 and rotate to the tail, which the judge re-runs)
-    "q1_pricing_summary", "q3_shipping_priority", "q_json_extract",
-    "q_gender_enrichment", "q_window_rank_family",
-    "q_salted_join_revenue",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q_gender_enrichment", "q_salted_join_revenue",
 )
 
 
@@ -89,7 +97,7 @@ def load_all() -> dict[str, QuerySpec]:
     from datalake_project_spark.queries import (  # noqa: F401
         relational, relational2, relational3, relational4, cdc, events,
         relational5, text, quality, dedup, similarity, streaming,
-        multimodal, formats,
+        multimodal, formats, corpus,
     )
     ordered: dict[str, QuerySpec] = {}
     for name in PRIORITY:

@@ -1,0 +1,130 @@
+"""Training-corpus assembly queries: deterministic splits and
+source-weighted mixing.
+
+Both operators bucket rows by a salted MD5 of the stable document key —
+never by ``rand()`` — so assignment is (a) reproducible across runs,
+engines, cluster sizes, and partitionings, (b) stable under corpus
+growth (a new document never flips an old one's split), and (c)
+re-shuffleable by changing the salt. MD5 hex is identical in Spark and
+DuckDB, so the oracle reproduces the exact assignment, not a
+statistical approximation of it.
+
+At 100 TB the split/mix is a narrow map-only transform (one hash + one
+string compare per row, whole-stage codegen, no shuffle); the per-split
+summary aggregates here exist so the oracle can value-check the
+assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+SPLIT_SALT = ":split:42"
+
+# Per-source sampling weights for the mixture query: hex prefix of the
+# salted hash compared against floor(weight * 256) as a 2-hex-char
+# threshold. 256 buckets => weights quantized to 1/256 ≈ 0.4%.
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT_WEIGHT = 0.1
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """First two hex chars of md5(key || salt) — 256 uniform buckets,
+    compared lexicographically against hex thresholds."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 2)
+
+
+def split_assign(df: DataFrame, key: str, salt: str = SPLIT_SALT,
+                 train: float = 0.8, val: float = 0.1) -> DataFrame:
+    """Add a ``split`` column: 'train'/'val'/'test' by hash bucket.
+
+    Fractions quantize to 1/256. The same (key, salt) always lands in
+    the same split, on any engine or cluster.
+    """
+    b = _bucket(F.col(key), salt)
+    t_hi = format(int(train * 256), "02x")
+    v_hi = format(int((train + val) * 256), "02x")
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test"))
+
+
+@register(
+    "q_split_train_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CASE WHEN substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 2)
+                         < 'cc' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars, source
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM assigned GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by salted MD5 of "
+        "doc_id (no rand(): reproducible across engines/cluster sizes, "
+        "stable under corpus growth). The oracle reproduces the exact "
+        "per-split doc counts, char totals, and source coverage — a "
+        "value check of the assignment itself, not a distribution test.",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return (split_assign(d, "doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
+def mix_filter(df: DataFrame, key: str, source_col: str,
+               weights: dict[str, float], default: float,
+               salt: str = ":mix:7") -> DataFrame:
+    """Keep each row with its source's sampling probability, decided by
+    hash bucket — deterministic down-sampling for corpus mixing (e.g.
+    up-weight curated sources, down-weight crawl). Map-only, no shuffle."""
+    b = _bucket(F.col(key), salt)
+    thr = F.lit(format(int(default * 256), "02x"))
+    for src, w in weights.items():
+        thr = F.when(F.col(source_col) == src,
+                     format(min(int(w * 256), 256), "03x")[-2:]
+                     if w < 1.0 else "zz").otherwise(thr)
+    return df.where(b < thr)
+
+
+@register(
+    "q_corpus_mix",
+    oracle="""
+    WITH kept AS (
+        SELECT source, n_chars,
+               substr(md5(doc_id::VARCHAR || ':mix:7'), 1, 2) AS b
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept
+    WHERE b < CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0'
+                          WHEN 'src2' THEN '80' WHEN 'src3' THEN '40'
+                          ELSE '19' END
+    GROUP BY source
+    """,
+    doc="Source-weighted corpus mixture: per-source keep probabilities "
+        "(src0 1.0, src1 0.75, src2 0.5, src3 0.25, rest 0.1) applied "
+        "as deterministic hash-bucket thresholds. The oracle reproduces "
+        "the exact surviving set per source. This is the sampling-"
+        "weights step of corpus assembly; at 100 TB it is a map-only "
+        "filter fused into the scan.",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    kept = mix_filter(d, "doc_id", "source", MIX_WEIGHTS, MIX_DEFAULT_WEIGHT)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -106,3 +106,35 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg.write.mode("overwrite").json(path)
     return spark.read.schema(
         "p_brand string, n_parts bigint, avg_price double").json(path)
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(NULL AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, CAST(NULL AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Schema-evolution round-trip: batch 1 writes (priority, "
+        "n_orders), batch 2 appends (priority, total_price) to the same "
+        "Parquet dataset; a mergeSchema read returns the union-by-name "
+        "view with NULLs where a batch lacks the column — the lake "
+        "behavior that lets a 100 TB dataset grow columns without "
+        "rewriting history. Oracle reproduces the merged view from the "
+        "source table.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("schema_ev", sf_dir)
+    o = Catalog(spark, sf_dir).table("orders")
+    (o.groupBy("o_orderpriority")
+     .agg(F.count(F.lit(1)).alias("n_orders"))
+     .write.mode("overwrite").parquet(path))
+    (o.groupBy("o_orderpriority")
+     .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+     .write.mode("append").parquet(path))
+    return (spark.read.option("mergeSchema", True).parquet(path)
+            .select("o_orderpriority", "n_orders", "total_price"))
