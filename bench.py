@@ -51,6 +51,16 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_multimodal_features",
+    # round-3 additions: the end-to-end LLM-pipeline operators promoted
+    # into the driver window, plus the new TPC-H shapes. Appended so
+    # earlier entries stay comparable round-over-round.
+    "q_dedup_resolved",
+    "q_text_contamination",
+    "q_pack_sequences",
+    "q_split_train_test",
+    "q_corpus_mix",
+    "q2_min_cost_supplier",
+    "q16_supplier_relationship",
 ]
 
 

@@ -352,3 +352,49 @@ def q_gender_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup = c.sparkSession.createDataFrame(_GENDER_LOOKUP, "first_name string, gender string")
     return enrich_gender_native(accounts, lookup).select(
         "c_custkey", "username", "full_name", "predicted_gender", "confidence")
+
+
+@register(
+    "q_approx_quantile_bound",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               PERCENT_RANK() OVER (ORDER BY o_totalprice) AS pr
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_quantiles,
+           COUNT(CASE WHEN within THEN 1 END) AS n_within_bound
+    FROM (
+        SELECT q, bool_and(ABS(pr - q) <= 0.02) AS within
+        FROM ranked, (VALUES (0.25), (0.5), (0.75), (0.9)) AS qs(q)
+        WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM ranked r2
+                              WHERE r2.pr <= qs.q)
+        GROUP BY q
+    )
+    """,
+    doc="Sketch-accuracy floor for the 100 TB quantile path: "
+        "approx_percentile (GK sketch, relative-error 0.01) must land "
+        "each of four quantiles within rank-error 0.02 of the true "
+        "distribution. Spark computes the sketch and verifies each "
+        "estimate's true percent-rank via a broadcast of 4 scalars; the "
+        "oracle derives the same bound check from the exact "
+        "distribution. Companion to q_percentiles the way the recall "
+        "floors back the ANN paths.",
+)
+def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    est = o.agg(F.percentile_approx(
+        "o_totalprice", qs, 100).alias("est")).collect()[0]["est"]
+    # true rank of each estimate (fraction of rows strictly below it),
+    # all four plus the total in ONE aggregate job
+    ranks = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(F.when(F.col("o_totalprice") < e, 1)).alias(f"r{i}")
+          for i, e in enumerate(est)]).collect()[0]
+    denom = max(ranks["n"] - 1, 1)
+    checks = [abs(ranks[f"r{i}"] / denom - q) <= 0.02
+              for i, q in enumerate(qs)]
+    return spark.createDataFrame(
+        [(len(qs), sum(checks))],
+        "n_quantiles long, n_within_bound long")

@@ -1,11 +1,11 @@
-"""Relational surface, tranche 5: the six TPC-H shapes that complete the
-22-query battery (Q2, Q5, Q6, Q11, Q12, Q16), adapted to the fixture
-star schema. The fixture has no partsupp table, so Q2/Q11/Q16 derive the
+"""Relational surface, tranche 5: the five TPC-H shapes that complete
+the 22-query battery (Q2, Q5, Q11, Q12, Q16; Q6 lives in tranche 1 as
+``q6_revenue_forecast``), adapted to the fixture star schema. The fixture has no partsupp table, so Q2/Q11/Q16 derive the
 part-supplier relation from lineitem (distinct (l_partkey, l_suppkey)
 pairs with MIN(l_extendedprice / l_quantity) as the unit-cost proxy) —
 the query SHAPES (correlated scalar-min subquery, same-nation join
-chain, filter-only aggregate, relative-threshold HAVING, conditional
-counts, NOT-IN + count-distinct) are what's exercised.
+chain, relative-threshold HAVING, conditional counts, NOT-IN +
+count-distinct) are what's exercised.
 
 Cross-engine determinism notes: the Q2 unit cost is MIN over per-row
 IEEE divisions — exact and summation-order-independent, so the
@@ -126,31 +126,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
-
-
-@register(
-    "q6_forecast_revenue",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 shape: filter-only global aggregate — every predicate "
-        "(date range, discount band, quantity cap) lands in "
-        "PushedFilters, zero joins, map-side partials reduce to one row.",
-)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue")))
 
 
 @register(
