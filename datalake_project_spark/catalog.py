@@ -39,9 +39,13 @@ class Catalog:
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
 
-    # Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
-    # int64 under spark.sql.legacy.parquet.nanosAsLong (session.py); the
-    # engine's contract type is timestamp at microsecond precision.
+    # Timestamp columns whose parquet physical type varies by fixture
+    # generator version: TIMESTAMP(NANOS) reads as int64 under
+    # spark.sql.legacy.parquet.nanosAsLong (session.py); TIMESTAMP(MICROS)
+    # with isAdjustedToUTC=false reads as TIMESTAMP_NTZ. The engine's
+    # contract type is TIMESTAMP (session-local, UTC sessions) at
+    # microsecond precision, so time functions (unix_micros, date_format)
+    # resolve; both variants are normalized to it here.
     _NANOS_TS_COLS = {"events": ["ts"]}
 
     def table(self, name: str) -> DataFrame:
@@ -56,8 +60,11 @@ class Catalog:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(self.path(name))
             for col in self._NANOS_TS_COLS.get(name, []):
-                if dict(df.dtypes).get(col) == "bigint":
+                dt = dict(df.dtypes).get(col)
+                if dt == "bigint":
                     df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+                elif dt == "timestamp_ntz":
+                    df = df.withColumn(col, F.col(col).cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

@@ -75,6 +75,55 @@ def shingles(toks: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(combined)).otherwise(empty)
 
 
+def span_list(toks: Column, n: int) -> Column:
+    """ALL word n-gram spans (space-joined) in document order, duplicates
+    kept — the position-sensitive counterpart of :func:`shingles` for
+    substring-level dedup and winnowing. Docs with < n tokens yield [].
+    """
+    if n < 2:
+        raise ValueError("span size must be >= 2")
+    width = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, width) for i in range(n)]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = F.zip_with(combined, p, lambda a, b: F.concat_ws(" ", a, b))
+    empty = F.slice(toks, 1, 0)
+    return F.when(F.size(toks) >= n, combined).otherwise(empty)
+
+
+def char_fold_hash(s: Column) -> Column:
+    """Polynomial rolling hash of one string: fold (acc*31 + codepoint)
+    mod (2^31-1) over its characters. Same integer recurrence as
+    :func:`fingerprint`, usable inside array transforms."""
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FP_MOD)
+
+
+def winnow_fingerprints(toks: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): hash every k-token span, then keep the minimum hash
+    of each w-wide sliding window of consecutive span positions; return
+    the distinct selected hashes.
+
+    Guarantees every shared run of >= k+w-1 tokens between two documents
+    contributes at least one shared fingerprint, while storing only
+    ~2/(w+1) of the span hashes. Entirely array ops in codegen: shifted
+    slices zipped with least() give the window minima without an
+    explode/re-group.
+    """
+    spans = span_list(toks, k)
+    hashes = F.transform(spans, char_fold_hash)
+    width = F.size(hashes) - (w - 1)
+    parts = [F.slice(hashes, i + 1, width) for i in range(w)]
+    mins = parts[0]
+    for p in parts[1:]:
+        mins = F.zip_with(mins, p, lambda a, b: F.least(a, b))
+    empty = F.slice(hashes, 1, 0)
+    return F.when(F.size(hashes) >= w, F.array_distinct(mins)).otherwise(empty)
+
+
 def stopword_ratio(toks: Column, lang: str) -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
     words = STOPWORDS[lang]

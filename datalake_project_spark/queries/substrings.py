@@ -1,0 +1,194 @@
+"""Substring-level dedup and corpus language-model scoring over
+`documents` — the position-sensitive complement of the shingle-set
+dedup family (`queries/dedup.py`).
+
+Three operators a large-scale training-data pipeline runs that set-based
+near-dup misses:
+
+- **Repeated-span mining** (`q_dedup_substring_spans`): exact word-level
+  n-gram spans occurring in more than one document — the candidate step
+  of exact substring deduplication (the "repeated 50-gram removal" pass
+  of modern corpus dedup; at token-level granularity the reference shape
+  is the suffix-array dedup of Lee et al. 2022, which this realizes as a
+  distributed explode + groupBy instead of a monolithic suffix array).
+- **Winnowing candidate pairs** (`q_dedup_winnow_pairs`): MOSS-style
+  local fingerprinting (Schleimer et al., SIGMOD 2003) — window-minimum
+  span hashes guarantee any shared run of >= k+w-1 tokens is detected
+  while keeping ~2/(w+1) of the hashes.
+- **Bigram-LM scoring** (`q_text_bigram_lm`): per-document mean log
+  probability under an add-one-smoothed bigram model trained on the
+  corpus itself — the CCNet/KenLM-style perplexity quality filter,
+  expressed as two aggregations and two joins.
+
+All three are pure DataFrame ops (explode + groupBy + join); hashes are
+exact integer arithmetic so every query is fully value-hash oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.functions import text as T
+from datalake_project_spark.queries import register
+
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+SPAN_N = 8  # words per span for repeated-span mining
+
+
+@register(
+    "q_dedup_substring_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest([array_to_string(ws[i:i+{SPAN_N - 1}], ' ')
+                       FOR i IN range(1, len(ws) - {SPAN_N - 2})]) AS span
+        FROM tok WHERE len(ws) >= {SPAN_N})
+    SELECT span,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM sp
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=f"Exact repeated-span mining: every {SPAN_N}-word span occurring "
+        "in >= 2 documents, with document and occurrence counts — the "
+        "candidate step of exact substring dedup (Lee et al. 2022 style, "
+        "as one explode + one groupBy with map-side partials instead of "
+        "a suffix array). At 100 TB spans are hashed to 8-byte keys "
+        "before the shuffle and re-verified after, exactly as the "
+        "n-gram-Jaccard operator does; the plain-string key here keeps "
+        "the query oracle-exact.",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    sp = d.select(
+        "doc_id", F.explode(T.span_list(T.tokens("text"), SPAN_N)).alias("span"))
+    return (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+WINNOW_K = 5  # span length (tokens) hashed for winnowing
+WINNOW_W = 4  # window width (spans) per fingerprint selection
+
+
+@register(
+    "q_dedup_winnow_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    spans AS (
+        SELECT doc_id, t.i AS pos,
+               array_to_string(ws[t.i:t.i+{WINNOW_K - 1}], ' ') AS span
+        FROM tok, unnest(range(1, len(ws) - {WINNOW_K - 2})) AS t(i)
+        WHERE len(ws) >= {WINNOW_K}),
+    hashed AS (
+        SELECT doc_id, pos,
+               list_reduce(list_prepend(0::BIGINT,
+                   [unicode(span[i])::BIGINT FOR i IN range(1, length(span) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_spans
+        FROM spans),
+    winnowed AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, n_spans,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING) AS fp
+            FROM hashed)
+        WHERE pos <= n_spans - {WINNOW_W - 1})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM winnowed a JOIN winnowed b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc=f"Winnowing (MOSS, Schleimer et al. 2003) near-dup candidates: "
+        f"hash every {WINNOW_K}-token span (exact integer polynomial "
+        f"hash), keep the min of each {WINNOW_W}-wide position window, "
+        "pair documents sharing >= 2 selected fingerprints. Detection "
+        f"guarantee: any shared run of >= {WINNOW_K + WINNOW_W - 1} "
+        f"tokens always shares a fingerprint, at ~2/(w+1) of the hash "
+        "volume — the storage/recall dial between exact substring dedup "
+        "and shingle sets. Spark plan: fingerprints are array ops in "
+        "codegen (no explode until the index), then the same "
+        "inverted-index self-join shape as n-gram Jaccard: shuffle "
+        "carries (id, 8-byte hash) only, cost Σ df², never n².",
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(
+            T.tokens("text"), k=WINNOW_K, w=WINNOW_W)).alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@register(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM tok),
+    c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    bg AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+        FROM tok WHERE len(ws) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((c2.c2 + 1)::DOUBLE / (c1.c1 + v.vocab)::DOUBLE)), 4)
+               AS avg_logprob
+    FROM bg
+    JOIN c2 USING (bg)
+    JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+    doc="Corpus-trained bigram language model scoring (the CCNet/"
+        "KenLM-shaped perplexity quality filter): P(w2|w1) with add-one "
+        "smoothing over corpus counts, per-document mean log probability. "
+        "Train = two groupBys (unigram + bigram counts, map-side "
+        "partials); score = re-join the exploded bigrams to both count "
+        "tables. The LM tables are vocab-sized — the broadcast side at "
+        "100 TB (AQE picks broadcast here); the corpus side is exploded "
+        "once and shuffled once per count table.",
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    uni = tok.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.distinct().count()
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = (tok.where(n >= 2)
+          .select("doc_id", F.explode(bg_arr).alias("bg")))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(c2, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(c1, "w1")
+        .withColumn("lp", F.log((F.col("c2") + 1).cast("double")
+                                / (F.col("c1") + F.lit(vocab)).cast("double")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"))
