@@ -48,22 +48,25 @@ PRIORITY: tuple[str, ...] = (
     # CDC / medallion (the reference's core computation)
     "q_snapshot_diff", "q_snapshot_diff_global", "q_latest_snapshot",
     "q_snapshot_series_diff", "q_write_roundtrip", "q_compact_roundtrip",
-    # Deduplication family (incl. the end-to-end corpus resolution and
-    # the df-capped near-dup skew valve — promoted in round 3)
-    "q_dedup_exact", "q_dedup_exact_text", "q_dedup_ngram_jaccard",
+    # Deduplication family (incl. the end-to-end corpus resolution, the
+    # df-capped near-dup skew valve, and the substring-level operators —
+    # q_dedup_exact_text rotates to the tail after green stamps in r1-r2)
+    "q_dedup_exact", "q_dedup_ngram_jaccard",
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_embedding", "q_dedup_components",
     "q_dedup_simhash_recall", "q_dedup_resolved",
+    "q_dedup_substring_spans",
     # Similarity / ANN family (+ recall floors for the approximate paths
     # and the int8 quantization fidelity floor — promoted in round 3)
     "q_ann_cosine_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
     "q_ann_lsh_recall", "q_ann_ivf_recall", "q_embed_quantize_recall",
     # Text-analysis family (incl. vocab build, TF-IDF, contamination
-    # scan, sequence packing — promoted in round 3)
-    "q_text_token_stats", "q_text_bpe_tokens", "q_text_quality",
+    # scan, sequence packing, bigram-LM quality scoring —
+    # q_text_token_stats rotates to the tail after green stamps in r1-r2)
+    "q_text_bpe_tokens", "q_text_quality",
     "q_text_langid", "q_text_fingerprint", "q_text_boilerplate",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
-    "q_pack_sequences",
+    "q_pack_sequences", "q_text_bigram_lm",
     # Corpus assembly: deterministic split + source-weighted mixing
     # (round-3 additions; q_events_sliding_window and
     # q_stream_sliding_window earned driver-green stamps in r1-r2 and

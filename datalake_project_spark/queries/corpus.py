@@ -128,3 +128,102 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+N_PACK_SHARDS = 8
+PACK_BIN_TOKENS = 2048
+
+
+@register(
+    "q_pack_sequences_sharded",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard
+                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {PACK_BIN_TOKENS}.0)
+                    AS BIGINT) AS bin_id
+        FROM tc)
+    SELECT shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+    doc=f"Shard-parallel sequence packing — the 100 TB formulation the "
+        "global q_pack_sequences documents: the order key becomes "
+        f"(shard, doc_id) with shard = doc_id % {N_PACK_SHARDS}, so each "
+        "shard packs its running token count independently. One shuffle "
+        "on shard, every shard's window runs in parallel (no global "
+        "single-partition sort), and the assignment is deterministic "
+        "for any shard count — this query value-checks the sharded "
+        "assignment against the oracle, proving packing parallelizes "
+        "without changing semantics within a shard.",
+)
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tc = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        T.token_count("text").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    packed = tc.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(float(PACK_BIN_TOKENS))))
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"))
+
+
+@register(
+    "q_corpus_overlap_matrix",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT source, u.s AS shingle
+        FROM (SELECT source,
+                     [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN range(1, len(ws) - 1)] AS shingles
+              FROM words WHERE len(ws) >= 3) t,
+             unnest(t.shingles) AS u(s))
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc="Inter-source duplication matrix: for every source pair, the "
+        "number of distinct word-3-grams present in both — the corpus "
+        "analytics view that tells a pipeline which sources re-host "
+        "each other's content (mirror detection, crawl-overlap "
+        "budgeting). Spark plan: one explode to the distinct "
+        "(source, shingle) index (map-side-combined), then a self-join "
+        "keyed on shingle — Σ df² over the SOURCE-level index, which is "
+        "orders smaller than the document-level one; the same df-cap "
+        "valve as n-gram dedup applies to boilerplate shingles at scale.",
+)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+    from datalake_project_spark.functions.text import shingles
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (d.select("source", F.explode(shingles(T.tokens("text"), 3)).alias("shingle"))
+          .distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -192,3 +192,61 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"))
+
+
+@register(
+    "q_text_dsir_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS ws FROM documents),
+    inst AS (SELECT doc_id, lang, unnest(ws) AS w FROM tok),
+    raw AS (SELECT w, COUNT(*) AS cr FROM inst GROUP BY w),
+    tgt AS (SELECT w, COUNT(*) AS ct FROM inst WHERE lang = 'en' GROUP BY w),
+    tot AS (SELECT COUNT(*) AS nr,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS nt,
+                   COUNT(DISTINCT w) AS vocab
+            FROM inst)
+    SELECT inst.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(LN((COALESCE(tgt.ct, 0) + 1)::DOUBLE / (tot.nt + tot.vocab)::DOUBLE)
+                     - LN((raw.cr + 1)::DOUBLE / (tot.nr + tot.vocab)::DOUBLE)), 4)
+               + 0.0 AS log_importance
+    FROM inst
+    JOIN raw USING (w)
+    LEFT JOIN tgt USING (w)
+    CROSS JOIN tot
+    GROUP BY inst.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023 shape): per-"
+        "document mean log importance ln(p_target(w)/p_raw(w)) under "
+        "add-one-smoothed unigram models, target = the lang='en' slice, "
+        "raw = the whole corpus. The importance-resampling step of "
+        "targeted corpus selection: weights feed the deterministic "
+        "hash-bucket sampler (q_corpus_mix) to tilt a 100 TB crawl "
+        "toward a target distribution. Same plan shape as the bigram "
+        "LM: two vocab-sized count tables (broadcast side) re-joined to "
+        "the exploded corpus (one shuffle each).",
+)
+def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    inst = d.select("doc_id", "lang", F.explode(T.tokens("text")).alias("w"))
+    raw = inst.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (inst.where(F.col("lang") == "en")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("ct")))
+    totals = inst.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
+        F.count_distinct("w").alias("vocab")).first()
+    nr, nt, vocab = totals["nr"], totals["nt"], totals["vocab"]
+    scored = (
+        inst.join(raw, "w")
+        .join(tgt, "w", "left")
+        .withColumn("lp", F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                                / F.lit(float(nt + vocab)))
+                    - F.log((F.col("cr") + 1).cast("double")
+                            / F.lit(float(nr + vocab))))
+    )
+    # `+ 0.0` washes out IEEE negative zero so ROUND(-0.00004, 4) hashes
+    # identically across engines (the oracle applies the same normalizer).
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("log_importance"))

@@ -70,6 +70,42 @@ def test_subword_count_ceil(spark):
     assert got == 5
 
 
+def test_span_list_keeps_duplicates_in_order(spark):
+    toks = T.tokens("text")
+    got = _one(spark, "a b a b a", T.span_list(toks, 2))
+    assert got == ["a b", "b a", "a b", "b a"]
+    assert _one(spark, "a", T.span_list(toks, 2)) == []
+
+
+def test_char_fold_hash_matches_fingerprint(spark):
+    # char_fold_hash over the joined tokens == fingerprint by construction
+    toks = T.tokens("text")
+    a = _one(spark, "alpha beta", T.fingerprint(toks))
+    b = _one(spark, "alpha beta", T.char_fold_hash(F.concat_ws(" ", toks)))
+    assert a == b
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    # Two docs sharing a run of >= k+w-1 tokens must share a fingerprint.
+    k, w = 3, 2
+    shared = "one two three four five six"
+    d = spark.createDataFrame(
+        [(1, "xx yy " + shared), (2, shared + " zz qq")], "id long, text string")
+    rows = d.select(
+        "id", T.winnow_fingerprints(T.tokens("text"), k=k, w=w).alias("fp")
+    ).collect()
+    fps = {r["id"]: set(r["fp"]) for r in rows}
+    assert fps[1] & fps[2]
+    # selection keeps a subset of span hashes
+    n_spans = 6  # len(shared ...)=8 tokens -> 6 spans of 3
+    assert all(0 < len(s) <= n_spans for s in fps.values())
+
+
+def test_winnow_short_doc_empty(spark):
+    got = _one(spark, "a b c", T.winnow_fingerprints(T.tokens("text"), k=3, w=2))
+    assert got == []
+
+
 def test_redact_pii_replaces_all_three_kinds(spark):
     from datalake_project_spark.functions.text import (
         PII_EMAIL, PII_IPV4, PII_PHONE, pii_count, redact_pii,
