@@ -131,6 +131,51 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    doc="Ordered conversion funnel signup -> click -> purchase: per user, "
+        "the first click at-or-after the first signup, then the first "
+        "purchase at-or-after that click; output is the user count "
+        "surviving each stage. Three min-aggregates chained by "
+        "broadcast-able per-user timestamp joins — every stage is one "
+        "shuffle on user_id, the canonical product-analytics query over "
+        "the events table.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    s = (e.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .where(F.col("ts") >= F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") >= F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return spark.createDataFrame(
+        [(s.count(), c.count(), p.count())],
+        "n_signup long, n_click_after long, n_purchase_after long")
+
+
+@register(
     "q_asof_join",
     oracle="""
     SELECT e.event_id,

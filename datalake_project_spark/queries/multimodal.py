@@ -51,3 +51,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
     return frame_sample(as_media(docs))
+
+
+@register(
+    "q_multimodal_content_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_md5,
+           COUNT(*) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Content-addressed index of a BINARY media column: group by "
+        "md5(payload) with copy count and min-id representative — the "
+        "exact-duplicate pass every image/audio corpus runs before any "
+        "perceptual hashing (dedup = keep rows where doc_id = "
+        "keep_doc_id). The full index is emitted rather than only the "
+        "n_copies >= 2 groups so the value check is non-trivial on "
+        "fixtures without byte-identical payloads. The Spark side hashes "
+        "the real binary column (as_media payload); the oracle exploits "
+        "the fixture payload being UTF-8 text, where DuckDB's md5(text) "
+        "is byte-identical. One shuffle on the 16-byte digest; payload "
+        "bytes never shuffle (hash computed at the scan).",
+)
+def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = as_media(docs)
+    return (
+        media.select("doc_id", F.md5(F.col("payload")).alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min("doc_id").alias("keep_doc_id"))
+    )

@@ -156,3 +156,28 @@ def test_contamination_broadcasts_probe_set(spark, registry):
     join — the corpus inverted index must not shuffle against it."""
     df = registry["q_text_contamination"].fn(spark, SF)
     assert broadcast_join_count(df) >= 1
+
+
+def test_winnow_fingerprints_stay_jvm_side(spark, registry):
+    """Winnowing builds span hashes and window minima as array
+    expressions: the whole fingerprint derivation must stay inside the
+    JVM (no Python eval nodes) and the pair join must not be a
+    cartesian product."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_dedup_winnow_pairs"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_lm_scoring_broadcasts_count_tables(spark, registry):
+    """Bigram-LM and DSIR scoring re-join the exploded corpus to
+    vocab-sized count tables: both joins must broadcast the count side
+    (the corpus side is the big one at 100 TB), with no Python eval."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    for name in ("q_text_bigram_lm", "q_text_dsir_weights"):
+        df = registry[name].fn(spark, SF)
+        assert broadcast_join_count(df) >= 2, name
+        assert "BatchEvalPython" not in simple_plan(df), name
