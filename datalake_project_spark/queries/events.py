@@ -176,6 +176,44 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+           day_offset,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+        "counted distinct-active at each day offset 0..7 — the classic "
+        "product-analytics triangle over the events table. One shuffle "
+        "to build the per-user cohort day (a metadata-sized table that "
+        "broadcasts), one distinct + group-by for the matrix.",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select("user_id", "cohort_day",
+                F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"))
+        .distinct())
+    return (activity.where(F.col("day_offset") <= 7)
+            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+                     "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@register(
     "q_asof_join",
     oracle="""
     SELECT e.event_id,

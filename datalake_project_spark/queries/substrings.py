@@ -195,6 +195,42 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest([lower(text)[i] FOR i IN range(1, length(text) + 1)]) AS c
+        FROM documents WHERE length(text) > 0),
+    hist AS (SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars_total,
+           ROUND(LN(SUM(n)::DOUBLE) - SUM(n * LN(n::DOUBLE)) / SUM(n)::DOUBLE, 4)
+               + 0.0 AS entropy
+    FROM hist GROUP BY doc_id
+    """,
+    doc="Character-entropy quality signal (gibberish / mojibake / "
+        "base64-blob detection — the cheap pre-filter before LM "
+        "scoring): Shannon entropy of the per-document character "
+        "histogram, computed as ln N - (Σ n_c ln n_c)/N so a single "
+        "explode + one two-level groupBy does the whole job with "
+        "map-side partials. Natural-language text sits ~2.8-3.2 nats; "
+        "uniform random base64 approaches ln 64 ≈ 4.16.",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    chars = (d.where(F.length("text") > 0)
+             .select("doc_id",
+                     F.explode(F.filter(F.split(F.lower("text"), ""),
+                                        lambda c: F.length(c) > 0)).alias("c")))
+    hist = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    n_sum = F.sum("n")
+    return hist.groupBy("doc_id").agg(
+        n_sum.cast("long").alias("n_chars_total"),
+        (F.round(F.log(n_sum.cast("double"))
+                 - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                 / n_sum.cast("double"), 4) + F.lit(0.0)).alias("entropy"))
+
+
+@register(
     "q_text_dsir_weights",
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS ws FROM documents),
