@@ -65,6 +65,10 @@ HEADLINE = [
     "q_dedup_substring_spans",
     "q_dedup_winnow_pairs",
     "q_text_bigram_lm",
+    # corpus-selection + analytics additions (round 3)
+    "q_text_dsir_weights",
+    "q_corpus_overlap_matrix",
+    "q_events_retention",
 ]
 
 

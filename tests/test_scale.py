@@ -89,6 +89,44 @@ def test_salt_spreads_hot_key(spark):
     assert n == 8  # the hot key's rows now span all 8 sub-keys
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join is the runtime complement of explicit salting: with
+    neither side broadcastable, the optimizer detects the oversized
+    post-shuffle partition of the hot key and splits it into multiple
+    tasks (OptimizeSkewedJoin), with results unchanged. Thresholds are
+    shrunk so the toy hot key lands in the same decision regime a
+    multi-GB skewed partition hits with production defaults."""
+    from datalake_project_spark.plans.introspect import final_plan
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        big, small = _skewed(spark)
+        # pad the hot rows so the skewed partition crosses the byte threshold
+        big = big.withColumn("pad", F.repeat(F.lit("x"), 200))
+        j = big.join(small, "k")
+        plan = final_plan(j)  # executes; AQE decides from runtime sizes
+        assert "skew=true" in plan
+        # semantics unchanged under the split
+        assert j.count() == big.hint("merge").join(small, "k").count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_ivf_cells_partition_prune(spark, tmp_path):
     """The IVF storage story: candidates written partitionBy(cell) make an
     n-probe query a partition-PRUNED scan — the cell predicate runs at
