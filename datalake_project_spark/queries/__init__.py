@@ -67,13 +67,13 @@ PRIORITY: tuple[str, ...] = (
     "q_text_langid", "q_text_fingerprint", "q_text_boilerplate",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
     "q_pack_sequences", "q_text_bigram_lm",
-    # Corpus assembly: deterministic split + source-weighted mixing
-    # (round-3 additions; q_events_sliding_window and
-    # q_stream_sliding_window earned driver-green stamps in r1-r2 and
+    # Corpus assembly: deterministic split + source-weighted mixing +
+    # the end-to-end cleaning funnel (round-3 additions;
+    # q_events_sliding_window, q_stream_sliding_window and
+    # q_events_tumbling_window earned driver-green stamps in r1-r2 and
     # rotate to the tail to make room)
-    "q_split_train_test", "q_corpus_mix",
-    # Events: windows, sessionization, as-of / range joins
-    "q_events_tumbling_window",
+    "q_split_train_test", "q_corpus_mix", "q_corpus_clean_funnel",
+    # Events: sessionization, as-of / range joins
     "q_events_sessionize", "q_asof_join", "q_range_join",
     # Multimodal plumbing
     "q_multimodal_features", "q_multimodal_frame_sample",

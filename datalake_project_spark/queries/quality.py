@@ -15,6 +15,7 @@ from datalake_project_spark.functions.text import (
     PII_EMAIL, PII_IPV4, PII_PHONE, pii_count, redact_pii, tokens,
 )
 from datalake_project_spark.queries import register
+from datalake_project_spark.queries.text import _SQL_TOKS, _stop_sql
 
 # Deterministic synthetic PII derived from doc_id, appended to each
 # document IN THE QUERY on both engines: the fixture corpus contains no
@@ -151,4 +152,95 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_word > 0.15) | (top_bigram > 0.08) | (uniq < 0.4))
             .alias("repetitive"),
         )
+    )
+
+
+@register(
+    "q_corpus_clean_funnel",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, ({_stop_sql('en')}) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN len(toks) > 0 AND
+                           (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE < 2.0
+                            OR list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE > 12.0)
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok),
+    ent AS (
+        SELECT doc_id,
+               ROUND(LN(SUM(n)::DOUBLE) - SUM(n * LN(n::DOUBLE)) / SUM(n)::DOUBLE, 4)
+                   AS entropy
+        FROM (
+            SELECT doc_id, c, COUNT(*) AS n FROM (
+                SELECT doc_id,
+                       unnest([lower(text)[i] FOR i IN range(1, length(text) + 1)]) AS c
+                FROM documents WHERE length(text) > 0)
+            GROUP BY doc_id, c)
+        GROUP BY doc_id),
+    staged AS (
+        SELECT f.n_tokens,
+               (f.n_tokens BETWEEN 10 AND 5000) AS pass_len,
+               (f.n_tokens BETWEEN 10 AND 5000 AND f.quality >= 0.3) AS pass_q,
+               (f.n_tokens BETWEEN 10 AND 5000 AND f.quality >= 0.3
+                AND COALESCE(e.entropy, 0.0) >= 2.0) AS pass_all
+        FROM feat f LEFT JOIN ent e ON f.doc_id = e.doc_id)
+    SELECT COUNT(*) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE pass_len) AS BIGINT) AS n_after_length,
+           CAST(COUNT(*) FILTER (WHERE pass_q) AS BIGINT) AS n_after_quality,
+           CAST(COUNT(*) FILTER (WHERE pass_all) AS BIGINT) AS n_clean,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE pass_all), 0) AS BIGINT)
+               AS clean_tokens
+    FROM staged
+    """,
+    doc="End-to-end C4/Gopher-style cleaning funnel: length gate (10..5000 "
+        "tokens) -> heuristic quality >= 0.3 -> character entropy >= 2.0 "
+        "(gibberish gate), reporting cumulative survivor counts and the "
+        "surviving token budget — the single-query composition of the "
+        "standalone quality operators (near-dup removal stays the "
+        "separate q_dedup_resolved pass). Thresholds compare ROUNDED "
+        "scores on both engines so boundary docs can't flip on ulp "
+        "differences. Plan: one scan computes length+quality in codegen; "
+        "entropy joins in from its two-level groupBy; the funnel is one "
+        "global aggregate.",
+)
+def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import quality_score
+    from datalake_project_spark.functions.text import tokens as toks_fn
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = toks_fn("text")
+    feat = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(quality_score(F.col("text"), toks), 4).alias("quality"))
+    chars = (d.where(F.length("text") > 0)
+             .select("doc_id",
+                     F.explode(F.filter(F.split(F.lower("text"), ""),
+                                        lambda c: F.length(c) > 0)).alias("c")))
+    hist = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    n_sum = F.sum("n")
+    ent = hist.groupBy("doc_id").agg(
+        F.round(F.log(n_sum.cast("double"))
+                - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                / n_sum.cast("double"), 4).alias("entropy"))
+    pass_len = F.col("n_tokens").between(10, 5000)
+    pass_q = pass_len & (F.col("quality") >= 0.3)
+    pass_all = pass_q & (F.coalesce(F.col("entropy"), F.lit(0.0)) >= 2.0)
+    return (
+        feat.join(ent, "doc_id", "left")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.count(F.when(pass_len, 1)).alias("n_after_length"),
+             F.count(F.when(pass_q, 1)).alias("n_after_quality"),
+             F.count(F.when(pass_all, 1)).alias("n_clean"),
+             F.coalesce(F.sum(F.when(pass_all, F.col("n_tokens"))), F.lit(0))
+             .cast("long").alias("clean_tokens"))
     )

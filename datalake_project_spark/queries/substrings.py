@@ -195,6 +195,56 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_bpe_merge_counts",
+    oracle=f"""
+    WITH wc AS (
+        SELECT u.w AS word, COUNT(*) AS wn
+        FROM (SELECT {_SQL_TOKS} AS toks FROM documents) t,
+             unnest(t.toks) AS u(w)
+        GROUP BY u.w),
+    pairs AS (
+        SELECT word[i] || word[i+1] AS pair, wn
+        FROM wc, unnest(range(1, length(word))) AS r(i)
+        WHERE length(word) >= 2),
+    counts AS (
+        SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair),
+    ranked AS (
+        SELECT pair, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rk
+        FROM counts)
+    SELECT pair, n_occurrences, rk FROM ranked WHERE rk <= 20
+    """,
+    doc="First BPE merge round, for real (the iterated core of tokenizer "
+        "training): adjacent symbol-pair frequencies over the initial "
+        "character sequences, weighted by corpus word counts — the "
+        "arg-max pair IS the first merge a BPE trainer performs. "
+        "Aggregating the corpus to the word-count table first (vocab-"
+        "sized) makes each merge round's pair count a job over the "
+        "VOCABULARY, not the corpus — the reason BPE training is "
+        "feasible at 100 TB. Deterministic top-20 via the integer+string "
+        "order (count desc, pair asc).",
+)
+def q_text_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    wc = (d.select(F.explode(T.tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    n = F.size(chars)
+    pair_arr = F.zip_with(
+        F.slice(chars, 1, n - 1), F.slice(chars, 2, n - 1),
+        lambda a, b: F.concat(a, b))
+    pairs = (wc.where(F.length("word") >= 2)
+             .select(F.explode(pair_arr).alias("pair"), "wn"))
+    counts = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 20))
+
+
+@register(
     "q_text_char_entropy",
     oracle="""
     WITH chars AS (
