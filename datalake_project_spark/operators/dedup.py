@@ -123,6 +123,42 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """Directed near-duplicate pairs by shingle CONTAINMENT
+    C(A in B) = |A ∩ B| / |A| >= threshold — the asymmetric complement
+    of Jaccard that catches a small document embedded in a larger one
+    (quote farms, page-in-site, excerpt reposts), where Jaccard stays
+    low because the union is dominated by the big side.
+
+    Output is directed: (contained_id, container_id, containment), one
+    row per direction that clears the threshold. Same inverted-index
+    plan and Σ df² cost as ``ngram_jaccard_pairs`` (one extra emitted
+    direction, not an extra join); containment is a ratio of ints, so
+    values are engine-exact.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.select("_id", F.size("_shingles").alias("_n"))
+    inv = sh.select("_id", F.explode(
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") != F.col("b._id")))
+        .groupBy(F.col("a._id").alias("contained_id"),
+                 F.col("b._id").alias("container_id"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("contained_id"), F.col("_n").alias("_na"))
+    cont = F.col("_inter").cast("double") / F.col("_na").cast("double")
+    return (
+        inter.join(sa, "contained_id")
+        .withColumn("containment", F.round(cont, 4))
+        .where(cont >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def ngram_jaccard_pairs_between(left: DataFrame, right: DataFrame,
                                 id_col: str = "doc_id", text_col: str = "text",
                                 n: int = 3, threshold: float = 0.5) -> DataFrame:

@@ -93,6 +93,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_containment",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3)
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                 len(a.shingles)::DOUBLE, 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+          len(a.shingles)::DOUBLE >= 0.8
+    """,
+    doc="Directed shingle-containment pairs C(A in B) = |A∩B|/|A| >= "
+        "0.8 — the asymmetric dedup signal that catches a small "
+        "document embedded in a larger one (excerpt reposts, "
+        "page-in-site), which symmetric Jaccard misses because the "
+        "union is dominated by the big side. Same inverted-index plan "
+        "and Σ df² cost as the Jaccard query.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return D.ngram_containment_pairs(d, threshold=0.8)
+
+
+@register(
     "q_dedup_minhash_lsh",
     oracle=_PAIRS_ORACLE,
     doc="MinHash (64 perms) + banded LSH (16 bands x 4 rows, S-curve "

@@ -138,6 +138,18 @@ def test_incremental_pairs_between_sets(spark):
     assert all(b in (1, 2) for _, b in pairs)
 
 
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one has containment 1.0 in
+    the contained->container direction only; symmetric Jaccard would
+    stay below threshold because the union is dominated by the big doc."""
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(20))
+    d = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    got = rows(D.ngram_containment_pairs(d, threshold=0.8))
+    assert got == [(1, 2, 1.0)]  # directed: only small-in-big
+    assert rows(D.ngram_jaccard_pairs(d, threshold=0.5)) == []
+
+
 def test_incremental_exact_dup_is_jaccard_one(spark):
     d = _docs(spark)
     batch = d.where(F.col("doc_id") == 2)    # identical to corpus doc 1
