@@ -98,10 +98,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The first 26 entries are the round-1/2 suite, unchanged in content
+    # and order: their subtotal stays comparable round-over-round even as
+    # new queries append to the suite.
+    core26 = round(sum(timings[n] for n in HEADLINE[:26]), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "core26": core26,
         "queries": timings,
         "sf": sf,
     }))

@@ -123,6 +123,41 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def winnow_fingerprint_rows(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 5,
+                            w: int = 4) -> DataFrame:
+    """Winnowing fingerprints as ROWS (id, fp) — the corpus-scale
+    formulation of ``functions.text.winnow_fingerprints``.
+
+    The pure-array version evaluates the span/hash arrays once per
+    zip_with operand (Catalyst does not share subexpressions across
+    lambda slices), which multiplies the per-row work ~20x — measured
+    57 s at sf0.1 vs ~3 s for this shape. Here each span hash is
+    computed exactly once on its own row (posexplode), and the w-wide
+    window minimum is a plain window function over (id, pos): one
+    shuffle on the doc id, which the downstream pair join reuses.
+    Output is identical to exploding the array version (unit-tested).
+    """
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.text import (
+        char_fold_hash, span_list, tokens,
+    )
+
+    spans = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(span_list(tokens(text_col), k)).alias("_pos", "_span"))
+    hashed = spans.select(
+        "_id", "_pos", char_fold_hash(F.col("_span")).alias("_h"),
+        F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"))
+    sel = Window.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    return (hashed
+            .withColumn("_fp", F.min("_h").over(sel))
+            .where(F.col("_pos") <= F.col("_n") - w)
+            .select(F.col("_id").alias(id_col), F.col("_fp").alias("fp"))
+            .distinct())
+
+
 def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             threshold: float = 0.8) -> DataFrame:

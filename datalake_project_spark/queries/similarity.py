@@ -67,9 +67,15 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
 
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     st = os.stat(src)
-    index_path = (f"{scratch_dir('ivf', sf_dir)}"
-                  f"/{st.st_size}_{int(st.st_mtime)}")
+    root = scratch_dir('ivf', sf_dir)
+    index_path = f"{root}/{st.st_size}_{int(st.st_mtime)}"
     if not os.path.exists(f"{index_path}/centroids/_SUCCESS"):
+        # a regenerated fixture orphans the previous (size, mtime) key —
+        # drop stale siblings so scratch doesn't accumulate dead indexes
+        import shutil
+        if os.path.isdir(root):
+            for stale in os.listdir(root):
+                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
         e = Catalog(spark, sf_dir).table("embeddings")
         build_ivf_index(e, index_path, n_clusters=16)
     return index_path

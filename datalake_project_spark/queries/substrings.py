@@ -122,11 +122,10 @@ WINNOW_W = 4  # window width (spans) per fingerprint selection
         "carries (id, 8-byte hash) only, cost Σ df², never n².",
 )
 def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.dedup import winnow_fingerprint_rows
+
     d = Catalog(spark, sf_dir).table("documents")
-    fps = d.select(
-        "doc_id",
-        F.explode(T.winnow_fingerprints(
-            T.tokens("text"), k=WINNOW_K, w=WINNOW_W)).alias("fp"))
+    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

@@ -138,6 +138,19 @@ def test_incremental_pairs_between_sets(spark):
     assert all(b in (1, 2) for _, b in pairs)
 
 
+def test_winnow_rows_equal_array_formulation(spark):
+    """The corpus-scale posexplode+window winnowing must select exactly
+    the fingerprint set of the reference array formulation."""
+    from datalake_project_spark.functions.text import winnow_fingerprints, tokens
+
+    d = _docs(spark)
+    via_rows = rows(D.winnow_fingerprint_rows(d, k=3, w=2))
+    via_array = rows(
+        d.select("doc_id",
+                 F.explode(winnow_fingerprints(tokens("text"), k=3, w=2)).alias("fp")))
+    assert via_rows == via_array and via_rows
+
+
 def test_containment_catches_embedded_doc(spark):
     """A short doc fully embedded in a long one has containment 1.0 in
     the contained->container direction only; symmetric Jaccard would

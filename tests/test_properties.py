@@ -81,6 +81,34 @@ name_strat = st.one_of(
 )
 
 
+_WORDS = st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+                  min_size=0, max_size=12)
+
+
+@given(prefix_a=_WORDS, prefix_b=_WORDS, shared=st.lists(
+    st.sampled_from("pp qq rr ss tt uu vv ww xx yy".split()),
+    min_size=6, max_size=10))
+@_PROP
+def test_winnow_detection_guarantee(spark, prefix_a, prefix_b, shared):
+    """Winnowing's paper guarantee (Schleimer et al. 2003): two documents
+    sharing any token run of length >= k + w - 1 always share at least
+    one selected fingerprint, for ANY surrounding context. k=3, w=4 here
+    => shared runs of >= 6 tokens (the `shared` block) must be caught."""
+    from pyspark.sql import functions as F
+
+    from datalake_project_spark.functions.text import winnow_fingerprints, tokens
+
+    doc_a = " ".join(prefix_a + shared)
+    doc_b = " ".join(shared + prefix_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                               "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        winnow_fingerprints(tokens("text"), k=3, w=4).alias("fp")).collect()
+    fps = {r["doc_id"]: set(r["fp"]) for r in got}
+    assert fps[1] & fps[2], (doc_a, doc_b)
+
+
 @given(rows_in=st.lists(st.tuples(name_strat, name_strat), min_size=1, max_size=8))
 @_PROP
 def test_gender_native_equals_pandas_udf(spark, rows_in):
