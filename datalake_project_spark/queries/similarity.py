@@ -170,3 +170,32 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 10)
     approx = ivf_probe(q, _ivf_index_for(spark, sf_dir), k=5, n_probe=4)
     return _ann_recall(spark, sf_dir, approx, floor=0.4)
+
+
+@register(
+    "q_embed_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, u.i AS dim_idx, embedding[u.i + 1] AS v
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i))
+    SELECT label, CAST(dim_idx AS INT) AS dim_idx,
+           ROUND(AVG(v::DOUBLE), 4) + 0.0 AS centroid_val
+    FROM dims
+    GROUP BY label, dim_idx
+    """,
+    doc="Per-label embedding centroids (class prototypes — the build "
+        "step of centroid classifiers, IVF coarse quantizers, and "
+        "semantic-dedup cluster seeding): posexplode each vector to "
+        "(label, dim, value) rows and average per (label, dim). One "
+        "shuffle with map-side partial averages; output is "
+        "n_labels x n_dims rows, never wide arrays through the "
+        "aggregate. Dimension-indexed rows keep the oracle a plain "
+        "GROUP BY (DuckDB averages the same cells).",
+)
+def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v"))
+    return (dims.groupBy("label", "dim_idx")
+            .agg((F.round(F.avg(F.col("v").cast("double")), 4)
+                  + F.lit(0.0)).alias("centroid_val")))
