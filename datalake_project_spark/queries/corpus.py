@@ -130,6 +130,36 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("total_chars")))
 
 
+SAMPLE_N = 100
+
+
+@register(
+    "q_corpus_sample_fixed",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':sample:13'),
+                                  doc_id) AS rk
+        FROM documents)
+    SELECT doc_id, source, n_chars FROM ranked WHERE rk <= {SAMPLE_N}
+    """,
+    doc=f"Deterministic fixed-SIZE sample: exactly {SAMPLE_N} documents "
+        "selected by ranking on a salted MD5 of the stable key (doc_id "
+        "tie-break) — reproducible across engines, cluster sizes, and "
+        "partitionings, unlike rand()-based sampling, and exact-N unlike "
+        "the per-row Bernoulli of q_corpus_mix. At 100 TB the global "
+        "top-N by hash runs as per-partition top-N + a tiny final merge "
+        "(Spark's TakeOrderedAndProject), never a full sort.",
+)
+def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample:13")))
+    return (d.select("doc_id", "source", "n_chars", key.alias("_k"))
+            .orderBy("_k", "doc_id")
+            .limit(SAMPLE_N)
+            .drop("_k"))
+
+
 N_PACK_SHARDS = 8
 PACK_BIN_TOKENS = 2048
 
