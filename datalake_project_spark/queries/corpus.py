@@ -130,6 +130,66 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("total_chars")))
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "q_corpus_chunk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    chunks AS (
+        SELECT doc_id, t.i AS chunk_idx,
+               array_to_string(
+                   ws[t.i * {CHUNK_STRIDE} + 1 :
+                      t.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+               LEAST({CHUNK_TOKENS},
+                     len(ws) - t.i * {CHUNK_STRIDE}) AS n_tokens
+        FROM tok,
+             unnest(range(0, GREATEST(1,
+                 CAST(CEIL((len(ws) - {CHUNK_TOKENS})
+                           / {CHUNK_STRIDE}.0) AS BIGINT) + 1))) AS t(i)
+        WHERE len(ws) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM chunks WHERE n_tokens > 0
+    """,
+    doc=f"Sliding-window document chunking ({CHUNK_TOKENS}-token chunks, "
+        f"stride {CHUNK_STRIDE}): the embedding/RAG prep step that turns "
+        "long documents into overlapping retrieval units with stable "
+        "(doc_id, chunk_idx) identity. Map-side only — a sequence+"
+        "transform builds the chunk list per row and explodes it, no "
+        "shuffle at all; at 100 TB chunking fuses into the scan that "
+        "feeds the embedding UDF.",
+)
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    ws = tokens("text")
+    n = F.size(ws)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast("long") + 1)
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = (
+        d.where(n > 0)
+        .select("doc_id", ws.alias("_ws"),
+                F.posexplode(idx).alias("_pos", "_i"))
+        .select(
+            "doc_id",
+            F.col("_i").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(
+                "_ws", F.col("_i") * CHUNK_STRIDE + 1, CHUNK_TOKENS)).alias("chunk_text"),
+            F.least(F.lit(CHUNK_TOKENS),
+                    F.size("_ws") - F.col("_i") * CHUNK_STRIDE)
+            .cast("int").alias("n_tokens"))
+    )
+    return chunk.where(F.col("n_tokens") > 0)
+
+
 SAMPLE_N = 100
 
 

@@ -81,6 +81,39 @@ name_strat = st.one_of(
 )
 
 
+_KV = st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+               min_size=0, max_size=12)
+
+
+def _agg(df):
+    from pyspark.sql import functions as F
+    return df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+
+def _merge(a, b):
+    from pyspark.sql import functions as F
+    return a.unionByName(b).groupBy("k").agg(
+        F.sum("s").alias("s"), F.sum("c").alias("c"),
+        F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+
+
+@given(base=_KV, delta=_KV)
+@_PROP
+def test_incremental_agg_maintenance(spark, base, delta):
+    """Incremental materialized-aggregate refresh: merging the stored
+    aggregate of the base table with the aggregate of a new delta batch
+    must equal re-aggregating base ∪ delta — the algebraic property that
+    lets a 100 TB rollup be maintained per-partition instead of
+    recomputed (sum/count/min/max are the re-associable core; avg =
+    s/c derives)."""
+    schema = "k long, v long"
+    b = spark.createDataFrame(base or [], schema)
+    d = spark.createDataFrame(delta or [], schema)
+    assert rows(_merge(_agg(b), _agg(d))) == rows(_agg(b.unionByName(d)))
+
+
 _WORDS = st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
                   min_size=0, max_size=12)
 
