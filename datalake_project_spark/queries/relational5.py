@@ -229,3 +229,38 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS support
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Market-basket co-occurrence (the candidate-pair pass of frequent-"
+        "itemset mining): part pairs appearing together in >= 2 orders. "
+        "Self-join keyed on the order id — cost is Σ per-order "
+        "basket_size², never |parts|²; at 100 TB skewed mega-baskets get "
+        "the same df-cap valve as the shingle index (drop or sample "
+        "baskets above a size cap before pairing).",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
