@@ -69,6 +69,8 @@ HEADLINE = [
     "q_text_dsir_weights",
     "q_corpus_overlap_matrix",
     "q_events_retention",
+    "q_corpus_chunk",
+    "q_snapshot_scd2",
 ]
 
 

@@ -256,6 +256,55 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_cluster_sizes",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    sizes AS (SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size histogram: how many near-dup clusters of "
+        "each size the corpus contains and how many documents dedup "
+        "resolution would remove (size - 1 per cluster) — the corpus-"
+        "health dashboard number that decides whether a dedup pass is "
+        "worth its cost at 100 TB. Two cheap aggregates over the "
+        "components output.",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum(F.col("cluster_size") - 1).cast("long")
+                 .alias("docs_removable")))
+
+
+@register(
     "q_dedup_ngram_jaccard_capped",
     oracle=_PAIRS_ORACLE,
     doc="The df-capped variant of the inverted-index near-dup join "
