@@ -1,0 +1,75 @@
+"""Spill-aware shuffle sizing.
+
+``spark.sql.shuffle.partitions`` is the one knob that silently breaks at
+scale: the session default that works at sf0.1 gives multi-GB partitions
+at 100 TB (spill, OOM), while a 100 TB-sized default gives thousands of
+empty tasks on small inputs. AQE's coalescing fixes the too-many side at
+runtime but cannot SPLIT a too-large partition of a non-skewed shuffle —
+the initial number must be at least input_bytes / target_partition_bytes.
+
+These helpers derive that number from the actual input footprint (file
+sizes on disk), clamp it to sane bounds, and hand it to a session conf
+or a per-stage ``repartition``. They are advisory arithmetic, not magic:
+the unit test pins the arithmetic, and the engine's session factory
+keeps its local default for fixture-scale work.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_TARGET_PARTITION_BYTES = 128 * 1024 * 1024  # the shuffle-spill sweet spot
+MIN_PARTITIONS = 8
+MAX_PARTITIONS = 200_000  # ~24 TB of 128 MiB partitions per shuffle stage
+
+
+def suggest_shuffle_partitions(
+        input_bytes: int,
+        target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+        cluster_cores: int | None = None,
+        min_partitions: int = MIN_PARTITIONS,
+        max_partitions: int = MAX_PARTITIONS) -> int:
+    """Initial shuffle-partition count for an input of ``input_bytes``.
+
+    ceil(input / target), floored at 2-3x the cluster's cores (so every
+    core gets work even on small shuffles — the standard sizing rule)
+    and clamped to [min, max]. AQE then coalesces downward at runtime;
+    it never needs to split upward because the starting count is already
+    fine-grained enough.
+    """
+    if input_bytes < 0:
+        raise ValueError("input_bytes must be >= 0")
+    need = -(-input_bytes // target_partition_bytes)  # ceil div
+    if cluster_cores:
+        need = max(need, 2 * cluster_cores)
+    return int(min(max(need, min_partitions), max_partitions))
+
+
+def dir_bytes(path: str) -> int:
+    """Total size of the files under ``path`` (a file is its own size).
+
+    For parquet this is the compressed on-disk footprint — the right
+    input to shuffle sizing when the shuffle carries roughly the scanned
+    columns; multiply by an expansion factor for wide decompression.
+    """
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+    return total
+
+
+def apply_shuffle_sizing(spark, *paths: str,
+                         expansion: float = 1.0, **kwargs) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the combined footprint
+    of ``paths`` (scaled by ``expansion`` for decompression growth).
+    Returns the value applied."""
+    total = int(sum(dir_bytes(p) for p in paths) * expansion)
+    n = suggest_shuffle_partitions(total, **kwargs)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

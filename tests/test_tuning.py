@@ -1,0 +1,53 @@
+"""Shuffle-sizing arithmetic: the partition count must scale linearly
+with input bytes, respect the cores floor, and clamp at both ends."""
+
+from __future__ import annotations
+
+from datalake_project_spark.tuning import (
+    DEFAULT_TARGET_PARTITION_BYTES, MAX_PARTITIONS, MIN_PARTITIONS,
+    apply_shuffle_sizing, dir_bytes, suggest_shuffle_partitions,
+)
+
+GB = 1024 ** 3
+TB = 1024 ** 4
+
+
+def test_scales_linearly_with_input():
+    # 100 TB at 128 MiB target -> 819,200 -> clamped to MAX
+    assert suggest_shuffle_partitions(100 * TB) == MAX_PARTITIONS
+    # 1 TB -> 8192 partitions of 128 MiB
+    assert suggest_shuffle_partitions(1 * TB) == 8192
+    assert suggest_shuffle_partitions(10 * GB) == 80
+
+
+def test_small_input_floors():
+    assert suggest_shuffle_partitions(0) == MIN_PARTITIONS
+    assert suggest_shuffle_partitions(1) == MIN_PARTITIONS
+
+
+def test_cores_floor_keeps_cluster_busy():
+    # tiny shuffle on a 1000-executor x 4-core cluster: 2x cores floor
+    assert suggest_shuffle_partitions(1 * GB, cluster_cores=4000) == 8000
+
+
+def test_custom_target():
+    assert suggest_shuffle_partitions(
+        1 * GB, target_partition_bytes=64 * 1024 * 1024) == 16
+
+
+def test_apply_from_real_footprint(spark, tmp_path):
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"x" * (2 * 1024 * 1024))
+    assert dir_bytes(str(tmp_path)) == 2 * 1024 * 1024
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = apply_shuffle_sizing(spark, str(tmp_path))
+        assert n == MIN_PARTITIONS  # 2 MiB -> floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+        # expansion factor grows the estimate
+        big = apply_shuffle_sizing(
+            spark, str(tmp_path),
+            expansion=1024.0, target_partition_bytes=128 * 1024 * 1024)
+        assert big == MIN_PARTITIONS * 2  # 2 GiB / 128 MiB = 16
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
