@@ -80,8 +80,10 @@ PRIORITY: tuple[str, ...] = (
     "q_events_sessionize", "q_asof_join", "q_range_join",
     # Multimodal plumbing
     "q_multimodal_features", "q_multimodal_frame_sample",
-    # Structured Streaming
-    "q_stream_tumbling_window",
+    # Structured Streaming (q_stream_lake_roundtrip — the streaming SINK
+    # representative — enters in round 3 in place of twice-green
+    # q_stream_tumbling_window)
+    "q_stream_lake_roundtrip",
     "q_stream_sessionize", "q_stream_dedup", "q_stream_stream_join",
     "q_stream_user_profile",
     # Interchange-format round-trip representative (round 3; ORC/JSONL

@@ -165,3 +165,42 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         user_profile_stream(events_stream(spark, sf_dir)), "append")
+
+
+@register(
+    "q_stream_lake_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           'b000000000' AS run_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming SINK path made oracle-checkable: the events stream "
+        "lands in the usage layer via foreachBatch (one run_ts partition "
+        "per micro-batch, dynamic partition overwrite -> exactly-once "
+        "re-landing), then the landed partition is read BACK with "
+        "partition pruning and aggregated. The oracle computes the same "
+        "aggregate from the source table directly, so a pass proves the "
+        "stream wrote every row exactly once with correct values — the "
+        "streaming counterpart of q_write_roundtrip.",
+)
+def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+    from datalake_project_spark.streaming.sinks import (
+        run_ts_of_batch, stream_to_lake,
+    )
+
+    lake = Lake(spark, scratch_dir("stream_lake", sf_dir))
+    # fresh checkpoint per run: the single staged source file re-lands as
+    # batch 0, and dynamic overwrite of that partition makes it idempotent
+    q = stream_to_lake(events_stream(spark, sf_dir), lake, "events_landed",
+                       ingest_date="20240101")
+    q.awaitTermination()
+    landed = lake.read_usage("events_landed", "20240101", run_ts_of_batch(0))
+    return (landed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .withColumn("run_ts", F.lit(run_ts_of_batch(0))))
