@@ -287,3 +287,49 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("yr").alias("valid_from"),
                  F.max("yr").alias("valid_to"),
                  (F.max("yr") == F.lit(last_yr)).alias("is_current")))
+
+@register(
+    "q_bucketed_join_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Bucketed-table co-located join made oracle-checkable: orders "
+        "and lineitem are persisted bucketBy(8, orderkey) + sortBy into "
+        "scratch (build-once per fixture, keyed by source size+mtime "
+        "like the IVF index), then joined bucket-to-bucket — the "
+        "query-time shuffle for the join is ZERO because both sides "
+        "expose the same hash output-partitioning (pinned by "
+        "tests/test_scale.py). The oracle recomputes the aggregate from "
+        "the raw tables, proving the bucketed layout changes no values. "
+        "At 100 TB this is THE recurring-join strategy: pay the shuffle "
+        "once at write time, amortize it over every join after.",
+)
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_project_spark.operators.scale import bucketed, write_bucketed
+    from datalake_project_spark.scratch import scratch_dir
+
+    root = scratch_dir("buckets", sf_dir)
+    o_src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    li_src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    key = "_".join(str(int(os.stat(p).st_mtime)) for p in (o_src, li_src))
+    ot, lt = f"orders_bk_{key}", f"lineitem_bk_{key}"
+    cat = Catalog(spark, sf_dir)
+    for tbl, src, k in ((ot, "orders", "o_orderkey"),
+                        (lt, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed(cat.table(src), tbl, k, 8,
+                           path=f"{root}/{tbl}")
+    return (
+        bucketed(spark, lt)
+        .join(bucketed(spark, ot),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

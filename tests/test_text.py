@@ -106,6 +106,28 @@ def test_winnow_short_doc_empty(spark):
     assert got == []
 
 
+def test_null_and_empty_text_defined_behavior(spark):
+    """Fixture regenerations may introduce NULL or empty text; the core
+    expressions must stay total: empty -> empty/zero outputs, NULL ->
+    NULL (never a crash or a silently-wrong value)."""
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "one two")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+        T.token_count("text").alias("n"),
+        T.shingles(T.tokens("text"), 2).alias("sh"),
+        T.quality_score(F.col("text"), T.tokens("text")).alias("q"),
+        T.winnow_fingerprints(T.tokens("text"), k=2, w=2).alias("fp"),
+    ).collect()}
+    assert got[1]["toks"] == [] and got[1]["n"] == 0 and got[1]["sh"] == []
+    assert got[1]["q"] == 0.0 and got[1]["fp"] == []
+    # NULL text propagates NULL (row drops out of explode-based plans)
+    assert got[2]["toks"] is None and got[2]["sh"] is None
+    assert got[2]["fp"] is None
+    assert got[3]["n"] == 2 and got[3]["sh"] == ["one two"]
+
+
 def test_redact_pii_replaces_all_three_kinds(spark):
     from datalake_project_spark.functions.text import (
         PII_EMAIL, PII_IPV4, PII_PHONE, pii_count, redact_pii,
