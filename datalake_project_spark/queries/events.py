@@ -274,3 +274,30 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_follow"),
         F.round(F.sum(F.col("f.value")), 2).alias("follow_value"),
     )
+
+@register(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="User-journey transition counts (the first-order Markov matrix of "
+        "event sequences — funnel discovery, next-action modeling): lag "
+        "over each user's (ts, event_id)-ordered stream, then one "
+        "group-by over (prev, next). The sessionize shuffle on user_id "
+        "serves the window; the transition matrix is event-type² rows — "
+        "metadata-sized at any corpus scale.",
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    return (seq.where(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions")))
