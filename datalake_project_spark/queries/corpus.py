@@ -317,3 +317,43 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("b.source").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+@register(
+    "q_corpus_card",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(AVG(n_tokens::DOUBLE), 2) AS avg_tokens
+    FROM tok
+    """,
+    doc="Corpus card: the one-row dataset-datasheet summary every corpus "
+        "release publishes (document/token/char totals, language and "
+        "source coverage, length distribution bounds). A single "
+        "full-scan aggregate with map-side partials — the cheapest "
+        "query in the engine and the first one run on any new corpus.",
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import token_count
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("lang", "source", "n_chars",
+                   token_count("text").alias("n_tokens"))
+    return tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"))

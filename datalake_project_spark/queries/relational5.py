@@ -264,3 +264,47 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 2)
     )
+
+
+@register(
+    "q_customer_rfm",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT custkey, STRFTIME(last_order, '%Y-%m-%d') AS last_order,
+           frequency, monetary,
+           CASE WHEN last_order >= DATE '1998-01-01'
+                     AND frequency >= 10 AND monetary >= 1000000 THEN 'champion'
+                WHEN last_order >= DATE '1997-01-01' AND frequency >= 5 THEN 'loyal'
+                WHEN last_order <  DATE '1995-01-01' THEN 'lapsed'
+                ELSE 'regular' END AS segment
+    FROM rfm
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary): one "
+        "groupBy computes all three signals with map-side partials, and "
+        "fixed threshold CASE rules assign deterministic segments "
+        "(quantile-based tiers would be engine-tie-dependent; thresholds "
+        "are the reproducible formulation). The standard warehouse "
+        "segmentation query over the orders table.",
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    rfm = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max(F.to_date("o_orderdate")).alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    seg = (F.when((F.col("last_order") >= F.lit("1998-01-01"))
+                  & (F.col("frequency") >= 10)
+                  & (F.col("monetary") >= 1000000), "champion")
+           .when((F.col("last_order") >= F.lit("1997-01-01"))
+                 & (F.col("frequency") >= 5), "loyal")
+           .when(F.col("last_order") < F.lit("1995-01-01"), "lapsed")
+           .otherwise("regular"))
+    return rfm.select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency", "monetary", seg.alias("segment"))
