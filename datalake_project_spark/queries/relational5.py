@@ -308,3 +308,76 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
         "frequency", "monetary", seg.alias("segment"))
+
+
+@register(
+    "q_record_linkage",
+    oracle="""
+    SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+           levenshtein(a.c_name, b.c_name) AS name_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Record linkage / entity resolution: candidate duplicate-entity "
+        "pairs by edit distance <= 1 on the name, BLOCKED on nation so "
+        "the quadratic comparison runs within blocks only — the "
+        "classic blocking+compare shape of data-cleaning dedup (same "
+        "Σ block_size² discipline as the shingle index, with "
+        "levenshtein as the comparator both engines implement "
+        "identically). At scale the block key graduates to "
+        "(nation, name-prefix/soundex) to bound block sizes.",
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    a = c.select(F.col("c_custkey").alias("left_key"),
+                 F.col("c_name").alias("_ln"), F.col("c_nationkey").alias("_n"))
+    b = c.select(F.col("c_custkey").alias("right_key"),
+                 F.col("c_name").alias("_rn"), F.col("c_nationkey").alias("_n"))
+    return (
+        a.join(b, ["_n"])
+        .where(F.col("left_key") < F.col("right_key"))
+        .withColumn("name_dist", F.levenshtein("_ln", "_rn"))
+        .where(F.col("name_dist") <= 1)
+        .select("left_key", "right_key", "name_dist")
+    )
+
+
+@register(
+    "q_sql_entrypoint_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The spark.sql STRING entrypoint as a driver-checkable row: the "
+        "engine's second API (Catalog.sql over registered temp views) "
+        "runs the TPC-H Q1 text through Spark's SQL parser/analyzer and "
+        "must hash-match the same oracle as the DataFrame formulation "
+        "(q1_pricing_summary) — one namespace, two APIs, one plan.",
+)
+def q_sql_entrypoint_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).sql("""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 2)                                       AS avg_qty,
+               ROUND(AVG(l_extendedprice), 2)                                  AS avg_price,
+               ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+               COUNT(*)                                                        AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
