@@ -357,3 +357,34 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"))
+
+
+@register(
+    "q_corpus_length_histogram",
+    oracle="""
+    WITH tok AS (
+        SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        FROM documents)
+    SELECT CAST(FLOOR(LN(n_tokens + 1) / LN(2.0)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS bucket_min,
+           CAST(MAX(n_tokens) AS BIGINT) AS bucket_max
+    FROM tok GROUP BY 1
+    """,
+    doc="Corpus length distribution as log2-bucketed histogram (the "
+        "companion plot of the corpus card; truncation/padding policy "
+        "and packing efficiency are read straight off it). Integer "
+        "bucket arithmetic (floor of log2(n+1)) keeps the histogram "
+        "engine-exact; one scan, one tiny aggregate.",
+)
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import token_count
+
+    d = Catalog(spark, sf_dir).table("documents")
+    n = token_count("text")
+    bucket = F.floor(F.log(2.0, n + 1)).cast("long")
+    return (d.select(bucket.alias("log2_bucket"), n.alias("_n"))
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("_n").cast("long").alias("bucket_min"),
+                 F.max("_n").cast("long").alias("bucket_max")))

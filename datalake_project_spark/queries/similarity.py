@@ -199,3 +199,46 @@ def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dims.groupBy("label", "dim_idx")
             .agg((F.round(F.avg(F.col("v").cast("double")), 4)
                   + F.lit(0.0)).alias("centroid_val")))
+
+
+@register(
+    "q_embed_knn_label_accuracy",
+    oracle="""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    nn AS (
+        SELECT q.vec_id, q.label AS q_label, c.label AS nn_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id ASC) AS rank
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id)
+    SELECT q_label AS label,
+           COUNT(*) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE nn_label = q_label) AS BIGINT) AS n_match
+    FROM nn WHERE rank = 1
+    GROUP BY q_label
+    """,
+    doc="Embedding-space quality probe: 1-NN label agreement per class "
+        "(does each vector's nearest neighbor share its label?) — the "
+        "standard cheap eval of an embedding table before it is trusted "
+        "for semantic dedup or retrieval. Reuses the exact brute-force "
+        "top-k (broadcast query side, deterministic sim-desc/id-asc "
+        "tie-break); the integer match counts make the probe fully "
+        "value-checkable, no float thresholds in the output.",
+)
+def q_embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 200)
+    nn1 = (cosine_topk(q, e, k=1)
+           .select("query_id", "neighbor_id"))
+    labels = e.select("vec_id", "label")
+    joined = (nn1
+              .join(labels.withColumnsRenamed(
+                  {"vec_id": "query_id", "label": "q_label"}), "query_id")
+              .join(labels.withColumnsRenamed(
+                  {"vec_id": "neighbor_id", "label": "nn_label"}), "neighbor_id"))
+    return (joined.groupBy(F.col("q_label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.count(F.when(F.col("nn_label") == F.col("q_label"), 1))
+                 .cast("long").alias("n_match")))
