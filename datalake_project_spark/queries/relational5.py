@@ -381,3 +381,79 @@ def q_sql_entrypoint_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """)
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey,
+               NULLIF(o_orderpriority, '3-MEDIUM') AS prio_or_null,
+               CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price_n
+        FROM orders),
+    agg AS (
+        SELECT prio_or_null,
+               COUNT(*) AS n_rows,
+               COUNT(price_n) AS n_price_nonnull,
+               ROUND(SUM(COALESCE(price_n, 0)), 2) AS total_coalesced
+        FROM t GROUP BY prio_or_null),
+    nullsafe AS (
+        SELECT COUNT(*) AS n_nullsafe_eq
+        FROM t a JOIN t b
+          ON a.o_custkey = b.o_custkey
+         AND a.prio_or_null IS NOT DISTINCT FROM b.prio_or_null)
+    SELECT agg.prio_or_null, agg.n_rows, agg.n_price_nonnull,
+           agg.total_coalesced, ns.n_nullsafe_eq
+    FROM agg CROSS JOIN nullsafe ns
+    """,
+    doc="NULL-semantics battery in one query: NULLIF-produced nulls as a "
+        "group key (NULL forms its own group), COUNT(col) vs COUNT(*) "
+        "under nulls, COALESCE in aggregation, and a null-safe equality "
+        "join (Spark <=> == SQL IS NOT DISTINCT FROM, which matches "
+        "NULL to NULL where = would drop the row). Three-valued logic "
+        "is where engines silently diverge; this stamps the engine's "
+        "behavior against the standard.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    t = o.select(
+        "o_custkey",
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("prio_or_null"),
+        F.when(F.col("o_custkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice")).alias("price_n"))
+    agg = (t.groupBy("prio_or_null")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.count("price_n").alias("n_price_nonnull"),
+                F.round(F.sum(F.coalesce("price_n", F.lit(0.0))), 2)
+                .alias("total_coalesced")))
+    a, b = t.alias("a"), t.alias("b")
+    n_nullsafe = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                         & F.col("a.prio_or_null").eqNullSafe(F.col("b.prio_or_null")))
+                  .count())
+    return agg.withColumn("n_nullsafe_eq", F.lit(n_nullsafe))
+
+
+@register(
+    "q_decimal_money",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS exact_total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact money arithmetic: totals aggregated as DECIMAL(18,2), not "
+        "double — decimal SUM is exact and association-order-independent, "
+        "so the stringified total is bit-identical on any engine, any "
+        "partitioning, any cluster size (the property float rounding "
+        "only approximates). The column every revenue pipeline should be "
+        "in; emitted as VARCHAR so the cross-engine comparison is on the "
+        "exact digits, not on precision-differing decimal types.",
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("string").alias("exact_total"),
+                 F.count(F.lit(1)).alias("n_orders")))
