@@ -457,3 +457,41 @@ def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("string").alias("exact_total"),
                  F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "q_window_lead_lag_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(LAG(o_totalprice, 1) OVER w, 2)  AS prev_price,
+           ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w_full, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER w_full, 2)  AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w_full, 2) AS second_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Navigation-function battery: LAG/LEAD plus FIRST/LAST/NTH_VALUE "
+        "over an EXPLICIT unbounded frame — last_value's default frame "
+        "(RANGE ... CURRENT ROW) is the classic silent-wrong-answer "
+        "trap, so the frame is pinned on both engines. Total order "
+        "(o_orderdate, o_orderkey) makes every navigation value "
+        "engine-exact; one shuffle serves all five functions.",
+)
+def q_window_lead_lag_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = Catalog(spark, sf_dir).table("orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.lag(p, 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead(p, 1).over(w), 2).alias("next_price"),
+        F.round(F.first(p).over(w_full), 2).alias("first_price"),
+        F.round(F.last(p).over(w_full), 2).alias("last_price"),
+        F.round(F.nth_value(p, 2).over(w_full), 2).alias("second_price"))

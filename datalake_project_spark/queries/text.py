@@ -372,3 +372,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"))
+
+
+@register(
+    "q_text_unicode_tokens",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS n_unicode,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_ascii
+        FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_unicode) AS BIGINT) AS unicode_tokens,
+           CAST(SUM(n_ascii) AS BIGINT) AS ascii_tokens
+    FROM tok GROUP BY lang
+    """,
+    doc="Unicode-aware tokenization ([\\p{L}\\p{N}]+ — letter/number "
+        "classes Java regex and RE2 share): per-language token totals "
+        "against the ASCII tokenizer. Non-Latin scripts (the zh slice) "
+        "are invisible to [a-z0-9]+ but fully counted here — the "
+        "multilingual-corpus prerequisite for every token-budget and "
+        "quality operator in the engine.",
+)
+def q_text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    uni = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), 0))
+    asc = F.size(T.tokens("text"))
+    return (d.select("lang", uni.alias("_u"), asc.alias("_a"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_u").cast("long").alias("unicode_tokens"),
+                 F.sum("_a").cast("long").alias("ascii_tokens")))
