@@ -335,3 +335,70 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.round(F.avg("lp"), 4) + F.lit(0.0)).alias("log_importance"))
+
+
+@register(
+    "q_text_source_divergence",
+    oracle=f"""
+    WITH inst AS (
+        SELECT source, unnest({_SQL_TOKS}) AS w FROM documents),
+    src_tot AS (SELECT source, COUNT(*) AS n FROM inst GROUP BY source),
+    corp_tot AS (SELECT COUNT(*) AS n FROM inst),
+    p AS (SELECT source, w, COUNT(*) AS c FROM inst GROUP BY source, w),
+    q AS (SELECT w, COUNT(*) AS c FROM inst GROUP BY w),
+    terms AS (
+        SELECT p.source,
+               p.c::DOUBLE / st.n::DOUBLE AS pw,
+               q.c::DOUBLE / ct.n::DOUBLE AS qw
+        FROM p
+        JOIN q USING (w)
+        JOIN src_tot st ON p.source = st.source
+        CROSS JOIN corp_tot ct),
+    contrib AS (
+        SELECT source,
+               0.5 * pw * LN(pw / (0.5 * pw + 0.5 * qw)) AS kl_p,
+               0.5 * qw * LN(qw / (0.5 * pw + 0.5 * qw)) AS kl_q_present,
+               qw AS qw_present
+        FROM terms),
+    qmiss AS (
+        -- corpus-q mass on terms ABSENT from the source contributes
+        -- 0.5 * qw * ln(2) each; total = 0.5 * ln(2) * (1 - sum(qw_present))
+        SELECT source,
+               SUM(kl_p) AS klp,
+               SUM(kl_q_present) AS klq_present,
+               0.5 * LN(2.0) * (1.0 - SUM(qw_present)) AS klq_missing
+        FROM contrib GROUP BY source)
+    SELECT source,
+           ROUND(klp + klq_present + klq_missing, 4) + 0.0 AS js_divergence
+    FROM qmiss
+    """,
+    doc="Distribution-shift monitor: Jensen-Shannon divergence between "
+        "each source's unigram distribution and the whole corpus — the "
+        "number a pipeline watches to catch a source drifting (spam "
+        "injection, scraper breakage, topic shift). Terms absent from a "
+        "source contribute 0.5*q*ln2 in closed form, so the computation "
+        "needs only the PRESENT (source, term) pairs: two count tables "
+        "and one join, vocab-sized shuffle, never |sources| x |vocab| "
+        "materialization.",
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    inst = d.select("source", F.explode(T.tokens("text")).alias("w"))
+    src_tot = inst.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
+    corp_n = inst.count()
+    p = inst.groupBy("source", "w").agg(F.count(F.lit(1)).alias("pc"))
+    q = inst.groupBy("w").agg(F.count(F.lit(1)).alias("qc"))
+    terms = (p.join(q, "w").join(src_tot, "source")
+             .withColumn("pw", F.col("pc").cast("double") / F.col("sn"))
+             .withColumn("qw", F.col("qc").cast("double") / F.lit(float(corp_n))))
+    m = 0.5 * F.col("pw") + 0.5 * F.col("qw")
+    contrib = terms.select(
+        "source",
+        (0.5 * F.col("pw") * F.log(F.col("pw") / m)).alias("kl_p"),
+        (0.5 * F.col("qw") * F.log(F.col("qw") / m)).alias("kl_q_present"),
+        F.col("qw").alias("qw_present"))
+    import math
+    return (contrib.groupBy("source")
+            .agg((F.round(F.sum("kl_p") + F.sum("kl_q_present")
+                          + 0.5 * math.log(2.0) * (1.0 - F.sum("qw_present")), 4)
+                  + F.lit(0.0)).alias("js_divergence")))
