@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datalake_project_spark.queries import load_all  # noqa: E402
 from datalake_project_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
+# The round-1/2 suite, frozen in content and order: its subtotal
+# (`core26`) is the round-over-round comparison baseline. Append new
+# queries to ADDITIONS, never insert here.
+CORE = [
     "q1_pricing_summary",
     "q6_revenue_forecast",
     "q3_shipping_priority",
@@ -51,12 +54,17 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_multimodal_features",
+]
+
+ADDITIONS = [
     # round-3 additions: the end-to-end LLM-pipeline operators promoted
     # into the driver window, plus the new TPC-H shapes. Appended so
     # earlier entries stay comparable round-over-round.
     "q_dedup_resolved",
     "q_text_contamination",
-    "q_pack_sequences",
+    # round 4: the sharded (per-shard-window) packing formulation replaces
+    # the global-window variant here, matching the driver window swap.
+    "q_pack_sequences_sharded",
     "q_split_train_test",
     "q_corpus_mix",
     "q2_min_cost_supplier",
@@ -72,6 +80,8 @@ HEADLINE = [
     "q_corpus_chunk",
     "q_snapshot_scd2",
 ]
+
+HEADLINE = CORE + ADDITIONS
 
 
 def main() -> None:
@@ -100,10 +110,10 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # The first 26 entries are the round-1/2 suite, unchanged in content
-    # and order: their subtotal stays comparable round-over-round even as
-    # new queries append to the suite.
-    core26 = round(sum(timings[n] for n in HEADLINE[:26]), 3)
+    # The CORE suite is unchanged in content and order since round 2: its
+    # subtotal stays comparable round-over-round even as new queries
+    # append to ADDITIONS.
+    core26 = round(sum(timings[n] for n in CORE), 3)
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,

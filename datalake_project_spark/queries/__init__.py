@@ -53,31 +53,42 @@ PRIORITY: tuple[str, ...] = (
     "q_compact_roundtrip",
     # Deduplication family (incl. the end-to-end corpus resolution, the
     # df-capped near-dup skew valve, and the substring-level operators —
-    # q_dedup_exact_text rotates to the tail after green stamps in r1-r2)
+    # q_dedup_exact_text rotates to the tail after green stamps in r1-r2;
+    # q_dedup_winnow_pairs — the winnowing fingerprint battery — enters
+    # in round 4)
     "q_dedup_exact", "q_dedup_ngram_jaccard",
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
     "q_dedup_simhash", "q_dedup_embedding", "q_dedup_components",
     "q_dedup_simhash_recall", "q_dedup_resolved",
-    "q_dedup_substring_spans",
-    # Similarity / ANN family (+ recall floors for the approximate paths
-    # and the int8 quantization fidelity floor — promoted in round 3)
+    "q_dedup_substring_spans", "q_dedup_winnow_pairs",
+    # Similarity / ANN family (+ recall floors for the approximate paths;
+    # q_embed_quantize_recall earned its driver-green stamp in r3 and
+    # rotates to the tail)
     "q_ann_cosine_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
-    "q_ann_lsh_recall", "q_ann_ivf_recall", "q_embed_quantize_recall",
+    "q_ann_lsh_recall", "q_ann_ivf_recall",
     # Text-analysis family (incl. vocab build, TF-IDF, contamination
     # scan, sequence packing, bigram-LM quality scoring —
-    # q_text_token_stats rotates to the tail after green stamps in r1-r2)
+    # q_text_token_stats / q_text_boilerplate rotate to the tail after
+    # green stamps; q_pack_sequences_sharded REPLACES the global-window
+    # q_pack_sequences in round 4: same packing semantics, per-shard
+    # windows instead of the single-partition global running sum — the
+    # formulation that survives 100 TB. q_text_source_divergence (the
+    # JS-divergence drift monitor) enters in round 4.)
     "q_text_bpe_tokens", "q_text_quality",
-    "q_text_langid", "q_text_fingerprint", "q_text_boilerplate",
+    "q_text_langid", "q_text_fingerprint",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
-    "q_pack_sequences", "q_text_bigram_lm",
-    # Corpus assembly: deterministic split + source-weighted mixing +
-    # the end-to-end cleaning funnel (round-3 additions;
-    # q_events_sliding_window, q_stream_sliding_window and
-    # q_events_tumbling_window earned driver-green stamps in r1-r2 and
-    # rotate to the tail to make room)
-    "q_split_train_test", "q_corpus_mix", "q_corpus_clean_funnel",
-    # Events: sessionization, as-of / range joins
+    "q_pack_sequences_sharded", "q_text_bigram_lm",
+    "q_text_source_divergence",
+    # Corpus assembly: the end-to-end cleaning funnel
+    # (q_split_train_test / q_corpus_mix earned driver-green stamps in
+    # r3 and rotate to the tail)
+    "q_corpus_clean_funnel",
+    # Relational semantics batteries (round-4 promotions: three-valued
+    # NULL logic and exact DECIMAL money aggregation)
+    "q_null_semantics", "q_decimal_money",
+    # Events: sessionization, as-of / range joins, Markov transitions
     "q_events_sessionize", "q_asof_join", "q_range_join",
+    "q_events_transitions",
     # Multimodal plumbing
     "q_multimodal_features", "q_multimodal_frame_sample",
     # Structured Streaming (q_stream_lake_roundtrip — the streaming SINK
@@ -86,9 +97,9 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_lake_roundtrip",
     "q_stream_sessionize", "q_stream_dedup", "q_stream_stream_join",
     "q_stream_user_profile",
-    # Interchange-format round-trip representative (round 3; ORC/JSONL
-    # variants sit in the tail)
-    "q_csv_roundtrip",
+    # (q_csv_roundtrip — the interchange-format representative — earned
+    # its driver-green stamp in r3 and rotates to the tail with the
+    # ORC/JSONL variants)
     # Relational representatives + scale equipment (the full TPC-H
     # battery and remaining variants follow past the window; the former
     # window members q_map_functions/q_correlated_subquery/q_pivot/

@@ -317,12 +317,28 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = scratch_dir("buckets", sf_dir)
     o_src = f"{sf_dir.rstrip('/')}/orders.parquet"
     li_src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-    key = "_".join(str(int(os.stat(p).st_mtime)) for p in (o_src, li_src))
+    # size+mtime key, same discipline as similarity._ivf_index_for: a
+    # regenerated fixture landing in the same integer second still
+    # changes st_size and forces a rebuild.
+    key = "_".join(f"{os.stat(p).st_size}_{int(os.stat(p).st_mtime)}"
+                   for p in (o_src, li_src))
     ot, lt = f"orders_bk_{key}", f"lineitem_bk_{key}"
     cat = Catalog(spark, sf_dir)
     for tbl, src, k in ((ot, "orders", "o_orderkey"),
                         (lt, "lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(tbl):
+            # a regenerated fixture orphans the previous key — drop stale
+            # sibling tables and scratch dirs so neither accumulates
+            import shutil
+            prefix = tbl.rsplit("_bk_", 1)[0] + "_bk_"
+            for t in spark.catalog.listTables():
+                if t.name.startswith(prefix) and t.name != tbl:
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            if os.path.isdir(root):
+                for stale in os.listdir(root):
+                    if stale.startswith(prefix) and stale != tbl:
+                        shutil.rmtree(os.path.join(root, stale),
+                                      ignore_errors=True)
             write_bucketed(cat.table(src), tbl, k, 8,
                            path=f"{root}/{tbl}")
     return (

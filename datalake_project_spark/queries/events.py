@@ -153,26 +153,39 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ordered conversion funnel signup -> click -> purchase: per user, "
         "the first click at-or-after the first signup, then the first "
         "purchase at-or-after that click; output is the user count "
-        "surviving each stage. Three min-aggregates chained by "
-        "broadcast-able per-user timestamp joins — every stage is one "
-        "shuffle on user_id, the canonical product-analytics query over "
-        "the events table.",
+        "surviving each stage. ONE events scan + one shuffle on user_id: "
+        "the per-user stage timestamps come from a single conditional "
+        "aggregate (min signup ts + per-type ts lists, bounded by "
+        "per-user event cardinality), then array_min(filter(...)) chains "
+        "the at-or-after conditions without re-scanning — the chained "
+        "three-join formulation recomputed stage 1 inside stages 2 and 3.",
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one pivoted per-user pass: first signup, first click >= that
+    # signup, first purchase >= that click, all from a single per-user
+    # conditional-min aggregate — the events scan runs ONCE (the chained
+    # three-join formulation recomputed stage 1 inside stages 2 and 3).
     e = Catalog(spark, sf_dir).table("events")
-    s = (e.where(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
-    c = (e.where(F.col("event_type") == "click")
-         .join(s, "user_id")
-         .where(F.col("ts") >= F.col("s_ts"))
-         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
-    p = (e.where(F.col("event_type") == "purchase")
-         .join(c, "user_id")
-         .where(F.col("ts") >= F.col("c_ts"))
-         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
-    return spark.createDataFrame(
-        [(s.count(), c.count(), p.count())],
-        "n_signup long, n_click_after long, n_purchase_after long")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+             .alias("s_ts"),
+             F.collect_list(
+                 F.when(F.col("event_type") == "click", F.col("ts")))
+             .alias("click_ts"),
+             F.collect_list(
+                 F.when(F.col("event_type") == "purchase", F.col("ts")))
+             .alias("purchase_ts")))
+    staged = (
+        per_user
+        .withColumn("c_ts", F.array_min(F.filter(
+            "click_ts", lambda t: t >= F.col("s_ts"))))
+        .withColumn("p_ts", F.array_min(F.filter(
+            "purchase_ts", lambda t: t >= F.col("c_ts")))))
+    return staged.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"))
 
 
 @register(

@@ -33,9 +33,13 @@ def _overlapping_row_groups(path: str, col: str, lo, hi) -> tuple[int, int]:
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             stats = next(
-                rg.column(c).statistics for c in range(rg.num_columns)
-                if rg.column(c).path_in_schema == col)
+                (rg.column(c).statistics for c in range(rg.num_columns)
+                 if rg.column(c).path_in_schema == col), None)
             total += 1
+            if stats is None:
+                # no stats for this column -> a reader can't skip it
+                hit += 1
+                continue
             if not (stats.max < lo or stats.min > hi):
                 hit += 1
     return hit, total
