@@ -173,7 +173,10 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", T.tokens("text").alias("ws"))
     uni = tok.select(F.explode("ws").alias("w"))
     c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    vocab = uni.distinct().count()
+    # vocab size as a 1-row aggregate crossJoin'd in (broadcast): the
+    # whole query is ONE DAG — no driver-side action mid-construction,
+    # no second full corpus pass before the query's own aggregations.
+    v = uni.agg(F.count_distinct("w").alias("vocab"))
     n = F.size("ws")
     bg_arr = F.zip_with(
         F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
@@ -185,8 +188,9 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         bg.join(c2, "bg")
         .withColumn("w1", F.split("bg", " ")[0])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
         .withColumn("lp", F.log((F.col("c2") + 1).cast("double")
-                                / (F.col("c1") + F.lit(vocab)).cast("double")))
+                                / (F.col("c1") + F.col("vocab")).cast("double")))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -238,9 +242,12 @@ def q_text_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (wc.where(F.length("word") >= 2)
              .select(F.explode(pair_arr).alias("pair"), "wn"))
     counts = pairs.groupBy("pair").agg(F.sum("wn").cast("long").alias("n_occurrences"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-20 + merge) — no single-partition global window; row_number
+    # then ranks only the surviving 20 rows.
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(20)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
-    return (counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 20))
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 @register(
@@ -317,18 +324,20 @@ def q_text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = inst.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (inst.where(F.col("lang") == "en")
            .groupBy("w").agg(F.count(F.lit(1)).alias("ct")))
+    # corpus totals as a broadcast 1-row aggregate, not a driver action:
+    # one DAG, the totals pass shares the scan with the count tables.
     totals = inst.agg(
         F.count(F.lit(1)).alias("nr"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
-        F.count_distinct("w").alias("vocab")).first()
-    nr, nt, vocab = totals["nr"], totals["nt"], totals["vocab"]
+        F.count_distinct("w").alias("vocab"))
     scored = (
         inst.join(raw, "w")
         .join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
         .withColumn("lp", F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                                / F.lit(float(nt + vocab)))
+                                / (F.col("nt") + F.col("vocab")).cast("double"))
                     - F.log((F.col("cr") + 1).cast("double")
-                            / F.lit(float(nr + vocab))))
+                            / (F.col("nr") + F.col("vocab")).cast("double")))
     )
     # `+ 0.0` washes out IEEE negative zero so ROUND(-0.00004, 4) hashes
     # identically across engines (the oracle applies the same normalizer).
@@ -385,12 +394,14 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     inst = d.select("source", F.explode(T.tokens("text")).alias("w"))
     src_tot = inst.groupBy("source").agg(F.count(F.lit(1)).alias("sn"))
-    corp_n = inst.count()
+    corp_tot = inst.agg(F.count(F.lit(1)).alias("cn"))
     p = inst.groupBy("source", "w").agg(F.count(F.lit(1)).alias("pc"))
     q = inst.groupBy("w").agg(F.count(F.lit(1)).alias("qc"))
     terms = (p.join(q, "w").join(src_tot, "source")
+             .crossJoin(F.broadcast(corp_tot))
              .withColumn("pw", F.col("pc").cast("double") / F.col("sn"))
-             .withColumn("qw", F.col("qc").cast("double") / F.lit(float(corp_n))))
+             .withColumn("qw", F.col("qc").cast("double")
+                         / F.col("cn").cast("double")))
     m = 0.5 * F.col("pw") + 0.5 * F.col("qw")
     contrib = terms.select(
         "source",

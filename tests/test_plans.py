@@ -181,3 +181,29 @@ def test_lm_scoring_broadcasts_count_tables(spark, registry):
         df = registry[name].fn(spark, SF)
         assert broadcast_join_count(df) >= 2, name
         assert "BatchEvalPython" not in simple_plan(df), name
+
+
+def test_lm_queries_construct_without_eager_jobs(spark, registry):
+    """Query construction must be declarative: building the DataFrame
+    for the LM/divergence family runs no DATA jobs (corpus totals are
+    1-row aggregates crossJoin'd broadcast into the same DAG, not
+    driver-side .count()/.first() actions — a mid-plan action is an
+    extra full corpus pass at 100 TB). The only job construction may
+    run is the single-stage single-task parquet footer/schema read of
+    the table resolution; anything touching data rows (a shuffle, >1
+    task) fails."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name in ("q_text_bigram_lm", "q_text_dsir_weights",
+                 "q_text_source_divergence"):
+        group = f"construct_{name}"
+        sc.setJobGroup(group, "no-eager-construction probe")
+        try:
+            registry[name].fn(spark, SF)
+            for jid in tracker.getJobIdsForGroup(group):
+                stages = tracker.getJobInfo(jid).stageIds
+                assert len(stages) == 1, name
+                info = tracker.getStageInfo(stages[0])
+                assert info is None or info.numTasks <= 1, name
+        finally:
+            sc.setJobGroup(None, None)
