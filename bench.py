@@ -79,6 +79,9 @@ ADDITIONS = [
     "q_events_retention",
     "q_corpus_chunk",
     "q_snapshot_scd2",
+    # round-4 additions: hashed-key span mining + the span removal pass
+    "q_dedup_substring_spans_hashed",
+    "q_dedup_substring_removal",
 ]
 
 HEADLINE = CORE + ADDITIONS

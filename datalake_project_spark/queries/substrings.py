@@ -74,6 +74,119 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_substring_spans_hashed",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    sp AS (
+        SELECT doc_id,
+               unnest([array_to_string(ws[i:i+{SPAN_N - 1}], ' ')
+                       FOR i IN range(1, len(ws) - {SPAN_N - 2})]) AS span
+        FROM tok WHERE len(ws) >= {SPAN_N})
+    SELECT span,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM sp
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=f"Repeated-span mining with 8-byte shuffle keys — the 100 TB "
+        "formulation of q_dedup_substring_spans (its oracle-exact spec "
+        "twin, same oracle): candidate generation groups by "
+        "xxhash64(span) so the wide shuffle carries (hash, doc_id) "
+        "pairs instead of ~60-byte span strings; only SURVIVING hashes "
+        "(shared by >= 2 docs) are then re-grouped by the exact string, "
+        "so the full-string shuffle is bounded by the repeated fraction. "
+        "A hash collision can only ADD a candidate (all copies of one "
+        "string share its hash), and the exact-string re-verification "
+        "filters any such false survivor — output is bit-identical to "
+        "the exact query. Same discipline as the df-capped Jaccard "
+        "index (operators/dedup.py ngram_jaccard_pairs).",
+)
+def q_dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    sp = d.select(
+        "doc_id", F.explode(T.span_list(T.tokens("text"), SPAN_N)).alias("span"))
+    h = sp.withColumn("h", F.xxhash64("span"))
+    survivors = (h.groupBy("h")
+                 .agg(F.count_distinct("doc_id").alias("nd"))
+                 .where(F.col("nd") >= 2)
+                 .select("h"))
+    return (
+        h.join(survivors, "h", "left_semi")
+        .groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "q_dedup_substring_removal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    sp AS (
+        SELECT doc_id, t.i AS pos,
+               array_to_string(ws[t.i:t.i+{SPAN_N - 1}], ' ') AS span
+        FROM tok, unnest(range(1, len(ws) - {SPAN_N - 2})) AS t(i)
+        WHERE len(ws) >= {SPAN_N}),
+    rep AS (SELECT span FROM sp GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT DISTINCT s.doc_id, u.p
+        FROM sp s JOIN rep USING (span),
+             unnest(range(s.pos, s.pos + {SPAN_N})) AS u(p)),
+    covc AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(len(t.ws) - COALESCE(c.n_covered, 0) AS BIGINT) AS n_surviving
+    FROM tok t LEFT JOIN covc c USING (doc_id)
+    """,
+    doc=f"Substring-removal pass — the second half of exact substring "
+        "dedup (Lee et al. 2022): every token position covered by a "
+        f"{SPAN_N}-word span that repeats across >= 2 documents is "
+        "masked; output is per-document original/covered/surviving "
+        "token counts (all integers -> hash-exact oracle). Plan: "
+        "positions ride the same hashed candidate index as "
+        "q_dedup_substring_spans_hashed (8-byte shuffle keys, exact "
+        "re-verification of survivors), covered positions materialize "
+        "as (doc_id, int) pairs via sequence+explode — never the "
+        "rewritten text itself, which at 100 TB is a map-side "
+        "slice-and-concat over this position set.",
+)
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    sp = tok.select(
+        "doc_id",
+        F.posexplode(T.span_list(F.col("ws"), SPAN_N)).alias("pos", "span"))
+    h = sp.withColumn("h", F.xxhash64("span"))
+    surv_h = (h.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .where(F.col("nd") >= 2).select("h"))
+    cand = h.join(surv_h, "h", "left_semi")
+    rep = (cand.groupBy("span")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2).select("span"))
+    covered = (
+        cand.join(rep, "span", "left_semi")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + SPAN_N - 1)).alias("p"))
+        .distinct()
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc")))
+    base = tok.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_covered"),
+                (F.col("n_tokens")
+                 - F.coalesce(F.col("nc"), F.lit(0))).cast("long")
+                .alias("n_surviving"))
+    )
+
+
 WINNOW_K = 5  # span length (tokens) hashed for winnowing
 WINNOW_W = 4  # window width (spans) per fingerprint selection
 

@@ -207,3 +207,17 @@ def test_lm_queries_construct_without_eager_jobs(spark, registry):
                 assert info is None or info.numTasks <= 1, name
         finally:
             sc.setJobGroup(None, None)
+
+
+def test_hashed_span_mining_shuffles_hash_not_string(spark, registry):
+    """The hashed span-mining variant's candidate aggregation must key
+    its exchange on the xxhash64 column (8-byte shuffle), with the
+    exact-string group-by running only over the surviving semi-join —
+    and the whole plan stays JVM-side."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_dedup_substring_spans_hashed"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # candidate index exchange keyed by the hash column
+    assert "hashpartitioning(h#" in plan
