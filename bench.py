@@ -79,9 +79,11 @@ ADDITIONS = [
     "q_events_retention",
     "q_corpus_chunk",
     "q_snapshot_scd2",
-    # round-4 additions: hashed-key span mining + the span removal pass
+    # round-4 additions: hashed-key span mining, the span removal pass,
+    # and the iterated BPE merge loop
     "q_dedup_substring_spans_hashed",
     "q_dedup_substring_removal",
+    "q_text_bpe_train",
 ]
 
 HEADLINE = CORE + ADDITIONS

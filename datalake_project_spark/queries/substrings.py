@@ -363,6 +363,122 @@ def q_text_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w))
 
 
+BPE_ROUNDS = 5
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Unrolled N-round BPE merge oracle. Each round: adjacent-pair
+    counts over the vocab-sized symbol table, deterministic arg-max
+    (count desc, pair asc), then the greedy left-to-right merge applied
+    as a string fold — `acc || x` when x = p2 and the fold tail is a
+    whole-symbol p1 (appending x to '... p1' yields '... p1p2', exactly
+    the merged symbol), else `acc || ' ' || x`. The fold is replicated
+    verbatim on the Spark side so both engines produce bit-identical
+    merge sequences, overlaps included ('a a a a' + (a,a) -> 'aa aa')."""
+    parts = [f"""
+    WITH wc AS (
+        SELECT u.w AS word, COUNT(*) AS wn
+        FROM (SELECT {_SQL_TOKS} AS toks FROM documents) t,
+             unnest(t.toks) AS u(w)
+        GROUP BY u.w),
+    s0 AS (
+        SELECT array_to_string([word[i] FOR i IN range(1, length(word) + 1)],
+                               ' ') AS syms, wn
+        FROM wc)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT a[i] AS p1, a[i+1] AS p2, wn
+        FROM (SELECT string_split(syms, ' ') AS a, wn FROM s{r-1}) t,
+             unnest(range(1, len(a))) AS u(i)),
+    b{r} AS (
+        SELECT p1, p2, CAST(SUM(wn) AS BIGINT) AS n
+        FROM p{r} GROUP BY p1, p2
+        ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1),
+    s{r} AS (
+        SELECT list_reduce(string_split(s.syms, ' '),
+                 (acc, x) -> CASE WHEN x = b.p2 AND (acc = b.p1
+                                  OR ends_with(acc, ' ' || b.p1))
+                             THEN acc || x ELSE acc || ' ' || x END) AS syms,
+               s.wn
+        FROM s{r-1} s CROSS JOIN b{r} b)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_round, p1, p2, p1 || p2 AS merged, "
+        f"n AS n_occurrences FROM b{r}"
+        for r in range(1, n_rounds + 1))
+    return "".join(parts) + f"\n    {selects}"
+
+
+@register(
+    "q_text_bpe_train",
+    oracle=_bpe_train_oracle(BPE_ROUNDS),
+    doc=f"BPE tokenizer training, {BPE_ROUNDS} merge rounds for real "
+        "(extends q_text_bpe_merge_counts' single pair count to the "
+        "iterated loop): each round counts adjacent symbol pairs over "
+        "the VOCAB-sized word-symbol table (never the corpus — the "
+        "corpus aggregates to word counts once), picks the "
+        "deterministic arg-max (count desc, pair asc), and applies the "
+        "greedy left-to-right merge as a JVM-side string fold "
+        "(F.aggregate; overlaps handled exactly: 'a a a a' + (a,a) -> "
+        "'aa aa'). Output is the merge sequence (round, pair, merged "
+        "symbol, occurrence count) — the artifact a tokenizer trainer "
+        "persists. Iterative-on-aggregated-state like connected "
+        "components: one driver action per round over a table that "
+        "fits in memory at ANY corpus scale (vocab-sized), which is "
+        "what makes BPE training feasible at 100 TB.",
+)
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    wc = (d.select(F.explode(T.tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    state = wc.select(F.concat_ws(" ", chars).alias("syms"), "wn")
+    # the vocab-sized state iterates; each round's state is cached and
+    # the cache is released only after the LAST action (so round r never
+    # recomputes rounds 1..r-1's folds from the corpus scan)
+    merges = []
+    cached = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        state = state.cache()
+        cached.append(state)
+        arr = F.split("syms", " ")
+        n = F.size(arr)
+        pairs = (state.where(n >= 2)
+                 .select(F.explode(F.zip_with(
+                     F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
+                     lambda x, y: F.struct(x.alias("p1"), y.alias("p2"))))
+                     .alias("pr"), "wn")
+                 .select("pr.p1", "pr.p2", "wn"))
+        best = (pairs.groupBy("p1", "p2")
+                .agg(F.sum("wn").cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["p1"], best[0]["p2"], best[0]["n"]
+        merges.append((rnd, a, b, a + b, cnt))
+
+        def _make_step(a, b):
+            def _step(acc, x):
+                hit = (x == F.lit(b)) & ((acc == F.lit(a))
+                                         | acc.endswith(" " + a))
+                return (F.when(hit, F.concat(acc, x))
+                        .otherwise(F.concat(acc, F.lit(" "), x)))
+            return _step
+
+        _step = _make_step(a, b)
+        state = state.select(
+            F.aggregate(F.slice(arr, 2, n - 1),
+                        F.element_at(arr, 1).cast("string"), _step)
+            .alias("syms"), "wn")
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, p1 string, p2 string, merged string, "
+        "n_occurrences long")
+
+
 @register(
     "q_text_char_entropy",
     oracle="""
