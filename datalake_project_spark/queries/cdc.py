@@ -349,3 +349,43 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@register(
+    "q_tuned_shuffle_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Footprint-derived shuffle sizing applied end-to-end: the join's "
+        "partition count comes from tuning.suggest_shuffle_partitions "
+        "over the ACTUAL on-disk bytes of both inputs (dir_bytes), "
+        "applied per-stage via repartition(n, key) — no session-conf "
+        "mutation, so concurrent queries keep their own sizing. At "
+        "100 TB this is the arithmetic that keeps shuffle partitions "
+        "near 128 MiB (AQE coalesces down but can never split a "
+        "too-large non-skewed partition); at fixture scale the core "
+        "floor (2x parallelism) dominates. The oracle recomputes the "
+        "aggregate from the raw tables — sizing changes no values.",
+)
+def q_tuned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.tuning import dir_bytes, suggest_shuffle_partitions
+
+    li_path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    o_path = f"{sf_dir.rstrip('/')}/orders.parquet"
+    n = suggest_shuffle_partitions(
+        dir_bytes(li_path) + dir_bytes(o_path),
+        cluster_cores=spark.sparkContext.defaultParallelism)
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").repartition(n, "l_orderkey")
+    o = cat.table("orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
