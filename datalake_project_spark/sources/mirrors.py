@@ -14,9 +14,14 @@ already uses — plus the two corrections our engine makes:
   `airflow/dags/apify_dag.py:298,314`, while logging that the second went
   to ``final_comparatif_index`` — a data-loss bug we do not reproduce).
 
-No Postgres/ES is available in the test environment, so these paths are
-covered by contract tests (option assembly) rather than live writes; the
-write calls themselves are the stock DataFrameWriter API.
+No Postgres/ES server is available in the test environment. JDBC is
+covered by a LIVE embedded-Derby round-trip (tests/test_mirrors.py); the
+ES connector path (:func:`es_write`) is covered by option-assembly
+contract tests (the es-hadoop jar is Scala-version-locked and can't load
+here), while :func:`es_write_http` — the jar-free REST ``_bulk`` twin —
+is exercised live against a local HTTP stub asserting the full bulk
+protocol (index name, ``username`` doc-id keying, overwrite-deletes-
+index-first, per-partition batching).
 """
 
 from __future__ import annotations
@@ -94,3 +99,64 @@ def es_write(df: DataFrame, cfg: EsConfig, index: str,
     (df.write.format("org.elasticsearch.spark.sql")
      .options(**cfg.options(index, mapping_id))
      .mode(mode).save())
+
+
+def es_write_http(df: DataFrame, cfg: EsConfig, index: str,
+                  mapping_id: str | None = "username",
+                  mode: str = "append",
+                  batch_docs: int = 1_000,
+                  timeout_s: float = 30.0) -> None:
+    """Elasticsearch sink over the public REST ``_bulk`` protocol — the
+    jar-free twin of :func:`es_write` (reference K6,
+    ``airflow/dags/apify_dag.py:290-318``), used when the es-hadoop
+    connector isn't on the classpath (it is Scala-version-locked; this
+    path has no JVM dependency at all).
+
+    Each PARTITION posts its rows as NDJSON bulk bodies of
+    ``batch_docs`` docs (action line ``{"index": {"_index": ...,
+    "_id": <row[mapping_id]>}}`` + source line), so the write is
+    distributed and batched exactly like the connector's: N executors
+    stream to ES concurrently, no driver collect. ``mapping_id`` keys
+    the doc id (upsert-on-rerun, reference :299); ``mode="overwrite"``
+    issues one driver-side ``DELETE /<index>`` first (ignore-404),
+    matching the connector's truncate-then-write.
+    """
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    base = f"http://{cfg.nodes}:{cfg.port}"
+    target = f"{base}/_bulk"
+    if mode == "overwrite":
+        req = urllib.request.Request(f"{base}/{index}", method="DELETE")
+        try:
+            urllib.request.urlopen(req, timeout=timeout_s).read()
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
+    cols = df.columns
+    id_idx = cols.index(mapping_id) if mapping_id else None
+
+    def _post(lines: list[str]) -> None:
+        body = ("\n".join(lines) + "\n").encode()
+        req = urllib.request.Request(
+            target, data=body, method="POST",
+            headers={"Content-Type": "application/x-ndjson"})
+        urllib.request.urlopen(req, timeout=timeout_s).read()
+
+    def _send_partition(rows) -> None:
+        buf: list[str] = []
+        for row in rows:
+            doc = dict(zip(cols, row))
+            action = {"index": {"_index": index}}
+            if id_idx is not None:
+                action["index"]["_id"] = str(row[id_idx])
+            buf.append(_json.dumps(action, default=str))
+            buf.append(_json.dumps(doc, default=str))
+            if len(buf) >= 2 * batch_docs:
+                _post(buf)
+                buf = []
+        if buf:
+            _post(buf)
+
+    df.foreachPartition(_send_partition)
