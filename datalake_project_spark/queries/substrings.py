@@ -366,15 +366,11 @@ def q_text_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 5
 
 
-def _bpe_train_oracle(n_rounds: int) -> str:
-    """Unrolled N-round BPE merge oracle. Each round: adjacent-pair
-    counts over the vocab-sized symbol table, deterministic arg-max
-    (count desc, pair asc), then the greedy left-to-right merge applied
-    as a string fold — `acc || x` when x = p2 and the fold tail is a
-    whole-symbol p1 (appending x to '... p1' yields '... p1p2', exactly
-    the merged symbol), else `acc || ' ' || x`. The fold is replicated
-    verbatim on the Spark side so both engines produce bit-identical
-    merge sequences, overlaps included ('a a a a' + (a,a) -> 'aa aa')."""
+def _bpe_rounds_sql(n_rounds: int) -> str:
+    """Shared CTE chain for the unrolled BPE merge rounds, carrying the
+    original ``word`` through every round so downstream CTEs can join
+    the final symbolization back to the corpus (used by both the train
+    and the encode oracle)."""
     parts = [f"""
     WITH wc AS (
         SELECT u.w AS word, COUNT(*) AS wn
@@ -382,7 +378,8 @@ def _bpe_train_oracle(n_rounds: int) -> str:
              unnest(t.toks) AS u(w)
         GROUP BY u.w),
     s0 AS (
-        SELECT array_to_string([word[i] FOR i IN range(1, length(word) + 1)],
+        SELECT word,
+               array_to_string([word[i] FOR i IN range(1, length(word) + 1)],
                                ' ') AS syms, wn
         FROM wc)"""]
     for r in range(1, n_rounds + 1):
@@ -396,17 +393,108 @@ def _bpe_train_oracle(n_rounds: int) -> str:
         FROM p{r} GROUP BY p1, p2
         ORDER BY n DESC, p1 ASC, p2 ASC LIMIT 1),
     s{r} AS (
-        SELECT list_reduce(string_split(s.syms, ' '),
+        SELECT s.word,
+               list_reduce(string_split(s.syms, ' '),
                  (acc, x) -> CASE WHEN x = b.p2 AND (acc = b.p1
                                   OR ends_with(acc, ' ' || b.p1))
                              THEN acc || x ELSE acc || ' ' || x END) AS syms,
                s.wn
         FROM s{r-1} s CROSS JOIN b{r} b)""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Unrolled N-round BPE merge oracle. Each round: adjacent-pair
+    counts over the vocab-sized symbol table, deterministic arg-max
+    (count desc, pair asc), then the greedy left-to-right merge applied
+    as a string fold — `acc || x` when x = p2 and the fold tail is a
+    whole-symbol p1 (appending x to '... p1' yields '... p1p2', exactly
+    the merged symbol), else `acc || ' ' || x`. The fold is replicated
+    verbatim on the Spark side so both engines produce bit-identical
+    merge sequences, overlaps included ('a a a a' + (a,a) -> 'aa aa')."""
     selects = " UNION ALL ".join(
         f"SELECT {r} AS merge_round, p1, p2, p1 || p2 AS merged, "
         f"n AS n_occurrences FROM b{r}"
         for r in range(1, n_rounds + 1))
-    return "".join(parts) + f"\n    {selects}"
+    return _bpe_rounds_sql(n_rounds) + f"\n    {selects}"
+
+
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Encode oracle: the same unrolled merge rounds, then every word's
+    final symbol count joins back to the exploded corpus."""
+    return _bpe_rounds_sql(n_rounds) + f""",
+    enc AS (
+        SELECT word, len(string_split(syms, ' ')) AS el FROM s{n_rounds}),
+    inst AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(el) AS BIGINT) AS n_bpe_tokens
+    FROM inst JOIN enc ON inst.w = enc.word
+    GROUP BY doc_id"""
+
+
+def _bpe_merge_step(a: str, b: str):
+    """The greedy left-to-right merge of adjacent (a, b) as a string-fold
+    step over space-joined symbols: appending x to an acc whose tail is
+    the whole symbol ``a`` yields ``...ab`` — exactly the merged symbol;
+    overlaps come out exact ('a a a a' + (a,a) -> 'aa aa')."""
+    def _step(acc, x):
+        hit = (x == F.lit(b)) & ((acc == F.lit(a)) | acc.endswith(" " + a))
+        return (F.when(hit, F.concat(acc, x))
+                .otherwise(F.concat(acc, F.lit(" "), x)))
+    return _step
+
+
+def _apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge round to a DataFrame with a ``syms`` column,
+    keeping every other column. Pure lazy expression — no action."""
+    arr = F.split("syms", " ")
+    n = F.size(arr)
+    others = [c for c in df.columns if c != "syms"]
+    return df.select(
+        F.aggregate(F.slice(arr, 2, n - 1),
+                    F.element_at(arr, 1).cast("string"),
+                    _bpe_merge_step(a, b)).alias("syms"), *others)
+
+
+def _learn_bpe_merges(spark: SparkSession, sf_dir: str,
+                      n_rounds: int) -> list[tuple]:
+    """The BPE training loop: returns [(round, p1, p2, merged, count)].
+    One driver action per round over the VOCAB-sized symbol table."""
+    d = Catalog(spark, sf_dir).table("documents")
+    wc = (d.select(F.explode(T.tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    state = wc.select(F.concat_ws(" ", chars).alias("syms"), "wn")
+    # the vocab-sized state iterates; each round's state is cached and
+    # the cache is released only after the LAST action (so round r never
+    # recomputes rounds 1..r-1's folds from the corpus scan)
+    merges: list[tuple] = []
+    cached = []
+    for rnd in range(1, n_rounds + 1):
+        state = state.cache()
+        cached.append(state)
+        arr = F.split("syms", " ")
+        n = F.size(arr)
+        pairs = (state.where(n >= 2)
+                 .select(F.explode(F.zip_with(
+                     F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
+                     lambda x, y: F.struct(x.alias("p1"), y.alias("p2"))))
+                     .alias("pr"), "wn")
+                 .select("pr.p1", "pr.p2", "wn"))
+        best = (pairs.groupBy("p1", "p2")
+                .agg(F.sum("wn").cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["p1"], best[0]["p2"], best[0]["n"]
+        merges.append((rnd, a, b, a + b, cnt))
+        state = _apply_merge(state, a, b)
+    for c in cached:
+        c.unpersist()
+    return merges
 
 
 @register(
@@ -428,55 +516,43 @@ def _bpe_train_oracle(n_rounds: int) -> str:
         "what makes BPE training feasible at 100 TB.",
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).table("documents")
-    wc = (d.select(F.explode(T.tokens("text")).alias("word"))
-          .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
-    state = wc.select(F.concat_ws(" ", chars).alias("syms"), "wn")
-    # the vocab-sized state iterates; each round's state is cached and
-    # the cache is released only after the LAST action (so round r never
-    # recomputes rounds 1..r-1's folds from the corpus scan)
-    merges = []
-    cached = []
-    for rnd in range(1, BPE_ROUNDS + 1):
-        state = state.cache()
-        cached.append(state)
-        arr = F.split("syms", " ")
-        n = F.size(arr)
-        pairs = (state.where(n >= 2)
-                 .select(F.explode(F.zip_with(
-                     F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1),
-                     lambda x, y: F.struct(x.alias("p1"), y.alias("p2"))))
-                     .alias("pr"), "wn")
-                 .select("pr.p1", "pr.p2", "wn"))
-        best = (pairs.groupBy("p1", "p2")
-                .agg(F.sum("wn").cast("long").alias("n"))
-                .orderBy(F.desc("n"), F.asc("p1"), F.asc("p2"))
-                .limit(1).collect())
-        if not best:
-            break
-        a, b, cnt = best[0]["p1"], best[0]["p2"], best[0]["n"]
-        merges.append((rnd, a, b, a + b, cnt))
-
-        def _make_step(a, b):
-            def _step(acc, x):
-                hit = (x == F.lit(b)) & ((acc == F.lit(a))
-                                         | acc.endswith(" " + a))
-                return (F.when(hit, F.concat(acc, x))
-                        .otherwise(F.concat(acc, F.lit(" "), x)))
-            return _step
-
-        _step = _make_step(a, b)
-        state = state.select(
-            F.aggregate(F.slice(arr, 2, n - 1),
-                        F.element_at(arr, 1).cast("string"), _step)
-            .alias("syms"), "wn")
-    for c in cached:
-        c.unpersist()
+    merges = _learn_bpe_merges(spark, sf_dir, BPE_ROUNDS)
     return spark.createDataFrame(
         merges,
         "merge_round int, p1 string, p2 string, merged string, "
         "n_occurrences long")
+
+
+@register(
+    "q_text_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_ROUNDS),
+    doc=f"BPE tokenizer APPLICATION — encode the corpus with the "
+        f"{BPE_ROUNDS}-round learned merges (the other half of "
+        "q_text_bpe_train; together they are the full train-then-"
+        "tokenize lifecycle): per document, the word count and the "
+        "post-merge token count. The merge sequence is learned once "
+        "(driver loop over the vocab-sized table), then applied as "
+        f"{BPE_ROUNDS} chained lazy string folds to the DISTINCT-word "
+        "table only; the corpus is touched once, by a broadcast join "
+        "of word -> encoded-length (vocab-sized build side). That "
+        "factoring — encode the vocabulary, join the corpus — is what "
+        "makes tokenization a map-only pass at 100 TB.",
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learn_bpe_merges(spark, sf_dir, BPE_ROUNDS)
+    d = Catalog(spark, sf_dir).table("documents")
+    words = (d.select(F.explode(T.tokens("text")).alias("word"))
+             .distinct())
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    enc = words.select(F.concat_ws(" ", chars).alias("syms"), "word")
+    for _rnd, a, b, _m, _n in merges:
+        enc = _apply_merge(enc, a, b)
+    enc = enc.select("word", F.size(F.split("syms", " ")).alias("el"))
+    inst = d.select("doc_id", F.explode(T.tokens("text")).alias("word"))
+    return (inst.join(F.broadcast(enc), "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("el").cast("long").alias("n_bpe_tokens")))
 
 
 @register(

@@ -405,3 +405,33 @@ def q_text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_u").cast("long").alias("unicode_tokens"),
                  F.sum("_a").cast("long").alias("ascii_tokens")))
+
+
+@register(
+    "q_text_heavy_hitters",
+    oracle=f"""
+    WITH inst AS (SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM inst)
+    SELECT w, COUNT(*) AS n_occurrences
+    FROM inst
+    GROUP BY w
+    HAVING COUNT(*) * 500 >= (SELECT n FROM tot)
+    """,
+    doc="Heavy hitters (terms at >= 1/500 of all token instances) via "
+        "distributed Misra-Gries + exact recount "
+        "(operators/sketches.py): each partition keeps a bounded "
+        "counter sketch (mapInPandas, O(k) memory), the candidate "
+        "union is a PROVEN superset of the true heavy hitters "
+        "(pigeonhole: a globally-heavy term is locally heavy "
+        "somewhere), and an exact semi-join recount makes the output "
+        "integer-exact — the oracle recomputes it naively. The "
+        "frequency-cap / stopword-list builder that never shuffles the "
+        "raw vocabulary at 100 TB; the final filter is pure integer "
+        "arithmetic (n*500 >= N), bit-identical across engines.",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.sketches import heavy_hitters
+
+    d = Catalog(spark, sf_dir).table("documents")
+    inst = d.select(F.explode(T.tokens("text")).alias("w"))
+    return heavy_hitters(inst, "w", phi_inv=500)

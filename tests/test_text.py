@@ -147,3 +147,43 @@ def test_redact_pii_replaces_all_three_kinds(spark):
     assert got[2]["red"] == "no pii here at all"
     assert got[3]["red"] == "two mails [EMAIL] [EMAIL] and [IP]"
     assert got[3]["ne"] == 2 and got[3]["ni"] == 1
+
+
+class TestMisraGries:
+    """The sketch layer of q_text_heavy_hitters: the compaction path
+    (which fixture-scale vocab never triggers) exercised with a tiny k
+    on adversarial data, pinning the superset guarantee and end-to-end
+    exactness."""
+
+    def test_compaction_keeps_heavy_superset(self, spark):
+        from datalake_project_spark.operators.sketches import mg_candidates
+
+        # 1000 'hot' + 999 singletons in ONE partition, k=3 -> heavy
+        # item must survive aggressive compaction
+        rows = [("hot",)] * 1000 + [(f"u{i}",) for i in range(999)]
+        df = spark.createDataFrame(rows, "w string").coalesce(1)
+        cands = {r.w for r in mg_candidates(df, "w", k=3).collect()}
+        assert len(cands) <= 3
+        assert "hot" in cands
+
+    def test_heavy_hitters_exact_after_recount(self, spark):
+        from datalake_project_spark.operators.sketches import heavy_hitters
+
+        # N=1200: phi_inv=10 -> threshold 120. a=600, b=400, c=150,
+        # d=50: expect exactly a, b, c with exact counts, across 4
+        # partitions with k barely above phi_inv.
+        rows = ([("a",)] * 600 + [("b",)] * 400 + [("c",)] * 150
+                + [(f"z{i}",) for i in range(50)])
+        df = spark.createDataFrame(rows, "w string").repartition(4)
+        out = {r.w: r.n_occurrences
+               for r in heavy_hitters(df, "w", phi_inv=10, k=12).collect()}
+        assert out == {"a": 600, "b": 400, "c": 150}
+
+    def test_k_must_exceed_phi_inv(self, spark):
+        import pytest as _pytest
+
+        from datalake_project_spark.operators.sketches import heavy_hitters
+
+        df = spark.createDataFrame([("x",)], "w string")
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "w", phi_inv=10, k=10)
