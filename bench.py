@@ -84,6 +84,9 @@ ADDITIONS = [
     "q_dedup_substring_spans_hashed",
     "q_dedup_substring_removal",
     "q_text_bpe_train",
+    "q_text_heavy_hitters",
+    "q_events_gapfill",
+    "q_dedup_semantic_resolved",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -413,3 +413,38 @@ def q_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = D.connected_components(pairs)
     non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
     return d.join(non_reps, d.doc_id == non_reps.id, "left_anti").select("doc_id")
+
+
+@register(
+    "q_dedup_semantic_resolved",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+    dropped AS (SELECT DISTINCT j FROM pairs)
+    SELECT e.vec_id
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.j
+    WHERE d.j IS NULL
+    """,
+    doc="SemDeDup-style semantic deduplication keep-set over the "
+        "embedding column: a vector is dropped iff SOME lower-id vector "
+        "sits within cosine >= 0.4 of it (the deterministic dominance "
+        "rule — the embedding-space counterpart of q_dedup_resolved's "
+        "keep-min-per-component). Pair generation reuses the exact "
+        "block-matrix operator (operators/similarity.py "
+        "block_pairwise_cosine): n^2 work arrives as dense numpy "
+        "matmuls over Arrow batches, one block pair per task, shuffle "
+        "volume n/block_rows block payloads — then one distinct + one "
+        "anti-join. The oracle recomputes all pairs naively in DuckDB; "
+        "the 0.4 threshold sits >1e-4 from every actual pair "
+        "similarity in the fixture, so float-arithmetic-order "
+        "differences cannot flip membership.",
+)
+def q_dedup_semantic_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.similarity import block_pairwise_cosine
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pairs = block_pairwise_cosine(e, threshold=0.4)
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return e.select("vec_id").join(dropped, "vec_id", "left_anti")

@@ -314,3 +314,56 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (seq.where(F.col("prev_type").isNotNull())
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+@register(
+    "q_events_gapfill",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                      COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(bounds.lo, bounds.hi,
+                                      INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds)
+    SELECT s.event_type,
+           STRFTIME(s.bucket, '%Y-%m-%d %H:00') AS bucket_s,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           COALESCE(b.v, 0.0) + 0.0 AS value_sum
+    FROM spine s
+    LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+    doc="Time-bucket gap-fill (the hypertable/timescale rollup "
+        "pattern): hourly counts and value sums per event type with "
+        "EVERY bucket in [min, max] present — missing hours filled "
+        "with zeros, the contract a downstream forecaster or anomaly "
+        "detector needs. The dense spine is generated in-plan "
+        "(1-row min/max aggregate broadcast-crossJoined to the "
+        "distinct types, then sequence+explode — no driver action, no "
+        "calendar table); the left join is spine-sized "
+        "(types x hours, metadata-scale at any corpus size), so the "
+        "only corpus-sized work is the one groupBy.",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    counts = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("v")))
+    bounds = e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "lo", "hi", F.expr("interval 1 hour"))).alias("bucket")))
+    return (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .select("event_type",
+                F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket_s"),
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+                (F.coalesce(F.col("v"), F.lit(0.0)) + F.lit(0.0)).alias("value_sum"))
+    )

@@ -718,3 +718,63 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.round(F.sum("kl_p") + F.sum("kl_q_present")
                           + 0.5 * math.log(2.0) * (1.0 - F.sum("qw_present")), 4)
                   + F.lit(0.0)).alias("js_divergence")))
+
+
+@register(
+    "q_text_length_ks_drift",
+    oracle="""
+    WITH docs AS (
+        SELECT source, CAST(FLOOR(LOG2(n_chars)) AS INT) AS b
+        FROM documents WHERE n_chars > 0),
+    src AS (SELECT source, b, COUNT(*) AS pc FROM docs GROUP BY source, b),
+    corp AS (SELECT b, COUNT(*) AS qc FROM docs GROUP BY b),
+    sn AS (SELECT source, COUNT(*) AS s_n FROM docs GROUP BY source),
+    cn AS (SELECT COUNT(*) AS c_n FROM docs),
+    spine AS (SELECT sn.source, sn.s_n, corp.b, corp.qc
+              FROM sn CROSS JOIN corp),
+    cum AS (
+        SELECT source, s_n, b,
+               SUM(COALESCE(src.pc, 0)) OVER (PARTITION BY source ORDER BY spine.b) AS cp,
+               SUM(qc) OVER (PARTITION BY source ORDER BY spine.b) AS cq
+        FROM spine LEFT JOIN src USING (source, b))
+    SELECT source,
+           ROUND(MAX(ABS(cp::DOUBLE / s_n::DOUBLE
+                         - cq::DOUBLE / (SELECT c_n FROM cn)::DOUBLE)), 4)
+               + 0.0 AS ks_stat
+    FROM cum
+    GROUP BY source
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift over document length: per "
+        "source, sup |CDF_source - CDF_corpus| across log2 length "
+        "buckets — the scale-invariant companion of the JS unigram "
+        "divergence (q_text_source_divergence): JS catches WHAT is "
+        "written changing, KS catches the SHAPE of documents changing "
+        "(truncation bugs, pagination changes, spam padding). "
+        "Everything after the one corpus-sized groupBy runs on the "
+        "histogram (sources x ~32 buckets, metadata-scale at any "
+        "corpus size): the dense spine is a crossJoin of two tiny "
+        "aggregates, cumulative sums are windows over it, and the "
+        "arithmetic is exact-integer counts divided once at the end.",
+)
+def q_text_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents").where(F.col("n_chars") > 0)
+    b = F.floor(F.log2("n_chars")).cast("int")
+    docs = d.select("source", b.alias("b"))
+    src = docs.groupBy("source", "b").agg(F.count(F.lit(1)).alias("pc"))
+    corp = docs.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
+    sn = docs.groupBy("source").agg(F.count(F.lit(1)).alias("s_n"))
+    cn = docs.agg(F.count(F.lit(1)).alias("c_n"))
+    spine = sn.crossJoin(F.broadcast(corp))
+    w = Window.partitionBy("source").orderBy("b")
+    cum = (spine.join(src, ["source", "b"], "left")
+           .select("source", "s_n", "b", "qc",
+                   F.sum(F.coalesce(F.col("pc"), F.lit(0))).over(w).alias("cp"),
+                   F.sum("qc").over(w).alias("cq")))
+    return (cum.crossJoin(F.broadcast(cn))
+            .groupBy("source")
+            .agg((F.round(F.max(F.abs(
+                F.col("cp").cast("double") / F.col("s_n").cast("double")
+                - F.col("cq").cast("double") / F.col("c_n").cast("double"))), 4)
+                + F.lit(0.0)).alias("ks_stat")))
