@@ -45,22 +45,24 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # CDC / medallion (the reference's core computation; q_snapshot_scd2
-    # enters in round 3 in place of twice-green q_gender_enrichment,
-    # which rotates to the tail)
-    "q_snapshot_diff", "q_snapshot_diff_global", "q_latest_snapshot",
+    # CDC / medallion (the reference's core computation; twice-green
+    # q_snapshot_diff_global rotates to the tail in round 4 — the
+    # flagship q_snapshot_diff plus five other CDC reps stay)
+    "q_snapshot_diff", "q_latest_snapshot",
     "q_snapshot_series_diff", "q_snapshot_scd2", "q_write_roundtrip",
     "q_compact_roundtrip",
     # Deduplication family (incl. the end-to-end corpus resolution, the
     # df-capped near-dup skew valve, and the substring-level operators —
     # q_dedup_exact_text rotates to the tail after green stamps in r1-r2;
-    # q_dedup_winnow_pairs — the winnowing fingerprint battery — enters
-    # in round 4)
+    # round 4 brings in winnowing, the substring REMOVAL pass, and the
+    # SemDeDup-style embedding keep-set; twice-green q_dedup_components
+    # rotates out, its end-to-end consumer q_dedup_resolved stays)
     "q_dedup_exact", "q_dedup_ngram_jaccard",
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_embedding", "q_dedup_components",
+    "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_simhash_recall", "q_dedup_resolved",
     "q_dedup_substring_spans", "q_dedup_winnow_pairs",
+    "q_dedup_substring_removal", "q_dedup_semantic_resolved",
     # Similarity / ANN family (+ recall floors for the approximate paths;
     # q_embed_quantize_recall earned its driver-green stamp in r3 and
     # rotates to the tail)
@@ -74,11 +76,13 @@ PRIORITY: tuple[str, ...] = (
     # windows instead of the single-partition global running sum — the
     # formulation that survives 100 TB. q_text_source_divergence (the
     # JS-divergence drift monitor) enters in round 4.)
-    "q_text_bpe_tokens", "q_text_quality",
-    "q_text_langid", "q_text_fingerprint",
+    # (twice-green q_text_fingerprint rotates out in round 4; the
+    # iterated BPE trainer and the Misra-Gries heavy hitters enter)
+    "q_text_bpe_tokens", "q_text_bpe_train", "q_text_quality",
+    "q_text_langid",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
     "q_pack_sequences_sharded", "q_text_bigram_lm",
-    "q_text_source_divergence",
+    "q_text_source_divergence", "q_text_heavy_hitters",
     # Corpus assembly: the end-to-end cleaning funnel
     # (q_split_train_test / q_corpus_mix earned driver-green stamps in
     # r3 and rotate to the tail)
@@ -86,16 +90,19 @@ PRIORITY: tuple[str, ...] = (
     # Relational semantics batteries (round-4 promotions: three-valued
     # NULL logic and exact DECIMAL money aggregation)
     "q_null_semantics", "q_decimal_money",
-    # Events: sessionization, as-of / range joins, Markov transitions
+    # Events: sessionization, as-of / range joins, Markov transitions,
+    # time-bucket gap-fill (round 4)
     "q_events_sessionize", "q_asof_join", "q_range_join",
-    "q_events_transitions",
-    # Multimodal plumbing
-    "q_multimodal_features", "q_multimodal_frame_sample",
+    "q_events_transitions", "q_events_gapfill",
+    # Multimodal plumbing (twice-green q_multimodal_frame_sample
+    # rotates to the tail in round 4)
+    "q_multimodal_features",
     # Structured Streaming (q_stream_lake_roundtrip — the streaming SINK
     # representative — enters in round 3 in place of twice-green
-    # q_stream_tumbling_window)
+    # q_stream_tumbling_window; twice-green q_stream_dedup rotates out
+    # in round 4, four streaming reps stay)
     "q_stream_lake_roundtrip",
-    "q_stream_sessionize", "q_stream_dedup", "q_stream_stream_join",
+    "q_stream_sessionize", "q_stream_stream_join",
     "q_stream_user_profile",
     # (q_csv_roundtrip — the interchange-format representative — earned
     # its driver-green stamp in r3 and rotates to the tail with the

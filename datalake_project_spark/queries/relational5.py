@@ -495,3 +495,37 @@ def q_window_lead_lag_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first(p).over(w_full), 2).alias("first_price"),
         F.round(F.last(p).over(w_full), 2).alias("last_price"),
         F.round(F.nth_value(p, 2).over(w_full), 2).alias("second_price"))
+
+
+@register(
+    "q_stats_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           ROUND(CORR(l_discount, l_extendedprice), 4) + 0.0 AS corr_disc_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) + 0.0 AS stddev_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bivariate-statistics battery (the profiling pass a feature-"
+        "engineering pipeline runs before training): Pearson "
+        "correlation, sample covariance, and sample stddev per group, "
+        "all as single-pass streaming aggregates (Spark and DuckDB "
+        "both use one-pass co-moment updates) — one shuffle, map-side "
+        "partials, no second scan. Rounded on both sides so "
+        "summation-order ulps don't flip the hash.",
+)
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+         + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.corr("l_discount", "l_extendedprice"), 4)
+         + F.lit(0.0)).alias("corr_disc_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+         + F.lit(0.0)).alias("covar_qty_price"),
+        (F.round(F.stddev_samp("l_extendedprice"), 2)
+         + F.lit(0.0)).alias("stddev_price"))
