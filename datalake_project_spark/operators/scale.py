@@ -68,3 +68,24 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = b.join(s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def interleave_bits(a, b, bits: int = 8):
+    """Z-order (Morton) key over two pre-bucketed int columns in
+    [0, 2^bits): bit i of ``a`` lands at position 2i, of ``b`` at 2i+1.
+    Pure integer Column arithmetic — stays in codegen.
+
+    Sorting/range-partitioning by this key clusters the layout along
+    BOTH dimensions at once: a range predicate on EITHER column prunes
+    row groups (min/max stats stay tight in both), where a plain sort
+    clusters one dimension and randomizes the other. The standard
+    multi-dimensional layout for fact tables queried along several
+    axes (the Delta OPTIMIZE ZORDER BY semantics, as plain columns)."""
+    out = F.lit(0)
+    one = F.lit(1)
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i))
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1))
+    return out

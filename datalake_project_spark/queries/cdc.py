@@ -389,3 +389,37 @@ def q_tuned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@register(
+    "q_skew_key_diagnostics",
+    oracle="""
+    WITH c AS (SELECT l_orderkey, COUNT(*) AS n_rows
+               FROM lineitem GROUP BY l_orderkey),
+    t AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT l_orderkey, n_rows,
+           ROUND(n_rows::DOUBLE / total::DOUBLE, 6) + 0.0 AS share
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Join-key skew diagnostics: the 10 heaviest l_orderkey values "
+        "with their row share — the number an operator reads before "
+        "choosing salting vs AQE skew-split vs broadcast (the decision "
+        "inputs for operators/scale.py). One groupBy with map-side "
+        "partials, total as a broadcast 1-row aggregate, top-10 via "
+        "orderBy+limit -> TakeOrderedAndProject (per-partition top-k "
+        "merge, no global sort); deterministic tie-break (count desc, "
+        "key asc) keeps the LIMIT oracle-stable.",
+)
+def q_skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("l_orderkey", "n_rows",
+                    (F.round(F.col("n_rows").cast("double")
+                             / F.col("total").cast("double"), 6)
+                     + F.lit(0.0)).alias("share"))
+            .orderBy(F.desc("n_rows"), F.asc("l_orderkey"))
+            .limit(10))

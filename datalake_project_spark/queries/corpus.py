@@ -388,3 +388,34 @@ def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("_n").cast("long").alias("bucket_min"),
                  F.max("_n").cast("long").alias("bucket_max")))
+
+
+@register(
+    "q_corpus_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*)::DOUBLE, 4)
+               + 0.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source exact-duplicate rate — the observability panel a "
+        "corpus pipeline watches per ingest (a source whose dup_rate "
+        "jumps is re-crawling itself or mirroring another source; feeds "
+        "the q_corpus_mix weights). Content addressing via md5 of the "
+        "UTF-8 text (identical hex across engines), one groupBy with "
+        "partial distinct-count aggregation — the 16-byte digest, not "
+        "the document, is what shuffles at 100 TB.",
+)
+def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    h = F.md5(F.col("text").cast("binary"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(h).alias("n_unique"),
+                 (F.round(F.lit(1.0)
+                          - F.count_distinct(h).cast("double")
+                          / F.count(F.lit(1)).cast("double"), 4)
+                  + F.lit(0.0)).alias("dup_rate")))

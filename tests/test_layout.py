@@ -86,3 +86,45 @@ def test_layouts_agree_on_results(spark, layouts):
 
     a, b = agg(unsorted), agg(clustered)
     assert (a["n"], a["q"]) == (b["n"], b["q"]) and a["n"] > 0
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path_factory):
+    """Z-order clustering: after range-partition+sort by the interleaved
+    key, a narrow slice on EITHER dimension must skip most row groups —
+    where the 1-D shipdate-clustered layout skips only on shipdate and
+    reads ~everything for an orderkey slice."""
+    import pyspark.sql.functions as F
+
+    from datalake_project_spark.operators.scale import interleave_bits
+
+    root = tmp_path_factory.mktemp("zorder")
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate", "l_quantity"))
+    bits = 8
+    stats = li.agg(F.min("l_orderkey").alias("k0"), F.max("l_orderkey").alias("k1"),
+                   F.min(F.unix_date(F.to_date("l_shipdate"))).alias("d0"),
+                   F.max(F.unix_date(F.to_date("l_shipdate"))).alias("d1")).first()
+    k0, k1, d0, d1 = stats["k0"], stats["k1"], stats["d0"], stats["d1"]
+    kb = ((F.col("l_orderkey") - k0) * ((1 << bits) - 1) / (k1 - k0)).cast("int")
+    db = ((F.unix_date(F.to_date("l_shipdate")) - d0) * ((1 << bits) - 1)
+          / (d1 - d0)).cast("int")
+    z = li.withColumn("_z", interleave_bits(kb, db, bits))
+    (z.repartitionByRange(16, "_z").sortWithinPartitions("_z")
+     .drop("_z").write.mode("overwrite").parquet(str(root / "z")))
+    (li.repartitionByRange(16, "l_shipdate").sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(str(root / "date1d")))
+
+    # narrow slices: ~1/8 of each domain
+    k_lo, k_hi = k0, k0 + (k1 - k0) // 8
+    d_mid = datetime.datetime(1997, 6, 1)
+    d_hi = datetime.datetime(1997, 12, 1)
+
+    zk_hit, zk_tot = _overlapping_row_groups(str(root / "z"), "l_orderkey", k_lo, k_hi)
+    zd_hit, zd_tot = _overlapping_row_groups(str(root / "z"), "l_shipdate", d_mid, d_hi)
+    ok_hit, ok_tot = _overlapping_row_groups(str(root / "date1d"), "l_orderkey", k_lo, k_hi)
+
+    # z-order: meaningful skipping on BOTH dimensions
+    assert zk_tot >= 16 and zk_hit <= zk_tot // 2
+    assert zd_hit <= zd_tot // 2
+    # 1-D date clustering: the orderkey slice reads everything
+    assert ok_hit == ok_tot
