@@ -275,7 +275,9 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("yr"), F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    last_yr = snaps.agg(F.max("yr")).first()[0]
+    # latest snapshot year as a broadcast 1-row aggregate — one DAG, no
+    # driver-side action during construction
+    last = snaps.agg(F.max("yr").alias("last_yr"))
     w = Window.partitionBy("custkey").orderBy("yr")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = snaps.withColumn(
@@ -285,8 +287,10 @@ def q_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = flagged.withColumn("island", F.sum("is_start").over(cum))
     return (islands.groupBy("custkey", "island")
             .agg(F.min("yr").alias("valid_from"),
-                 F.max("yr").alias("valid_to"),
-                 (F.max("yr") == F.lit(last_yr)).alias("is_current")))
+                 F.max("yr").alias("valid_to"))
+            .crossJoin(F.broadcast(last))
+            .select("custkey", "island", "valid_from", "valid_to",
+                    (F.col("valid_to") == F.col("last_yr")).alias("is_current")))
 
 @register(
     "q_bucketed_join_roundtrip",

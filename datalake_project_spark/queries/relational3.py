@@ -330,8 +330,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = (c.where(F.col("c_acctbal") > 0)
-               .agg(F.avg("c_acctbal")).first()[0])
-    rich = c.where(F.col("c_acctbal") > avg_bal)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .drop("avg_bal"))
     recent = o.where(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
     idle = rich.join(recent.select("o_custkey"),
@@ -369,10 +371,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                 .alias("total_revenue")))
     rev = rev.cache()  # reused by the scalar max and the final join
-    max_rev = rev.agg(F.max("total_revenue")).first()[0]
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = (rev.crossJoin(F.broadcast(mx))
+           .where(F.col("total_revenue") == F.col("max_rev")))
     return (
-        s.join(rev.where(F.col("total_revenue") == max_rev),
-               s.s_suppkey == F.col("supplier_no"))
+        s.join(top, s.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -427,10 +427,10 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.coalesce("price_n", F.lit(0.0))), 2)
                 .alias("total_coalesced")))
     a, b = t.alias("a"), t.alias("b")
-    n_nullsafe = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
-                         & F.col("a.prio_or_null").eqNullSafe(F.col("b.prio_or_null")))
-                  .count())
-    return agg.withColumn("n_nullsafe_eq", F.lit(n_nullsafe))
+    ns = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                 & F.col("a.prio_or_null").eqNullSafe(F.col("b.prio_or_null")))
+          .agg(F.count(F.lit(1)).alias("n_nullsafe_eq")))
+    return agg.crossJoin(F.broadcast(ns))
 
 
 @register(

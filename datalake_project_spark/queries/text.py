@@ -211,14 +211,16 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     sh = (d.select("doc_id", shingles(T.tokens("text"), 3).alias("_sh"))
           .where(F.size("_sh") >= 1))
-    n_docs = sh.count()
+    nd = sh.agg(F.count(F.lit(1)).alias("n_docs"))
     df_counts = (sh.select(F.explode("_sh").alias("shingle"))
                  .groupBy("shingle")
                  .agg(F.count(F.lit(1)).alias("doc_freq")))
-    ratio = F.col("doc_freq").cast("double") / F.lit(float(n_docs))
+    ratio = F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")
     return (df_counts
+            .crossJoin(F.broadcast(nd))
             .withColumn("doc_ratio", F.round(ratio, 4))
-            .where(F.col("doc_freq") >= 5))
+            .where(F.col("doc_freq") >= 5)
+            .drop("n_docs"))
 
 
 @register(
@@ -281,13 +283,14 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term"))
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
         .withColumn("tfidf", F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4))
         .withColumn("rk", F.row_number().over(w))
         .where((F.col("rk") <= 5) & (F.col("doc_id") < 100))
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")

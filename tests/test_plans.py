@@ -195,7 +195,12 @@ def test_lm_queries_construct_without_eager_jobs(spark, registry):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     for name in ("q_text_bigram_lm", "q_text_dsir_weights",
-                 "q_text_source_divergence"):
+                 "q_text_source_divergence", "q_snapshot_scd2",
+                 "q_text_boilerplate", "q_text_tfidf_top_terms",
+                 "q22_idle_customers", "q15_top_supplier",
+                 "q_null_semantics", "q_events_gapfill",
+                 "q_text_length_ks_drift", "q_text_heavy_hitters",
+                 "q_skew_key_diagnostics", "q_stats_correlation"):
         group = f"construct_{name}"
         sc.setJobGroup(group, "no-eager-construction probe")
         try:
