@@ -87,6 +87,9 @@ ADDITIONS = [
     "q_text_heavy_hitters",
     "q_events_gapfill",
     "q_dedup_semantic_resolved",
+    "q_text_bpe_encode",
+    "q_temporal_join",
+    "q_text_length_ks_drift",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -427,3 +427,78 @@ def q_skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.lit(0.0)).alias("share"))
             .orderBy(F.desc("n_rows"), F.asc("l_orderkey"))
             .limit(10))
+
+
+@register(
+    "q_temporal_join",
+    oracle="""
+    WITH snaps AS (
+        SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               o_custkey AS custkey
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+    flagged AS (
+        SELECT custkey, yr,
+               CASE WHEN LAG(yr) OVER w IS NULL
+                         OR LAG(yr) OVER w <> yr - 1 THEN 1 ELSE 0 END AS is_start
+        FROM snaps WINDOW w AS (PARTITION BY custkey ORDER BY yr)),
+    islands AS (
+        SELECT custkey, yr,
+               CAST(SUM(is_start) OVER (PARTITION BY custkey ORDER BY yr
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS island
+        FROM flagged),
+    dim AS (
+        SELECT custkey, MIN(yr) AS valid_from, MAX(yr) AS valid_to
+        FROM islands GROUP BY custkey, island)
+    SELECT o.o_orderkey,
+           o.o_custkey AS custkey,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+           d.valid_from AS tenure_start,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - d.valid_from
+               AS tenure_years
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.custkey
+     AND CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+         BETWEEN d.valid_from AND d.valid_to
+    WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    doc="Temporal dimension join — the lookup every fact pipeline runs "
+        "against an SCD2 dimension: each order joins the validity "
+        "interval COVERING its transaction year (equi-key on custkey + "
+        "BETWEEN on the interval), pulling the interval's attribute "
+        "(tenure start -> years-of-tenure at order time). Uses the "
+        "range_join operator, so Catalyst extracts the custkey equality "
+        "into a hash join and evaluates the interval predicate as a "
+        "join filter — no nested loop; the dimension is interval-per-"
+        "key-run sized and broadcasts at this SF, degrading to a "
+        "shuffled hash join on the same plan at 100 TB.",
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.joins import range_join
+
+    o = (Catalog(spark, sf_dir).table("orders")
+         .where(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")))
+    snaps = (o.select(F.year("o_orderdate").alias("yr"),
+                      F.col("o_custkey").alias("custkey"))
+             .distinct())
+    w = Window.partitionBy("custkey").orderBy("yr")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = snaps.withColumn(
+        "is_start",
+        F.when(F.lag("yr").over(w).isNull()
+               | (F.lag("yr").over(w) != F.col("yr") - 1), 1).otherwise(0))
+    islands = flagged.withColumn("island", F.sum("is_start").over(cum))
+    dim = (islands.groupBy("custkey", "island")
+           .agg(F.min("yr").alias("valid_from"), F.max("yr").alias("valid_to"))
+           .drop("island"))
+    fact = o.select("o_orderkey", F.col("o_custkey").alias("custkey"),
+                    F.year("o_orderdate").alias("yr"))
+    joined = range_join(
+        fact, dim,
+        (fact["yr"] >= dim["valid_from"]) & (fact["yr"] <= dim["valid_to"]),
+        on=["custkey"])
+    return joined.select(
+        "o_orderkey", fact["custkey"].alias("custkey"), "yr",
+        F.col("valid_from").alias("tenure_start"),
+        (F.col("yr") - F.col("valid_from")).alias("tenure_years"))
