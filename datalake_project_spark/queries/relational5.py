@@ -529,3 +529,31 @@ def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(0.0)).alias("covar_qty_price"),
         (F.round(F.stddev_samp("l_extendedprice"), 2)
          + F.lit(0.0)).alias("stddev_price"))
+
+
+@register(
+    "q_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               + 0.0 AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="User-defined AGGREGATE surface (SURVEY §2.8 — the reference "
+        "has none): quantity-weighted mean price per return flag via an "
+        "Arrow-batched grouped-agg pandas UDF "
+        "(functions/udx.make_weighted_avg_udaf). The oracle recomputes "
+        "it as plain SQL, and tests/test_udx.py additionally proves "
+        "parity with the native sum(v*w)/sum(w) expression — the UDAF "
+        "template for semantics Catalyst can't express, carrying the "
+        "same native-parity discipline as the gender UDF.",
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.udx import make_weighted_avg_udaf
+
+    wavg = make_weighted_avg_udaf()
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4)
+         + F.lit(0.0)).alias("wavg_price"))
