@@ -226,3 +226,23 @@ def test_hashed_span_mining_shuffles_hash_not_string(spark, registry):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     # candidate index exchange keyed by the hash column
     assert "hashpartitioning(h#" in plan
+
+
+def test_temporal_join_hash_join_not_nested_loop(spark, registry):
+    """The temporal SCD2 join must plan as a hash/sort-merge join on the
+    custkey equality with the interval BETWEEN as a join filter — never
+    a nested loop / cartesian over fact x dim."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_temporal_join"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_gapfill_spine_stays_broadcast(spark, registry):
+    """Gap-fill: the dense spine derives from broadcast 1-row bounds and
+    the final left join must not shuffle the spine against the hourly
+    aggregate at metadata scale (both sides tiny -> broadcast)."""
+    df = registry["q_events_gapfill"].fn(spark, SF)
+    assert broadcast_join_count(df) >= 2  # bounds crossJoin + final join
