@@ -1,0 +1,70 @@
+"""Plan-smell sweep over every registered query.
+
+Constructs each query's DataFrame at sf0.01 and scans the physical plan
+for the three scale-killers that can hide behind correct results:
+
+- ``CartesianProduct`` — an unkeyed join that explodes at any scale;
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the
+  engine's contract is Arrow-vectorized or JVM-native only);
+- a physical Window node with an EMPTY partition spec — Spark moves the
+  whole input to one task (the ``q_pack_sequences`` lesson from round 3).
+
+Exit 1 with the offender list if anything is found. Queries whose
+construction is a driver loop by design (BPE training) or builds scratch
+state (bucketed tables, IVF index) are skipped — their plans are pinned
+individually in tests/test_plans.py and tests/test_scale.py.
+
+Usage: python tools/plan_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datalake_project_spark.plans.introspect import simple_plan  # noqa: E402
+from datalake_project_spark.queries import load_all  # noqa: E402
+from datalake_project_spark.session import get_spark  # noqa: E402
+
+SKIP = {
+    "q_text_bpe_train", "q_text_bpe_encode",        # driver loop by design
+    "q_bucketed_join_roundtrip",                     # builds scratch tables
+    "q_ann_ivf_topk", "q_ann_ivf_recall",            # builds IVF index
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    reg = load_all()
+    spark = get_spark("plan-sweep")
+    offenders: list[tuple[str, list[str]]] = []
+    n = 0
+    for name, spec in reg.items():
+        if name in SKIP:
+            continue
+        n += 1
+        try:
+            plan = simple_plan(spec.fn(spark, sf_dir))
+        except Exception as e:  # construction itself must not fail
+            offenders.append((name, [f"ERR {type(e).__name__}: {e}"]))
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BatchEvalPython" in plan:
+            flags.append("py-row-udf")
+        if re.search(r"Window \[[^\n]*?\], \[\], \[", plan):
+            flags.append("global-window")
+        if flags:
+            offenders.append((name, flags))
+    for name, flags in offenders:
+        print(f"SMELL {name}: {', '.join(flags)}")
+    print(f"{n} plans swept, {len(offenders)} offenders")
+    spark.stop()
+    return 1 if offenders else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
