@@ -1,0 +1,94 @@
+"""Data-quality audit — the constraint-validation pass a lake engine
+runs before promoting a layer (the Deequ/Great-Expectations shape, as
+plain aggregates).
+
+The reference validates nothing on ingest (its enrichment swallows
+errors, `scripts/script_api_apify_to_spark.py:227-232`); a production
+medallion promotes raw → formatted only behind checks like these. Each
+check is ONE aggregate over its table (count of violations — integer,
+hash-exact); the audit result is the union of the 1-row check outputs,
+so the whole battery is a handful of independent scans that Catalyst
+prunes to the checked columns, no joins except the referential check's
+anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+
+@register(
+    "q_data_quality_audit",
+    oracle="""
+    SELECT 'orders_pk_duplicates' AS check_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'orders_fk_customer_missing',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_name_null',
+           CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events_ts_null',
+           CAST(COUNT(*) FILTER (WHERE ts IS NULL) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_text_empty',
+           CAST(COUNT(*) FILTER (WHERE text IS NULL OR length(text) = 0)
+                AS BIGINT)
+    FROM documents
+    """,
+    doc="Constraint-validation battery (Deequ/Great-Expectations shape): "
+        "primary-key duplicate count, referential-integrity anti-join "
+        "(orders -> customer), value-range, and null-rate checks, each "
+        "as one column-pruned aggregate; results union into a "
+        "(check_name, n_violations) report — the gate a medallion "
+        "promotion runs. All counts integer -> hash-exact oracle. At "
+        "100 TB each check is a map-side-partial scan and the FK check "
+        "is the same anti-join shape as the snapshot diff (runtime "
+        "Bloom filter applies).",
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+    li = cat.table("lineitem")
+    e = cat.table("events")
+    d = cat.table("documents")
+
+    def row(name: str, agg: DataFrame) -> DataFrame:
+        return agg.select(F.lit(name).alias("check_name"),
+                          F.coalesce(F.col("n"), F.lit(0))
+                          .cast("long").alias("n_violations"))
+
+    pk = (o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt"))
+          .where(F.col("cnt") > 1)
+          .agg(F.sum(F.col("cnt") - 1).alias("n")))
+    fk = (o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+          .agg(F.count(F.lit(1)).alias("n")))
+    rng = li.agg(F.count(F.when((F.col("l_quantity") < 1)
+                                | (F.col("l_quantity") > 50), 1)).alias("n"))
+    cn = c.agg(F.count(F.when(F.col("c_name").isNull(), 1)).alias("n"))
+    ts = e.agg(F.count(F.when(F.col("ts").isNull(), 1)).alias("n"))
+    tx = d.agg(F.count(F.when(F.col("text").isNull()
+                              | (F.length("text") == 0), 1)).alias("n"))
+    return (row("orders_pk_duplicates", pk)
+            .unionByName(row("orders_fk_customer_missing", fk))
+            .unionByName(row("lineitem_qty_out_of_range", rng))
+            .unionByName(row("customer_name_null", cn))
+            .unionByName(row("events_ts_null", ts))
+            .unionByName(row("documents_text_empty", tx)))
