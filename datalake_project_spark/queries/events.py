@@ -367,3 +367,97 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
                 (F.coalesce(F.col("v"), F.lit(0.0)) + F.lit(0.0)).alias("value_sum"))
     )
+
+
+@register(
+    "q_events_gapfill_interpolate",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                      COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(bounds.lo, bounds.hi,
+                                      INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds),
+    j AS (
+        SELECT s.event_type, s.bucket,
+               CAST(epoch(s.bucket) AS BIGINT) / 3600 AS hr,
+               b.n, b.v
+        FROM spine s
+        LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket),
+    ctx AS (
+        SELECT event_type, bucket, hr, n, v,
+               LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER wb AS ph,
+               FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER wf AS nh
+        FROM j
+        WINDOW wb AS (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:00') AS bucket_s,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           -- +1e-6 before ROUND: interpolated midpoints of 2-dec values
+           -- land exactly on .005 boundaries, where Spark (decimal-repr
+           -- HALF_UP) and DuckDB (binary-double) disagree by one cent;
+           -- the epsilon pushes both engines off the boundary the same
+           -- way and is invisible at any non-boundary value.
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (hr - ph) / (nh - ph)
+                      END + 1e-6, 2) + 0.0 AS value_filled
+    FROM ctx
+    """,
+    doc="Gap-fill with LINEAR INTERPOLATION (the TimescaleDB "
+        "interpolate() mode, companion of q_events_gapfill's zero-fill): "
+        "a missing hour takes pv + (nv-pv)*(t-p)/(n-p) between its "
+        "nearest present neighbors; buckets outside a type's support "
+        "stay NULL. Same in-plan dense spine; the neighbor lookup is "
+        "last/first IGNORE NULLS over the per-type hour order — ONE "
+        "shuffle on event_type serves both window directions, and the "
+        "windows run over the spine (types x hours, metadata-scale), "
+        "never the raw events.",
+)
+def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    counts = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("v")))
+    bounds = e.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "lo", "hi", F.expr("interval 1 hour"))).alias("bucket")))
+    j = (spine.join(counts, ["event_type", "bucket"], "left")
+         .withColumn("hr", (F.unix_timestamp("bucket") / 3600).cast("long")))
+    wb = (Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    present_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    ctx = (j.withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+           .withColumn("ph", F.last(present_hr, ignorenulls=True).over(wb))
+           .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+           .withColumn("nh", F.first(present_hr, ignorenulls=True).over(wf)))
+    interp = (F.col("pv")
+              + (F.col("nv") - F.col("pv"))
+              * (F.col("hr") - F.col("ph")) / (F.col("nh") - F.col("ph")))
+    return ctx.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket_s"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        # +1e-6 pre-round: see oracle comment (cross-engine .005 ties)
+        (F.round(F.when(F.col("v").isNotNull(), F.col("v"))
+                 .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+                       interp) + F.lit(1e-6), 2) + F.lit(0.0))
+        .alias("value_filled"))
