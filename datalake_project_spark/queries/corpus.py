@@ -419,3 +419,74 @@ def q_corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
                           - F.count_distinct(h).cast("double")
                           / F.count(F.lit(1)).cast("double"), 4)
                   + F.lit(0.0)).alias("dup_rate")))
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+@register(
+    "q_corpus_quota_allocation",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS wt FROM w),
+    base AS (
+        SELECT source, n_tokens,
+               ({TOKEN_BUDGET} * n_tokens) // tot.wt AS base_quota,
+               ({TOKEN_BUDGET} * n_tokens) % tot.wt AS rem
+        FROM w CROSS JOIN tot),
+    r AS (SELECT CAST({TOKEN_BUDGET} - SUM(base_quota) AS BIGINT) AS extra
+          FROM base),
+    ranked AS (
+        SELECT source, n_tokens, base_quota, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+        FROM base)
+    SELECT source, n_tokens,
+           CAST(base_quota + CASE WHEN rk <= (SELECT extra FROM r)
+                                  THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ranked
+    """,
+    doc=f"Token-budget apportionment by the largest-remainder (Hamilton) "
+        f"method: a {TOKEN_BUDGET:,}-token training budget split across "
+        "sources proportionally to their token mass, floor quotas plus "
+        "one extra token to the largest remainders until the budget is "
+        "exact — Σquota == budget by construction, pure integer "
+        "arithmetic (hash-exact). The planning step that turns "
+        "q_corpus_mix weights into exact per-source sample sizes. "
+        "Spark plan: the remainder ranking is a self-join over the "
+        "SOURCES table (tiny at any corpus scale) rather than a "
+        "global-order window, so the plan stays partition-clean; the "
+        "budget residue is a broadcast 1-row aggregate, no driver "
+        "action.",
+)
+def q_corpus_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    w = (d.groupBy("source")
+         .agg(F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens")))
+    tot = w.agg(F.sum("n_tokens").cast("long").alias("wt"))
+    n = F.lit(TOKEN_BUDGET)
+    scaled = n * F.col("n_tokens")
+    base = (w.crossJoin(F.broadcast(tot))
+            .withColumn("rem", F.pmod(scaled, F.col("wt")))
+            .withColumn("base_quota",
+                        ((scaled - F.pmod(scaled, F.col("wt")))
+                         / F.col("wt")).cast("long")))
+    extra = base.agg((n - F.sum("base_quota")).cast("long").alias("extra"))
+    a, b = base.alias("a"), base.alias("b")
+    ranked = (a.join(b.select(F.col("source").alias("b_source"),
+                              F.col("rem").alias("b_rem")),
+                     (F.col("b_rem") > a["rem"])
+                     | ((F.col("b_rem") == a["rem"])
+                        & (F.col("b_source") < a["source"])), "left")
+              .groupBy(a["source"], a["n_tokens"], a["base_quota"])
+              .agg(F.count("b_source").alias("n_ahead")))
+    return (ranked.crossJoin(F.broadcast(extra))
+            .select("source", "n_tokens",
+                    (F.col("base_quota")
+                     + F.when(F.col("n_ahead") < F.col("extra"), 1)
+                     .otherwise(0)).cast("long").alias("quota")))

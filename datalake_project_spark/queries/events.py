@@ -461,3 +461,53 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
                        interp) + F.lit(1e-6), 2) + F.lit(0.0))
         .alias("value_filled"))
+
+
+@register(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                      ROUND(SUM(value), 2) AS v
+               FROM events GROUP BY 1, 2),
+    ctx AS (
+        SELECT event_type, bucket, v,
+               AVG(v) OVER w AS mu,
+               STDDEV_SAMP(v) OVER w AS sigma,
+               COUNT(*) OVER w AS n_prior
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:00') AS bucket_s,
+           v,
+           ROUND((v - mu) / sigma, 3) + 0.0 AS zscore,
+           ABS((v - mu) / sigma) > 3.0 AS is_anomaly
+    FROM ctx
+    WHERE n_prior >= 12 AND sigma > 0
+    """,
+    doc="Trailing-window anomaly detection: each hourly value scored "
+        "against the mean/stddev of its own previous 24 buckets "
+        "(self-exclusive frame), |z| > 3 flagged — the monitoring query "
+        "a pipeline runs on every metric stream. One shuffle on "
+        "event_type; the window frame is bounded (24 rows) so state is "
+        "O(frame) per key at any history length. Warm-up rows "
+        "(< 12 priors) and zero-variance frames are excluded on both "
+        "sides.",
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    b = (e.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("bucket"))
+         .agg(F.round(F.sum("value"), 2).alias("v")))
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-24, -1))
+    ctx = (b.withColumn("mu", F.avg("v").over(w))
+           .withColumn("sigma", F.stddev_samp("v").over(w))
+           .withColumn("n_prior", F.count("v").over(w)))
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (ctx.where((F.col("n_prior") >= 12) & (F.col("sigma") > 0))
+            .select("event_type",
+                    F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket_s"),
+                    "v",
+                    (F.round(z, 3) + F.lit(0.0)).alias("zscore"),
+                    (F.abs(z) > 3.0).alias("is_anomaly")))
