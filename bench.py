@@ -90,6 +90,8 @@ ADDITIONS = [
     "q_text_bpe_encode",
     "q_temporal_join",
     "q_text_length_ks_drift",
+    "q_data_quality_audit",
+    "q_events_anomaly_zscore",
 ]
 
 HEADLINE = CORE + ADDITIONS
