@@ -204,3 +204,40 @@ def q_stream_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("total_value"))
             .withColumn("run_ts", F.lit(run_ts_of_batch(0))))
+
+
+@register(
+    "q_stream_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, COUNT(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * 200 >= (SELECT n FROM tot)
+    """,
+    doc="Streaming heavy hitters: a sharded stateful Misra-Gries sketch "
+        "(applyInPandasWithState, O(k) state per shard at ANY stream "
+        "length) drains its candidate set via availableNow, then an "
+        "exact batch recount of the candidates produces exact counts — "
+        "the streaming twin of q_text_heavy_hitters, same superset-"
+        "then-recount discipline, same naive oracle. The state sketch "
+        "is what a 24/7 pipeline keeps where an exact per-key streaming "
+        "count's state grows with the key universe.",
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.streaming.ops import mg_candidate_stream
+
+    PHI_INV = 200
+    cands = (run_available_now(
+        mg_candidate_stream(events_stream(spark, sf_dir),
+                            n_shards=8, k=2 * PHI_INV), "update")
+        .select("user_id").distinct())
+    e = Catalog(spark, sf_dir).table("events")
+    tot = e.agg(F.count(F.lit(1)).alias("n_total"))
+    return (e.join(F.broadcast(cands), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("n_occurrences") * PHI_INV >= F.col("n_total"))
+            .select("user_id", "n_occurrences"))

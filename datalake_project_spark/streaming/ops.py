@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
 )
 
 _query_seq = itertools.count()
@@ -176,4 +176,61 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         _update_profile, PROFILE_SCHEMA, _STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout,
+    )
+
+
+_MG_OUT_SCHEMA = StructType([
+    StructField("shard", IntegerType()),
+    StructField("user_id", LongType()),
+])
+
+_MG_STATE_SCHEMA = StructType([
+    StructField("keys", ArrayType(LongType())),
+    StructField("counts", ArrayType(LongType())),
+])
+
+
+def _make_mg_update(k: int):
+    """Per-shard batched Misra-Gries over a stream: state is the bounded
+    (keys, counts) counter table; each micro-batch folds its counts in
+    and compacts to <= k counters (subtract the (|d|-k)-th smallest,
+    drop non-positives — the mergeable-summaries step, identical to the
+    batch operator in operators/sketches.py). Emits the current
+    candidate set each batch; the union over batches can only ADD
+    candidates, so the drained output remains a superset of the true
+    heavy hitters."""
+    def _update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        keys, counts = state.get if state.exists else ([], [])
+        d = dict(zip(keys, counts))
+        for pdf in pdfs:
+            for u, c in pdf["user_id"].value_counts().items():
+                d[int(u)] = d.get(int(u), 0) + int(c)
+            if len(d) > k:
+                vals = sorted(d.values())
+                dec = vals[len(d) - k - 1]
+                d = {t: c - dec for t, c in d.items() if c > dec}
+        state.update((list(d.keys()), list(d.values())))
+        yield pd.DataFrame({"shard": [key[0]] * len(d),
+                            "user_id": list(d.keys())})
+    return _update
+
+
+def mg_candidate_stream(events: DataFrame, n_shards: int = 8,
+                        k: int = 256) -> DataFrame:
+    """Streaming heavy-hitter CANDIDATES via sharded stateful
+    Misra-Gries (``applyInPandasWithState``). State is O(k) per shard
+    regardless of stream length — the bounded-memory frequency sketch a
+    24/7 pipeline keeps, where an exact per-key count's state grows with
+    the key universe. All instances of a key land in one shard
+    (pmod(user_id, n_shards)), so a globally phi-heavy key is heavy in
+    its shard and survives MG there (k+1 > phi_inv required); an exact
+    batch recount of the drained candidates then yields exact results
+    (see queries/streaming.q_stream_heavy_hitters)."""
+    sharded = events.select(
+        F.pmod(F.col("user_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "user_id")
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _make_mg_update(k), _MG_OUT_SCHEMA, _MG_STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout,
     )

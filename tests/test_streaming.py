@@ -197,3 +197,44 @@ def test_batch_sessionize_deterministic_on_ts_ties(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert got2 == got
+
+
+def test_stream_mg_sketch_keeps_heavy_across_batches(spark, tmp_path):
+    """Sharded streaming Misra-Gries: with k far below the key count and
+    the stream split over 3 micro-batches, the hot key must survive
+    every compaction and the state stays bounded (<= k candidates in
+    the final emission)."""
+    import glob
+    import shutil
+
+    from datalake_project_spark.streaming.ops import mg_candidate_stream
+
+    d = tmp_path / "mg_src"
+    d.mkdir()
+
+    def write_file(i, rows):
+        df = spark.createDataFrame([(r,) for r in rows], "user_id long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        src = glob.glob(str(tmp_path / f"s{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, d / f"f{i}.parquet")
+
+    # hot key 7 in every batch; 60 distinct cold keys force compaction at k=3
+    write_file(0, [7] * 50 + list(range(100, 120)))
+    write_file(1, [7] * 50 + list(range(200, 220)))
+    write_file(2, [7] * 50 + list(range(300, 320)))
+
+    stream = (spark.readStream.schema("user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    out = (stream.select("user_id")
+           .transform(lambda df: mg_candidate_stream(df, n_shards=1, k=3)))
+    q = (out.writeStream.format("memory").queryName("mg_sink")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("mg_sink").collect()
+    assert rows, "sketch emitted nothing"
+    # candidates union over batches must contain the hot key
+    assert 7 in {r.user_id for r in rows}
+    # state never grows past k: 3 batches x <= k emissions each
+    assert len(rows) <= 3 * 3
