@@ -557,3 +557,63 @@ def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         (F.round(wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4)
          + F.lit(0.0)).alias("wavg_price"))
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rk,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+    cuts AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rk = CAST(FLOOR((n - 1) * 0.01) AS BIGINT) + 1
+                        THEN v END) AS p01,
+               MAX(CASE WHEN rk = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) + 1
+                        THEN v END) AS p99
+        FROM ranked GROUP BY l_returnflag)
+    SELECT r.l_returnflag,
+           ROUND(c.p01, 2) AS p01,
+           ROUND(c.p99, 2) AS p99,
+           CAST(COUNT(CASE WHEN r.v < c.p01 THEN 1 END) AS BIGINT) AS n_below,
+           CAST(COUNT(CASE WHEN r.v > c.p99 THEN 1 END) AS BIGINT) AS n_above,
+           ROUND(SUM(LEAST(GREATEST(r.v, c.p01), c.p99)), 2) AS sum_winsorized
+    FROM ranked r JOIN cuts c USING (l_returnflag)
+    GROUP BY r.l_returnflag, c.p01, c.p99
+    """,
+    doc="Winsorization (robust-stats outlier clipping): per group, the "
+        "EXACT 1st/99th order statistics (k = floor((n-1)*q)+1 — the "
+        "same discrete-quantile formula on both engines, so no "
+        "interpolation-convention mismatch), tail counts, and the sum "
+        "after clamping to [p01, p99] — the feature-engineering "
+        "normalization pass. One shuffle on the group key serves the "
+        "ranking window, the cut extraction, and the final aggregate; "
+        "the cuts table is group-count-sized and broadcasts.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    k01 = F.floor((F.col("n") - 1) * 0.01).cast("long") + 1
+    k99 = F.floor((F.col("n") - 1) * 0.99).cast("long") + 1
+    cuts = (ranked.groupBy("l_returnflag")
+            .agg(F.max(F.when(F.col("rk") == k01, F.col("v"))).alias("p01"),
+                 F.max(F.when(F.col("rk") == k99, F.col("v"))).alias("p99")))
+    clamped = F.least(F.greatest(F.col("v"), F.col("p01")), F.col("p99"))
+    return (ranked.join(F.broadcast(cuts), "l_returnflag")
+            .groupBy("l_returnflag", F.round("p01", 2).alias("p01"),
+                     F.round("p99", 2).alias("p99"))
+            .agg(F.count(F.when(F.col("v") < F.col("p01"), 1)).cast("long")
+                 .alias("n_below"),
+                 F.count(F.when(F.col("v") > F.col("p99"), 1)).cast("long")
+                 .alias("n_above"),
+                 F.round(F.sum(clamped), 2).alias("sum_winsorized")))
