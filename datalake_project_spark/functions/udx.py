@@ -13,8 +13,7 @@ same discipline as the gender UDF's native/pandas_udf twin
   (one pandas Series pair per group per batch) — the UDAF template.
   NB pandas_udf return-type hints break under
   ``from __future__ import annotations``; the returnType is passed
-  explicitly and the inner function carries no hints (see
-  .claude verify notes).
+  explicitly and the inner function carries no hints.
 - ``word_ngrams`` UDTF: a table function yielding (pos, ngram) rows
   per input string — the generator template; registered for SQL
   ``LATERAL`` use. Arrow-optimized eval.
