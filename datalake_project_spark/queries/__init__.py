@@ -123,7 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
     from datalake_project_spark.queries import (  # noqa: F401
         relational, relational2, relational3, relational4, cdc, events,
         relational5, text, quality, dedup, similarity, streaming,
-        multimodal, formats, corpus, substrings, audit,
+        multimodal, formats, corpus, substrings, audit, graph,
     )
     ordered: dict[str, QuerySpec] = {}
     for name in PRIORITY:

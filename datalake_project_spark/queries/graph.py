@@ -1,0 +1,113 @@
+"""Graph analytics over derived relational graphs.
+
+Connected components live in ``operators/dedup.py`` (min-label
+propagation for the near-dup graph); this module adds the other
+canonical iterative-graph workload: weighted PageRank, over the
+nation-to-nation trade graph derived from orders/lineitem (edge
+cust_nation -> supp_nation weighted by line count).
+
+The iteration count is FIXED (3), so the whole computation is one lazy
+DAG — three chained join+aggregate layers over a cached edge table, no
+driver-side loop actions at all (contrast the BPE trainer, whose
+arg-max per round genuinely needs an action). The oracle unrolls the
+same three iterations as CTEs. At 100 TB the edge table is
+nation-pair-sized (tiny) here; for a billion-node graph the same plan
+shape shuffles (node, rank) pairs per iteration — the standard Pregel
+realization as DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+DAMPING = 0.85
+N_ITER = 3
+
+_EDGES_SQL = """
+    edges AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+    outs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+             FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT name FROM (
+        SELECT src AS name FROM edges UNION SELECT dst FROM edges)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes)"""
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    parts = ["    WITH" + _EDGES_SQL + """,
+    r0 AS (SELECT name, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT n.name,
+               (1.0 - {DAMPING}) / ANY_VALUE(nn.n)
+               + {DAMPING} * COALESCE(SUM(p.r * e.w / o.wout), 0) AS r
+        FROM nodes n
+        CROSS JOIN nn
+        LEFT JOIN edges e ON e.dst = n.name
+        LEFT JOIN r{i-1} p ON p.name = e.src
+        LEFT JOIN outs o ON o.src = e.src
+        GROUP BY n.name)""")
+    return "".join(parts) + f"""
+    SELECT name AS nation, ROUND(r, 6) + 0.0 AS pagerank FROM r{n_iter}"""
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(N_ITER),
+    doc=f"Weighted PageRank ({N_ITER} iterations, damping {DAMPING}) "
+        "over the nation trade graph (cust_nation -> supp_nation, edge "
+        "weight = line count): the canonical iterative-graph workload "
+        "beside connected components, expressed as the Pregel pattern "
+        "in DataFrame form — per iteration, ranks join edges on src, "
+        "contributions aggregate on dst. The iteration count is fixed, "
+        "so the WHOLE computation is one lazy DAG (no driver loop "
+        "actions); the oracle unrolls the identical three iterations. "
+        "Contributions r*w/wout are rounded at 6 dp on both sides so "
+        "in-edge summation order can't flip the hash.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    outs = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (nodes.crossJoin(F.broadcast(nn))
+             .select("name", (F.lit(1.0) / F.col("n")).alias("r")))
+    contrib_edges = (edges.join(outs, "src")
+                     .select("src", "dst", (F.col("w") / F.col("wout"))
+                             .alias("frac")))
+    for _ in range(N_ITER):
+        contribs = (contrib_edges
+                    .join(ranks.select(F.col("name").alias("src"),
+                                       F.col("r").alias("pr")), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("pr") * F.col("frac")).alias("mass")))
+        ranks = (nodes.join(contribs, nodes.name == contribs.dst, "left")
+                 .crossJoin(F.broadcast(nn))
+                 .select("name",
+                         ((1.0 - DAMPING) / F.col("n")
+                          + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)))
+                         .alias("r")))
+    return ranks.select(F.col("name").alias("nation"),
+                        (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"))

@@ -200,7 +200,9 @@ def test_lm_queries_construct_without_eager_jobs(spark, registry):
                  "q22_idle_customers", "q15_top_supplier",
                  "q_null_semantics", "q_events_gapfill",
                  "q_text_length_ks_drift", "q_text_heavy_hitters",
-                 "q_skew_key_diagnostics", "q_stats_correlation"):
+                 "q_skew_key_diagnostics", "q_stats_correlation",
+                 "q_graph_pagerank", "q_winsorize",
+                 "q_corpus_quota_allocation"):
         group = f"construct_{name}"
         sc.setJobGroup(group, "no-eager-construction probe")
         try:
