@@ -92,6 +92,7 @@ ADDITIONS = [
     "q_text_length_ks_drift",
     "q_data_quality_audit",
     "q_events_anomaly_zscore",
+    "q_graph_pagerank",
 ]
 
 HEADLINE = CORE + ADDITIONS
