@@ -1,0 +1,261 @@
+"""Distributed ML primitives over the embedding table: Lloyd's k-means,
+covariance/Gram-matrix estimation, and linear-model corpus scoring.
+
+These are the training-data-pipeline steps BETWEEN the dedup/similarity
+operators and a model: k-means is the real training path of the IVF
+coarse quantizer (``operators/similarity.py`` seeds its quantizer from
+a hash-sample; this query runs the actual Lloyd iterations), the
+covariance matrix is the input to PCA whitening / dimensionality
+reduction, and the linear scorer is the FineWeb-Edu-shaped pattern of
+applying a trained quality classifier to every document (model weights
+broadcast as a vocabulary table, corpus pass is one explode + join +
+aggregate).
+
+Scale notes baked into the shapes:
+- k-means: centroids are k rows — broadcast to every task; each
+  iteration is ONE pass over the data (crossJoin with k broadcast rows,
+  min-struct argmin, posexplode + per-(cluster,dim) partial averages).
+  The iteration count is fixed, so like PageRank the whole computation
+  is one lazy DAG with no driver-side actions; centroids are rounded
+  at 6 dp after each update so the oracle's unrolled CTEs follow the
+  identical trajectory.
+- covariance: per-partition numpy Gram partials via ``mapInPandas``
+  (the Misra-Gries pattern for linear algebra) — each Arrow batch
+  contributes d*(d+1)/2 moment rows, the reduce is a tiny groupBy; the
+  corpus is never exploded to (row, i, j) triples.
+- classifier: weights live in a vocab-sized table (broadcast), the
+  corpus-side cost is the same exploded-token shape the TF-IDF and
+  vocab queries already pay.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+K_CLUSTERS = 4
+N_ITER = 2  # centroid updates; assignments reported under the final set
+CENT_DP = 6  # round centroids after each update => cross-engine determinism
+
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# --------------------------------------------------------------------------
+# k-means
+# --------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd iterations as CTEs (same trajectory as the Spark
+    plan: squared-Euclidean argmin with cluster-id tie-break, per-dim
+    means rounded at CENT_DP, empty clusters keep their previous
+    centroid)."""
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id::INT AS cluster, v AS cvec
+           FROM e WHERE vec_id < {k})"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e CROSS JOIN c{i-1} c) WHERE rn = 1),
+    u{i} AS (
+        SELECT cluster, list(av ORDER BY dim) AS cvec FROM (
+            SELECT cluster, u.i AS dim, ROUND(AVG(v[u.i + 1]), {CENT_DP}) AS av
+            FROM a{i}, unnest(range(0, len(v))) AS u(i)
+            GROUP BY cluster, u.i)
+        GROUP BY cluster),
+    c{i} AS (
+        SELECT c.cluster, COALESCE(u.cvec, c.cvec) AS cvec
+        FROM c{i-1} c LEFT JOIN u{i} u USING (cluster))""")
+    parts.append(f""",
+    final AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT e.vec_id, c.cluster, list_distance(e.v, c.cvec) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1)
+    SELECT cluster, COUNT(*) AS n_vecs,
+           ROUND(AVG(dist), 4) + 0.0 AS avg_dist
+    FROM final GROUP BY cluster""")
+    return "".join(parts)
+
+
+def _dist(v_col: str, c_col: str):
+    """Euclidean distance between two double-array columns (codegen)."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(v_col, c_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster, dist): nearest centroid per vector — one
+    data pass against k broadcast rows, argmin via min-of-struct (no
+    window)."""
+    d = (e.crossJoin(F.broadcast(cents))
+         .select("vec_id", "v", "cluster", _dist("v", "cvec").alias("dist")))
+    best = (d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("_m"),
+                 F.any_value("v").alias("v"))
+            .select("vec_id", "v", F.col("_m.cluster").alias("cluster"),
+                    F.col("_m.dist").alias("dist")))
+    return best
+
+
+@register(
+    "q_embed_kmeans",
+    oracle=_kmeans_oracle(K_CLUSTERS, N_ITER),
+    doc=f"Lloyd's k-means over the embedding table (k={K_CLUSTERS}, "
+        f"{N_ITER} fixed centroid updates, deterministic init = vectors "
+        "0..k-1): the actual training loop of the IVF coarse quantizer "
+        "and of SemDeDup-style cluster-then-dedup pipelines. Per "
+        "iteration: ONE pass over the data against k broadcast "
+        "centroids (min-struct argmin — no window), then a "
+        "(cluster, dim)-keyed partial-average shuffle that is k*d "
+        "rows at the reduce. Fixed iteration count => one lazy DAG, "
+        "no driver actions; centroids rounded at 6 dp per update so "
+        "the oracle's unrolled CTEs follow the identical trajectory; "
+        "empty clusters keep their previous centroid on both engines.",
+)
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    cents = (e.where(F.col("vec_id") < K_CLUSTERS)
+             .select(F.col("vec_id").cast("int").alias("cluster"),
+                     F.col("v").alias("cvec")))
+    for _ in range(N_ITER):
+        assigned = _assign(e, cents)
+        upd = (assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+               .groupBy("cluster", "dim")
+               .agg(F.round(F.avg("x"), CENT_DP).alias("av"))
+               .groupBy("cluster")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                   lambda s: s.av).alias("ucvec")))
+        cents = (cents.join(upd, "cluster", "left")
+                 .select("cluster",
+                         F.coalesce("ucvec", "cvec").alias("cvec")))
+    final = _assign(e, cents)
+    return (final.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("avg_dist")))
+
+
+# --------------------------------------------------------------------------
+# covariance via mapInPandas Gram partials
+# --------------------------------------------------------------------------
+
+_MOMENT_SCHEMA = ("i int, j int, n long, sxy double, si double, sj double")
+
+
+def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch second-moment partials: for each dim pair i<=j,
+    (n, sum x_i x_j, sum x_i, sum x_j) computed as one numpy matmul.
+    Emits d*(d+1)/2 rows per batch regardless of batch row count."""
+    import numpy as np
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        X = np.stack(pdf["v"].to_numpy()).astype("float64")
+        n, d = X.shape
+        G = X.T @ X
+        s = X.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({
+            "i": iu.astype("int32"), "j": ju.astype("int32"),
+            "n": np.full(len(iu), n, dtype="int64"),
+            "sxy": G[iu, ju], "si": s[iu], "sj": s[ju],
+        })
+
+
+@register(
+    "q_embed_covariance",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, u.i AS dim, embedding[u.i + 1]::DOUBLE AS x
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i))
+    SELECT a.dim AS i, b.dim AS j,
+           ROUND(AVG(a.x * b.x) - AVG(a.x) * AVG(b.x), 4) + 0.0 AS cov
+    FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+    doc="Population covariance matrix of the embedding columns (upper "
+        "triangle, d*(d+1)/2 rows) — the input to PCA whitening and "
+        "dimensionality reduction. Spark plan: per-partition numpy "
+        "Gram partials over Arrow batches via mapInPandas (X'X, sum, "
+        "n — ONE matmul per batch, 2080 partial rows emitted per batch "
+        "for d=64), then a tiny (i,j)-keyed groupBy reduce: the "
+        "sketch-partial pattern applied to linear algebra. The corpus "
+        "is never exploded row-wise; the oracle pays the naive "
+        "(row, i, j) self-join instead and must agree at 4 dp.",
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select(F.col("embedding").alias("v")))
+    partials = e.mapInPandas(_gram_partials, schema=_MOMENT_SCHEMA)
+    tot = (partials.groupBy("i", "j")
+           .agg(F.sum("n").alias("n"), F.sum("sxy").alias("sxy"),
+                F.sum("si").alias("si"), F.sum("sj").alias("sj")))
+    cov = (F.col("sxy") / F.col("n")
+           - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+    return tot.select("i", "j", (F.round(cov, 4) + F.lit(0.0)).alias("cov"))
+
+
+# --------------------------------------------------------------------------
+# linear quality-classifier scoring
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    vocab AS (SELECT DISTINCT t,
+                     ((len(t) % 7) - 3) * 0.05::DOUBLE AS w
+              FROM ex),
+    lg AS (SELECT ex.doc_id, AVG(vocab.w) AS logit
+           FROM ex JOIN vocab USING (t) GROUP BY ex.doc_id)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-logit)), 4) + 0.0 AS prob,
+           logit >= 0 AS keep
+    FROM lg
+    """,
+    doc="Linear quality-classifier scoring (the FineWeb-Edu / fastText "
+        "filter pattern): model = a (token -> weight) vocabulary table "
+        "— here a deterministic stand-in weight, in production the "
+        "trained coefficients — broadcast-joined to the exploded "
+        "corpus; per-doc logit = mean token weight, prob = sigmoid, "
+        "keep = logit >= 0. The corpus pass is the same exploded-token "
+        "shape TF-IDF pays; the model side is vocab-sized and "
+        "broadcast, so scoring 100 TB is one map-side join + "
+        "aggregation with no Python in the loop.",
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    ex = (d.select("doc_id", T.tokens("text").alias("toks"))
+          .where(F.size("toks") > 0)
+          .select("doc_id", F.explode("toks").alias("t")))
+    vocab = (ex.select("t").distinct()
+             .select("t", (((F.length("t") % 7) - 3)
+                           * F.lit(0.05)).cast("double").alias("w")))
+    lg = (ex.join(F.broadcast(vocab), "t")
+          .groupBy("doc_id").agg(F.avg("w").alias("logit")))
+    return lg.select(
+        "doc_id",
+        (F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 4)
+         + F.lit(0.0)).alias("prob"),
+        (F.col("logit") >= 0).alias("keep"))

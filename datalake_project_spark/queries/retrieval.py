@@ -1,0 +1,194 @@
+"""Retrieval queries over the corpus: BM25 keyword search and hybrid
+keyword+vector fusion.
+
+The reference mirrors its aggregate table into Elasticsearch precisely
+to get keyword search over it (``airflow/dags/apify_dag.py:290-318``);
+these queries implement the search itself engine-side, so a user can
+rank documents without leaving Spark. BM25 is the inverted-index
+formulation (explode -> filter to query terms -> per-(doc,term) tf ->
+broadcast df + corpus stats), which at 100 TB is the same
+index-then-semi-join shape the dedup family uses: the probe side is
+tiny, corpus-side state is (doc_id, term, tf) rows, and corpus totals
+are broadcast 1-row aggregates — one DAG, no mid-plan driver actions.
+
+Reciprocal-rank fusion (Cormack et al., SIGIR 2009) combines the BM25
+ranking with an embedding-cosine ranking: each ranker contributes
+1/(K + rank), missing docs contribute nothing. Each ranker is first
+truncated to a top-N candidate list with ``orderBy().limit()``
+(TakeOrderedAndProject — no global sort, no single-partition window);
+ranks within the N-row candidate list come from a bounded broadcast
+self-join (rank = 1 + better-scored candidates), so the whole fusion
+touches ranker-output-sized data only. The DuckDB oracle expresses the
+identical truncation as ROW_NUMBER() <= N over the same deterministic
+(rounded score, id) total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.functions import text as T
+from datalake_project_spark.queries import register
+
+# Query terms for the keyword ranker (fixture vocabulary is shared
+# across scale factors); BM25 constants are the Lucene defaults.
+PROBE_TERMS = ("hash", "join", "vector")
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+N_CAND = 50  # per-ranker candidate-list truncation for the fusion
+
+_SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_TERMS_SQL = ", ".join(f"'{t}'" for t in PROBE_TERMS)
+
+_BM25_CTE = f"""
+    tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks))::DOUBLE AS avgdl
+              FROM tok),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, unnest(toks) AS t, len(toks) AS dl FROM tok)
+        WHERE t IN ({_TERMS_SQL})
+        GROUP BY doc_id, t),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * tf.tf * {K1 + 1.0}
+                   / (tf.tf + {K1} * ({1.0 - B} + {B} * tf.dl / s.avgdl))
+               ), 4) + 0.0 AS score
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id)"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): BM25 over the probe terms, rounded at 4 dp.
+
+    Only documents containing at least one query term appear (the
+    inverted index never touches the rest — at 100 TB the isin filter
+    on the exploded term column is the pushed-down probe).
+    """
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("toks"))
+    tok = tok.select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = tok.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").cast("double").alias("avgdl"))
+    tf = (tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*PROBE_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    norm = (F.col("tf") + K1 * ((1.0 - B)
+                                + B * F.col("dl") / F.col("avgdl")))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("_c", idf * F.col("tf") * (K1 + 1.0) / norm)
+            .groupBy("doc_id")
+            .agg((F.round(F.sum("_c"), 4) + F.lit(0.0)).alias("score")))
+
+
+@register(
+    "q_text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT doc_id, score AS bm25
+    FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 keyword retrieval (Lucene-default k1/b) for a fixed "
+        "query-term set, top-10: the engine-side realization of the "
+        "reference's Elasticsearch mirror use case. Inverted-index "
+        "shape — explode, probe-term filter, per-(doc,term) tf, "
+        "broadcast df and corpus stats — one DAG, "
+        "TakeOrderedAndProject for the top-k (no global sort).",
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_bm25_scores(spark, sf_dir)
+            .select("doc_id", F.col("score").alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id").limit(10))
+
+
+def _candidate_ranks(df: DataFrame, score_col: str, rank_col: str) -> DataFrame:
+    """Top-``N_CAND`` (doc_id, rank) from (doc_id, score_col).
+
+    Truncation by ``orderBy().limit()`` (TakeOrderedAndProject), then
+    rank = 1 + count of strictly-better candidates via a broadcast
+    self-join over the N-row list. (score, doc_id) is a total order, so
+    ranks are dense and deterministic. No window with an empty
+    partition spec anywhere — the candidate list is metadata-scale.
+    """
+    top = df.orderBy(F.desc(score_col), "doc_id").limit(N_CAND)
+    a, b = top.alias("a"), top.alias("b")
+    sa, sb = F.col(f"a.{score_col}"), F.col(f"b.{score_col}")
+    better = (sb > sa) | ((sb == sa) & (F.col("b.doc_id") < F.col("a.doc_id")))
+    return (a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg((F.count(F.col("b.doc_id")) + 1).alias(rank_col)))
+
+
+@register(
+    "q_hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    kw AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25 QUALIFY rank <= {N_CAND}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(v, pv), 6) DESC,
+                            vec_id) AS rank
+        FROM e CROSS JOIN probe WHERE vec_id <> 0
+        QUALIFY rank <= {N_CAND}),
+    fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + kw.rank), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + vec.rank), 0.0), 6)
+               + 0.0 AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval by reciprocal-rank fusion (Cormack et al. "
+        "2009): BM25 keyword ranks fused with embedding-cosine ranks "
+        "(probe = vector 0; fixture vec_id aligns with doc_id), each "
+        "contributing 1/(60+rank), missing docs contributing 0. Each "
+        "ranker truncates to a 50-doc candidate list first "
+        "(TakeOrderedAndProject), then ranks inside the list via a "
+        "bounded broadcast self-join — the fusion never touches "
+        "corpus-sized data and no single-partition window exists in "
+        "the plan. The oracle states the same truncation as "
+        "ROW_NUMBER() <= 50 over the identical (rounded score, id) "
+        "total order.",
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kw = _candidate_ranks(_bm25_scores(spark, sf_dir), "score", "k_rank")
+
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    dot = F.aggregate(F.zip_with("v", "pv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = (e.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(probe))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(dot / (nrm("v") * nrm("pv")), 6).alias("cos")))
+    vec = _candidate_ranks(cos, "cos", "v_rank")
+
+    fused = (kw.join(vec, "doc_id", "full_outer")
+             .select("doc_id",
+                     (F.round(
+                         F.coalesce(1.0 / (RRF_K + F.col("k_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (RRF_K + F.col("v_rank")),
+                                      F.lit(0.0)), 6)
+                      + F.lit(0.0)).alias("rrf")))
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
