@@ -490,3 +490,51 @@ def q_corpus_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("base_quota")
                      + F.when(F.col("n_ahead") < F.col("extra"), 1)
                      .otherwise(0)).cast("long").alias("quota")))
+
+
+MIX_ALPHA = 0.5  # sampling temperature exponent (alpha-smoothing)
+
+
+@register(
+    "q_corpus_temperature_mix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+        FROM documents),
+    per AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY source),
+    tot AS (SELECT SUM(n_tokens)::DOUBLE AS t FROM per),
+    p AS (SELECT source, n_tokens, n_tokens / tot.t AS p
+          FROM per CROSS JOIN tot),
+    z AS (SELECT SUM(pow(p, {MIX_ALPHA})) AS z FROM p)
+    SELECT source, n_tokens,
+           ROUND(p, 6) + 0.0 AS share,
+           ROUND(pow(p, {MIX_ALPHA}) / z.z, 6) + 0.0 AS sample_weight
+    FROM p CROSS JOIN z
+    """,
+    doc=f"Temperature-based source mixing weights (alpha={MIX_ALPHA} "
+        "exponent smoothing, the multilingual-sampling scheme of "
+        "Conneau & Lample 2019): per-source token share p_s and "
+        "smoothed sampling weight p_s^alpha / sum(p^alpha) — the step "
+        "between measuring a corpus (corpus card) and apportioning a "
+        "token budget (quota allocation): upweights tail sources, "
+        "downweights heads. One corpus pass; both normalizers are "
+        "broadcast 1-row aggregates over the source-sized table, so "
+        "the whole query is one DAG with no mid-plan actions.",
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    per = (d.select("source", T.token_count("text").alias("nt"))
+           .groupBy("source").agg(F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    p = (per.crossJoin(F.broadcast(tot))
+         .withColumn("p", F.col("n_tokens") / F.col("t")))
+    z = p.agg(F.sum(F.pow("p", MIX_ALPHA)).alias("z"))
+    return (p.crossJoin(F.broadcast(z))
+            .select("source", "n_tokens",
+                    (F.round(F.col("p"), 6) + F.lit(0.0)).alias("share"),
+                    (F.round(F.pow("p", MIX_ALPHA) / F.col("z"), 6)
+                     + F.lit(0.0)).alias("sample_weight")))

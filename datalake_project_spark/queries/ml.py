@@ -259,3 +259,77 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 4)
          + F.lit(0.0)).alias("prob"),
         (F.col("logit") >= 0).alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# top principal component via power iteration
+# --------------------------------------------------------------------------
+
+N_POWER = 3   # fixed matvec iterations — one lazy DAG, like PageRank
+COV_DP = 6    # covariance + normalized-vector rounding per step
+
+
+def _pca_oracle(n_iter: int) -> str:
+    parts = [f"""
+    WITH dims AS (
+        SELECT vec_id, u.i AS dim, embedding[u.i + 1]::DOUBLE AS x
+        FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+    cov AS (
+        SELECT a.dim AS i, b.dim AS j,
+               ROUND(AVG(a.x * b.x) - AVG(a.x) * AVG(b.x), {COV_DP}) AS c
+        FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim),
+    v0 AS (SELECT 0 AS dim, 1.0 AS val)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+    w{t} AS (SELECT cov.i AS dim, SUM(cov.c * v.val) AS w
+             FROM cov JOIN v{t-1} v ON cov.j = v.dim GROUP BY cov.i),
+    n{t} AS (SELECT SQRT(SUM(w * w)) AS n FROM w{t}),
+    v{t} AS (SELECT dim, ROUND(w / n{t}.n, {COV_DP}) AS val
+             FROM w{t} CROSS JOIN n{t})""")
+    parts.append(f"""
+    SELECT CAST(dim AS INT) AS dim, ROUND(val, 4) + 0.0 AS component
+    FROM v{n_iter}""")
+    return "".join(parts)
+
+
+@register(
+    "q_embed_pca_power",
+    oracle=_pca_oracle(N_POWER),
+    doc=f"Top principal component of the embedding covariance by "
+        f"{N_POWER} power iterations — PCA without ever collecting the "
+        "matrix to the driver: the covariance comes from the same "
+        "mapInPandas Gram partials as q_embed_covariance (mirrored to "
+        "the full matrix in-plan), each matvec is a broadcast join of "
+        "the 64-row vector against the (i,j,c) matrix rows plus a "
+        "per-dim aggregate, and the norm is a broadcast 1-row "
+        "aggregate. Fixed iteration count and per-step rounding at "
+        f"{COV_DP} dp make the trajectory engine-exact; deterministic "
+        "init v0 = e_0 pins the eigenvector sign. At 100 TB the data "
+        "pass happens ONCE (the Gram partials); the iterations run on "
+        "d^2-sized state only.",
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select(F.col("embedding").alias("v")))
+    partials = e.mapInPandas(_gram_partials, schema=_MOMENT_SCHEMA)
+    cov = (F.col("sxy") / F.col("n")
+           - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+    upper = (partials.groupBy("i", "j")
+             .agg(F.sum("n").alias("n"), F.sum("sxy").alias("sxy"),
+                  F.sum("si").alias("si"), F.sum("sj").alias("sj"))
+             .select("i", "j", F.round(cov, COV_DP).alias("c")))
+    full = upper.union(
+        upper.where(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")))
+    v = spark.createDataFrame([(0, 1.0)], "dim int, val double")
+    for _ in range(N_POWER):
+        w = (full.join(F.broadcast(v), full.j == v.dim)
+             .groupBy(F.col("i").alias("dim"))
+             .agg(F.sum(F.col("c") * F.col("val")).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("dim", F.round(F.col("w") / F.col("n"), COV_DP)
+                     .alias("val")))
+    return v.select(F.col("dim").cast("int").alias("dim"),
+                    (F.round("val", 4) + F.lit(0.0)).alias("component"))

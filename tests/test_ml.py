@@ -12,6 +12,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from datalake_project_spark.queries.ml import (
     CENT_DP, K_CLUSTERS, N_ITER, _assign, q_embed_covariance, q_embed_kmeans,
 )
@@ -161,3 +163,48 @@ def test_gram_partials_shape_invariance(spark):
     row = out[0].set_index(["i", "j"]).loc[(0, 2)]
     assert row["sxy"] == pytest.approx(float((X[:, 0] * X[:, 2]).sum()))
     assert row["n"] == 4
+
+
+def test_pca_power_matches_numpy_eigenvector(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    # anisotropic cloud => dominant eigenvalue well-separated, so 3
+    # power iterations from e_0 land close to the true eigenvector
+    base = rng.standard_normal((300, 6)) * np.array([3.0, 1, 1, 0.5, 0.5, 0.2])
+    X = base.astype(np.float32)
+    sf_dir = _write_embeddings(spark, tmp_path, X)
+    from datalake_project_spark.queries.ml import q_embed_pca_power
+    got = np.array([r["component"] for r in
+                    q_embed_pca_power(spark, sf_dir)
+                    .orderBy("dim").collect()])
+    C = np.cov(X.astype(np.float64), rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    if top[np.abs(got).argmax()] * got[np.abs(got).argmax()] < 0:
+        top = -top
+    assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-3)
+    # cos similarity with the true eigenvector: power iteration after 3
+    # steps on a well-separated spectrum is within a few degrees
+    assert abs(float(got @ top)) > 0.99
+
+
+def test_temperature_mix_invariants(spark, tmp_path):
+    from datalake_project_spark.queries.corpus import (
+        MIX_ALPHA, q_corpus_temperature_mix,
+    )
+    # head source 10x the tail's tokens: alpha-smoothing must narrow the
+    # ratio from 10x to ~10^alpha while weights still sum to 1
+    sf_dir = _write_documents(
+        spark, tmp_path, ["tok " * 100] + ["tok " * 10] * 1)
+    # overwrite sources: doc 0 -> head, doc 1 -> tail
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("source", F.when(F.col("doc_id") == 0, "head")
+                    .otherwise("tail"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/docs2/documents.parquet")
+    got = {r["source"]: r for r in
+           q_corpus_temperature_mix(spark, f"{tmp_path}/docs2").collect()}
+    assert sum(r["share"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["sample_weight"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+    raw_ratio = got["head"]["share"] / got["tail"]["share"]
+    smooth_ratio = got["head"]["sample_weight"] / got["tail"]["sample_weight"]
+    assert smooth_ratio == pytest.approx(raw_ratio ** MIX_ALPHA, rel=1e-3)
+    assert smooth_ratio < raw_ratio
