@@ -111,3 +111,54 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("r")))
     return ranks.select(F.col("name").alias("nation"),
                         (F.round(F.col("r"), 6) + F.lit(0.0)).alias("pagerank"))
+
+
+@register(
+    "q_graph_triangles",
+    oracle="WITH" + _EDGES_SQL + """,
+    ue AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst)
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM ue) AS n_edges,
+           (SELECT COUNT(*)
+            FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+                       JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v)
+           AS n_triangles
+    """,
+    doc="Triangle count over the undirected nation trade graph (same "
+        "edge derivation as PageRank; self-loops dropped, edges "
+        "canonicalized u < v): the standard two-join enumeration "
+        "e1=(a,b), e2=(a,c), e3=(b,c) with a < b < c counting each "
+        "triangle exactly once. At scale this is the degree-ordered "
+        "triangle algorithm's join shape — each join shuffles on a "
+        "node key, candidate wedges are pruned by the v > e1.v "
+        "predicate before the closing-edge join.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .select("src", "dst").distinct())
+    ue = (edges.where(F.col("src") != F.col("dst"))
+          .select(F.least("src", "dst").alias("u"),
+                  F.greatest("src", "dst").alias("v"))
+          .distinct())
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    e1, e2, e3 = ue.alias("e1"), ue.alias("e2"), ue.alias("e3")
+    tri = (e1.join(e2, (F.col("e2.u") == F.col("e1.u"))
+                   & (F.col("e2.v") > F.col("e1.v")))
+           .join(e3, (F.col("e3.u") == F.col("e1.v"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(F.broadcast(ue.agg(F.count(F.lit(1)).alias("n_edges"))))
+            .crossJoin(F.broadcast(tri)))

@@ -50,11 +50,13 @@ _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 # k-means
 # --------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int, n_iter: int) -> str:
-    """Unrolled Lloyd iterations as CTEs (same trajectory as the Spark
-    plan: squared-Euclidean argmin with cluster-id tie-break, per-dim
-    means rounded at CENT_DP, empty clusters keep their previous
-    centroid)."""
+def _kmeans_cte(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd iterations as a WITH-prefix ending at ``final``
+    (the assignment under the last centroid set) — shared by the
+    k-means query and its downstream consumers (cluster purity). Same
+    trajectory as the Spark plan: squared-Euclidean argmin with
+    cluster-id tie-break, per-dim means rounded at CENT_DP, empty
+    clusters keep their previous centroid."""
     parts = [f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id::INT AS cluster, v AS cvec
@@ -84,11 +86,15 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
-            FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1)
+            FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    return _kmeans_cte(k, n_iter) + """
     SELECT cluster, COUNT(*) AS n_vecs,
            ROUND(AVG(dist), 4) + 0.0 AS avg_dist
-    FROM final GROUP BY cluster""")
-    return "".join(parts)
+    FROM final GROUP BY cluster"""
 
 
 def _dist(v_col: str, c_col: str):
@@ -128,6 +134,16 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
         "empty clusters keep their previous centroid on both engines.",
 )
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _kmeans_final(spark, sf_dir)
+    return (final.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("avg_dist")))
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster, dist) under the last centroid set — the
+    lazily composed Lloyd trajectory shared by q_embed_kmeans and the
+    cluster-purity eval."""
     e = (Catalog(spark, sf_dir).table("embeddings")
          .select("vec_id", F.transform(
              "embedding", lambda x: x.cast("double")).alias("v")))
@@ -146,10 +162,38 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = (cents.join(upd, "cluster", "left")
                  .select("cluster",
                          F.coalesce("ucvec", "cvec").alias("cvec")))
-    final = _assign(e, cents)
-    return (final.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("avg_dist")))
+    return _assign(e, cents)
+
+
+@register(
+    "q_embed_cluster_purity",
+    oracle=_kmeans_cte(K_CLUSTERS, N_ITER) + """,
+    lab AS (SELECT f.cluster, e2.label
+            FROM final f JOIN embeddings e2 USING (vec_id)),
+    cnt AS (SELECT cluster, label, COUNT(*) AS c
+            FROM lab GROUP BY cluster, label)
+    SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_vecs,
+           ROUND(MAX(c)::DOUBLE / SUM(c), 4) + 0.0 AS purity
+    FROM cnt GROUP BY cluster""",
+    doc="Cluster purity of the k-means partition against the label "
+        "column (majority-label fraction per cluster) — the standard "
+        "unsupervised-clustering eval, and the quality gate a "
+        "cluster-then-dedup (SemDeDup) pipeline checks before trusting "
+        "its clusters. Reuses the identical lazy Lloyd trajectory as "
+        "q_embed_kmeans (shared CTE prefix in the oracle, shared "
+        "DataFrame builder in the plan); the eval itself is one join "
+        "to the label column plus two tiny grouped aggregates.",
+)
+def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _kmeans_final(spark, sf_dir)
+    lab = final.join(
+        Catalog(spark, sf_dir).table("embeddings").select("vec_id", "label"),
+        "vec_id")
+    cnt = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    return (cnt.groupBy("cluster")
+            .agg(F.sum("c").cast("long").alias("n_vecs"),
+                 (F.round(F.max("c").cast("double") / F.sum("c"), 4)
+                  + F.lit(0.0)).alias("purity")))
 
 
 # --------------------------------------------------------------------------
@@ -333,3 +377,66 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("val")))
     return v.select(F.col("dim").cast("int").alias("dim"),
                     (F.round("val", 4) + F.lit(0.0)).alias("component"))
+
+
+# --------------------------------------------------------------------------
+# cross-split embedding leakage
+# --------------------------------------------------------------------------
+
+LEAK_TAU = 0.4  # same threshold regime as q_dedup_semantic_resolved
+
+
+@register(
+    "q_split_embedding_leakage",
+    oracle=f"""
+    WITH sp AS (
+        SELECT vec_id, embedding,
+               CASE WHEN substr(md5(vec_id::VARCHAR || ':split:42'), 1, 2)
+                         < 'cc' THEN 'train' ELSE 'eval' END AS split
+        FROM embeddings),
+    pairs AS (
+        SELECT a.split AS a_split, b.split AS b_split
+        FROM sp a JOIN sp b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {LEAK_TAU})
+    SELECT COUNT(*) AS n_near_pairs,
+           COUNT(CASE WHEN a_split <> b_split THEN 1 END) AS n_leaks,
+           ROUND(COUNT(CASE WHEN a_split <> b_split THEN 1 END)::DOUBLE
+                 / GREATEST(COUNT(*), 1), 4) + 0.0 AS leak_rate
+    FROM pairs
+    """,
+    doc="Train/eval contamination in EMBEDDING space: near-duplicate "
+        "pairs (exact block-matrix cosine >= 0.4, the same operator and "
+        "threshold regime as q_dedup_semantic_resolved — every fixture "
+        "pair sits >1e-4 from the threshold) that CROSS the "
+        "deterministic hash split (same salt as the document split; "
+        "vec_id aligns with doc_id). This is the leakage check "
+        "n-gram contamination misses — paraphrases land in eval while "
+        "their near-twins train. Output is the audit summary: near-dup "
+        "pair count, cross-split count, leak rate.",
+)
+def q_split_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.similarity import (
+        block_pairwise_cosine,
+    )
+    from datalake_project_spark.queries.corpus import split_assign
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    # two-way split: train vs everything else (val+test folded to 'eval')
+    sp = (split_assign(e.select("vec_id"), "vec_id")
+          .select("vec_id",
+                  F.when(F.col("split") == "train", "train")
+                  .otherwise("eval").alias("split")))
+    pairs = block_pairwise_cosine(e, threshold=LEAK_TAU).select("a_id", "b_id")
+    tagged = (pairs
+              .join(sp.select(F.col("vec_id").alias("a_id"),
+                              F.col("split").alias("a_split")), "a_id")
+              .join(sp.select(F.col("vec_id").alias("b_id"),
+                              F.col("split").alias("b_split")), "b_id"))
+    leak = F.when(F.col("a_split") != F.col("b_split"), 1)
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_near_pairs"),
+        F.count(leak).alias("n_leaks"),
+        (F.round(F.count(leak).cast("double")
+                 / F.greatest(F.count(F.lit(1)), F.lit(1)), 4)
+         + F.lit(0.0)).alias("leak_rate"))
