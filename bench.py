@@ -93,6 +93,13 @@ ADDITIONS = [
     "q_data_quality_audit",
     "q_events_anomaly_zscore",
     "q_graph_pagerank",
+    # late round-4 additions: retrieval + ML-primitive layer
+    "q_text_bm25_topk",
+    "q_hybrid_retrieval_rrf",
+    "q_embed_kmeans",
+    "q_embed_pca_power",
+    "q_text_quality_classifier",
+    "q_split_embedding_leakage",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -46,10 +46,11 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
     # CDC / medallion (the reference's core computation; twice-green
-    # q_snapshot_diff_global rotates to the tail in round 4 — the
-    # flagship q_snapshot_diff plus five other CDC reps stay)
+    # q_snapshot_diff_global and q_snapshot_series_diff rotate to the
+    # tail in round 4 — the flagship q_snapshot_diff plus four other
+    # CDC reps stay)
     "q_snapshot_diff", "q_latest_snapshot",
-    "q_snapshot_series_diff", "q_snapshot_scd2", "q_write_roundtrip",
+    "q_snapshot_scd2", "q_write_roundtrip",
     "q_compact_roundtrip",
     # Deduplication family (incl. the end-to-end corpus resolution, the
     # df-capped near-dup skew valve, and the substring-level operators —
@@ -57,17 +58,24 @@ PRIORITY: tuple[str, ...] = (
     # round 4 brings in winnowing, the substring REMOVAL pass, and the
     # SemDeDup-style embedding keep-set; twice-green q_dedup_components
     # rotates out, its end-to-end consumer q_dedup_resolved stays)
+    # (twice-green q_dedup_embedding rotates out late round 4; its
+    # block-matrix operator stays exercised in-window by the new
+    # q_split_embedding_leakage)
     "q_dedup_exact", "q_dedup_ngram_jaccard",
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_embedding",
+    "q_dedup_simhash",
     "q_dedup_simhash_recall", "q_dedup_resolved",
     "q_dedup_substring_spans", "q_dedup_winnow_pairs",
     "q_dedup_substring_removal", "q_dedup_semantic_resolved",
+    "q_split_embedding_leakage",
     # Similarity / ANN family (+ recall floors for the approximate paths;
     # q_embed_quantize_recall earned its driver-green stamp in r3 and
     # rotates to the tail)
+    # (the ML-primitive layer enters late round 4: k-means quantizer
+    # training and PCA power iteration beside the ANN probes)
     "q_ann_cosine_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
     "q_ann_lsh_recall", "q_ann_ivf_recall",
+    "q_embed_kmeans", "q_embed_pca_power",
     # Text-analysis family (incl. vocab build, TF-IDF, contamination
     # scan, sequence packing, bigram-LM quality scoring —
     # q_text_token_stats / q_text_boilerplate rotate to the tail after
@@ -78,11 +86,15 @@ PRIORITY: tuple[str, ...] = (
     # JS-divergence drift monitor) enters in round 4.)
     # (twice-green q_text_fingerprint rotates out in round 4; the
     # iterated BPE trainer and the Misra-Gries heavy hitters enter)
-    "q_text_bpe_tokens", "q_text_bpe_train", "q_text_quality",
-    "q_text_langid",
+    # (twice-green q_text_quality / q_text_langid rotate out late
+    # round 4; the model-based classifier filter and BM25/RRF retrieval
+    # layer enter)
+    "q_text_bpe_tokens", "q_text_bpe_train",
+    "q_text_quality_classifier",
     "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
     "q_pack_sequences_sharded", "q_text_bigram_lm",
     "q_text_source_divergence", "q_text_heavy_hitters",
+    "q_text_bm25_topk", "q_hybrid_retrieval_rrf",
     # Corpus assembly: the end-to-end cleaning funnel
     # (q_split_train_test / q_corpus_mix earned driver-green stamps in
     # r3 and rotate to the tail)
@@ -90,9 +102,11 @@ PRIORITY: tuple[str, ...] = (
     # Relational semantics batteries (round-4 promotions: three-valued
     # NULL logic and exact DECIMAL money aggregation)
     "q_null_semantics", "q_decimal_money",
-    # Events: sessionization, as-of / range joins, Markov transitions,
-    # time-bucket gap-fill (round 4)
-    "q_events_sessionize", "q_asof_join", "q_range_join",
+    # Events: sessionization, as-of join, Markov transitions,
+    # time-bucket gap-fill (twice-green q_range_join rotates out late
+    # round 4; its operator stays covered by q_asof_join and the
+    # in-tail q_temporal_join consumer)
+    "q_events_sessionize", "q_asof_join",
     "q_events_transitions", "q_events_gapfill",
     # Multimodal plumbing (twice-green q_multimodal_frame_sample
     # rotates to the tail in round 4)
@@ -101,9 +115,10 @@ PRIORITY: tuple[str, ...] = (
     # representative — enters in round 3 in place of twice-green
     # q_stream_tumbling_window; twice-green q_stream_dedup rotates out
     # in round 4, four streaming reps stay)
+    # (twice-green q_stream_user_profile rotates out late round 4;
+    # three streaming reps stay)
     "q_stream_lake_roundtrip",
     "q_stream_sessionize", "q_stream_stream_join",
-    "q_stream_user_profile",
     # (q_csv_roundtrip — the interchange-format representative — earned
     # its driver-green stamp in r3 and rotates to the tail with the
     # ORC/JSONL variants)

@@ -287,6 +287,12 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregation with no Python in the loop.",
 )
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _classifier_scores(spark, sf_dir)
+
+
+def _classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, prob, keep) — shared by the classifier query and the
+    calibration eval."""
     from datalake_project_spark.functions import text as T
 
     d = Catalog(spark, sf_dir).table("documents")
@@ -303,6 +309,76 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(1.0 / (1.0 + F.exp(-F.col("logit"))), 4)
          + F.lit(0.0)).alias("prob"),
         (F.col("logit") >= 0).alias("keep"))
+
+
+_CLS_CTE = f"""
+    tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    vocab AS (SELECT DISTINCT t,
+                     ((len(t) % 7) - 3) * 0.05::DOUBLE AS w
+              FROM ex),
+    cls AS (SELECT ex.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-AVG(vocab.w))), 4) AS prob
+            FROM ex JOIN vocab USING (t) GROUP BY ex.doc_id)"""
+
+
+@register(
+    "q_classifier_calibration",
+    oracle=f"""
+    WITH {_CLS_CTE},
+    qual AS (
+        SELECT doc_id,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, (CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','and','of','to','in','is','it')))::DOUBLE
+                       / len(toks)::DOUBLE ELSE 0.0 END) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+                        list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                        / len(toks)::DOUBLE ELSE 0.0 END) < 2.0
+                      OR (CASE WHEN len(toks) > 0 THEN
+                        list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                        / len(toks)::DOUBLE ELSE 0.0 END) > 12.0
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok)
+    SELECT LEAST(99, CAST(FLOOR(c.prob * 100) AS INT)) AS bin,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(c.prob), 4) + 0.0 AS avg_prob,
+           ROUND(AVG(q.quality), 4) + 0.0 AS avg_quality
+    FROM cls c JOIN qual q USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Classifier-calibration bins: classifier probabilities bucketed "
+        "into centiles, each bin reporting document count, mean "
+        "probability, and mean INDEPENDENT heuristic quality score "
+        "(q_text_quality's formula) — the reliability-diagram table "
+        "that decides whether a learned filter's scores can be "
+        "thresholded directly or need recalibration, computed against "
+        "the heuristic as reference signal. Two corpus passes fused "
+        "into one DAG (classifier join + quality scan), centiles on the "
+        "identically-rounded probs so the oracle bins identically.",
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    cls = _classifier_scores(spark, sf_dir)
+    d = Catalog(spark, sf_dir).table("documents")
+    qual = d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text"), T.tokens("text")), 4)
+        .alias("quality"))
+    binned = cls.join(qual, "doc_id").select(
+        F.least(F.lit(99), F.floor(F.col("prob") * 100).cast("int"))
+        .alias("bin"), "prob", "quality")
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.round(F.avg("prob"), 4) + F.lit(0.0)).alias("avg_prob"),
+                 (F.round(F.avg("quality"), 4) + F.lit(0.0))
+                 .alias("avg_quality")))
 
 
 # --------------------------------------------------------------------------
