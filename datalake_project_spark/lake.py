@@ -169,3 +169,39 @@ class Lake:
             .first()
         )
         return row["prev"] if row else None
+
+    def list_runs(self, table: str, ingest_date: str) -> list[str]:
+        """run_ts values present for one ingest_date, ascending — read
+        from the partition directory names (listing-scale, no data
+        touched; the Spark-side equivalent is a partition-column
+        DISTINCT, which also never reads row groups)."""
+        date_dir = os.path.join(self.usage_path(table),
+                                f"ingest_date={ingest_date}")
+        if not os.path.isdir(date_dir):
+            return []
+        return sorted(d.split("=", 1)[1] for d in os.listdir(date_dir)
+                      if d.startswith("run_ts="))
+
+    def expire_runs(self, table: str, ingest_date: str,
+                    keep_last: int = 1) -> list[str]:
+        """Retention: drop all but the newest ``keep_last`` run_ts
+        partitions of one ingest_date; returns the expired run_ts list.
+
+        The reference keeps every HHMM run directory forever
+        (`scripts/script_api_apify_to_spark.py:200-209` writes, nothing
+        deletes); a real usage layer needs a retention policy or the
+        snapshot series grows without bound. Partition-directory
+        removal is the Parquet-lake realization of DELETE WHERE on a
+        partition column: metadata-only, no row rewrite. On a cluster
+        store this is a recursive delete per partition path (same
+        semantics, different fs client).
+        """
+        import shutil
+
+        runs = self.list_runs(table, ingest_date)
+        expired = runs[:-keep_last] if keep_last > 0 else runs
+        date_dir = os.path.join(self.usage_path(table),
+                                f"ingest_date={ingest_date}")
+        for ts in expired:
+            shutil.rmtree(os.path.join(date_dir, f"run_ts={ts}"))
+        return expired

@@ -502,3 +502,51 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", fact["custkey"].alias("custkey"), "yr",
         F.col("valid_from").alias("tenure_start"),
         (F.col("yr") - F.col("valid_from")).alias("tenure_years"))
+
+
+@register(
+    "q_retention_vacuum",
+    oracle="""
+    SELECT 3 AS runs_before, 2 AS n_expired, 1 AS runs_after,
+           COUNT(*) AS n_rows, TRUE AS kept_latest
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+    doc="Snapshot retention as a checkable round-trip: write THREE "
+        "run_ts snapshots of one usage date, expire all but the newest "
+        "(Lake.expire_runs — partition-directory removal, the "
+        "Parquet-lake realization of DELETE WHERE on a partition "
+        "column: metadata-only, no row rewrite), then prove via a "
+        "partition-pruned re-read that exactly the latest run survives "
+        "with every row intact. The reference writes a new HHMM dir "
+        "every hour and never deletes "
+        "(scripts/script_api_apify_to_spark.py:200-209) — unbounded "
+        "growth; this is the missing lifecycle half. Idempotent: each "
+        "execution rebuilds the three runs (dynamic partition "
+        "overwrite) before expiring.",
+)
+def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+
+    lake = Lake(spark, scratch_dir("retention", sf_dir))
+    runs = ["19970101T060000", "19970101T120000", "19970101T180000"]
+    for ts in runs:
+        lake.write_usage(snap, "orders97", "1997-01-01", ts)
+    before = len(lake.list_runs("orders97", "1997-01-01"))
+    expired = lake.expire_runs("orders97", "1997-01-01", keep_last=1)
+    remaining = lake.list_runs("orders97", "1997-01-01")
+    part = lake.read_usage("orders97", "1997-01-01")
+    n_rows = part.count()
+    kept_latest = remaining == [runs[-1]]
+    return spark.createDataFrame(
+        [(before, len(expired), len(remaining), n_rows, kept_latest)],
+        "runs_before int, n_expired int, runs_after int, n_rows long, "
+        "kept_latest boolean")

@@ -511,3 +511,48 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "v",
                     (F.round(z, 3) + F.lit(0.0)).alias("zscore"),
                     (F.abs(z) > 3.0).alias("is_anomaly")))
+
+
+_ZSCORE_SCHEMA = "event_id long, user_id long, z double"
+
+
+def _zscore_group(pdf):
+    # population std via the same two-moment formula as the oracle;
+    # no type hints on purpose (applyInPandas passes schema explicitly)
+    m = pdf["value"].mean()
+    s = ((pdf["value"] ** 2).mean() - m * m) ** 0.5
+    z = (pdf["value"] - m) / s if s > 0 else pdf["value"] * 0.0
+    out = pdf[["event_id", "user_id"]].copy()
+    out["z"] = z.round(4) + 0.0
+    return out
+
+
+@register(
+    "q_group_zscore",
+    oracle="""
+    WITH st AS (
+        SELECT user_id, AVG(value) AS m,
+               SQRT(AVG(value * value) - AVG(value) * AVG(value)) AS s
+        FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           ROUND(CASE WHEN st.s > 0 THEN (e.value - st.m) / st.s
+                      ELSE 0.0 END, 4) + 0.0 AS z
+    FROM events e JOIN st USING (user_id)
+    """,
+    doc="Per-group z-score normalization via applyInPandas (grouped-map "
+        "pandas UDF) — the remaining §2.8 API surface beside pandas_udf "
+        "scalar, grouped-agg, mapInPandas, and the UDTF: each user's "
+        "events arrive as ONE pandas frame (one shuffle on the group "
+        "key, Arrow transfer), normalized against the group's own "
+        "moments. This is the per-group-model-application template "
+        "(per-entity scalers, per-group forecasters); for plain "
+        "z-scoring a window/join formulation stays JVM-side — the "
+        "grouped-map exists for logic that genuinely needs pandas. "
+        "Population std via the two-moment formula on both engines; "
+        "constant-valued groups z-score to 0.",
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        _zscore_group, schema=_ZSCORE_SCHEMA)
