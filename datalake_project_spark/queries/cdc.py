@@ -550,3 +550,47 @@ def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(before, len(expired), len(remaining), n_rows, kept_latest)],
         "runs_before int, n_expired int, runs_after int, n_rows long, "
         "kept_latest boolean")
+
+
+@register(
+    "q_incremental_agg_refresh",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental materialized-aggregate refresh (IVM): the stored "
+        "per-month rollup of the 'old' partition (orders before 1997) "
+        "is MERGED with the rollup of the 'new' delta (1997 onward) by "
+        "re-aggregating the two partial-aggregate tables — never "
+        "rescanning the base data — and the oracle recomputes the "
+        "whole rollup from scratch, proving merge == recompute. "
+        "sum/count/min/max are the re-associable core (avg derives as "
+        "s/c); this algebra is why a 100 TB rollup refreshes at "
+        "delta-partition cost. The property-test twin "
+        "(tests/test_properties.py) proves it for arbitrary generated "
+        "inputs; this query stamps it on the fixture via the driver "
+        "gate.",
+)
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+        (F.year("o_orderdate") < 1997).alias("_is_base"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+
+    base = partial(o.where(F.col("_is_base")))
+    delta = partial(o.where(~F.col("_is_base")))
+    return (base.unionByName(delta)
+            .groupBy("month")
+            .agg(F.sum("c").cast("long").alias("n_orders"),
+                 F.round(F.sum("s"), 2).alias("total_price"),
+                 F.round(F.min("mn"), 2).alias("min_price"),
+                 F.round(F.max("mx"), 2).alias("max_price")))

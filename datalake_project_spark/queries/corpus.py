@@ -538,3 +538,84 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("p"), 6) + F.lit(0.0)).alias("share"),
                     (F.round(F.pow("p", MIX_ALPHA) / F.col("z"), 6)
                      + F.lit(0.0)).alias("sample_weight")))
+
+
+@register(
+    "q_corpus_release",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+    feat AS (
+        SELECT doc_id, text, source, len(toks) AS n_tokens,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, (CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','and','of','to','in','is','it')))::DOUBLE
+                       / len(toks)::DOUBLE ELSE 0.0 END) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN len(toks) > 0 AND
+                           (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE < 2.0
+                            OR list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE > 12.0)
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok),
+    clean AS (
+        SELECT * FROM feat
+        WHERE n_tokens BETWEEN 10 AND 5000 AND quality >= 0.3),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM clean) WHERE rn = 1),
+    assigned AS (
+        SELECT CASE WHEN substr(md5(doc_id::VARCHAR || ':split:42'), 1, 2)
+                         < 'cc' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR || ':split:42'), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               n_tokens, source
+        FROM deduped)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM assigned GROUP BY split
+    """,
+    doc="Corpus RELEASE manifest — the capstone composition a corpus "
+        "team ships: quality/length cleaning gate (q_corpus_clean_"
+        "funnel's core filters) -> exact-content dedup (keep-first per "
+        "md5, q_dedup_exact_text's rule) -> deterministic hash split "
+        "(q_split_train_test's assignment) -> per-split doc/token/"
+        "source manifest. One linear DAG: map-only filters fused into "
+        "the scan, one shuffle for the dedup keep-first, one for the "
+        "manifest aggregate; at 100 TB every stage is a pattern "
+        "already proven individually — this query stamps their "
+        "COMPOSITION.",
+)
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.text import quality_score
+    from datalake_project_spark.functions.text import tokens as toks_fn
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = toks_fn("text")
+    feat = d.select(
+        "doc_id", "text", "source",
+        F.size(toks).alias("n_tokens"),
+        F.round(quality_score(F.col("text"), toks), 4).alias("quality"))
+    clean = feat.where(F.col("n_tokens").between(10, 5000)
+                       & (F.col("quality") >= 0.3))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (clean.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    assigned = split_assign(deduped, "doc_id")
+    return (assigned.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.countDistinct("source").alias("n_sources")))
