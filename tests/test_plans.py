@@ -248,3 +248,53 @@ def test_gapfill_spine_stays_broadcast(spark, registry):
     aggregate at metadata scale (both sides tiny -> broadcast)."""
     df = registry["q_events_gapfill"].fn(spark, SF)
     assert broadcast_join_count(df) >= 2  # bounds crossJoin + final join
+
+
+def test_bm25_topk_no_global_sort(spark, registry):
+    """BM25 top-k: limit+order compiles to TakeOrderedAndProject
+    (per-partition top-k + tiny merge), never a rangepartitioning
+    global sort; corpus stats arrive via broadcast (1-row aggregates),
+    and the df side of the score join broadcasts."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_text_bm25_topk"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmeans_broadcasts_centroids_no_window(spark, registry):
+    """k-means: every centroid pass is a broadcast nested-loop against
+    k rows (argmin via min-struct aggregate, no window operator in the
+    plan at all)."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_embed_kmeans"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_covariance_single_arrow_pass_no_explode(spark, registry):
+    """Covariance: ONE MapInPandas (Arrow Gram partials) and no
+    Generate/explode — the corpus is never expanded to (row, i, j)
+    triples; the reduce shuffles only (i, j)-keyed partial rows."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_embed_covariance"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "Generate" not in plan
+    assert exchange_count(df) == 1  # the (i, j) partial reduce only
+
+
+def test_group_zscore_single_shuffle(spark, registry):
+    """applyInPandas grouped-map: exactly one shuffle (the group key),
+    one FlatMapGroupsInPandas node, no row-at-a-time Python."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_group_zscore"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert exchange_count(df) == 1
