@@ -100,6 +100,8 @@ ADDITIONS = [
     "q_embed_pca_power",
     "q_text_quality_classifier",
     "q_split_embedding_leakage",
+    "q_corpus_release",
+    "q_group_zscore",
 ]
 
 HEADLINE = CORE + ADDITIONS
