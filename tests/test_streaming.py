@@ -238,3 +238,46 @@ def test_stream_mg_sketch_keeps_heavy_across_batches(spark, tmp_path):
     assert 7 in {r.user_id for r in rows}
     # state never grows past k: 3 batches x <= k emissions each
     assert len(rows) <= 3 * 3
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop/restart from the SAME checkpoint: files processed before the
+    stop are not reprocessed after restart (source offsets live in the
+    checkpoint), new files are picked up, and the final sink equals the
+    batch aggregate of all input — the exactly-once contract that lets
+    a production ingest survive restarts without dedup sweeps."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(i, rows_):
+        df = spark.createDataFrame(rows_, "k string, v long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"w{i}"))
+        import glob
+        import shutil
+        f = glob.glob(str(tmp_path / f"w{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, src / f"f{i}.parquet")
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v long").parquet(str(src))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land(0, [("a", 1), ("b", 2)])
+    land(1, [("a", 10)])
+    run_once()                      # processes f0, f1; then "crashes"
+    land(2, [("b", 20), ("c", 5)])
+    run_once()                      # restart from checkpoint: only f2
+
+    got = (spark.read.parquet(out).groupBy("k")
+           .agg(F.sum("v").alias("s")).collect())
+    assert {r["k"]: r["s"] for r in got} == {"a": 11, "b": 22, "c": 5}
+    # a third restart with no new files must add nothing (idempotent)
+    run_once()
+    assert spark.read.parquet(out).count() == 5
