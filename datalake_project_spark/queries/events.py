@@ -556,3 +556,85 @@ def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value")
     return e.groupBy("user_id").applyInPandas(
         _zscore_group, schema=_ZSCORE_SCHEMA)
+
+
+@register(
+    "q_events_active_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM pairs),
+    exp AS (
+        SELECT DISTINCT user_id, d + u.i::INT AS day
+        FROM pairs, unnest(range(0, 7)) AS u(i)),
+    wau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS wau
+        FROM exp, b WHERE day BETWEEN b.mn AND b.mx GROUP BY day),
+    dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+            FROM pairs GROUP BY d)
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    """,
+    doc="Rolling-distinct engagement metrics (DAU + exact 7-day WAU per "
+        "day): COUNT DISTINCT is not re-associable across overlapping "
+        "windows, so the scalable exact formulation EXPANDS each "
+        "distinct (user, day) pair to the 7 target days it contributes "
+        "to (sequence+explode, window-length-bounded blowup) and "
+        "distinct-counts per target day — state is pairs x window "
+        "length, never a day-range self-join of the event table, and "
+        "every aggregate gets map-side partials. Day bounds arrive as "
+        "a broadcast 1-row aggregate. The approximate alternative "
+        "(mergeable HLL per day) is the q_approx_distinct pattern; "
+        "this is the exact path.",
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    b = pairs.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    expanded = (pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        .alias("day")).distinct())
+    wau = (expanded.crossJoin(F.broadcast(b))
+           .where(F.col("day").between(F.col("mn"), F.col("mx")))
+           .groupBy("day").agg(F.countDistinct("user_id").alias("wau")))
+    dau = (pairs.groupBy(F.col("d").alias("day"))
+           .agg(F.countDistinct("user_id").alias("dau")))
+    return dau.join(wau, "day")
+
+
+@register(
+    "q_events_interarrival",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    gaps AS (
+        SELECT CAST(FLOOR(LOG2(
+                   GREATEST(date_diff('second', prev_ts, ts), 1) + 1))
+                    AS INT) AS gap_bucket
+        FROM seq WHERE prev_ts IS NOT NULL)
+    SELECT gap_bucket, COUNT(*) AS n_gaps
+    FROM gaps GROUP BY gap_bucket
+    """,
+    doc="Inter-event-time distribution (log2-bucketed seconds between "
+        "consecutive events per user): the engagement/latency profile "
+        "that calibrates the sessionization gap threshold (the 30-min "
+        "cut in q_events_sessionize should fall in this histogram's "
+        "valley). One shuffle on user_id for the lag window — the "
+        "partition key is the natural entity key, so no "
+        "single-partition window; integer log2 bucketing keeps the "
+        "histogram engine-exact. Deterministic lag order via "
+        "(ts, event_id) total order.",
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    gaps = (seq.where(F.col("prev_ts").isNotNull())
+            .select(F.floor(F.log2(F.greatest(gap_s, F.lit(1)) + 1))
+                    .cast("int").alias("gap_bucket")))
+    return gaps.groupBy("gap_bucket").agg(F.count(F.lit(1)).alias("n_gaps"))

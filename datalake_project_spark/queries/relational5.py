@@ -617,3 +617,46 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("v") > F.col("p99"), 1)).cast("long")
                  .alias("n_above"),
                  F.round(F.sum(clamped), 2).alias("sum_winsorized")))
+
+
+@register(
+    "q_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, SUM(o_totalprice) AS r
+        FROM orders GROUP BY o_custkey),
+    thr AS (SELECT quantile_cont(r, 0.9) AS p90 FROM rev)
+    SELECT COUNT(*) AS n_customers,
+           ROUND(thr.p90, 2) + 0.0 AS p90_revenue,
+           CAST(COUNT(CASE WHEN r >= thr.p90 THEN 1 END) AS BIGINT)
+               AS n_top_decile,
+           ROUND(SUM(CASE WHEN r >= thr.p90 THEN r ELSE 0 END)
+                 / SUM(r), 4) + 0.0 AS top_decile_share
+    FROM rev CROSS JOIN thr
+    GROUP BY thr.p90
+    """,
+    doc="Revenue concentration (Pareto check): the share of total "
+        "revenue held by customers at or above the exact interpolated "
+        "P90 of per-customer revenue. The threshold is ONE scalar "
+        "(percentile as a broadcast 1-row aggregate — Spark percentile "
+        "and DuckDB quantile_cont share the interpolated definition), "
+        "so no global ranking window exists: per-customer revenue "
+        "aggregates once, the scalar broadcasts, and the concentration "
+        "is a conditional aggregate — the decile-share query at 100 TB "
+        "without an ntile sort.",
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    thr = rev.agg(F.percentile("r", F.lit(0.9)).alias("p90"))
+    top = F.when(F.col("r") >= F.col("p90"), F.col("r"))
+    return (rev.crossJoin(F.broadcast(thr))
+            .groupBy("p90")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.count(top).alias("n_top_decile"),
+                 (F.round(F.sum(F.coalesce(top, F.lit(0.0))) / F.sum("r"), 4)
+                  + F.lit(0.0)).alias("top_decile_share"))
+            .select("n_customers",
+                    (F.round("p90", 2) + F.lit(0.0)).alias("p90_revenue"),
+                    F.col("n_top_decile").cast("long").alias("n_top_decile"),
+                    "top_decile_share"))
