@@ -85,3 +85,45 @@ def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"),
              F.min("doc_id").alias("keep_doc_id"))
     )
+
+
+@register(
+    "q_multimodal_batch_bucketing",
+    oracle="""
+    WITH sz AS (
+        SELECT octet_length(encode(text)) AS n_bytes FROM documents),
+    b AS (
+        SELECT n_bytes,
+               CAST(FLOOR(LOG2(GREATEST(n_bytes, 1))) AS INT) AS bucket
+        FROM sz)
+    SELECT bucket, COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS bucket_max,
+           CAST(COUNT(*) * MAX(n_bytes) - SUM(n_bytes) AS BIGINT)
+               AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+    doc="Inference batch bucketing by payload size (log2 buckets): the "
+        "scheduling table a multimodal embedding/decode pass reads to "
+        "group like-sized payloads into batches — padded_bytes per "
+        "bucket quantifies the padding waste a size-sorted batching "
+        "avoids vs random batching. Map-only bucket arithmetic over "
+        "the binary column's length, one tiny aggregate; at 100 TB "
+        "this table also drives per-bucket maxRecordsPerBatch tuning "
+        "for the Arrow decode UDFs.",
+)
+def q_multimodal_batch_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    media = as_media(Catalog(spark, sf_dir).table("documents"))
+    b = media.select(
+        F.octet_length("payload").alias("n_bytes")).select(
+        "n_bytes",
+        F.floor(F.log2(F.greatest("n_bytes", F.lit(1)))).cast("int")
+        .alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.max("n_bytes").cast("long").alias("bucket_max"),
+                 (F.count(F.lit(1)) * F.max("n_bytes") - F.sum("n_bytes"))
+                 .cast("long").alias("padding_waste")))
