@@ -398,3 +398,68 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(qs), sum(checks))],
         "n_quantiles long, n_within_bound long")
+
+
+@register(
+    "q_unpivot",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT c_nationkey FROM customer),
+    segs AS (SELECT unnest([{", ".join(f"'{s}'" for s in _SEGMENTS)}]) AS seg),
+    cnt AS (SELECT c_nationkey, c_mktsegment AS seg, COUNT(*) AS n
+            FROM customer GROUP BY 1, 2)
+    SELECT k.c_nationkey,
+           'n_' || lower(s.seg) AS segment,
+           COALESCE(cnt.n, 0) AS n
+    FROM keys k CROSS JOIN segs s
+    LEFT JOIN cnt ON cnt.c_nationkey = k.c_nationkey AND cnt.seg = s.seg
+    """,
+    doc="Unpivot / melt (wide->long): the pivot round-trip — the "
+        "q_pivot wide table (per-nation segment counts incl. explicit "
+        "zeros) melts back to (key, variable, value) rows via "
+        "DataFrame.unpivot, which Catalyst compiles to a zero-shuffle "
+        "Expand node (each input row fans out to n_variables rows "
+        "map-side). The oracle rebuilds the same long form from the "
+        "dense key x segment grid. Together with q_pivot this closes "
+        "the reshape pair every reporting layer needs.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    wide = (c.groupBy("c_nationkey").pivot("c_mktsegment", _SEGMENTS)
+            .agg(F.count(F.lit(1))))
+    wide = wide.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+          for s in _SEGMENTS])
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=[f"n_{s.lower()}" for s in _SEGMENTS],
+        variableColumnName="segment", valueColumnName="n")
+
+
+@register(
+    "q_group_concat",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Group concatenation (LISTAGG / string_agg): per region, the "
+        "member nations as one deterministic comma-joined string — "
+        "collect_list is order-nondeterministic under parallel "
+        "aggregation, so the engine sorts the array before joining "
+        "(array_sort + concat_ws), matching the oracle's "
+        "string_agg(... ORDER BY). The denormalization every export/"
+        "report layer asks for; safe only where groups are bounded "
+        "(collect_list materializes the group in memory — at 100 TB "
+        "guard with a size cap or slice(array_sort(...), 1, k)).",
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"),
+                 F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+                 .alias("nations")))
