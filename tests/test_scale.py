@@ -145,3 +145,34 @@ def test_ivf_cells_partition_prune(spark, tmp_path):
     # and non-partition predicates do NOT appear as partition filters
     plain = spark.read.parquet(path).where(F.col("vec_id") < 10)
     assert all("vec_id" not in f for f in partition_filters(plain))
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a year-partitioned fact joined to a
+    FILTERED dimension prunes fact partitions at RUNTIME from the dim's
+    join keys — the subquery filter appears in the fact scan's partition
+    filters even though no literal year predicate exists on the fact.
+    This is the mechanism that makes star joins over a date-partitioned
+    100 TB fact read only the qualifying partitions."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    fact_path = str(tmp_path / "fact")
+    (spark.read.parquet(f"{SF}/orders.parquet")
+     .withColumn("yr", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("yr").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+
+    years = [(y, "window") if y in (1995, 1996) else (y, "other")
+             for y in range(1992, 1999)]
+    dim = spark.createDataFrame(years, "yr int, tag string")
+
+    j = (fact.join(dim.where(F.col("tag") == "window"), "yr")
+         .agg(F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")))
+    plan = simple_plan(j)
+    assert "dynamicpruning" in plan.lower()
+
+    expect = (fact.where(F.col("yr").isin(1995, 1996))
+              .agg(F.sum("o_totalprice").alias("s"),
+                   F.count(F.lit(1)).alias("n")).first())
+    got = j.first()
+    assert got["n"] == expect["n"] and got["s"] == pytest.approx(expect["s"])
