@@ -138,3 +138,45 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
      .write.mode("append").parquet(path))
     return (spark.read.option("mergeSchema", True).parquet(path)
             .select("o_orderpriority", "n_orders", "total_price"))
+
+
+@register(
+    "q_file_inventory",
+    oracle="""
+    SELECT 3 AS n_files, COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+    """,
+    doc="File-level inventory via the _metadata hidden column (Spark's "
+        "per-file provenance: file_path/file_size/modification_time "
+        "surfaced IN-PLAN - no filesystem listing in application "
+        "code): a 1995 lineitem slice is written to scratch as exactly "
+        "3 files, then the inventory groups on "
+        "_metadata.file_path to count physical files and prove no row "
+        "went missing. This is the observability primitive behind "
+        "compaction decisions (q_compact_roundtrip acts on exactly "
+        "this signal) and small-file alerts; at 100 TB it runs as a "
+        "normal aggregate with map-side partials - file identity is "
+        "just another column. The oracle recomputes the row/value "
+        "totals from the source and pins the written file count.",
+)
+def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    snap = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_quantity")
+    path = f"{scratch_dir('inventory', sf_dir)}/li95"
+    snap.repartition(3).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    per_file = (back.select(F.col("_metadata.file_path").alias("f"),
+                            "l_quantity")
+                .groupBy("f")
+                .agg(F.count(F.lit(1)).alias("rows_in_file"),
+                     F.sum("l_quantity").alias("qty_in_file")))
+    return per_file.agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("rows_in_file").cast("long").alias("n_rows"),
+        F.sum("qty_in_file").cast("long").alias("total_qty"))
