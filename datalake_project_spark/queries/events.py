@@ -638,3 +638,132 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.floor(F.log2(F.greatest(gap_s, F.lit(1)) + 1))
                     .cast("int").alias("gap_bucket")))
     return gaps.groupBy("gap_bucket").agg(F.count(F.lit(1)).alias("n_gaps"))
+
+
+@register(
+    "q_events_ab_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN event_type IN ('click', 'view') THEN 'A'
+                    ELSE 'B' END AS grp, value
+        FROM events),
+    st AS (
+        SELECT grp, COUNT(*) AS n, AVG(value) AS m,
+               (AVG(value * value) - AVG(value) * AVG(value))
+                   * COUNT(*) / (COUNT(*) - 1) AS v
+        FROM g GROUP BY grp),
+    w AS (SELECT a.n AS na, a.m AS ma, a.v AS va,
+                 b.n AS nb, b.m AS mb, b.v AS vb
+          FROM st a JOIN st b ON a.grp = 'A' AND b.grp = 'B')
+    SELECT na, nb,
+           ROUND(ma - mb, 4) + 0.0 AS mean_diff,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 4) + 0.0 AS t_stat,
+           ROUND(POW(va / na + vb / nb, 2)
+                 / (POW(va / na, 2) / (na - 1)
+                    + POW(vb / nb, 2) / (nb - 1)), 1) + 0.0 AS welch_df
+    FROM w
+    """,
+    doc="Two-sample Welch t-test between event cohorts (A = click/view "
+        "vs B = the rest, on value): the experimentation primitive — "
+        "group means, unbiased variances (two-moment formula scaled by "
+        "n/(n-1)), Welch t statistic and Satterthwaite degrees of "
+        "freedom, ALL as one pass of closed-form aggregates with "
+        "map-side partials. No per-row Python, no sort; at 100 TB an "
+        "A/B readout costs exactly one aggregate over the assignment "
+        "column. (p-value lookup is a driver-side constant-time "
+        "transform of t and df — not part of the distributed plan.)",
+)
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    g = e.select(
+        F.when(F.col("event_type").isin("click", "view"), "A")
+        .otherwise("B").alias("grp"), "value")
+    n = F.count(F.lit(1))
+    st = g.groupBy("grp").agg(
+        n.alias("n"), F.avg("value").alias("m"),
+        ((F.avg(F.col("value") * F.col("value"))
+          - F.avg("value") * F.avg("value")) * n / (n - 1)).alias("v"))
+    a = st.where(F.col("grp") == "A").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va"))
+    b = st.where(F.col("grp") == "B").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb"))
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return (a.crossJoin(F.broadcast(b))
+            .select("na", "nb",
+                    (F.round(F.col("ma") - F.col("mb"), 4)
+                     + F.lit(0.0)).alias("mean_diff"),
+                    (F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4)
+                     + F.lit(0.0)).alias("t_stat"),
+                    (F.round(F.pow(se2, 2)
+                             / (F.pow(F.col("va") / F.col("na"), 2)
+                                / (F.col("na") - 1)
+                                + F.pow(F.col("vb") / F.col("nb"), 2)
+                                / (F.col("nb") - 1)), 1)
+                     + F.lit(0.0)).alias("welch_df")))
+
+
+MARKOV_ITERS = 3
+
+
+def _markov_oracle(n_iter: int) -> str:
+    parts = ["""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    tc AS (SELECT prev_type AS s, event_type AS t, COUNT(*) AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tp AS (SELECT s, t, n::DOUBLE / SUM(n) OVER (PARTITION BY s) AS p
+           FROM tc),
+    states AS (SELECT DISTINCT s AS st FROM tc),
+    ns AS (SELECT COUNT(*) AS k FROM states),
+    p0 AS (SELECT st, 1.0 / ns.k AS pr FROM states CROSS JOIN ns)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT tp.t AS st, ROUND(SUM(p.pr * tp.p), 6) AS pr
+        FROM tp JOIN p{i-1} p ON tp.s = p.st GROUP BY tp.t)""")
+    parts.append(f"""
+    SELECT st AS event_type, ROUND(pr, 4) + 0.0 AS stationary_p
+    FROM p{n_iter}""")
+    return "".join(parts)
+
+
+@register(
+    "q_events_markov_stationary",
+    oracle=_markov_oracle(MARKOV_ITERS),
+    doc=f"Stationary distribution of the user-journey Markov chain by "
+        f"{MARKOV_ITERS} power iterations over the row-normalized "
+        "transition matrix (q_events_transitions' counts): where user "
+        "journeys settle — the long-run attention share per event "
+        "type. The matrix is event-type^2 rows (metadata-sized at any "
+        "corpus scale), so after ONE corpus pass for the lag counts "
+        "the iterations run entirely on broadcast-size state as "
+        "join+aggregate layers in the same lazy DAG (the PageRank/"
+        "PCA-power pattern a third time: iterate on aggregated state, "
+        "never re-touch the data). Per-step rounding at 6 dp keeps "
+        "the trajectory engine-exact; the row-normalization window "
+        "partitions by source state — never a single partition.",
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    tc = (seq.where(F.col("prev_type").isNotNull())
+          .groupBy(F.col("prev_type").alias("s"),
+                   F.col("event_type").alias("t"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    wn = Window.partitionBy("s")
+    tp = tc.select("s", "t", (F.col("n").cast("double")
+                              / F.sum("n").over(wn)).alias("p"))
+    states = tc.select(F.col("s").alias("st")).distinct()
+    ns = states.agg(F.count(F.lit(1)).alias("k"))
+    pr = (states.crossJoin(F.broadcast(ns))
+          .select("st", (F.lit(1.0) / F.col("k")).alias("pr")))
+    for _ in range(MARKOV_ITERS):
+        pr = (tp.join(F.broadcast(pr), tp.s == pr.st)
+              .groupBy(F.col("t").alias("st"))
+              .agg(F.round(F.sum(F.col("pr") * F.col("p")), 6).alias("pr")))
+    return pr.select(F.col("st").alias("event_type"),
+                     (F.round("pr", 4) + F.lit(0.0)).alias("stationary_p"))

@@ -162,3 +162,46 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
             .crossJoin(F.broadcast(ue.agg(F.count(F.lit(1)).alias("n_edges"))))
             .crossJoin(F.broadcast(tri)))
+
+
+@register(
+    "q_graph_degrees",
+    oracle="WITH" + _EDGES_SQL + """,
+    ue AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+    deg AS (
+        SELECT name, COUNT(*) AS degree FROM (
+            SELECT u AS name FROM ue UNION ALL SELECT v FROM ue)
+        GROUP BY name)
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the undirected trade graph (histogram "
+        "of node degrees): the first diagnostic of any graph workload "
+        "— heavy-tailed degrees predict skewed joins in PageRank/"
+        "components/triangles and decide whether high-degree vertices "
+        "need the salting valve. Edge endpoints unioned and counted "
+        "per node, then a tiny histogram aggregate; both shuffles are "
+        "node-keyed with map-side partials.",
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .select("src", "dst").distinct())
+    ue = (edges.where(F.col("src") != F.col("dst"))
+          .select(F.least("src", "dst").alias("u"),
+                  F.greatest("src", "dst").alias("v"))
+          .distinct())
+    deg = (ue.select(F.col("u").alias("name"))
+           .unionAll(ue.select(F.col("v").alias("name")))
+           .groupBy("name").agg(F.count(F.lit(1)).alias("degree")))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -516,3 +516,57 @@ def q_split_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.count(leak).cast("double")
                  / F.greatest(F.count(F.lit(1)), F.lit(1)), 4)
          + F.lit(0.0)).alias("leak_rate"))
+
+
+# --------------------------------------------------------------------------
+# embedding-norm outlier audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_norm_outliers",
+    oracle="""
+    WITH nrm AS (
+        SELECT vec_id,
+               SQRT(list_sum(list_transform(
+                   embedding::DOUBLE[], x -> x * x))) AS nr
+        FROM embeddings),
+    st AS (SELECT AVG(nr) AS m,
+                  SQRT(GREATEST(AVG(nr * nr) - AVG(nr) * AVG(nr), 0)) AS s
+           FROM nrm)
+    SELECT COUNT(*) AS n_vecs,
+           ROUND(st.m, 4) + 0.0 AS mean_norm,
+           ROUND(st.s, 4) + 0.0 AS std_norm,
+           CAST(COUNT(CASE WHEN ABS(nr - st.m) > 3 * st.s THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM nrm CROSS JOIN st
+    GROUP BY st.m, st.s
+    """,
+    doc="Embedding-norm audit: norm distribution moments plus the "
+        "3-sigma outlier count — the cheap health check that catches "
+        "broken encoder batches (zero vectors, fp16 overflows, "
+        "un-normalized mixes) before they poison ANN/dedup results "
+        "downstream. One pass for the norms, moments as a broadcast "
+        "1-row aggregate, conditional count for the outliers — all "
+        "codegen, no Python.",
+)
+def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    nr_expr = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nrm = e.select(nr_expr.alias("nr"))
+    # two-moment variance can go epsilon-negative under float
+    # cancellation when norms are near-constant; clamp on both engines
+    st = nrm.agg(
+        F.avg("nr").alias("m"),
+        F.sqrt(F.greatest(F.avg(F.col("nr") * F.col("nr"))
+                          - F.avg("nr") * F.avg("nr"), F.lit(0.0))).alias("s"))
+    out = F.when(F.abs(F.col("nr") - F.col("m")) > 3 * F.col("s"), 1)
+    return (nrm.crossJoin(F.broadcast(st))
+            .groupBy("m", "s")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.count(out).cast("long").alias("n_outliers"))
+            .select("n_vecs",
+                    (F.round("m", 4) + F.lit(0.0)).alias("mean_norm"),
+                    (F.round("s", 4) + F.lit(0.0)).alias("std_norm"),
+                    "n_outliers"))
