@@ -660,3 +660,36 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("p90", 2) + F.lit(0.0)).alias("p90_revenue"),
                     F.col("n_top_decile").cast("long").alias("n_top_decile"),
                     "top_decile_share"))
+
+
+@register(
+    "q_customer_cohort_ltv",
+    oracle="""
+    WITH first AS (
+        SELECT o_custkey,
+               MIN(CAST(EXTRACT(year FROM o_orderdate) AS INT)) AS cohort
+        FROM orders GROUP BY o_custkey)
+    SELECT f.cohort,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - f.cohort AS age,
+           COUNT(DISTINCT o.o_custkey) AS n_active,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Cohort lifetime-value matrix (the revenue companion of "
+        "q_events_retention's count triangle): customers cohorted by "
+        "first-order year, revenue and active-customer count per "
+        "(cohort, age) cell — the table LTV curves and payback windows "
+        "read off. The cohort assignment is one keyed aggregate joined "
+        "back to the facts (shuffle on custkey serves both sides); the "
+        "matrix is years^2 cells, metadata-sized at any scale.",
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort"))
+    return (o.join(first, "o_custkey")
+            .groupBy("cohort",
+                     (F.year("o_orderdate") - F.col("cohort")).alias("age"))
+            .agg(F.countDistinct("o_custkey").alias("n_active"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))

@@ -815,3 +815,59 @@ def q_text_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cp").cast("double") / F.col("s_n").cast("double")
                 - F.col("cq").cast("double") / F.col("c_n").cast("double"))), 4)
                 + F.lit(0.0)).alias("ks_stat")))
+
+
+PARA_TOKENS = 32  # non-overlapping paragraph unit for block dedup
+
+
+@register(
+    "q_dedup_paragraphs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    blocks AS (
+        SELECT doc_id,
+               array_to_string(
+                   ws[t.i * {PARA_TOKENS} + 1 : (t.i + 1) * {PARA_TOKENS}],
+                   ' ') AS block
+        FROM tok,
+             unnest(range(0, CAST(CEIL(len(ws) / {PARA_TOKENS}.0) AS BIGINT)))
+                 AS t(i)
+        WHERE len(ws) >= {PARA_TOKENS} AND (t.i + 1) * {PARA_TOKENS} <= len(ws)),
+    rep AS (
+        SELECT md5(block) AS block_md5, COUNT(*) AS n_copies,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM blocks GROUP BY md5(block)
+        HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT block_md5, n_copies, n_docs
+    FROM rep ORDER BY n_copies DESC, block_md5 LIMIT 20
+    """,
+    doc=f"Paragraph-level (block) dedup: documents cut into "
+        f"non-overlapping {PARA_TOKENS}-token blocks, content-addressed "
+        "by md5, blocks repeated across >= 2 documents surfaced — the "
+        "C4-style boilerplate unit between document-level exact dedup "
+        "and the 8-word span mining: headers, footers, license blocks. "
+        "Only the 16-byte digest shuffles; top-20 via "
+        "TakeOrderedAndProject. (The REMOVAL discipline is "
+        "q_dedup_substring_removal's mask; this is its "
+        "coarser-granularity, cheaper sibling.)",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    ws = T.tokens("text")
+    n_blocks = F.floor(F.size(ws) / PARA_TOKENS).cast("int")
+    blocks = (d.select("doc_id", ws.alias("ws"), n_blocks.alias("nb"))
+              .where(F.col("nb") >= 1)
+              .select("doc_id", F.explode(
+                  F.transform(
+                      F.sequence(F.lit(0), F.col("nb") - 1),
+                      lambda i: F.concat_ws(
+                          " ", F.slice(F.col("ws"),
+                                       i * PARA_TOKENS + 1, PARA_TOKENS))))
+                  .alias("block")))
+    rep = (blocks.groupBy(F.md5("block").alias("block_md5"))
+           .agg(F.count(F.lit(1)).alias("n_copies"),
+                F.countDistinct("doc_id").alias("n_docs"))
+           .where(F.col("n_docs") >= 2))
+    return rep.orderBy(F.desc("n_copies"), "block_md5").limit(20)
