@@ -92,3 +92,43 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(row("customer_name_null", cn))
             .unionByName(row("events_ts_null", ts))
             .unionByName(row("documents_text_empty", tx)))
+
+
+K_ANON = 5  # minimum acceptable quasi-identifier group size
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT COUNT(*) AS n_groups,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(COUNT(CASE WHEN n < {K_ANON} THEN 1 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(COALESCE(SUM(CASE WHEN n < {K_ANON} THEN n END), 0)
+                AS BIGINT) AS n_risky_rows,
+           (MIN(n) >= {K_ANON}) AS k_anonymous
+    FROM g
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}) over the quasi-identifier pair "
+        "(nation, market segment): group sizes below k mean those rows "
+        "are re-identifiable by the QI combination alone — the privacy "
+        "gate a data release runs beside the PII regex scan "
+        "(q_pii_redaction) and the release manifest "
+        "(q_corpus_release). One grouped count plus a 1-row summary "
+        "aggregate; generalization/suppression decisions read straight "
+        "off n_risky_groups. All integers — hash-exact.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n")))
+    risky = F.when(F.col("n") < K_ANON, F.col("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.count(risky).cast("long").alias("n_risky_groups"),
+        F.coalesce(F.sum(risky), F.lit(0)).cast("long").alias("n_risky_rows"),
+        (F.min("n") >= K_ANON).alias("k_anonymous"))
