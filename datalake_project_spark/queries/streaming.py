@@ -241,3 +241,44 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(tot))
             .where(F.col("n_occurrences") * PHI_INV >= F.col("n_total"))
             .select("user_id", "n_occurrences"))
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS user_id,
+               CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'standard' END
+                   AS tier
+        FROM customer WHERE c_custkey <= 150)
+    SELECT d.tier,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.tier
+    """,
+    doc="Stream-static join — the dimension-enrichment pattern every "
+        "streaming pipeline runs (the streaming analog of the "
+        "reference's gender enrichment): the event stream joins a "
+        "STATIC customer-tier dimension (no watermark needed on the "
+        "static side; Spark re-plans the static side per micro-batch, "
+        "so a broadcast dim stays broadcast), then aggregates per "
+        "tier. availableNow drain in complete mode equals the batch "
+        "join+aggregate exactly. At 100 TB the dim side is the "
+        "broadcast build side per micro-batch — the stream never "
+        "shuffles for the join, only for the aggregate.",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.catalog import Catalog
+
+    ev = events_stream(spark, sf_dir)
+    dim = (Catalog(spark, sf_dir).table("customer")
+           .where(F.col("c_custkey") <= 150)
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.when(F.col("c_acctbal") >= 5000, "high")
+                   .otherwise("standard").alias("tier")))
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = (joined.groupBy("tier")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    return run_available_now(agg, "complete")
