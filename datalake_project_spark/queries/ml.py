@@ -570,3 +570,99 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("m", 4) + F.lit(0.0)).alias("mean_norm"),
                     (F.round("s", 4) + F.lit(0.0)).alias("std_norm"),
                     "n_outliers"))
+
+
+# --------------------------------------------------------------------------
+# logistic regression by full-batch gradient descent
+# --------------------------------------------------------------------------
+
+LR_ITERS = 3
+LR_RATE = 1.0
+LR_DIMS = 4   # features = embedding dims 0..3; label = (label == 0)
+LR_DP = 6     # per-step weight rounding => engine-exact trajectory
+
+
+def _lr_oracle(n_iter: int) -> str:
+    feats = ", ".join(
+        f"embedding[{i + 1}]::DOUBLE AS x{i}" for i in range(LR_DIMS))
+    dot = lambda t: " + ".join(  # noqa: E731
+        [f"{t}.b"] + [f"{t}.w{i} * d.x{i}" for i in range(LR_DIMS)])
+    parts = [f"""
+    WITH d AS (
+        SELECT CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, {feats}
+        FROM embeddings),
+    t0 AS (SELECT 0.0 AS b, {", ".join(f"0.0 AS w{i}"
+                                       for i in range(LR_DIMS))})"""]
+    for t in range(1, n_iter + 1):
+        p = f"1.0 / (1.0 + exp(-({dot(f't{t-1}')})))"
+        upd = ", ".join(
+            [f"ROUND(ANY_VALUE(t{t-1}.b) + {LR_RATE} * AVG(d.y - {p}), {LR_DP}) AS b"]
+            + [f"ROUND(ANY_VALUE(t{t-1}.w{i}) + {LR_RATE} "
+               f"* AVG((d.y - {p}) * d.x{i}), {LR_DP}) AS w{i}"
+               for i in range(LR_DIMS)])
+        parts.append(f""",
+    t{t} AS (SELECT {upd} FROM d CROSS JOIN t{t-1})""")
+    final_p = f"1.0 / (1.0 + exp(-({dot(f't{n_iter}')})))"
+    parts.append(f"""
+    SELECT {", ".join(f"ROUND(t{n_iter}.w{i}, 4) + 0.0 AS w{i}"
+                      for i in range(LR_DIMS))},
+           ROUND(t{n_iter}.b, 4) + 0.0 AS bias,
+           ROUND(AVG(CASE WHEN ({final_p} >= 0.5) = (d.y = 1.0)
+                          THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS train_acc
+    FROM d CROSS JOIN t{n_iter}
+    GROUP BY {", ".join(f"t{n_iter}.w{i}" for i in range(LR_DIMS))},
+             t{n_iter}.b""")
+    return "".join(parts)
+
+
+@register(
+    "q_embed_logreg_train",
+    oracle=_lr_oracle(LR_ITERS),
+    doc=f"Logistic-regression training by {LR_ITERS} full-batch gradient "
+        f"descent steps (features = embedding dims 0..{LR_DIMS - 1}, "
+        "label = class 0 vs rest, zero init): supervised iterative ML "
+        "as ONE lazy DAG — per step, the weight row (broadcast 1-row "
+        "frame) cross-joins the data, the gradient is a closed-form "
+        "AVG aggregate per coefficient (map-side partials, one "
+        "shuffle-free reduce), and the update is arithmetic on two "
+        "1-row frames. The same iterate-on-aggregated-state shape as "
+        "PageRank/k-means/PCA-power/Markov, now with a supervised "
+        "objective; per-step rounding at 6 dp keeps the trajectory "
+        "engine-exact and the oracle unrolls the identical steps. "
+        "Output: learned coefficients + training accuracy. At 100 TB "
+        "each GD step is exactly one data pass — the classic "
+        "all-reduce gradient pattern in DataFrame form.",
+)
+def q_embed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    d = e.select(
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}")
+          for i in range(LR_DIMS)])
+    w = spark.createDataFrame(
+        [(0.0,) * (LR_DIMS + 1)],
+        ", ".join(["b double"] + [f"w{i} double" for i in range(LR_DIMS)]))
+    for _ in range(LR_ITERS):
+        z = F.col("b") + sum(
+            (F.col(f"w{i}") * F.col(f"x{i}") for i in range(LR_DIMS)),
+            start=F.lit(0.0))
+        resid = F.col("y") - 1.0 / (1.0 + F.exp(-z))
+        joined = d.crossJoin(F.broadcast(w))
+        w = joined.agg(
+            F.round(F.any_value("b") + LR_RATE * F.avg(resid), LR_DP)
+            .alias("b"),
+            *[F.round(F.any_value(f"w{i}")
+                      + LR_RATE * F.avg(resid * F.col(f"x{i}")), LR_DP)
+              .alias(f"w{i}") for i in range(LR_DIMS)])
+    z = F.col("b") + sum(
+        (F.col(f"w{i}") * F.col(f"x{i}") for i in range(LR_DIMS)),
+        start=F.lit(0.0))
+    correct = F.when(((1.0 / (1.0 + F.exp(-z))) >= 0.5)
+                     == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+    scored = d.crossJoin(F.broadcast(w))
+    return scored.groupBy(*[f"w{i}" for i in range(LR_DIMS)], "b").agg(
+        F.round(F.avg(correct), 4).alias("train_acc")).select(
+        *[(F.round(F.col(f"w{i}"), 4) + F.lit(0.0)).alias(f"w{i}")
+          for i in range(LR_DIMS)],
+        (F.round("b", 4) + F.lit(0.0)).alias("bias"),
+        (F.col("train_acc") + F.lit(0.0)).alias("train_acc"))

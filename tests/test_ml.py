@@ -208,3 +208,38 @@ def test_temperature_mix_invariants(spark, tmp_path):
     smooth_ratio = got["head"]["sample_weight"] / got["tail"]["sample_weight"]
     assert smooth_ratio == pytest.approx(raw_ratio ** MIX_ALPHA, rel=1e-3)
     assert smooth_ratio < raw_ratio
+
+
+def test_logreg_gd_matches_numpy_trajectory(spark, tmp_path):
+    from datalake_project_spark.queries.ml import (
+        LR_DIMS, LR_DP, LR_ITERS, LR_RATE, q_embed_logreg_train,
+    )
+    rng = np.random.RandomState(21)
+    # separable-ish: class 0 shifted along dim 0
+    X = rng.standard_normal((120, 6)).astype(np.float32)
+    labels = (rng.rand(120) < 0.4).astype(int)          # 1 => class 0
+    X[labels == 1, 0] += 2.0
+    data = [(i, [float(v) for v in X[i]], 0 if labels[i] else 1 + i % 2)
+            for i in range(len(X))]
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = q_embed_logreg_train(spark, str(tmp_path)).first()
+
+    Xd = X[:, :LR_DIMS].astype(np.float64)
+    y = labels.astype(np.float64)
+    w = np.zeros(LR_DIMS)
+    b = 0.0
+    for _ in range(LR_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(Xd @ w + b)))
+        b = round(b + LR_RATE * float(np.mean(y - p)), LR_DP)
+        w = np.round(w + LR_RATE * (Xd.T @ (y - p)) / len(y), LR_DP)
+    p = 1.0 / (1.0 + np.exp(-(Xd @ w + b)))
+    acc = float(np.mean((p >= 0.5) == (y == 1.0)))
+
+    assert got["bias"] == pytest.approx(round(b, 4), abs=1e-4)
+    for i in range(LR_DIMS):
+        assert got[f"w{i}"] == pytest.approx(round(w[i], 4), abs=1e-4)
+    assert got["train_acc"] == pytest.approx(round(acc, 4), abs=1e-4)
+    assert acc > 0.7     # the shifted dim is actually learnable
