@@ -693,3 +693,47 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.year("o_orderdate") - F.col("cohort")).alias("age"))
             .agg(F.countDistinct("o_custkey").alias("n_active"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register(
+    "q_price_trend_regression",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+               l.l_extendedprice / l.l_quantity AS unit_price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity > 0)
+    SELECT p_brand,
+           COUNT(*) AS n_obs,
+           ROUND(regr_slope(unit_price, yr), 4) + 0.0 AS slope,
+           ROUND(regr_intercept(unit_price, yr), 2) + 0.0 AS intercept,
+           ROUND(regr_r2(unit_price, yr), 4) + 0.0 AS r2
+    FROM pts GROUP BY p_brand
+    """,
+    doc="Per-group OLS trend via the regr_* aggregate family "
+        "(slope/intercept/R^2 of unit price over ship year per part "
+        "brand): closed-form least squares as ONE grouped aggregate "
+        "with map-side partials — the per-entity trend fit that at "
+        "100 TB replaces a per-group model-fitting UDF with pure "
+        "codegen (Spark and DuckDB share the regr_* definitions). "
+        "Complements q_stats_correlation (corr/cov) with the "
+        "predictive-fit statistics.",
+)
+def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    p = Catalog(spark, sf_dir).table("part")
+    pts = (li.where(F.col("l_quantity") > 0)
+           .join(F.broadcast(p.select("p_partkey", "p_brand")),
+                 li.l_partkey == F.col("p_partkey"))
+           .select("p_brand", F.year("l_shipdate").alias("yr"),
+                   (F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_price")))
+    return (pts.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 (F.round(F.regr_slope("unit_price", "yr"), 4)
+                  + F.lit(0.0)).alias("slope"),
+                 (F.round(F.regr_intercept("unit_price", "yr"), 2)
+                  + F.lit(0.0)).alias("intercept"),
+                 (F.round(F.regr_r2("unit_price", "yr"), 4)
+                  + F.lit(0.0)).alias("r2")))

@@ -438,3 +438,50 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     inst = d.select(F.explode(T.tokens("text")).alias("w"))
     return heavy_hitters(inst, "w", phi_inv=500)
+
+
+@register(
+    "q_text_langid_confusion",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_stop_sql('en')} AS s_en,
+               {_stop_sql('es')} AS s_es,
+               {_stop_sql('fr')} AS s_fr,
+               {_stop_sql('de')} AS s_de
+        FROM tok),
+    pred AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0 THEN 'unknown'
+                    WHEN s_en >= GREATEST(s_es, s_fr, s_de) THEN 'en'
+                    WHEN s_es >= GREATEST(s_fr, s_de) THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM scored)
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix (labeled vs predicted language, "
+        "document counts): the eval table that turns q_text_langid's "
+        "per-doc predictions into the per-language precision/recall a "
+        "corpus team reads before trusting language slices — e.g. the "
+        "zh rows land in 'unknown' under the Latin stopword heuristic, "
+        "visible here as a full row of misses. Same scoring "
+        "expressions as the base query, one extra tiny aggregate.",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    scores = {lang: T.stopword_ratio(toks, lang) for lang in T.STOPWORDS}
+    best = F.greatest(*scores.values())
+    pred = (F.when(best <= 0, "unknown")
+            .when(scores["en"] >= F.greatest(scores["es"], scores["fr"],
+                                             scores["de"]), "en")
+            .when(scores["es"] >= F.greatest(scores["fr"], scores["de"]), "es")
+            .when(scores["fr"] >= scores["de"], "fr")
+            .otherwise("de"))
+    return (d.select(F.col("lang").alias("labeled_lang"),
+                     pred.alias("predicted_lang"))
+            .groupBy("labeled_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
