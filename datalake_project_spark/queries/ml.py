@@ -666,3 +666,111 @@ def q_embed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
           for i in range(LR_DIMS)],
         (F.round("b", 4) + F.lit(0.0)).alias("bias"),
         (F.col("train_acc") + F.lit(0.0)).alias("train_acc"))
+
+
+# --------------------------------------------------------------------------
+# product-quantization codebook
+# --------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4   # 64-dim vectors -> 4 x 16-dim subvectors
+PQ_K = 4           # centroids per subspace (fixture-sized; 256 in prod)
+PQ_ITERS = 1       # Lloyd updates per subspace (unrolled in the oracle)
+
+
+def _pq_oracle() -> str:
+    dim = 64 // PQ_SUBSPACES
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * dim + 1, (s + 1) * dim
+        prefix = f"""
+    e{s} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
+             FROM embeddings),
+    s{s}c0 AS (SELECT vec_id::INT AS cluster, v AS cvec
+               FROM e{s} WHERE vec_id < {PQ_K})"""
+        for i in range(1, PQ_ITERS + 1):
+            prefix += f""",
+    s{s}a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e{s} e CROSS JOIN s{s}c{i-1} c) WHERE rn = 1),
+    s{s}u{i} AS (
+        SELECT cluster, list(av ORDER BY dim) AS cvec FROM (
+            SELECT cluster, u.i AS dim, ROUND(AVG(v[u.i + 1]), {CENT_DP}) AS av
+            FROM s{s}a{i}, unnest(range(0, len(v))) AS u(i)
+            GROUP BY cluster, u.i)
+        GROUP BY cluster),
+    s{s}c{i} AS (
+        SELECT c.cluster, COALESCE(u.cvec, c.cvec) AS cvec
+        FROM s{s}c{i-1} c LEFT JOIN s{s}u{i} u USING (cluster))"""
+        prefix += f""",
+    s{s}final AS (
+        SELECT {s} AS subspace, cluster, dist FROM (
+            SELECT e.vec_id, c.cluster,
+                   list_distance(e.v, c.cvec) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e{s} e CROSS JOIN s{s}c{PQ_ITERS} c) WHERE rn = 1)"""
+        blocks.append(prefix)
+    union = " UNION ALL ".join(
+        f"SELECT subspace, cluster, COUNT(*) AS n_vecs, "
+        f"ROUND(AVG(dist), 4) + 0.0 AS avg_dist "
+        f"FROM s{s}final GROUP BY subspace, cluster"
+        for s in range(PQ_SUBSPACES))
+    return "WITH" + ",".join(b[1:] if i == 0 else b
+                             for i, b in enumerate(blocks)) + "\n    " + union
+
+
+@register(
+    "q_embed_pq_codebook",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization codebook training: vectors split into "
+        f"{PQ_SUBSPACES} x {64 // PQ_SUBSPACES}-dim subvectors, "
+        f"independent Lloyd k-means (k={PQ_K}, {PQ_ITERS} update) per "
+        "subspace — the Jegou et al. PQ compression standard (a "
+        "64-float vector becomes 4 code bytes; 256-centroid codebooks "
+        "in production, fixture-sized here). All four subspace "
+        "trainings compose into ONE lazy DAG (the per-subspace slice "
+        "is a map-side array op; each training is the same broadcast-"
+        "centroid pattern as q_embed_kmeans); output is the per-"
+        "(subspace, cluster) assignment census with mean quantization "
+        "distance — the codebook quality table. Oracle unrolls all "
+        "four trainings.",
+)
+def q_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = 64 // PQ_SUBSPACES
+    e_full = Catalog(spark, sf_dir).table("embeddings")
+    out = None
+    for s in range(PQ_SUBSPACES):
+        e = e_full.select(
+            "vec_id",
+            F.transform(F.slice("embedding", s * dim + 1, dim),
+                        lambda x: x.cast("double")).alias("v"))
+        cents = (e.where(F.col("vec_id") < PQ_K)
+                 .select(F.col("vec_id").cast("int").alias("cluster"),
+                         F.col("v").alias("cvec")))
+        for _ in range(PQ_ITERS):
+            assigned = _assign(e, cents)
+            upd = (assigned
+                   .select("cluster", F.posexplode("v").alias("dim", "x"))
+                   .groupBy("cluster", "dim")
+                   .agg(F.round(F.avg("x"), CENT_DP).alias("av"))
+                   .groupBy("cluster")
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                       lambda st: st.av).alias("ucvec")))
+            cents = (cents.join(upd, "cluster", "left")
+                     .select("cluster",
+                             F.coalesce("ucvec", "cvec").alias("cvec")))
+        fin = (_assign(e, cents)
+               .groupBy("cluster")
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    (F.round(F.avg("dist"), 4) + F.lit(0.0))
+                    .alias("avg_dist"))
+               .select(F.lit(s).alias("subspace"), "cluster",
+                       "n_vecs", "avg_dist"))
+        out = fin if out is None else out.unionByName(fin)
+    return out
