@@ -774,3 +774,117 @@ def q_embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_vecs", "avg_dist"))
         out = fin if out is None else out.unionByName(fin)
     return out
+
+
+def _pq_search_oracle() -> str:
+    dim = 64 // PQ_SUBSPACES
+    blocks = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * dim + 1, (s + 1) * dim
+        prefix = f"""
+    e{s} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
+             FROM embeddings),
+    s{s}c0 AS (SELECT vec_id::INT AS cluster, v AS cvec
+               FROM e{s} WHERE vec_id < {PQ_K})"""
+        for i in range(1, PQ_ITERS + 1):
+            prefix += f""",
+    s{s}a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e{s} e CROSS JOIN s{s}c{i-1} c) WHERE rn = 1),
+    s{s}u{i} AS (
+        SELECT cluster, list(av ORDER BY dim) AS cvec FROM (
+            SELECT cluster, u.i AS dim, ROUND(AVG(v[u.i + 1]), {CENT_DP}) AS av
+            FROM s{s}a{i}, unnest(range(0, len(v))) AS u(i)
+            GROUP BY cluster, u.i)
+        GROUP BY cluster),
+    s{s}c{i} AS (
+        SELECT c.cluster, COALESCE(u.cvec, c.cvec) AS cvec
+        FROM s{s}c{i-1} c LEFT JOIN s{s}u{i} u USING (cluster))"""
+        prefix += f""",
+    s{s}code AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cvec), c.cluster) AS rn
+            FROM e{s} e CROSS JOIN s{s}c{PQ_ITERS} c) WHERE rn = 1),
+    qd{s} AS (
+        SELECT c.cluster, pow(list_distance(e.v, c.cvec), 2) AS d
+        FROM e{s} e CROSS JOIN s{s}c{PQ_ITERS} c WHERE e.vec_id = 0)"""
+        blocks.append(prefix)
+    joins = "".join(
+        f"""
+        JOIN s{s}code co{s} ON co{s}.vec_id = co0.vec_id
+        JOIN qd{s} ON qd{s}.cluster = co{s}.cluster""" if s else """
+        JOIN qd0 ON qd0.cluster = co0.cluster"""
+        for s in range(PQ_SUBSPACES))
+    total = " + ".join(f"qd{s}.d" for s in range(PQ_SUBSPACES))
+    return ("WITH" + ",".join(b[1:] if i == 0 else b
+                              for i, b in enumerate(blocks)) + f"""
+    SELECT co0.vec_id, ROUND({total}, 6) + 0.0 AS adc_dist
+    FROM s0code co0{joins}
+    WHERE co0.vec_id <> 0
+    ORDER BY adc_dist, co0.vec_id LIMIT 10""")
+
+
+@register(
+    "q_embed_pq_search",
+    oracle=_pq_search_oracle(),
+    doc="PQ asymmetric-distance search (ADC, the second half of "
+        "q_embed_pq_codebook): every vector is ENCODED to one code "
+        "byte per subspace (nearest-centroid argmin), the query's "
+        "distance TABLE (subspace x centroid squared distances — "
+        "k*subspaces entries) broadcasts, and each candidate's "
+        "approximate distance is a table-lookup sum — top-10 via "
+        "TakeOrderedAndProject. The whole train->encode->search "
+        "pipeline is deterministic, so unlike LSH/IVF this "
+        "approximate index is FULLY value-oracle-checked, not "
+        "rows-only. At 100 TB the codes (4 bytes/vector) replace the "
+        "256-byte vectors in the scan — the memory math that makes "
+        "billion-vector ANN fit a cluster.",
+)
+def q_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = 64 // PQ_SUBSPACES
+    e_full = Catalog(spark, sf_dir).table("embeddings")
+    codes = None
+    qdist = None
+    for s in range(PQ_SUBSPACES):
+        e = e_full.select(
+            "vec_id",
+            F.transform(F.slice("embedding", s * dim + 1, dim),
+                        lambda x: x.cast("double")).alias("v"))
+        cents = (e.where(F.col("vec_id") < PQ_K)
+                 .select(F.col("vec_id").cast("int").alias("cluster"),
+                         F.col("v").alias("cvec")))
+        for _ in range(PQ_ITERS):
+            assigned = _assign(e, cents)
+            upd = (assigned
+                   .select("cluster", F.posexplode("v").alias("dim", "x"))
+                   .groupBy("cluster", "dim")
+                   .agg(F.round(F.avg("x"), CENT_DP).alias("av"))
+                   .groupBy("cluster")
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                       lambda st: st.av).alias("ucvec")))
+            cents = (cents.join(upd, "cluster", "left")
+                     .select("cluster",
+                             F.coalesce("ucvec", "cvec").alias("cvec")))
+        code_s = (_assign(e, cents)
+                  .select("vec_id", F.lit(s).alias("s"), "cluster"))
+        sq = F.aggregate(
+            F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        qd_s = (e.where(F.col("vec_id") == 0)
+                .crossJoin(F.broadcast(cents))
+                .select(F.lit(s).alias("s"), "cluster", sq.alias("d")))
+        codes = code_s if codes is None else codes.unionByName(code_s)
+        qdist = qd_s if qdist is None else qdist.unionByName(qd_s)
+    adc = (codes.where(F.col("vec_id") != 0)
+           .join(F.broadcast(qdist), ["s", "cluster"])
+           .groupBy("vec_id")
+           .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("adc_dist")))
+    return adc.orderBy("adc_dist", "vec_id").limit(10)
