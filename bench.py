@@ -102,6 +102,10 @@ ADDITIONS = [
     "q_split_embedding_leakage",
     "q_corpus_release",
     "q_group_zscore",
+    "q_embed_logreg_train",
+    "q_embed_pq_search",
+    "q_events_active_users",
+    "q_events_markov_stationary",
 ]
 
 HEADLINE = CORE + ADDITIONS
