@@ -888,3 +888,54 @@ def q_embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("vec_id")
            .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("adc_dist")))
     return adc.orderBy("adc_dist", "vec_id").limit(10)
+
+
+@register(
+    "q_embed_pq_recall",
+    oracle=_pq_search_oracle().replace(
+        "SELECT co0.vec_id, ROUND(", "SELECT co0.vec_id AS pq_id, ROUND(",
+    ).replace(
+        "ORDER BY adc_dist, co0.vec_id LIMIT 10",
+        """ORDER BY adc_dist, pq_id LIMIT 10)
+    , exact AS (
+        SELECT vec_id FROM (
+            SELECT c.vec_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY list_distance(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]),
+                                c.vec_id) AS rn
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id <> 0) WHERE rn <= 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 2) + 0.0 AS recall_at_10
+    FROM pq JOIN exact ON pq.pq_id = exact.vec_id""",
+    ).replace("WITH", "WITH pq AS (WITH", 1),
+    doc="PQ search quality: recall@10 of the ADC top-10 against the "
+        "exact full-vector top-10 for the same query — the number that "
+        "decides codebook size (k) and subspace count in production. "
+        "Because the whole PQ pipeline is deterministic, this is a "
+        "fully VALUE-checked quality metric (the LSH/IVF analogs are "
+        "floors); the exact side reuses the brute-force ranking, the "
+        "PQ side the ADC pipeline, intersected by id. Measured 0.6-0.9 "
+        "on the fixtures with the toy k=4 codebooks.",
+)
+def q_embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq = q_embed_pq_search(spark, sf_dir).select(
+        F.col("vec_id").alias("pq_id"))
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    exact = (e.where(F.col("vec_id") != 0)
+             .crossJoin(F.broadcast(q))
+             .select("vec_id", dist.alias("d"))
+             .orderBy("d", "vec_id").limit(10))
+    hits = pq.join(exact, pq.pq_id == exact.vec_id)
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        (F.round(F.count(F.lit(1)) / 10.0, 2) + F.lit(0.0))
+        .alias("recall_at_10"))
