@@ -619,3 +619,41 @@ def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("n_tokens"),
                  F.countDistinct("source").alias("n_sources")))
+
+
+WSAMPLE_N = 50
+WSAMPLE_SALT = ":wsample:3"
+
+
+@register(
+    "q_corpus_weighted_sample",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               (('0x' || substr(md5(doc_id::VARCHAR || '{WSAMPLE_SALT}'),
+                               1, 8))::BIGINT + 1) / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars,
+           ROUND(ln(u) / n_chars, 8) + 0.0 AS es_key
+    FROM k ORDER BY es_key DESC, doc_id LIMIT {WSAMPLE_N}
+    """,
+    doc=f"Weighted sampling without replacement (Efraimidis-Spirakis "
+        f"A-Res): top-{WSAMPLE_N} documents by key ln(u)/w with "
+        "deterministic hash-uniform u and weight w = n_chars — "
+        "inclusion probability proportional to document length, "
+        "reproducible on any engine or cluster (no rand()). The "
+        "length-weighted companion of q_corpus_sample_fixed's uniform "
+        "sample: one map-side key computation, top-N via "
+        "TakeOrderedAndProject (per-partition top-N + tiny merge, no "
+        "global sort) — the standard one-pass distributed weighted "
+        "sampler at any scale.",
+)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").where(F.col("n_chars") > 0)
+    hexpart = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(WSAMPLE_SALT))), 1, 8)
+    u = (F.conv(hexpart, 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    key = (F.round(F.log(u) / F.col("n_chars"), 8) + F.lit(0.0))
+    return (d.select("doc_id", "source", "n_chars", key.alias("es_key"))
+            .orderBy(F.desc("es_key"), "doc_id").limit(WSAMPLE_N))
