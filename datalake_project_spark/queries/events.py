@@ -767,3 +767,48 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.round(F.sum(F.col("pr") * F.col("p")), 6).alias("pr")))
     return pr.select(F.col("st").alias("event_type"),
                      (F.round("pr", 4) + F.lit(0.0)).alias("stationary_p"))
+
+
+@register(
+    "q_events_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id
+                             ORDER BY md5(event_id::VARCHAR)
+                             ROWS UNBOUNDED PRECEDING) AS high_water
+        FROM events),
+    late AS (
+        SELECT CAST(FLOOR(LOG2(
+                   GREATEST(date_diff('second', ts, high_water), 1) + 1))
+                    AS INT) AS lateness_bucket
+        FROM arr WHERE high_water > ts)
+    SELECT lateness_bucket, COUNT(*) AS n_events
+    FROM late GROUP BY lateness_bucket
+    """,
+    doc="Out-of-orderness profile (watermark calibration): per user, "
+        "an event older than the running event-time high-water mark "
+        "in ARRIVAL order is late by (high_water - ts); the "
+        "log2-bucketed lateness histogram is the data that justifies "
+        "a watermark delay — pick the bucket covering your loss "
+        "tolerance and q_stream_* queries' withWatermark follows. The "
+        "fixture carries no ingest timestamps (event_id order == "
+        "event-time order), so arrival is SIMULATED as a "
+        "deterministic hash shuffle of event_id — in production the "
+        "arrival column is the ingest/offset sequence and the query "
+        "is unchanged. One shuffle on user_id for the running-max "
+        "window (entity-keyed, never single-partition), integer "
+        "buckets keep it hash-exact.",
+)
+def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.md5(F.col("event_id").cast("string")))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    arr = e.select("user_id", "ts", F.max("ts").over(w).alias("high_water"))
+    late_s = (F.unix_timestamp("high_water") - F.unix_timestamp("ts"))
+    late = (arr.where(F.col("high_water") > F.col("ts"))
+            .select(F.floor(F.log2(F.greatest(late_s, F.lit(1)) + 1))
+                    .cast("int").alias("lateness_bucket")))
+    return (late.groupBy("lateness_bucket")
+            .agg(F.count(F.lit(1)).alias("n_events")))
