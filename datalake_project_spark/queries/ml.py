@@ -1,5 +1,9 @@
-"""Distributed ML primitives over the embedding table: Lloyd's k-means,
-covariance/Gram-matrix estimation, and linear-model corpus scoring.
+"""Distributed ML primitives over the embedding/document tables:
+Lloyd's k-means (+ cluster purity), covariance/Gram estimation, PCA by
+power iteration, product-quantization codebooks + ADC search (+ value-
+checked recall), logistic regression by gradient descent, linear-model
+corpus scoring (+ calibration bins), cross-split embedding-leakage
+audit, and the embedding-norm health check.
 
 These are the training-data-pipeline steps BETWEEN the dedup/similarity
 operators and a model: k-means is the real training path of the IVF
@@ -9,7 +13,9 @@ covariance matrix is the input to PCA whitening / dimensionality
 reduction, and the linear scorer is the FineWeb-Edu-shaped pattern of
 applying a trained quality classifier to every document (model weights
 broadcast as a vocabulary table, corpus pass is one explode + join +
-aggregate).
+aggregate). Every iterative trainer (k-means, PCA power, logistic GD,
+PQ) composes its fixed iteration count into ONE lazy DAG with per-step
+rounding, so the DuckDB oracle can unroll the identical trajectory.
 
 Scale notes baked into the shapes:
 - k-means: centroids are k rows — broadcast to every task; each
