@@ -71,3 +71,39 @@ def test_heavy_hitters_guarantee_randomized(spark):
                for r in heavy_hitters(df, "w", phi_inv=phi_inv,
                                       k=phi_inv + 3).collect()}
         assert got == expect, (trial, got, expect)
+
+
+def test_merge_cache_hits_and_invalidates(spark, tmp_path):
+    """The fixture-keyed merge cache: same fixture => cached result
+    (no retraining), regenerated fixture (new mtime) => stale entry
+    dropped and retrained."""
+    import os
+
+    from datalake_project_spark.queries.substrings import _learn_bpe_merges
+    from datalake_project_spark.scratch import scratch_dir
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa bb cc", "en", "s", 14) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/documents.parquet")
+
+    m1 = _learn_bpe_merges(spark, str(tmp_path), 2)
+    m2 = _learn_bpe_merges(spark, str(tmp_path), 2)   # cache hit
+    assert m1 == m2 and len(m1) == 2
+
+    root = scratch_dir("bpe", str(tmp_path))
+    assert len(os.listdir(root)) == 1
+
+    # regenerate the fixture => different (size, mtime) key
+    docs2 = spark.createDataFrame(
+        [(i, "xx yy xx yy zz", "en", "s", 14) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs2.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/documents.parquet")
+    os.utime(f"{tmp_path}/documents.parquet",
+             (os.path.getmtime(f"{tmp_path}/documents.parquet") + 5,) * 2)
+
+    m3 = _learn_bpe_merges(spark, str(tmp_path), 2)
+    assert m3 != m1                       # retrained on the new corpus
+    assert len(os.listdir(root)) == 1     # stale entry evicted
