@@ -127,3 +127,43 @@ def q_multimodal_batch_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_bytes").cast("long").alias("bucket_max"),
                  (F.count(F.lit(1)) * F.max("n_bytes") - F.sum("n_bytes"))
                  .cast("long").alias("padding_waste")))
+
+
+@register(
+    "q_multimodal_binary_ingest",
+    oracle="""
+    SELECT 'doc_' || lpad(doc_id::VARCHAR, 3, '0') || '.bin' AS file_name,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 5
+    """,
+    doc="Raw binary-file ingestion via the binaryFile source (the real "
+        "on-ramp for image/audio/video payloads: one row per file with "
+        "path/length/content, no decoding in the scan): five payload "
+        "files staged to scratch (bytes = the document text, so the "
+        "oracle can recompute length and digest from the table), read "
+        "back with format('binaryFile'), content-addressed with md5. "
+        "At 100 TB this source partitions by file and never "
+        "materializes payloads until the decode UDF asks — pair it "
+        "with q_multimodal_batch_bucketing for batch scheduling.",
+)
+def q_multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_project_spark.scratch import scratch_dir
+
+    d = Catalog(spark, sf_dir).table("documents")
+    rows = (d.where(F.col("doc_id") < 5)
+            .select("doc_id", "text").collect())  # 5 rows: staging only
+    root = f"{scratch_dir('binfiles', sf_dir)}/payloads"
+    os.makedirs(root, exist_ok=True)
+    for r in rows:
+        with open(f"{root}/doc_{r['doc_id']:03d}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(root)
+    return bf.select(
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"))
