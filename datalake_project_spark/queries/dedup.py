@@ -448,3 +448,34 @@ def q_dedup_semantic_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = block_pairwise_cosine(e, threshold=0.4)
     dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
     return e.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
+LSH_B, LSH_R = 16, 4  # minhash_lsh_pairs defaults: 16 bands x 4 rows
+
+
+@register(
+    "q_dedup_lsh_s_curve",
+    oracle=f"""
+    SELECT ROUND(u.i / 20.0, 2) + 0.0 AS jaccard_s,
+           ROUND(1.0 - pow(1.0 - pow(u.i / 20.0, {LSH_R}), {LSH_B}), 4)
+               + 0.0 AS p_candidate
+    FROM unnest(range(0, 21)) AS u(i)
+    """,
+    doc=f"MinHash-LSH banding S-curve for the engine's configured "
+        f"b={LSH_B} bands x r={LSH_R} rows (operators/dedup.py "
+        "minhash_lsh_pairs): P(candidate | jaccard=s) = 1-(1-s^r)^b "
+        "tabulated over s in 0..1 — the tuning table that locates the "
+        "detection threshold (~(1/b)^(1/r) ≈ 0.5 here) and quantifies "
+        "the false-positive/false-negative trade before anyone "
+        "re-bands a 100 TB dedup run. Data-free (generated in-plan "
+        "via sequence+explode), so the oracle is the same closed "
+        "form — the query exists to keep the deployed banding's "
+        "operating curve inspectable next to the operator itself.",
+)
+def q_dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(21).select(
+        (F.round(F.col("id") / 20.0, 2) + F.lit(0.0)).alias("jaccard_s"),
+        (F.round(1.0 - F.pow(1.0 - F.pow(F.col("id") / 20.0, F.lit(LSH_R)),
+                             F.lit(LSH_B)), 4) + F.lit(0.0))
+        .alias("p_candidate"))
+    return grid

@@ -871,3 +871,69 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("doc_id").alias("n_docs"))
            .where(F.col("n_docs") >= 2))
     return rep.orderBy(F.desc("n_copies"), "block_md5").limit(20)
+
+
+JM_LAMBDA = 0.7  # Jelinek-Mercer interpolation weight on the bigram ML
+
+
+@register(
+    "q_text_interpolated_lm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM tok),
+    c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM uni GROUP BY w),
+    nt AS (SELECT COUNT(*)::DOUBLE AS n FROM uni),
+    bg AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+        FROM tok WHERE len(ws) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN({JM_LAMBDA} * c2.c2::DOUBLE / ca.c1::DOUBLE
+                        + {1 - JM_LAMBDA} * cb.c1::DOUBLE / nt.n)), 4)
+               AS avg_logprob
+    FROM bg
+    JOIN c2 USING (bg)
+    JOIN c1 ca ON string_split(bg.bg, ' ')[1] = ca.w1
+    JOIN c1 cb ON string_split(bg.bg, ' ')[2] = cb.w1
+    CROSS JOIN nt
+    GROUP BY bg.doc_id
+    """,
+    doc=f"Jelinek-Mercer interpolated LM scoring (lambda={JM_LAMBDA}): "
+        "P(w2|w1) = l*P_ML(w2|w1) + (1-l)*P_unigram(w2) — the "
+        "backoff-family smoothing KenLM-style filters actually use, "
+        "beside q_text_bigram_lm's add-one baseline (add-one "
+        "over-penalizes frequent contexts; interpolation backs off "
+        "smoothly). Same plan shape: two vocab-sized count tables "
+        "(broadcast at scale), the exploded-bigram corpus side "
+        "shuffled once per count, the token total a broadcast 1-row "
+        "aggregate — one DAG, no mid-plan actions.",
+)
+def q_text_interpolated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    uni = tok.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    nt = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = (tok.where(n >= 2)
+          .select("doc_id", F.explode(bg_arr).alias("bg")))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    ca = c1.select(F.col("w1").alias("wa"), F.col("c1").alias("ca"))
+    cb = c1.select(F.col("w1").alias("wb"), F.col("c1").alias("cb"))
+    scored = (
+        bg.join(c2, "bg")
+        .withColumn("wa", F.split("bg", " ")[0])
+        .withColumn("wb", F.split("bg", " ")[1])
+        .join(ca, "wa").join(cb, "wb")
+        .crossJoin(F.broadcast(nt))
+        .withColumn("lp", F.log(
+            JM_LAMBDA * F.col("c2").cast("double") / F.col("ca").cast("double")
+            + (1 - JM_LAMBDA) * F.col("cb").cast("double") / F.col("n"))))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"))
