@@ -479,3 +479,61 @@ def q_dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(LSH_B)), 4) + F.lit(0.0))
         .alias("p_candidate"))
     return grid
+
+
+@register(
+    "q_dedup_impact_by_source",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    dropped AS (SELECT id FROM comp WHERE id <> rep)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(dr.id) AS BIGINT) AS n_removed,
+           ROUND(COUNT(dr.id)::DOUBLE / COUNT(*), 4) + 0.0 AS removal_rate
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+    GROUP BY d.source
+    """,
+    doc="NEAR-dup removal impact per source — the observability "
+        "companion of q_corpus_dedup_rate_by_source (which counts "
+        "EXACT copies): how many documents each source loses under "
+        "q_dedup_resolved's clustering (inverted-index Jaccard pairs "
+        "-> components -> keep representatives), as count and rate. A "
+        "source with a spiking removal_rate is mirroring another "
+        "source or re-crawling itself with small edits — the signal "
+        "that re-weights q_corpus_mix. Same pair/component machinery, "
+        "one extra join to the source column and a tiny aggregate.",
+)
+def q_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    comp = D.connected_components(pairs)
+    dropped = comp.where(F.col("id") != F.col("rep")).select("id")
+    tagged = d.select("doc_id", "source").join(
+        dropped, d.doc_id == dropped.id, "left")
+    return (tagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("id").cast("long").alias("n_removed"),
+                 (F.round(F.count("id").cast("double")
+                          / F.count(F.lit(1)), 4) + F.lit(0.0))
+                 .alias("removal_rate")))
