@@ -812,3 +812,50 @@ def q_events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("int").alias("lateness_bucket")))
     return (late.groupBy("lateness_bucket")
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "q_feature_point_in_time",
+    oracle="""
+    WITH feat AS (
+        SELECT event_id, user_id, event_type,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w_prior AS n_prior_clicks,
+               COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END)
+                   OVER w_prior, 0.0) AS prior_click_value
+        FROM events
+        WINDOW w_prior AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id,
+           CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+           ROUND(prior_click_value, 2) + 0.0 AS prior_click_value
+    FROM feat WHERE event_type = 'purchase'
+    """,
+    doc="Point-in-time feature computation (the feature-store "
+        "correctness primitive): for every purchase event, the user's "
+        "click count and click-value sum STRICTLY BEFORE that moment — "
+        "no future leakage, the property that keeps training features "
+        "consistent with what serving would have known. Realized as "
+        "conditional running aggregates over ONE entity-keyed window "
+        "(frame ends at 1 PRECEDING; (ts, event_id) total order makes "
+        "same-timestamp behavior deterministic), then a filter to the "
+        "label events — one shuffle on user_id, no range join, no "
+        "per-label subquery. At 100 TB this is the as-of pattern "
+        "q_asof_join uses, specialized to cumulative features.",
+)
+def q_feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_click = F.col("event_type") == "click"
+    feat = e.select(
+        "event_id", "user_id", "event_type",
+        F.count(F.when(is_click, 1)).over(w).alias("n_prior_clicks"),
+        F.coalesce(F.sum(F.when(is_click, F.col("value"))).over(w),
+                   F.lit(0.0)).alias("prior_click_value"))
+    return (feat.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id",
+                    F.col("n_prior_clicks").cast("long")
+                    .alias("n_prior_clicks"),
+                    (F.round("prior_click_value", 2) + F.lit(0.0))
+                    .alias("prior_click_value")))
