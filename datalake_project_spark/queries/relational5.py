@@ -737,3 +737,44 @@ def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + F.lit(0.0)).alias("intercept"),
                  (F.round(F.regr_r2("unit_price", "yr"), 4)
                   + F.lit(0.0)).alias("r2")))
+
+
+@register(
+    "q_forecast_seasonal_naive",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2),
+    j AS (
+        SELECT cur.yr, cur.mo, cur.rev, prev.rev AS forecast
+        FROM m cur JOIN m prev
+          ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo)
+    SELECT COUNT(*) AS n_months,
+           ROUND(AVG(ABS(rev - forecast) / rev), 4) + 0.0 AS mape,
+           ROUND(AVG(ABS(rev - forecast)), 2) + 0.0 AS mae
+    FROM j
+    """,
+    doc="Seasonal-naive forecast backtest (forecast month m = actual "
+        "of month m minus one year) with MAPE/MAE over every month "
+        "that has a year-ago observation: the baseline every real "
+        "forecasting model must beat, and the zero-parameter sanity "
+        "check on a revenue series. One monthly rollup (map-side "
+        "partials) self-joined on the lag-12 key — the join is "
+        "months^2-bounded metadata, never fact-table-sized.",
+)
+def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                   F.month("o_orderdate").alias("mo"))
+         .agg(F.sum("o_totalprice").alias("rev")))
+    prev = m.select((F.col("yr") + 1).alias("yr"), F.col("mo"),
+                    F.col("rev").alias("forecast"))
+    j = m.join(prev, ["yr", "mo"])
+    return j.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (F.round(F.avg(F.abs(F.col("rev") - F.col("forecast"))
+                       / F.col("rev")), 4) + F.lit(0.0)).alias("mape"),
+        (F.round(F.avg(F.abs(F.col("rev") - F.col("forecast"))), 2)
+         + F.lit(0.0)).alias("mae"))

@@ -485,3 +485,50 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      pred.alias("predicted_lang"))
             .groupBy("labeled_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
+    "q_text_zipf_fit",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT t AS term, COUNT(*) AS freq FROM (
+            SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+        GROUP BY t),
+    ranked AS (
+        SELECT a.term, a.freq, 1 + COUNT(b.term) AS rank
+        FROM vocab a LEFT JOIN vocab b
+          ON b.freq > a.freq OR (b.freq = a.freq AND b.term < a.term)
+        GROUP BY a.term, a.freq)
+    SELECT COUNT(*) AS n_terms,
+           ROUND(regr_slope(LN(freq::DOUBLE), LN(rank::DOUBLE)), 4)
+               + 0.0 AS zipf_slope,
+           ROUND(regr_r2(LN(freq::DOUBLE), LN(rank::DOUBLE)), 4)
+               + 0.0 AS r2
+    FROM ranked
+    """,
+    doc="Zipf-law fit over the corpus vocabulary: OLS slope of "
+        "log-frequency on log-rank (natural text sits near -1; "
+        "synthetic or template-generated corpora — like this fixture — "
+        "flatten toward 0, making the slope a generated-text detector "
+        "at corpus granularity). Ranks come from a bounded self-join "
+        "over the VOCAB table (vocabulary-sized, never corpus-sized — "
+        "no global-order window), the fit from the closed-form regr_* "
+        "aggregates.",
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    vocab = (d.select(F.explode(T.tokens("text")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    better = (F.col("b.freq") > F.col("a.freq")) | \
+        ((F.col("b.freq") == F.col("a.freq"))
+         & (F.col("b.term") < F.col("a.term")))
+    ranked = (a.join(b, better, "left")
+              .groupBy(F.col("a.term"), F.col("a.freq").alias("freq"))
+              .agg((F.count(F.col("b.term")) + 1).alias("rank")))
+    lf, lr = F.log(F.col("freq").cast("double")), F.log(
+        F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.round(F.regr_slope(lf, lr), 4) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_r2(lf, lr), 4) + F.lit(0.0)).alias("r2"))
