@@ -859,3 +859,69 @@ def q_feature_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_prior_clicks"),
                     (F.round("prior_click_value", 2) + F.lit(0.0))
                     .alias("prior_click_value")))
+
+
+BOT_CV_MAX = 0.3   # coefficient of variation below which gaps are "regular"
+BOT_MIN_EVENTS = 30
+
+
+@register(
+    "q_events_bot_detection",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    gaps AS (
+        SELECT user_id,
+               date_diff('second', prev_ts, ts)::DOUBLE AS g
+        FROM seq WHERE prev_ts IS NOT NULL),
+    st AS (
+        SELECT user_id, COUNT(*) AS n_gaps, AVG(g) AS mean_gap,
+               SQRT(GREATEST(AVG(g * g) - AVG(g) * AVG(g), 0)) AS std_gap
+        FROM gaps GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           ROUND(mean_gap, 2) + 0.0 AS mean_gap_s,
+           ROUND(CASE WHEN mean_gap > 0 THEN std_gap / mean_gap
+                      ELSE 0.0 END, 4) + 0.0 AS gap_cv,
+           (n_gaps >= {BOT_MIN_EVENTS}
+            AND mean_gap > 0
+            AND std_gap / mean_gap < {BOT_CV_MAX}) AS is_bot
+    FROM st
+    """,
+    doc="Bot/automation detection by inter-arrival regularity: human "
+        "activity has bursty gaps (coefficient of variation near or "
+        "above 1, exponential-ish); schedulers and scrapers tick with "
+        "CV near 0. Per user: gap count, mean gap, CV, and the "
+        f"is_bot flag (>= {BOT_MIN_EVENTS} gaps and CV < {BOT_CV_MAX}) "
+        "— the abuse/crawler filter a corpus ingest runs before "
+        "trusting engagement-derived quality signals. One entity-keyed "
+        "lag window + one grouped two-moment aggregate; the variance "
+        "clamp guards float cancellation on metronomic gaps.",
+)
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+            .where(F.col("prev_ts").isNotNull())
+            .select("user_id",
+                    (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+                    .cast("double").alias("g")))
+    st = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("g").alias("mean_gap"),
+        F.sqrt(F.greatest(F.avg(F.col("g") * F.col("g"))
+                          - F.avg("g") * F.avg("g"), F.lit(0.0)))
+        .alias("std_gap"))
+    cv = F.when(F.col("mean_gap") > 0,
+                F.col("std_gap") / F.col("mean_gap")).otherwise(0.0)
+    return st.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        (F.round("mean_gap", 2) + F.lit(0.0)).alias("mean_gap_s"),
+        (F.round(cv, 4) + F.lit(0.0)).alias("gap_cv"),
+        ((F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("mean_gap") > 0)
+         & (F.col("std_gap") / F.col("mean_gap") < BOT_CV_MAX))
+        .alias("is_bot"))

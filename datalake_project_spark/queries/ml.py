@@ -945,3 +945,60 @@ def q_embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         (F.round(F.count(F.lit(1)) / 10.0, 2) + F.lit(0.0))
         .alias("recall_at_10"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup (the n^2 restriction that scales)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "q_dedup_semantic_clustered",
+    oracle=_kmeans_cte(K_CLUSTERS, N_ITER) + f""",
+    asg AS (SELECT f.vec_id, f.cluster, e2.embedding
+            FROM final f JOIN embeddings e2 USING (vec_id)),
+    pairs AS (
+        SELECT a.cluster, a.vec_id AS i, b.vec_id AS j
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding)
+              >= {SEMDEDUP_TAU}),
+    dropped AS (SELECT DISTINCT j FROM pairs)
+    SELECT a.cluster,
+           COUNT(*) AS n_vecs,
+           CAST(COUNT(d.j) AS BIGINT) AS n_dropped
+    FROM asg a LEFT JOIN dropped d ON a.vec_id = d.j
+    GROUP BY a.cluster
+    """,
+    doc="SemDeDup proper (Abbas et al. 2023): k-means clusters first, "
+        "then the cosine-dominance dedup rule WITHIN each cluster only "
+        "— the restriction that turns O(n^2) pairwise work into "
+        "sum-of-cluster-sizes^2, which is the entire reason "
+        "semantic dedup runs at corpus scale. Reuses the engine's "
+        "lazy Lloyd trajectory for the clustering (same oracle CTE "
+        "prefix as q_embed_kmeans) and the same dominance rule as the "
+        "global q_dedup_semantic_resolved; output is the per-cluster "
+        "census of kept vs dropped vectors. The cluster-key equi-join "
+        "makes the pair generation a co-partitioned self-join — no "
+        "block-matrix pass over cross-cluster pairs at all.",
+)
+def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.vectors import cosine
+
+    final = _kmeans_final(spark, sf_dir).select("vec_id", "cluster")
+    e = Catalog(spark, sf_dir).table("embeddings")
+    asg = final.join(e.select("vec_id", "embedding"), "vec_id")
+    a = asg.select(F.col("cluster").alias("c"), F.col("vec_id").alias("i"),
+                   F.col("embedding").alias("va"))
+    b = asg.select(F.col("cluster").alias("c"), F.col("vec_id").alias("j"),
+                   F.col("embedding").alias("vb"))
+    pairs = (a.join(b, "c")
+             .where(F.col("i") < F.col("j"))
+             .where(cosine(F.col("va"), F.col("vb")) >= SEMDEDUP_TAU)
+             .select("j").distinct())
+    tagged = asg.join(pairs, asg.vec_id == pairs.j, "left")
+    return (tagged.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.count("j").cast("long").alias("n_dropped")))
