@@ -925,3 +925,44 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("mean_gap") > 0)
          & (F.col("std_gap") / F.col("mean_gap") < BOT_CV_MAX))
         .alias("is_bot"))
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events)
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+        "recent preceding touch event (click/view; none => 'direct') — "
+        "the marketing-analytics primitive, realized as LAST_VALUE "
+        "IGNORE NULLS over an entity-keyed window with a 1-PRECEDING "
+        "frame (the same leakage-free frame as "
+        "q_feature_point_in_time), then one small aggregate per "
+        "channel. One shuffle on user_id; no per-purchase as-of "
+        "subquery.",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type").isin("click", "view"),
+                   F.col("event_type"))
+    seq = e.select(
+        "event_type", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"))
+    return (seq.where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.round(F.sum("value"), 2).alias("attributed_value")))

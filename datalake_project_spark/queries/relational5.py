@@ -778,3 +778,46 @@ def q_forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.col("rev")), 4) + F.lit(0.0)).alias("mape"),
         (F.round(F.avg(F.abs(F.col("rev") - F.col("forecast"))), 2)
          + F.lit(0.0)).alias("mae"))
+
+
+@register(
+    "q_market_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, l.l_suppkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, l.l_suppkey),
+    tot AS (SELECT nation, SUM(r) AS t FROM rev GROUP BY nation)
+    SELECT rev.nation,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(POW(rev.r / tot.t, 2)) * 10000, 1) + 0.0 AS hhi
+    FROM rev JOIN tot USING (nation)
+    GROUP BY rev.nation
+    """,
+    doc="Market concentration per nation by the Herfindahl-Hirschman "
+        "index (sum of squared supplier revenue shares x 10000 — "
+        "the antitrust-threshold scale where < 1500 is competitive): "
+        "two keyed aggregates (per-(nation, supplier) revenue with "
+        "map-side partials, then per-nation totals joined back) and a "
+        "closed-form share-square sum. The concentration diagnostic "
+        "that pairs with q_revenue_concentration's decile share and "
+        "q_skew_key_diagnostics' row-share table.",
+)
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, s, n = (cat.table(t) for t in ("lineitem", "supplier", "nation"))
+    rev = (li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                   li.l_suppkey == F.col("s_suppkey"))
+           .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("r")))
+    tot = rev.groupBy("nation").agg(F.sum("r").alias("t"))
+    return (rev.join(tot, "nation")
+            .groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 (F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)) * 10000, 1)
+                  + F.lit(0.0)).alias("hhi")))
