@@ -537,3 +537,60 @@ def q_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.count("id").cast("double")
                           / F.count(F.lit(1)), 4) + F.lit(0.0))
                  .alias("removal_rate")))
+
+
+DF_CAPS = (5, 10, 25, 50)
+
+
+@register(
+    "q_dedup_dfcap_planner",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     FOR i IN range(1, len(ws) - 1)])) AS s
+        FROM words WHERE len(ws) >= 3),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    caps AS (SELECT unnest([{", ".join(str(c) for c in DF_CAPS)}]) AS cap)
+    SELECT caps.cap,
+           CAST(SUM(CASE WHEN df.df <= caps.cap
+                         THEN df.df * (df.df - 1) / 2 ELSE 0 END) AS BIGINT)
+               AS candidate_pairs,
+           CAST(COUNT(CASE WHEN df.df > caps.cap THEN 1 END) AS BIGINT)
+               AS shingles_dropped
+    FROM df CROSS JOIN caps
+    GROUP BY caps.cap
+    """,
+    doc="Document-frequency-cap planner for the inverted-index dedup "
+        "(the q_dedup_ngram_jaccard_capped valve): for each candidate "
+        "cap value, the exact candidate-pair count the index would "
+        "generate (sum of df*(df-1)/2 over surviving shingles) and the "
+        "heavy-hitter shingles dropped — the table an operator reads "
+        "to pick the cap BEFORE launching a 100 TB Jaccard run, since "
+        "candidate volume (the shuffle driver) is quadratic in df. "
+        "One df aggregate cross-joined with the tiny cap grid; the "
+        "same shape as the LSH S-curve table but measured from the "
+        "corpus rather than closed-form.",
+)
+def q_dedup_dfcap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import shingles, tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (d.select("doc_id", F.explode(
+            shingles(tokens("text"), n=3)).alias("s"))
+          .distinct())
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    caps = spark.createDataFrame([(c,) for c in DF_CAPS], "cap int")
+    pairs = F.when(F.col("df") <= F.col("cap"),
+                   (F.col("df") * (F.col("df") - 1) / 2).cast("long")) \
+        .otherwise(F.lit(0))
+    dropped = F.when(F.col("df") > F.col("cap"), 1)
+    return (df.crossJoin(F.broadcast(caps))
+            .groupBy("cap")
+            .agg(F.sum(pairs).cast("long").alias("candidate_pairs"),
+                 F.count(dropped).cast("long").alias("shingles_dropped")))

@@ -821,3 +821,51 @@ def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_suppliers"),
                  (F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)) * 10000, 1)
                   + F.lit(0.0)).alias("hhi")))
+
+
+@register(
+    "q_orders_backlog_series",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS placed_m,
+               date_trunc('month', (SELECT MAX(l_shipdate) FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey))
+                   AS shipped_m
+        FROM orders o),
+    spans AS (
+        SELECT o_orderkey,
+               unnest(generate_series(placed_m, shipped_m,
+                                      INTERVAL 1 MONTH)) AS m
+        FROM o WHERE shipped_m IS NOT NULL AND shipped_m >= placed_m)
+    SELECT STRFTIME(m, '%Y-%m') AS month,
+           COUNT(*) AS open_orders
+    FROM spans GROUP BY m
+    """,
+    doc="Open-order backlog series: for every month, how many orders "
+        "were placed but not yet fully shipped (open interval = order "
+        "month .. max lineitem ship month) — the operations dashboard "
+        "series. Same interval-coverage expansion as the exact-WAU "
+        "query: each order explodes to the months it spans (sequence + "
+        "explode, span-length-bounded), then one count per month — "
+        "never a month-range theta-join of the fact table. The "
+        "ship-month lookup is one keyed aggregate joined back "
+        "(shuffle on orderkey serves both sides). Orders whose last "
+        "ship month precedes the order month (possible in the "
+        "synthetic fixture) are excluded identically on both "
+        "engines.",
+)
+def q_orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    li = Catalog(spark, sf_dir).table("lineitem")
+    shipped = li.groupBy("l_orderkey").agg(
+        F.date_trunc("month", F.max("l_shipdate")).alias("shipped_m"))
+    spans = (o.select("o_orderkey",
+                      F.date_trunc("month", "o_orderdate").alias("placed_m"))
+             .join(shipped, o.o_orderkey == shipped.l_orderkey)
+             .where(F.col("shipped_m") >= F.col("placed_m"))
+             .select(F.explode(F.sequence(
+                 "placed_m", "shipped_m",
+                 F.expr("INTERVAL 1 MONTH"))).alias("m")))
+    return (spans.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+            .agg(F.count(F.lit(1)).alias("open_orders")))
