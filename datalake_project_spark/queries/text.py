@@ -532,3 +532,59 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         (F.round(F.regr_slope(lf, lr), 4) + F.lit(0.0)).alias("zipf_slope"),
         (F.round(F.regr_r2(lf, lr), 4) + F.lit(0.0)).alias("r2"))
+
+
+HASH_DIM = 16  # feature-hashing target dimensionality
+
+
+@register(
+    "q_text_hash_features",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform([t[i] FOR i IN range(1, length(t) + 1)],
+                                      c -> unicode(c)::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+        FROM ex),
+    f AS (SELECT doc_id, (hv % {HASH_DIM})::INT AS dim,
+                 CASE WHEN hv % {2 * HASH_DIM} < {HASH_DIM}
+                      THEN 1 ELSE -1 END AS sgn
+          FROM h),
+    v AS (SELECT doc_id, dim, SUM(sgn)::DOUBLE AS val
+          FROM f GROUP BY doc_id, dim),
+    nr AS (SELECT doc_id, SQRT(SUM(val * val)) AS nrm FROM v GROUP BY doc_id)
+    SELECT v.doc_id, v.dim, ROUND(v.val / nr.nrm, 6) + 0.0 AS value
+    FROM v JOIN nr USING (doc_id) WHERE nr.nrm > 0
+    """,
+    doc=f"Feature-hashing document vectors (the hashing trick, "
+        f"Weinberger et al. 2009): each token folds to the engine's "
+        "exact rolling hash, lands in one of "
+        f"{HASH_DIM} signed buckets (sign from the next hash bit "
+        "debiases collisions), per-doc counts L2-normalize into a "
+        "fixed-dim vector — model-free embeddings that feed the "
+        "cosine/ANN/clustering operators when no encoder is on the "
+        "cluster. All integer hash arithmetic => engine-exact oracle; "
+        "one exploded-token pass, two keyed aggregates, output in "
+        "long (doc, dim, value) form — the corpus never carries wide "
+        "arrays through a shuffle.",
+)
+def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    ex = d.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+    chars = F.filter(F.split(F.col("t"), ""), lambda c: F.length(c) > 0)
+    hv = F.aggregate(chars, F.lit(0).cast("long"),
+                     lambda acc, c: (acc * 31 + F.ascii(c)) % T.FP_MOD)
+    f = ex.select(
+        "doc_id", (hv % HASH_DIM).cast("int").alias("dim"),
+        F.when(hv % (2 * HASH_DIM) < HASH_DIM, 1).otherwise(-1).alias("sgn"))
+    v = f.groupBy("doc_id", "dim").agg(F.sum("sgn").cast("double").alias("val"))
+    nr = v.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+    return (v.join(nr, "doc_id").where(F.col("nrm") > 0)
+            .select("doc_id", "dim",
+                    (F.round(F.col("val") / F.col("nrm"), 6)
+                     + F.lit(0.0)).alias("value")))
