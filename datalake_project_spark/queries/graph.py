@@ -205,3 +205,69 @@ def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionAll(ue.select(F.col("v").alias("name")))
            .groupBy("name").agg(F.count(F.lit(1)).alias("degree")))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "q_graph_trade_balance",
+    oracle="WITH" + _EDGES_SQL + """,
+    w AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst,
+               SUM(l_extendedprice * (1 - l_discount)) AS v
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2),
+    outf AS (SELECT src AS nation, SUM(v) AS imports FROM w GROUP BY src),
+    inf AS (SELECT dst AS nation, SUM(v) AS exports FROM w GROUP BY dst)
+    SELECT n.name AS nation,
+           ROUND(COALESCE(inf.exports, 0), 2) AS exports,
+           ROUND(COALESCE(outf.imports, 0), 2) AS imports,
+           ROUND(COALESCE(inf.exports, 0) - COALESCE(outf.imports, 0), 2)
+               AS net_balance
+    FROM nodes n
+    LEFT JOIN inf ON inf.nation = n.name
+    LEFT JOIN outf ON outf.nation = n.name
+    """,
+    doc="Trade balance per nation over the weighted flow graph "
+        "(exports = value supplied to other nations' customers, "
+        "imports = value bought from other nations' suppliers, "
+        "net = exports - imports): the flow-conservation aggregate "
+        "beside PageRank/triangles/degrees on the same edge "
+        "derivation. Two directional aggregates of the edge table "
+        "(nation-pair-sized) left-joined to the node list — edge "
+        "construction is the only fact-table work.",
+)
+def q_graph_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    w = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+         .join(li, F.col("l_orderkey") == o.o_orderkey)
+         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+         .groupBy("src", "dst")
+         .agg(F.sum(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))).alias("v")))
+    nodes = (w.select(F.col("src").alias("name"))
+             .union(w.select(F.col("dst").alias("name"))).distinct())
+    imports = w.groupBy(F.col("src").alias("nation")).agg(
+        F.sum("v").alias("imports"))
+    exports = w.groupBy(F.col("dst").alias("nation")).agg(
+        F.sum("v").alias("exports"))
+    return (nodes
+            .join(exports, nodes.name == exports.nation, "left").drop("nation")
+            .join(imports, nodes.name == imports.nation, "left").drop("nation")
+            .select(F.col("name").alias("nation"),
+                    F.round(F.coalesce("exports", F.lit(0.0)), 2)
+                    .alias("exports"),
+                    F.round(F.coalesce("imports", F.lit(0.0)), 2)
+                    .alias("imports"),
+                    F.round(F.coalesce("exports", F.lit(0.0))
+                            - F.coalesce("imports", F.lit(0.0)), 2)
+                    .alias("net_balance")))
