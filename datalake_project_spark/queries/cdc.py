@@ -594,3 +594,46 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("s"), 2).alias("total_price"),
                  F.round(F.min("mn"), 2).alias("min_price"),
                  F.round(F.max("mx"), 2).alias("max_price")))
+
+
+@register(
+    "q_snapshot_asof",
+    oracle="""
+    SELECT '19970101T120000' AS resolved_run,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+    doc="Time-travel read (AS OF): three run_ts snapshots of one usage "
+        "date exist; a reader asking for the state as of 15:00 "
+        "resolves (via Lake.latest_run_before — a metadata-only "
+        "aggregate over the partition column, reference S7's semantics "
+        "without os.listdir) to the 12:00 run and reads exactly that "
+        "partition, partition-pruned. The oracle recomputes the "
+        "snapshot content from source and pins the resolved run id — "
+        "proving both the resolution rule and the read. Idempotent: "
+        "each execution rebuilds the three runs first.",
+)
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+
+    lake = Lake(spark, scratch_dir("asof", sf_dir))
+    for ts in ("19970101T060000", "19970101T120000", "19970101T180000"):
+        lake.write_usage(snap, "orders97", "1997-01-01", ts)
+    resolved = lake.latest_run_before("orders97", "1997-01-01",
+                                      "19970101T150000")
+    part = lake.read_usage("orders97", "1997-01-01", resolved)
+    agg = part.agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 2).alias("t")).first()
+    return spark.createDataFrame(
+        [(resolved, agg["n"], float(agg["t"]))],
+        "resolved_run string, n_rows long, total_price double")

@@ -966,3 +966,43 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.round(F.sum("value"), 2).alias("attributed_value")))
+
+
+@register(
+    "q_events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS island
+        FROM days),
+    streaks AS (
+        SELECT user_id, COUNT(*) AS len
+        FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Activity streaks per user (gaps-and-islands over active days): "
+        "island id = day minus per-user day rank, so consecutive days "
+        "share an island; per-user longest streak and streak count — "
+        "the engagement metric behind habit/retention scoring, and the "
+        "canonical gaps-and-islands template beside q_snapshot_scd2's "
+        "validity intervals. One shuffle on user_id serves the rank "
+        "window and both aggregates.",
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        F.date_sub("d", F.row_number().over(w)).alias("island"))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("long").alias("longest_streak"),
+                 F.count(F.lit(1)).cast("long").alias("n_streaks")))
