@@ -1002,3 +1002,68 @@ def q_dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tagged.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.count("j").cast("long").alias("n_dropped")))
+
+
+@register(
+    "q_embed_pca_explained_variance",
+    oracle=_pca_oracle(N_POWER).replace(
+        """
+    SELECT CAST(dim AS INT) AS dim, ROUND(val, 4) + 0.0 AS component
+    FROM v3""",
+        """,
+    lam AS (
+        SELECT SUM(va.val * cov.c * vb.val) AS lambda1
+        FROM cov JOIN v3 va ON cov.i = va.dim
+                 JOIN v3 vb ON cov.j = vb.dim),
+    tr AS (SELECT SUM(c) AS trace FROM cov WHERE i = j)
+    SELECT ROUND(lam.lambda1, 4) + 0.0 AS lambda1,
+           ROUND(tr.trace, 4) + 0.0 AS total_variance,
+           ROUND(lam.lambda1 / tr.trace, 4) + 0.0 AS pc1_share
+    FROM lam CROSS JOIN tr"""),
+    doc="Explained-variance share of the first principal component: "
+        "the Rayleigh quotient v'Cv of the power-iteration vector "
+        "(lambda-1 estimate) over the covariance trace (total "
+        "variance) — THE summary number of a PCA (near-1 means the "
+        "embedding space collapsed to a line: an anisotropy/encoder-"
+        "failure alarm; 1/d means isotropic). Composes the Gram-"
+        "partial covariance and the unrolled power iteration into the "
+        "quadratic form as two joins + one aggregate — still one lazy "
+        "DAG, no matrix ever on the driver.",
+)
+def q_embed_pca_explained_variance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select(F.col("embedding").alias("v")))
+    partials = e.mapInPandas(_gram_partials, schema=_MOMENT_SCHEMA)
+    cov = (F.col("sxy") / F.col("n")
+           - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n")))
+    upper = (partials.groupBy("i", "j")
+             .agg(F.sum("n").alias("n"), F.sum("sxy").alias("sxy"),
+                  F.sum("si").alias("si"), F.sum("sj").alias("sj"))
+             .select("i", "j", F.round(cov, COV_DP).alias("c")))
+    full = upper.union(
+        upper.where(F.col("i") < F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")))
+    v = spark.createDataFrame([(0, 1.0)], "dim int, val double")
+    for _ in range(N_POWER):
+        w = (full.join(F.broadcast(v), full.j == v.dim)
+             .groupBy(F.col("i").alias("dim"))
+             .agg(F.sum(F.col("c") * F.col("val")).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("dim", F.round(F.col("w") / F.col("n"), COV_DP)
+                     .alias("val")))
+    va = v.select(F.col("dim").alias("ia"), F.col("val").alias("xa"))
+    vb = v.select(F.col("dim").alias("ib"), F.col("val").alias("xb"))
+    lam = (full.join(F.broadcast(va), full.i == F.col("ia"))
+           .join(F.broadcast(vb), full.j == F.col("ib"))
+           .agg(F.sum(F.col("xa") * F.col("c") * F.col("xb"))
+                .alias("lambda1")))
+    tr = (full.where(F.col("i") == F.col("j"))
+          .agg(F.sum("c").alias("trace")))
+    return (lam.crossJoin(F.broadcast(tr))
+            .select((F.round("lambda1", 4) + F.lit(0.0)).alias("lambda1"),
+                    (F.round("trace", 4) + F.lit(0.0))
+                    .alias("total_variance"),
+                    (F.round(F.col("lambda1") / F.col("trace"), 4)
+                     + F.lit(0.0)).alias("pc1_share")))

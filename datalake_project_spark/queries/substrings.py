@@ -937,3 +937,48 @@ def q_text_interpolated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"))
+
+
+@register(
+    "q_corpus_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     FOR i IN range(1, len(ws) - 1)])) AS s
+        FROM tok WHERE len(ws) >= 3),
+    first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                AS BIGINT) AS n_novel,
+           ROUND(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)::DOUBLE
+                 / COUNT(*), 4) + 0.0 AS novelty
+    FROM sh JOIN first_seen f USING (s)
+    GROUP BY sh.doc_id
+    """,
+    doc="N-gram novelty scoring: per document, the fraction of its "
+        "distinct word-3-grams whose FIRST corpus occurrence (minimum "
+        "doc_id as the ingestion-order proxy) is this document — the "
+        "position-sensitive novelty curve between exact dedup (novelty "
+        "0 for later copies) and fully fresh text (novelty 1), the "
+        "signal dataset-curriculum and memorization studies plot over "
+        "ingestion order. One shingle index (the same inverted-index "
+        "shape as the dedup family), a min-aggregate per shingle, one "
+        "join back — first_seen is shingle-keyed and shuffles the "
+        "8-byte-hashable key, never documents.",
+)
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = (d.select("doc_id",
+                   F.explode(T.shingles(T.tokens("text"), n=3)).alias("s")))
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return (sh.join(first, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count(novel).cast("long").alias("n_novel"),
+                 (F.round(F.count(novel).cast("double")
+                          / F.count(F.lit(1)), 4) + F.lit(0.0))
+                 .alias("novelty")))
