@@ -1006,3 +1006,59 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (streaks.groupBy("user_id")
             .agg(F.max("len").cast("long").alias("longest_streak"),
                  F.count(F.lit(1)).cast("long").alias("n_streaks")))
+
+
+@register(
+    "q_events_pmi",
+    oracle="""
+    WITH ctx AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+        FROM events),
+    n_ctx AS (SELECT COUNT(DISTINCT (user_id, d)) AS n FROM ctx),
+    occ AS (SELECT event_type, COUNT(*) AS c FROM ctx GROUP BY event_type),
+    co AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+        FROM ctx a JOIN ctx b
+          ON a.user_id = b.user_id AND a.d = b.d
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT co.ta, co.tb, CAST(co.cab AS BIGINT) AS n_contexts,
+           ROUND(LN(co.cab::DOUBLE * n_ctx.n / (oa.c::DOUBLE * ob.c)), 4)
+               + 0.0 AS pmi
+    FROM co
+    JOIN occ oa ON oa.event_type = co.ta
+    JOIN occ ob ON ob.event_type = co.tb
+    CROSS JOIN n_ctx
+    """,
+    doc="Pointwise mutual information between event types co-occurring "
+        "in the same (user, day) context: PMI = ln(P(a,b)/(P(a)P(b))) "
+        "— the association measure behind word2vec-era embeddings and "
+        "behavioral affinity models, generalizing q_basket_pairs' raw "
+        "co-occurrence counts with the independence-normalized score. "
+        "Contexts deduplicate to (user, day, type) first, so the "
+        "co-occurrence self-join is context-keyed (bounded by "
+        "types-per-context, never events^2); marginals and the "
+        "context total are type-sized and 1-row broadcast aggregates.",
+)
+def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    ctx = e.select("user_id", F.to_date("ts").alias("d"),
+                   "event_type").distinct()
+    n_ctx = (ctx.select("user_id", "d").distinct()
+             .agg(F.count(F.lit(1)).alias("n")))
+    occ = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ctx.select("user_id", "d", F.col("event_type").alias("ta"))
+    b = ctx.select("user_id", "d", F.col("event_type").alias("tb"))
+    co = (a.join(b, ["user_id", "d"])
+          .where(F.col("ta") < F.col("tb"))
+          .groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("cab")))
+    oa = occ.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    ob = occ.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    return (co.join(F.broadcast(oa), "ta").join(F.broadcast(ob), "tb")
+            .crossJoin(F.broadcast(n_ctx))
+            .select("ta", "tb",
+                    F.col("cab").cast("long").alias("n_contexts"),
+                    (F.round(F.log(F.col("cab").cast("double") * F.col("n")
+                                   / (F.col("ca").cast("double")
+                                      * F.col("cb"))), 4)
+                     + F.lit(0.0)).alias("pmi")))
