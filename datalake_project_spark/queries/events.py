@@ -1062,3 +1062,57 @@ def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / (F.col("ca").cast("double")
                                       * F.col("cb"))), 4)
                      + F.lit(0.0)).alias("pmi")))
+
+
+@register(
+    "q_events_markov_baseline_accuracy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    tc AS (SELECT prev_type AS s, event_type AS t, COUNT(*) AS n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    best AS (
+        SELECT s, t AS predicted FROM (
+            SELECT s, t, ROW_NUMBER() OVER (
+                PARTITION BY s ORDER BY n DESC, t ASC) AS rn
+            FROM tc) WHERE rn = 1)
+    SELECT CAST(SUM(tc.n) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN tc.t = best.predicted
+                         THEN tc.n ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN tc.t = best.predicted THEN tc.n ELSE 0 END)
+                 ::DOUBLE / SUM(tc.n), 4) + 0.0 AS accuracy
+    FROM tc JOIN best USING (s)
+    """,
+    doc="Next-event prediction baseline: accuracy of always predicting "
+        "the modal next type per current type (argmax row of the "
+        "q_events_transitions matrix, ties to the lexicographically "
+        "first type) — the floor any sequence model must beat, "
+        "computed entirely on the types^2 transition table (the "
+        "argmax window partitions by source type over <= n_types "
+        "rows; the corpus is touched once for the lag counts).",
+)
+def q_events_markov_baseline_accuracy(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    tc = (seq.where(F.col("prev_type").isNotNull())
+          .groupBy(F.col("prev_type").alias("s"),
+                   F.col("event_type").alias("t"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    # argmax with count-desc, type-asc tie-break: max count per source
+    # first, then the lexicographically smallest type at that count
+    # (max-of-struct can't express a descending string tie-break)
+    maxn = tc.groupBy("s").agg(F.max("n").alias("max_n"))
+    best = (tc.join(maxn, "s")
+            .where(F.col("n") == F.col("max_n"))
+            .groupBy("s").agg(F.min("t").alias("predicted")))
+    correct = F.when(F.col("t") == F.col("predicted"), F.col("n")).otherwise(0)
+    return (tc.join(best, "s")
+            .agg(F.sum("n").cast("long").alias("n_transitions"),
+                 F.sum(correct).cast("long").alias("n_correct"),
+                 (F.round(F.sum(correct).cast("double") / F.sum("n"), 4)
+                  + F.lit(0.0)).alias("accuracy")))

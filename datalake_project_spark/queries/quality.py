@@ -244,3 +244,90 @@ def q_corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.coalesce(F.sum(F.when(pass_all, F.col("n_tokens"))), F.lit(0))
              .cast("long").alias("clean_tokens"))
     )
+
+
+ENS_W = (0.4, 0.4, 0.2)  # heuristic, classifier, normalized LM weights
+
+
+@register(
+    "q_quality_ensemble",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    heur AS (
+        SELECT doc_id,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, ({_stop_sql('en')}) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN len(toks) > 0 AND
+                           (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE < 2.0
+                            OR list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE > 12.0)
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS h
+        FROM tok),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    vocab AS (SELECT DISTINCT t, ((len(t) % 7) - 3) * 0.05::DOUBLE AS w
+              FROM ex),
+    cls AS (SELECT doc_id, ROUND(1.0 / (1.0 + exp(-AVG(vocab.w))), 4) AS p
+            FROM ex JOIN vocab USING (t) GROUP BY doc_id),
+    uni AS (SELECT unnest(toks) AS w FROM tok),
+    c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    bg AS (SELECT doc_id,
+                  unnest([toks[i] || ' ' || toks[i+1]
+                          FOR i IN range(1, len(toks))]) AS bg
+           FROM tok WHERE len(toks) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    lm AS (SELECT bg.doc_id,
+                  ROUND(AVG(LN((c2.c2 + 1)::DOUBLE
+                               / (c1.c1 + v.vocab)::DOUBLE)), 4) AS lp
+           FROM bg JOIN c2 USING (bg)
+           JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.w1
+           CROSS JOIN v GROUP BY bg.doc_id),
+    bounds AS (SELECT MIN(lp) AS lo, MAX(lp) AS hi FROM lm),
+    scored AS (
+        SELECT h.doc_id,
+               ROUND({ENS_W[0]} * h.h + {ENS_W[1]} * cls.p
+                     + {ENS_W[2]} * CASE WHEN b.hi > b.lo
+                           THEN (lm.lp - b.lo) / (b.hi - b.lo)
+                           ELSE 0.5 END, 4) + 0.0 AS ensemble
+        FROM heur h JOIN cls USING (doc_id) JOIN lm USING (doc_id)
+        CROSS JOIN bounds b)
+    SELECT doc_id, ensemble, ensemble >= 0.5 AS keep FROM scored
+    """,
+    doc="Multi-signal quality ensemble — what a production filter "
+        "actually ships: weighted blend of the heuristic score "
+        "(q_text_quality), the classifier probability "
+        "(q_text_quality_classifier), and the min-max-normalized "
+        "bigram-LM log probability (q_text_bigram_lm), with a 0.5 "
+        "keep threshold. Three per-doc signal tables join on doc_id "
+        "(each already one-DAG; the LM normalization bounds are a "
+        "broadcast 1-row aggregate), so the ensemble adds two keyed "
+        "joins and zero extra corpus passes beyond its inputs.",
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.queries.ml import _classifier_scores
+    from datalake_project_spark.queries.substrings import q_text_bigram_lm
+    from datalake_project_spark.queries.text import q_text_quality
+
+    heur = q_text_quality(spark, sf_dir).select(
+        "doc_id", F.col("quality").alias("h"))
+    cls = _classifier_scores(spark, sf_dir).select(
+        "doc_id", F.col("prob").alias("p"))
+    lm = q_text_bigram_lm(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lp"))
+    bounds = lm.agg(F.min("lp").alias("lo"), F.max("lp").alias("hi"))
+    norm_lm = F.when(F.col("hi") > F.col("lo"),
+                     (F.col("lp") - F.col("lo"))
+                     / (F.col("hi") - F.col("lo"))).otherwise(0.5)
+    scored = (heur.join(cls, "doc_id").join(lm, "doc_id")
+              .crossJoin(F.broadcast(bounds))
+              .select("doc_id",
+                      (F.round(ENS_W[0] * F.col("h") + ENS_W[1] * F.col("p")
+                               + ENS_W[2] * norm_lm, 4)
+                       + F.lit(0.0)).alias("ensemble")))
+    return scored.select("doc_id", "ensemble",
+                         (F.col("ensemble") >= 0.5).alias("keep"))
