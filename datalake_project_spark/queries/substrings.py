@@ -982,3 +982,76 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.count(novel).cast("double")
                           / F.count(F.lit(1)), 4) + F.lit(0.0))
                  .alias("novelty")))
+
+
+@register(
+    "q_dedup_winnow_resolved",
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    spans AS (
+        SELECT doc_id, t.i AS pos,
+               array_to_string(ws[t.i:t.i+{WINNOW_K - 1}], ' ') AS span
+        FROM tok, unnest(range(1, len(ws) - {WINNOW_K - 2})) AS t(i)
+        WHERE len(ws) >= {WINNOW_K}),
+    hashed AS (
+        SELECT doc_id, pos,
+               list_reduce(list_prepend(0::BIGINT,
+                   [unicode(span[i])::BIGINT FOR i IN range(1, length(span) + 1)]),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_spans
+        FROM spans),
+    winnowed AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos, n_spans,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING) AS fp
+            FROM hashed)
+        WHERE pos <= n_spans - {WINNOW_W - 1}),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM winnowed a JOIN winnowed b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.id = d.doc_id
+                      AND comp.id <> comp.rep)
+    """,
+    doc="Winnowing end-to-end: fingerprint candidate pairs (>= 2 shared "
+        "window-min span hashes) -> connected components -> keep only "
+        "cluster representatives + untouched documents — the "
+        "position-sensitive counterpart of q_dedup_resolved's "
+        "shingle-set resolution, detecting documents that share RUNS "
+        "of text (plagiarism/mirror shape) rather than similar "
+        "bags-of-shingles. Same min-label component propagation and "
+        "anti-join; the pair layer carries only (id, int64) "
+        "fingerprints.",
+)
+def q_dedup_winnow_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.dedup import (
+        connected_components, winnow_fingerprint_rows,
+    )
+
+    d = Catalog(spark, sf_dir).table("documents")
+    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W)
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("a_id"),
+                      F.col("b.doc_id").alias("b_id"))
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= 2)
+             .select("a_id", "b_id"))
+    comp = connected_components(pairs)
+    non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
+    return d.join(non_reps, d.doc_id == non_reps.id, "left_anti") \
+        .select("doc_id")
