@@ -657,3 +657,54 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (F.round(F.log(u) / F.col("n_chars"), 8) + F.lit(0.0))
     return (d.select("doc_id", "source", "n_chars", key.alias("es_key"))
             .orderBy(F.desc("es_key"), "doc_id").limit(WSAMPLE_N))
+
+
+@register(
+    "q_split_balance_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN substr(md5(doc_id::VARCHAR || ':split:42'), 1, 2)
+                         < 'cc' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR || ':split:42'), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               n_chars,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+        FROM documents),
+    g AS (SELECT AVG(nt) AS gm FROM assigned)
+    SELECT split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(nt), 2) + 0.0 AS mean_tokens,
+           ROUND(SQRT(GREATEST(AVG(nt * nt) - AVG(nt) * AVG(nt), 0)), 2)
+               + 0.0 AS std_tokens,
+           ROUND(ABS(AVG(nt) - g.gm) / g.gm, 4) + 0.0 AS mean_drift
+    FROM assigned CROSS JOIN g
+    GROUP BY split, g.gm
+    """,
+    doc="Split-balance audit: per split, document count, token-length "
+        "moments, and the relative drift of the split mean from the "
+        "corpus mean — the randomization check that catches a broken "
+        "hash salt or a length-correlated assignment before anyone "
+        "trusts val/test numbers (a sound hash split drifts by "
+        "O(1/sqrt(n))). One scan, per-split two-moment aggregates, "
+        "the corpus mean as a broadcast 1-row aggregate; variance "
+        "clamped against float cancellation as elsewhere.",
+)
+def q_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    assigned = split_assign(
+        d.select("doc_id", T.token_count("text").alias("nt")), "doc_id")
+    g = assigned.agg(F.avg("nt").alias("gm"))
+    return (assigned.crossJoin(F.broadcast(g))
+            .groupBy("split", "gm")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.round(F.avg("nt"), 2) + F.lit(0.0)).alias("mean_tokens"),
+                 (F.round(F.sqrt(F.greatest(
+                     F.avg(F.col("nt") * F.col("nt"))
+                     - F.avg("nt") * F.avg("nt"), F.lit(0.0))), 2)
+                  + F.lit(0.0)).alias("std_tokens"),
+                 (F.round(F.abs(F.avg("nt") - F.col("gm")) / F.col("gm"), 4)
+                  + F.lit(0.0)).alias("mean_drift"))
+            .drop("gm"))

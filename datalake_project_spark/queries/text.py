@@ -588,3 +588,45 @@ def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "dim",
                     (F.round(F.col("val") / F.col("nrm"), 6)
                      + F.lit(0.0)).alias("value")))
+
+
+@register(
+    "q_text_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len({_SQL_TOKS}) AS n_words,
+               len(regexp_extract_all(lower(text),
+                   \'\'\'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s\'\']+\'))
+                   AS n_pieces
+        FROM documents)
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           ROUND(CASE WHEN SUM(n_words) > 0
+                      THEN SUM(n_pieces)::DOUBLE / SUM(n_words)
+                      ELSE 0.0 END, 4) + 0.0 AS fertility
+    FROM t GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language (pre-tokenizer pieces per "
+        "word): the multilingual-equity metric - languages the "
+        "tokenizer fragments hardest pay more sequence length per "
+        "sentence, so fertility drives both cost attribution and "
+        "vocab-allocation decisions (the zh slice\'s n_words is near 0 "
+        "under the ASCII word regex while pieces are not: exactly the "
+        "disparity this table surfaces). Map-only regex counts, one "
+        "tiny aggregate; the piece regex is the shared GPT-2-style "
+        "pattern both engines run verbatim.",
+)
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    return (d.select("lang",
+                     F.size(T.tokens("text")).alias("n_words"),
+                     T.bpe_pieces("text").alias("n_pieces"))
+            .groupBy("lang")
+            .agg(F.sum("n_words").cast("long").alias("total_words"),
+                 F.sum("n_pieces").cast("long").alias("total_pieces"),
+                 (F.round(F.when(F.sum("n_words") > 0,
+                                 F.sum("n_pieces").cast("double")
+                                 / F.sum("n_words")).otherwise(0.0), 4)
+                  + F.lit(0.0)).alias("fertility")))
