@@ -20,6 +20,12 @@ Scale/plan properties:
   pushdown).
 - **explicit schema**: DDL via the ``schema`` option (default
   ``json_ingest.RECORD_SCHEMA``); no sampling pass over the payload.
+- **streaming**: the same source registers a ``streamReader`` — the
+  offset is the pages-seen count, each micro-batch plans one partition
+  per NEW page, and Spark's checkpoint carries the offset, so
+  ``readStream.format("paged_json")`` ingests an append-only page feed
+  exactly-once (the reference's per-DAG-run re-fetch becomes
+  incremental).
 
 Pages are local JSON files here (the sandbox has no network); the
 page-discovery step is the only thing a real HTTP deployment would
@@ -36,6 +42,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     InputPartition,
@@ -100,6 +107,46 @@ class PagedJsonReader(DataSourceReader):
                 yield tuple(rec.get(c) for c in self.names)
 
 
+class PagedJsonStreamReader(DataSourceStreamReader):
+    """Micro-batch planner over an append-only page directory: the
+    offset is the count of pages ever seen (pages are named
+    monotonically by the producer — the API paginator's natural order),
+    so batch (start, end) maps to one ``InputPartition`` per NEW page
+    and already-ingested pages are never re-read. Executors parse pages
+    exactly as the batch reader does; the driver only lists the
+    directory."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.names = schema.fieldNames()
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("paged_json requires a 'path' option")
+
+    def _pages(self) -> list[str]:
+        return sorted(
+            os.path.join(self.root, f) for f in os.listdir(self.root)
+            if f.endswith(".json"))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._pages())}
+
+    def partitions(self, start: dict, end: dict) -> list[PagePartition]:
+        return [PagePartition(p)
+                for p in self._pages()[start["n"]:end["n"]]]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        with open(partition.path) as fh:
+            payload = json.load(fh)
+        for rec in normalize_payload(payload):
+            yield tuple(rec.get(c) for c in self.names)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing source-side
+
+
 class PagedJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -110,6 +157,9 @@ class PagedJsonDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedJsonReader:
         return PagedJsonReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> PagedJsonStreamReader:
+        return PagedJsonStreamReader(schema, dict(self.options))
 
 
 def register_paged_json(spark) -> None:

@@ -97,3 +97,32 @@ def test_missing_path_and_bad_payload(spark, tmp_path):
     with pytest.raises(Exception):  # loud, not logged-and-continued
         (spark.read.format("paged_json")
          .option("path", str(bad)).load().collect())
+
+
+def test_stream_reads_only_new_pages(spark, page_dir, tmp_path):
+    """readStream over the page directory: first availableNow pass
+    ingests all pages; a page appended afterwards is the ONLY content of
+    the next pass (checkpointed offset = pages-seen count)."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    register_paged_json(spark)
+
+    def run_pass():
+        q = (spark.readStream.format("paged_json").option("path", page_dir)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return {(r.username, r.full_name)
+                for r in spark.read.parquet(out).collect()}
+
+    first = run_pass()
+    assert {u for u, _ in first} == {"alice", "bob", "carol", "dave"}
+
+    import pathlib
+    (pathlib.Path(page_dir) / "page_900.json").write_text(
+        json.dumps([{"username": "erin", "full_name": "Erin E"}]))
+    second = run_pass()
+    assert second - first == {("erin", "Erin E")}
+    assert len(second) == len(first) + 1  # no re-ingestion of old pages
