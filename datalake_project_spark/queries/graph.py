@@ -271,3 +271,135 @@ def q_graph_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.coalesce("exports", F.lit(0.0))
                             - F.coalesce("imports", F.lit(0.0)), 2)
                     .alias("net_balance")))
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT p, COUNT(*) AS np FROM bip GROUP BY p),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2,
+               SUM(1.0 / ln(d.np)) AS aa,
+               COUNT(*) AS shared_parts
+        FROM bip a
+        JOIN bip b ON a.p = b.p AND a.s < b.s
+        JOIN deg d ON d.p = a.p
+        WHERE d.np >= 2
+        GROUP BY 1, 2)
+    SELECT s1, s2, ROUND(aa, 6) + 0.0 AS aa, shared_parts
+    FROM pairs
+    ORDER BY aa DESC, s1, s2
+    LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction between suppliers via co-supplied "
+        "parts: AA(u,v) = sum over shared parts of 1/ln(#suppliers of "
+        "the part) — rare shared parts say more than ubiquitous ones. "
+        "Same inverted-index self-join shape as the n-gram Jaccard "
+        "dedup (operators/dedup.py): per-part supplier lists joined on "
+        "the part key, cost Σ np² never |S|²; a heavy-hitter part is "
+        "exactly the df-cap-valve situation and would be capped the "
+        "same way at scale (parts with np >= some bound contribute "
+        "~1/ln(np) ≈ 0 anyway, so capping is also numerically cheap). "
+        "Top-20 via orderBy+limit -> TakeOrderedAndProject with a "
+        "total-order tie-break (aa desc, s1, s2).",
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    bip = li.select(F.col("l_suppkey").alias("s"),
+                    F.col("l_partkey").alias("p")).distinct()
+    deg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    a = bip.select(F.col("s").alias("s1"), "p")
+    b = bip.select(F.col("s").alias("s2"), "p")
+    pairs = (a.join(b, "p")
+             .where(F.col("s1") < F.col("s2"))
+             .join(deg.where(F.col("np") >= 2), "p")
+             .groupBy("s1", "s2")
+             .agg(F.sum(1.0 / F.log(F.col("np"))).alias("aa_raw"),
+                  F.count(F.lit(1)).alias("shared_parts")))
+    return (pairs.select("s1", "s2",
+                         (F.round("aa_raw", 6) + F.lit(0.0)).alias("aa"),
+                         "shared_parts")
+            .orderBy(F.col("aa").desc(), "s1", "s2")
+            .limit(20))
+
+
+def _labelprop_oracle(n_iter: int) -> str:
+    parts = ["    WITH" + _EDGES_SQL + """,
+    sym AS (
+        SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT src AS u, dst AS v, w FROM edges WHERE src <> dst
+            UNION ALL
+            SELECT dst AS u, src AS v, w FROM edges WHERE src <> dst)
+        GROUP BY u, v),
+    l0 AS (SELECT name AS node, name AS lab FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    v{i} AS (
+        SELECT e.u AS node, p.lab, CAST(SUM(e.w) AS BIGINT) AS sw
+        FROM sym e JOIN l{i-1} p ON p.node = e.v
+        GROUP BY 1, 2),
+    b{i} AS (
+        SELECT node, lab FROM v{i}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY sw DESC, lab) = 1),
+    l{i} AS (
+        SELECT n.name AS node, COALESCE(b{i}.lab, n.name) AS lab
+        FROM nodes n LEFT JOIN b{i} ON b{i}.node = n.name)""")
+    return "".join(parts) + f"""
+    SELECT node AS nation, lab AS community FROM l{n_iter}"""
+
+
+@register(
+    "q_graph_label_propagation",
+    oracle=_labelprop_oracle(2),
+    doc="Community detection by synchronous weighted label propagation "
+        "over the undirected nation trade graph (2 fixed iterations): "
+        "each node adopts the label carrying the highest total incident "
+        "edge weight among its neighbors, ties broken by smallest "
+        "label, isolated nodes keep their own — fully deterministic, "
+        "so the oracle unrolls the identical trajectory (the usual LP "
+        "randomness is exactly what an oracle-checked engine can't "
+        "ship). Per iteration: one (node, neighbor-label) weight "
+        "aggregate + a node-partitioned argmax window — the Pregel "
+        "shape PageRank above uses, with argmax instead of sum as the "
+        "combiner. Fixed iterations => one lazy DAG, no driver "
+        "actions.",
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("src") != F.col("dst")))
+    sym = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+           .unionAll(edges.select(F.col("dst").alias("u"),
+                                  F.col("src").alias("v"), "w"))
+           .groupBy("u", "v").agg(F.sum("w").cast("long").alias("w")))
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    labels = nodes.select(F.col("name").alias("node"),
+                          F.col("name").alias("lab"))
+    win = Window.partitionBy("node").orderBy(F.col("sw").desc(), F.col("lab"))
+    for _ in range(2):
+        votes = (sym.join(labels.select(F.col("node").alias("v"),
+                                        F.col("lab")), "v")
+                 .groupBy(F.col("u").alias("node"), "lab")
+                 .agg(F.sum("w").cast("long").alias("sw")))
+        best = (votes.withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") == 1).select("node", "lab"))
+        labels = (nodes.join(best, nodes.name == best.node, "left")
+                  .select(F.col("name").alias("node"),
+                          F.coalesce("lab", F.col("name")).alias("lab")))
+    return labels.select(F.col("node").alias("nation"),
+                         F.col("lab").alias("community"))
