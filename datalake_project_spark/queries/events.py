@@ -1175,3 +1175,58 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id",
         (F.round(num / den, 6) + F.lit(0.0)).alias("ewma"))
+
+
+@register(
+    "q_events_chi_squared",
+    oracle="""
+    WITH ct AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+           FROM ct GROUP BY 1),
+    colt AS (SELECT h, CAST(SUM(o) AS BIGINT) AS c FROM ct GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+    cells AS (
+        SELECT ct.o, rt.r * colt.c / tot.n::DOUBLE AS e
+        FROM ct JOIN rt USING (event_type) JOIN colt USING (h)
+        CROSS JOIN tot)
+    SELECT COUNT(*) AS n_cells,
+           (SELECT (COUNT(DISTINCT event_type) - 1) FROM ct)
+           * (SELECT (COUNT(DISTINCT h) - 1) FROM ct) AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 4) + 0.0 AS chi2
+    FROM cells
+    """,
+    doc="Chi-squared test of independence between event type and "
+        "hour-of-day (is activity mix time-stationary?): the "
+        "categorical drift test beside the KS length drift and the "
+        "A/B t-test. ONE pass over events builds the (type, hour) "
+        "contingency table; row/column marginals and the grand total "
+        "are re-aggregated from that tiny table (never from the base "
+        "scan) and broadcast back, so the fact-table cost is a single "
+        "groupBy with map-side partials regardless of corpus size. "
+        "Expected counts e = r*c/n, statistic = sum (o-e)^2/e over "
+        "~|types|x24 cells, rounded at 4 dp on both engines.",
+)
+def q_events_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    ct = (e.groupBy("event_type", F.hour("ts").alias("h"))
+          .agg(F.count(F.lit(1)).alias("o")))
+    rt = ct.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    colt = ct.groupBy("h").agg(F.sum("o").cast("long").alias("c"))
+    tot = ct.agg(F.sum("o").cast("long").alias("n"))
+    cells = (ct.join(F.broadcast(rt), "event_type")
+             .join(F.broadcast(colt), "h")
+             .crossJoin(F.broadcast(tot))
+             .select("o", (F.col("r") * F.col("c")
+                           / F.col("n").cast("double")).alias("e")))
+    dims = ct.agg(
+        ((F.countDistinct("event_type") - 1)
+         * (F.countDistinct("h") - 1)).alias("dof"))
+    return (cells.agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                (F.round(F.sum((F.col("o") - F.col("e"))
+                               * (F.col("o") - F.col("e")) / F.col("e")), 4)
+                 + F.lit(0.0)).alias("chi2"))
+            .crossJoin(F.broadcast(dims))
+            .select("n_cells", "dof", "chi2"))
