@@ -132,3 +132,47 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(risky).cast("long").alias("n_risky_groups"),
         F.coalesce(F.sum(risky), F.lit(0)).cast("long").alias("n_risky_rows"),
         (F.min("n") >= K_ANON).alias("k_anonymous"))
+
+
+@register(
+    "q_benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+    ct AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM ct)
+    SELECT digit, n,
+           ROUND(n / tot.total::DOUBLE, 4) + 0.0 AS share,
+           ROUND(log10(1.0 + 1.0 / digit), 4) + 0.0 AS benford,
+           ROUND(ABS(n / tot.total::DOUBLE
+                     - log10(1.0 + 1.0 / digit)), 4) + 0.0 AS abs_dev
+    FROM ct CROSS JOIN tot
+    """,
+    doc="Benford first-digit audit of order totals: observed "
+        "first-significant-digit shares vs the Benford expectation "
+        "log10(1+1/d) with per-digit absolute deviation — the classic "
+        "fabricated-data / fraud screen beside the k-anonymity and "
+        "data-quality audits. First digit is extracted through integer "
+        "string-prefix (FLOOR then BIGINT then first char), never "
+        "through log10-of-value, so no float-boundary can disagree "
+        "between engines. One scan -> 9-row digit histogram; the total "
+        "is re-aggregated from the histogram and broadcast back.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    d = (o.where(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("long")
+                             .cast("string"), 1, 1).cast("int")
+                 .alias("digit")))
+    ct = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = ct.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n") / F.col("total").cast("double")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (ct.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    (F.round(share, 4) + F.lit(0.0)).alias("share"),
+                    (F.round(benford, 4) + F.lit(0.0)).alias("benford"),
+                    (F.round(F.abs(share - benford), 4)
+                     + F.lit(0.0)).alias("abs_dev")))
