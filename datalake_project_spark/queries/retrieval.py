@@ -192,3 +192,73 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(0.0)), 6)
                       + F.lit(0.0)).alias("rrf")))
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+NDCG_K = 10
+
+
+@register(
+    "q_retrieval_ndcg",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    rel AS (SELECT doc_id, COUNT(DISTINCT term) AS rel
+            FROM tf GROUP BY doc_id),
+    top AS (
+        SELECT r.rel,
+               ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS rank
+        FROM bm25 b JOIN rel r USING (doc_id)
+        QUALIFY rank <= {NDCG_K}),
+    ideal AS (
+        SELECT rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+        FROM rel QUALIFY rank <= {NDCG_K}),
+    d AS (SELECT SUM((POW(2, rel) - 1) / log2(rank + 1)) AS dcg FROM top),
+    i AS (SELECT SUM((POW(2, rel) - 1) / log2(rank + 1)) AS idcg FROM ideal)
+    SELECT ROUND(dcg, 6) + 0.0 AS dcg,
+           ROUND(idcg, 6) + 0.0 AS idcg,
+           ROUND(dcg / idcg, 6) + 0.0 AS ndcg
+    FROM d CROSS JOIN i
+    """,
+    doc="nDCG@10 of the BM25 ranking against a graded term-coverage "
+        "relevance label (rel = number of distinct probe terms the "
+        "document contains): the standard ranking-quality metric, "
+        "completing the retrieval arc (rank -> fuse -> evaluate) the "
+        "way the Mann-Whitney AUC completes the classifier arc. Both "
+        "the ranked list and the ideal list truncate to 10 candidates "
+        "via orderBy+limit (TakeOrderedAndProject) and take positions "
+        "from a bounded broadcast self-join over those 10 rows — no "
+        "global ranking of the corpus anywhere; the label aggregate "
+        "reuses the probe-filtered inverted index BM25 already built.",
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("toks"))
+    rel = (tok.select("doc_id", F.explode("toks").alias("term"))
+           .where(F.col("term").isin(*PROBE_TERMS))
+           .groupBy("doc_id")
+           .agg(F.countDistinct("term").alias("rel")))
+
+    def positions(df: DataFrame, order_col: str) -> DataFrame:
+        """Top-NDCG_K rows of df with 1-based position, by
+        (order_col desc, doc_id) — bounded self-join, no window."""
+        top = df.orderBy(F.desc(order_col), "doc_id").limit(NDCG_K)
+        a, b = top.alias("a"), top.alias("b")
+        oa, ob = F.col(f"a.{order_col}"), F.col(f"b.{order_col}")
+        better = ((ob > oa)
+                  | ((ob == oa) & (F.col("b.doc_id") < F.col("a.doc_id"))))
+        return (a.join(F.broadcast(b), better, "left")
+                .groupBy(F.col("a.doc_id").alias("doc_id"),
+                         F.col("a.rel").alias("rel"))
+                .agg((F.count(F.col("b.doc_id")) + 1).alias("rank")))
+
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+    ranked = positions(
+        _bm25_scores(spark, sf_dir).join(rel, "doc_id"), "score")
+    dcg = ranked.agg(F.sum(gain).alias("dcg"))
+    ideal = positions(rel.withColumn("score", F.col("rel")), "score")
+    idcg = ideal.agg(F.sum(gain).alias("idcg"))
+    return (dcg.crossJoin(F.broadcast(idcg))
+            .select((F.round("dcg", 6) + F.lit(0.0)).alias("dcg"),
+                    (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
+                    (F.round(F.col("dcg") / F.col("idcg"), 6)
+                     + F.lit(0.0)).alias("ndcg")))
