@@ -106,6 +106,16 @@ ADDITIONS = [
     "q_embed_pq_search",
     "q_events_active_users",
     "q_events_markov_stationary",
+    # final round-4 additions: evaluation metrics (AUC / nDCG), graph
+    # link-prediction + communities, windowed EWMA features, and the
+    # statistical audits
+    "q_classifier_auc",
+    "q_retrieval_ndcg",
+    "q_graph_adamic_adar",
+    "q_graph_label_propagation",
+    "q_events_ewma",
+    "q_events_chi_squared",
+    "q_benford_audit",
 ]
 
 HEADLINE = CORE + ADDITIONS

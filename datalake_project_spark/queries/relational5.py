@@ -869,3 +869,70 @@ def q_orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("INTERVAL 1 MONTH"))).alias("m")))
     return (spans.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
             .agg(F.count(F.lit(1)).alias("open_orders")))
+
+
+@register(
+    "q_recs_item_knn",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n12
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    sym AS (
+        SELECT pa AS p, pb AS q, n12 FROM pairs
+        UNION ALL
+        SELECT pb AS p, pa AS q, n12 FROM pairs),
+    sim AS (
+        SELECT s.p, s.q, s.n12 / sqrt(dp.n::DOUBLE * dq.n::DOUBLE) AS c
+        FROM sym s
+        JOIN deg dp ON dp.p = s.p
+        JOIN deg dq ON dq.p = s.q)
+    SELECT p AS part, q AS neighbor, ROUND(c, 6) + 0.0 AS cosine
+    FROM sim
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY c DESC, q) <= 3
+    """,
+    doc="Item-item collaborative filtering: per-part top-3 most similar "
+        "parts by co-purchase cosine n12/sqrt(n1*n2) — the "
+        "recommendation step ON TOP of q_basket_pairs' raw support "
+        "counts (same order-keyed self-join builds the pairs, so cost "
+        "stays Σ basket², never |parts|²; min-support 2 prunes noise "
+        "pairs before normalization). Neighbor selection is a window "
+        "PARTITIONED by the anchor part (never a global ranking), and "
+        "the tie-break orders by the raw cosine — bit-identical across "
+        "engines because inputs are integers under IEEE sqrt/divide — "
+        "then neighbor id, a total order.",
+)
+def q_recs_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("pa"),
+                      F.col("b.l_partkey").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("n12"))
+             .where(F.col("n12") >= 2))
+    sym = (pairs.select(F.col("pa").alias("p"), F.col("pb").alias("q"), "n12")
+           .unionAll(pairs.select(F.col("pb").alias("p"),
+                                  F.col("pa").alias("q"), "n12")))
+    dp = deg.select(F.col("p"), F.col("n").alias("np"))
+    dq = deg.select(F.col("p").alias("q"), F.col("n").alias("nq"))
+    sim = (sym.join(dp, "p").join(dq, "q")
+           .select("p", "q", (F.col("n12")
+                              / F.sqrt(F.col("np").cast("double")
+                                       * F.col("nq").cast("double")))
+                   .alias("c")))
+    w = Window.partitionBy("p").orderBy(F.col("c").desc(), "q")
+    return (sim.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(F.col("p").alias("part"), F.col("q").alias("neighbor"),
+                    (F.round("c", 6) + F.lit(0.0)).alias("cosine")))
