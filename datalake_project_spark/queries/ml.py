@@ -1073,22 +1073,13 @@ def q_embed_pca_explained_variance(spark: SparkSession,
 # ROC-AUC (Mann-Whitney) for the quality classifier
 # --------------------------------------------------------------------------
 
-@register(
-    "q_classifier_auc",
-    oracle=None,  # replaced below — needs _stop_sql from queries.text
-    doc="",
-)
-def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def histogram_auc(j: DataFrame) -> DataFrame:
+    """(n_pos, n_neg, auc) from a (prob, label) DataFrame — the
+    Mann-Whitney AUC via the score histogram, the formulation the
+    property test pins against direct pairwise comparison
+    (tests/test_properties.py)."""
     from pyspark.sql import Window
 
-    from datalake_project_spark.functions import text as T
-
-    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
-    d = Catalog(spark, sf_dir).table("documents")
-    lab = d.select(
-        "doc_id",
-        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
-    j = scores.join(lab, "doc_id")
     # Collapse the corpus to a per-score histogram: prob is rounded to
     # 4 dp, so this table is bounded at 10_001 rows regardless of corpus
     # size — the aggregate-state shape every iterative trainer here uses.
@@ -1123,6 +1114,22 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_neg"),
         (F.round(F.col("u") / (F.col("p") * F.col("n")), 6)
          + F.lit(0.0)).alias("auc"))
+
+
+@register(
+    "q_classifier_auc",
+    oracle=None,  # replaced below — needs _stop_sql from queries.text
+    doc="",
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    d = Catalog(spark, sf_dir).table("documents")
+    lab = d.select(
+        "doc_id",
+        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
+    return histogram_auc(scores.join(lab, "doc_id"))
 
 
 def _install_auc_oracle() -> None:

@@ -152,3 +152,29 @@ def test_gender_native_equals_pandas_udf(spark, rows_in):
     via_udf = enrich_gender_pandas_udf(df, LOOKUP)
     cols = ["username", "full_name", "predicted_gender", "confidence"]
     assert rows(via_native.select(*cols)) == rows(via_udf.select(*cols))
+
+
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10000),  # prob in 1e-4 steps
+              st.booleans()),
+    min_size=2, max_size=25).filter(
+        lambda d: any(l for _, l in d) and any(not l for _, l in d)))
+@_PROP
+def test_histogram_auc_equals_pairwise(spark, data):
+    """The sharded score-histogram AUC (queries/ml.histogram_auc — the
+    formulation q_classifier_auc ships) equals the direct pairwise
+    Mann-Whitney statistic: mean over (pos, neg) pairs of
+    1[p > n] + 0.5*1[p == n]."""
+    from datalake_project_spark.queries.ml import histogram_auc
+
+    rows_in = [(round(p / 10000.0, 4), bool(l)) for p, l in data]
+    df = spark.createDataFrame(rows_in, "prob double, label boolean")
+    got = histogram_auc(df).collect()[0]
+
+    pos = [p for p, l in rows_in if l]
+    neg = [p for p, l in rows_in if not l]
+    u = sum((1.0 if p > n else 0.5 if p == n else 0.0)
+            for p in pos for n in neg)
+    want = round(u / (len(pos) * len(neg)), 6)
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert abs(got.auc - want) < 1e-9
