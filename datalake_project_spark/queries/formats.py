@@ -180,3 +180,72 @@ def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_files"),
         F.sum("rows_in_file").cast("long").alias("n_rows"),
         F.sum("qty_in_file").cast("long").alias("total_qty"))
+
+
+def _pages_for(sf_dir: str) -> str:
+    """Deterministic JSON page files derived from the documents table
+    (doc_id < 200, 4 pages by doc_id % 4) — built once per fixture in
+    scratch, keyed by source size+mtime with stale-key cleanup (the
+    bucketed-join/IVF cache discipline). Built via pyarrow directly:
+    metadata-scale (200 rows), no Spark job."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    root = scratch_dir("json_pages", sf_dir)
+    pdir = os.path.join(root, f"{st.st_size}_{int(st.st_mtime)}")
+    if not os.path.isdir(pdir):
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        tmp = pdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t = pq.read_table(src, columns=["doc_id", "source"])
+        rows = sorted(
+            ({"doc_id": int(i), "source": s}
+             for i, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("source").to_pylist())
+             if int(i) < 200),
+            key=lambda r: r["doc_id"])
+        for p in range(4):
+            with open(os.path.join(tmp, f"page_{p:03d}.json"), "w") as f:
+                json.dump([r for r in rows if r["doc_id"] % 4 == p], f)
+        os.replace(tmp, pdir)
+    return pdir
+
+
+@register(
+    "q_pages_ingest",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents WHERE doc_id < 200
+    GROUP BY source
+    """,
+    doc="Paged-API ingestion through the registered Spark-4 Python "
+        "DataSource (sources/pydatasource.py): deterministic JSON pages "
+        "derived from the documents table are read back via "
+        "spark.read.format('paged_json') — one input partition per "
+        "page, explicit DDL schema, no sampling pass — and aggregated "
+        "per source; the oracle recomputes the aggregate straight from "
+        "Parquet, proving the DataSource's planner/reader path "
+        "end-to-end (S1 as a first-class source format, not just a "
+        "pytest surface). At scale page count = partition count = "
+        "fetch parallelism.",
+)
+def q_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.sources.pydatasource import register_paged_json
+
+    register_paged_json(spark)
+    df = (spark.read.format("paged_json")
+          .option("path", _pages_for(sf_dir))
+          .option("schema", "doc_id bigint, source string")
+          .load())
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
