@@ -61,7 +61,11 @@ PRIORITY: tuple[str, ...] = (
     # (twice-green q_dedup_embedding rotates out late round 4; its
     # block-matrix operator stays exercised in-window by the new
     # q_split_embedding_leakage)
-    "q_dedup_exact", "q_dedup_ngram_jaccard",
+    # (thrice-green q_dedup_exact rotates out late round 4 for the
+    # Python-DataSource ingestion rep q_pages_ingest below; the exact
+    # family stays covered in-window by q_dedup_resolved's keep-first
+    # anchor and the full battery in the tail)
+    "q_dedup_ngram_jaccard",
     "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_simhash_recall", "q_dedup_resolved",
@@ -121,7 +125,9 @@ PRIORITY: tuple[str, ...] = (
     "q_stream_sessionize", "q_stream_stream_join",
     # (q_csv_roundtrip — the interchange-format representative — earned
     # its driver-green stamp in r3 and rotates to the tail with the
-    # ORC/JSONL variants)
+    # ORC/JSONL variants; the source-format slot is taken by the
+    # Spark-4 Python DataSource ingestion path)
+    "q_pages_ingest",
     # Relational representatives + scale equipment (the full TPC-H
     # battery and remaining variants follow past the window; the former
     # window members q_map_functions/q_correlated_subquery/q_pivot/
