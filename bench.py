@@ -116,6 +116,8 @@ ADDITIONS = [
     "q_events_ewma",
     "q_events_chi_squared",
     "q_benford_audit",
+    "q_recs_item_knn",
+    "q_pages_ingest",
 ]
 
 HEADLINE = CORE + ADDITIONS
