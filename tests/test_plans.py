@@ -298,3 +298,14 @@ def test_group_zscore_single_shuffle(spark, registry):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert exchange_count(df) == 1
+
+
+def test_ewma_one_window_one_shuffle(spark, registry):
+    """The 16-term LAG bank must share ONE user-keyed window: a single
+    Window operator and a single exchange in the whole plan (each lag
+    getting its own window spec would still pass correctness while
+    multiplying the sort/shuffle work)."""
+    df = registry["q_events_ewma"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert exchange_count(df) == 1
