@@ -1230,3 +1230,77 @@ def q_events_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.lit(0.0)).alias("chi2"))
             .crossJoin(F.broadcast(dims))
             .select("n_cells", "dof", "chi2"))
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        FROM events GROUP BY user_id),
+    pp AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN pu ON pu.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= pu.s_ts
+        GROUP BY e.user_id),
+    conv AS (
+        SELECT pu.user_id, STRFTIME(pu.s_ts, '%Y-%m') AS cohort,
+               epoch_us(pp.p_ts) - epoch_us(pu.s_ts) AS delta_us
+        FROM pu JOIN pp USING (user_id)),
+    rk AS (
+        SELECT cohort, delta_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cohort ORDER BY delta_us, user_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cohort) AS n
+        FROM conv)
+    SELECT cohort,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(FLOOR(MAX(CASE WHEN rk = CAST(FLOOR((n - 1) * 0.5)
+                                             AS BIGINT) + 1
+                               THEN delta_us END) / 1000000.0) AS BIGINT)
+               AS median_s,
+           ROUND(AVG(delta_us) / 1000000.0, 2) + 0.0 AS mean_s
+    FROM rk GROUP BY cohort
+    """,
+    doc="Median and mean time from first signup to first subsequent "
+        "purchase, per signup-month cohort: the duration statistic the "
+        "funnel counts (q_events_funnel) don't expose — medians resist "
+        "the long-tail skew that makes conversion means lie. The "
+        "median is an EXACT order statistic via the winsorize rank "
+        "technique (k = floor((n-1)/2)+1, per-cohort row_number with "
+        "(delta, user_id) total order) — windows are COHORT-"
+        "partitioned, never global, so the plan scales with the "
+        "largest cohort, not the corpus; per-user firsts come from one "
+        "conditional-min pass over events.",
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+             .alias("s_ts"),
+             F.collect_list(
+                 F.when(F.col("event_type") == "purchase", F.col("ts")))
+             .alias("p_list")))
+    conv = (per_user
+            .withColumn("p_ts", F.array_min(F.filter(
+                "p_list", lambda t: t >= F.col("s_ts"))))
+            .where(F.col("s_ts").isNotNull() & F.col("p_ts").isNotNull())
+            .select("user_id",
+                    F.date_format("s_ts", "yyyy-MM").alias("cohort"),
+                    (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                    .alias("delta_us")))
+    w = Window.partitionBy("cohort").orderBy("delta_us", "user_id")
+    wn = Window.partitionBy("cohort")
+    ranked = conv.select(
+        "cohort", "delta_us",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    k = F.floor((F.col("n") - 1) * 0.5).cast("long") + 1
+    return (ranked.groupBy("cohort")
+            .agg(F.max("n").cast("long").alias("n_converted"),
+                 F.floor(F.max(F.when(F.col("rk") == k, F.col("delta_us")))
+                         / 1000000.0).cast("long").alias("median_s"),
+                 (F.round(F.avg("delta_us") / 1000000.0, 2)
+                  + F.lit(0.0)).alias("mean_s")))
