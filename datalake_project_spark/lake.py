@@ -100,25 +100,37 @@ class Lake:
         return os.path.isdir(self.usage_path(table))
 
     def upsert(self, updates: DataFrame, table: str, ingest_date: str,
-               run_ts: str, keys: list[str]) -> None:
+               run_ts: str, keys: list[str],
+               delete_col: str | None = None) -> None:
         """MERGE semantics into one usage partition: rows in ``updates``
         replace same-key rows of the (ingest_date, run_ts) partition;
         new keys are inserted (matched-update + not-matched-insert).
+        With ``delete_col`` (a boolean column on ``updates``), true rows
+        are tombstones: their keys are removed from the target and NOT
+        inserted — the full MERGE triple (WHEN MATCHED [AND cond] THEN
+        UPDATE / DELETE, WHEN NOT MATCHED THEN INSERT).
 
         Parquet has no row-level MERGE, so this is the partition-rewrite
-        formulation: target ANTI-JOIN updates (keep unmatched rows) UNION
-        updates, then dynamic-overwrite of exactly this partition. At
-        cluster scale the anti-join gets the Bloom-filter pushdown, and
-        only partitions named in the write are replaced; on Delta/Iceberg
-        the same call maps 1:1 onto MERGE INTO.
+        formulation: target ANTI-JOIN touched-keys (keep unmatched rows)
+        UNION non-tombstone updates, then dynamic-overwrite of exactly
+        this partition. At cluster scale the anti-join gets the
+        Bloom-filter pushdown, and only partitions named in the write are
+        replaced; on Delta/Iceberg the same call maps 1:1 onto MERGE INTO.
         """
+        ups = updates
+        touched = updates.select(*keys)
+        if delete_col is not None:
+            # NULL in the tombstone column means "not a delete"
+            ups = (updates
+                   .where(~F.coalesce(F.col(delete_col), F.lit(False)))
+                   .drop(delete_col))
         if not self.exists(table):
-            self.write_usage(updates, table, ingest_date, run_ts)
+            self.write_usage(ups, table, ingest_date, run_ts)
             return
         target = (self.read_usage(table, ingest_date, run_ts)
                   .drop("ingest_date", "run_ts"))
-        keep = target.join(updates.select(*keys), keys, "left_anti")
-        merged = keep.unionByName(updates).localCheckpoint(eager=True)
+        keep = target.join(touched, keys, "left_anti")
+        merged = keep.unionByName(ups).localCheckpoint(eager=True)
         self.write_usage(merged, table, ingest_date, run_ts)
 
     # -- maintenance -------------------------------------------------------

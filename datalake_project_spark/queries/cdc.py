@@ -637,3 +637,86 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(resolved, agg["n"], float(agg["t"]))],
         "resolved_run string, n_rows long, total_price double")
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH t95 AS (SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01'
+                 GROUP BY o_custkey),
+         t96 AS (SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'
+                 GROUP BY o_custkey),
+         churn AS (SELECT t95.custkey FROM t95
+                   JOIN customer ON c_custkey = t95.custkey
+                   WHERE c_acctbal < 0
+                     AND NOT EXISTS (SELECT 1 FROM t96
+                                     WHERE t96.custkey = t95.custkey))
+    SELECT custkey, order_count, total_price FROM t96
+    UNION ALL
+    SELECT custkey, order_count, total_price FROM t95
+    WHERE NOT EXISTS (SELECT 1 FROM t96 WHERE t96.custkey = t95.custkey)
+      AND NOT EXISTS (SELECT 1 FROM churn WHERE churn.custkey = t95.custkey)
+    """,
+    doc="Full MERGE triple on the Parquet lake, oracle-checked end to "
+        "end: a 1995 per-customer order rollup is written as the target "
+        "partition, then a changes table carrying 1996 rollups "
+        "(matched-UPDATE + not-matched-INSERT) and tombstones for "
+        "negative-balance customers who went inactive (matched-DELETE) "
+        "is merged via Lake.upsert(delete_col=...) — the copy-on-write "
+        "partition-rewrite that maps 1:1 onto Delta/Iceberg MERGE INTO "
+        "(BASELINE 'Parquet/Delta'; the reference overwrites whole "
+        "snapshots instead, scripts/script_api_apify_to_spark.py:200-209). "
+        "The re-read is partition-pruned; the oracle recomputes the "
+        "post-merge state from source, so a pass proves all three MERGE "
+        "branches plus write->scan fidelity. Idempotent: each run "
+        "rewrites the base partition before merging. At scale the "
+        "anti-join on touched keys gets the runtime Bloom filter and "
+        "only the named partition is rewritten.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+
+    def rollup(year: int) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("order_count"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        )
+
+    base, cur = rollup(1995), rollup(1996)
+    # tombstones: active in 1995, inactive in 1996, negative balance
+    churn = (
+        base.select("custkey")
+        .join(cur.select("custkey"), "custkey", "left_anti")
+        .join(c.where(F.col("c_acctbal") < 0)
+               .select(F.col("c_custkey").alias("custkey")),
+              "custkey", "left_semi")
+        .withColumn("order_count", F.lit(None).cast("long"))
+        .withColumn("total_price", F.lit(None).cast("double"))
+        .withColumn("is_deleted", F.lit(True))
+    )
+    updates = cur.withColumn("is_deleted", F.lit(False)).unionByName(churn)
+
+    lake = Lake(spark, scratch_dir("merge", sf_dir))
+    lake.write_usage(base, "cust_merge", "1995-01-01", "19950101T000000")
+    lake.upsert(updates, "cust_merge", "1995-01-01", "19950101T000000",
+                keys=["custkey"], delete_col="is_deleted")
+    return (lake.read_usage("cust_merge", "1995-01-01", "19950101T000000")
+            .select("custkey", "order_count", "total_price"))

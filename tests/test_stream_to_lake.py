@@ -131,3 +131,39 @@ def test_upsert_creates_table_when_absent(spark, tmp_path):
     updates = spark.createDataFrame([("zz", "Zz Z")], SCHEMA)
     lake.upsert(updates, "fresh", "20260813", "0900", keys=["username"])
     assert lake.read_usage("fresh", "20260813", "0900").count() == 1
+
+def test_upsert_delete_tombstones(spark, tmp_path):
+    """delete_col rows remove matching target keys and are not inserted;
+    NULL in the tombstone column means not-a-delete."""
+    from pyspark.sql.types import (BooleanType, StringType, StructField,
+                                   StructType)
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    base = spark.createDataFrame(
+        [("ana", "Ana A"), ("bo", "Bo B"), ("cy", "Cy C")], SCHEMA)
+    lake.write_usage(base, "followers", "20260813", "0900")
+
+    upd_schema = StructType([
+        StructField("username", StringType()),
+        StructField("full_name", StringType()),
+        StructField("is_deleted", BooleanType()),
+    ])
+    updates = spark.createDataFrame(
+        [("bo", "Bo B2", False),   # matched -> update
+         ("cy", None, True),       # matched -> delete
+         ("di", "Di D", None),     # NULL tombstone -> insert
+         ("zz", None, True)],      # unmatched tombstone -> no-op
+        upd_schema)
+    lake.upsert(updates, "followers", "20260813", "0900",
+                keys=["username"], delete_col="is_deleted")
+
+    got = {(r["username"], r["full_name"])
+           for r in lake.read_usage("followers", "20260813", "0900").collect()}
+    assert got == {("ana", "Ana A"), ("bo", "Bo B2"), ("di", "Di D")}
+
+    # idempotent: the same MERGE applied again changes nothing
+    lake.upsert(updates, "followers", "20260813", "0900",
+                keys=["username"], delete_col="is_deleted")
+    again = {(r["username"], r["full_name"])
+             for r in lake.read_usage("followers", "20260813", "0900").collect()}
+    assert again == got
