@@ -1178,3 +1178,112 @@ def _install_auc_oracle() -> None:
 
 
 _install_auc_oracle()
+
+
+# --------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier
+# --------------------------------------------------------------------------
+
+_UTOKS = r"regexp_extract_all(lower(text), '[\p{L}\p{N}]+')"
+
+
+@register(
+    "q_text_nb_langid",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest({_UTOKS}) AS t FROM documents)
+        GROUP BY doc_id, t),
+    dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS len
+           FROM tok GROUP BY doc_id),
+    docs AS (SELECT doc_id, lang FROM documents),
+    ct AS (SELECT d.lang AS cls, t.term, CAST(SUM(t.cnt) AS BIGINT) AS n_tc
+           FROM tok t JOIN docs d USING (doc_id) GROUP BY cls, t.term),
+    ctot AS (SELECT cls, CAST(SUM(n_tc) AS BIGINT) AS tot
+             FROM ct GROUP BY cls),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM tok),
+    pri AS (SELECT lang AS cls,
+                   ln(COUNT(*)::DOUBLE
+                      / (SELECT COUNT(*) FROM documents)) AS prior
+            FROM documents GROUP BY lang),
+    part AS (SELECT t.doc_id, ct.cls, SUM(t.cnt * ln(ct.n_tc + 1)) AS s
+             FROM tok t JOIN ct ON t.term = ct.term
+             GROUP BY t.doc_id, ct.cls),
+    grid AS (
+        SELECT d.doc_id, d.lang, p.cls,
+               ROUND(p.prior + COALESCE(part.s, 0.0)
+                     - COALESCE(dl.len, 0) * ln(ctot.tot + vocab.v), 6)
+               AS score
+        FROM docs d
+        CROSS JOIN pri p
+        JOIN ctot ON ctot.cls = p.cls
+        CROSS JOIN vocab
+        LEFT JOIN dl ON dl.doc_id = d.doc_id
+        LEFT JOIN part ON part.doc_id = d.doc_id AND part.cls = p.cls),
+    pred AS (
+        SELECT doc_id, lang, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rk
+        FROM grid)
+    SELECT lang AS actual, cls AS predicted, COUNT(*) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY actual, predicted
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained and "
+        "scored in one DAG (in-sample confusion matrix): the classic "
+        "closed-form aggregation-native supervised model — training is "
+        "ONE grouped count pass, no gradient loop. Add-one smoothing "
+        "is applied via the absent-mass identity score(d,c) = prior_c "
+        "+ sum_present cnt*ln(n_tc+1) - len_d*ln(tot_c+V), so only "
+        "PRESENT (term, class) pairs are ever materialized (absent "
+        "terms contribute ln(0+1)=0) — the same closed-form trick the "
+        "DSIR weights use. Unicode tokens make the zh slice "
+        "classifiable (cf. the heuristic q_text_langid_confusion, "
+        "whose zh row is all 'unknown'). Scale: the model is a "
+        "vocab x 5-class table (broadcast); scoring is one "
+        "explode+broadcast-join+aggregate corpus pass; the argmax is a "
+        "min-struct aggregate, no per-doc window. Scores are rounded "
+        "at 6 dp on both engines before the argmax so the confusion "
+        "matrix is cross-engine deterministic.",
+)
+def q_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    docs = d.select("doc_id", "lang")
+    toks = d.select("doc_id", F.explode(F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), 0)).alias("term"))
+    tok = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("len"))
+
+    ct = (tok.join(docs, "doc_id")
+          .groupBy(F.col("lang").alias("cls"), "term")
+          .agg(F.sum("cnt").cast("long").alias("n_tc")))
+    ctot = ct.groupBy("cls").agg(F.sum("n_tc").cast("long").alias("tot"))
+    vocab = tok.agg(F.countDistinct("term").alias("v"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    pri = (docs.groupBy(F.col("lang").alias("cls"))
+           .agg(F.count(F.lit(1)).alias("n_c"))
+           .crossJoin(F.broadcast(n_docs))
+           .select("cls", F.log(F.col("n_c").cast("double")
+                                / F.col("n")).alias("prior")))
+
+    part = (tok.join(F.broadcast(ct), "term")
+            .groupBy("doc_id", "cls")
+            .agg(F.sum(F.col("cnt") * F.log(F.col("n_tc") + 1)).alias("s")))
+
+    grid = (docs
+            .crossJoin(F.broadcast(pri.join(ctot, "cls")))
+            .crossJoin(F.broadcast(vocab))
+            .join(dl, "doc_id", "left")
+            .join(part, ["doc_id", "cls"], "left")
+            .select("doc_id", "lang", "cls",
+                    F.round(F.col("prior") + F.coalesce(F.col("s"), F.lit(0.0))
+                            - F.coalesce(F.col("len"), F.lit(0)).cast("double")
+                            * F.log(F.col("tot") + F.col("v")), 6)
+                    .alias("score")))
+    # argmax class per doc: min of (-score, cls) — tie -> lexicographic
+    pred = (grid.groupBy("doc_id", "lang")
+            .agg(F.min(F.struct((-F.col("score")).alias("neg"),
+                                F.col("cls").alias("cls"))).alias("p"))
+            .select("lang", F.col("p.cls").alias("predicted")))
+    return (pred.groupBy(F.col("lang").alias("actual"), "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

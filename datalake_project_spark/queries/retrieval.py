@@ -262,3 +262,108 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
                     (F.round(F.col("dcg") / F.col("idcg"), 6)
                      + F.lit(0.0)).alias("ndcg")))
+
+
+MMR_POOL = 20  # candidate pool (one TakeOrderedAndProject corpus pass)
+MMR_K = 5      # diversified picks
+
+
+def _mmr_oracle(pool: int, k: int) -> str:
+    """Unrolled greedy MMR (lambda=0.5, reported as the unscaled
+    rel - max-sim margin, whose argmax is identical) over the top-``pool``
+    cosine candidates; ``k`` picks."""
+    parts = [f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    rel AS (SELECT vec_id AS id, ROUND(list_cosine_similarity(v, pv), 6) AS rel
+            FROM e CROSS JOIN probe WHERE vec_id <> 0),
+    cand AS (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT {pool}),
+    sim AS (SELECT a.id AS ia, b.id AS ib,
+                   ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS s
+            FROM cand a JOIN cand b ON a.id <> b.id
+            JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+    sel1 AS (SELECT id, rel AS margin FROM cand ORDER BY rel DESC, id LIMIT 1),
+    u1 AS (SELECT id FROM sel1)"""]
+    for s in range(2, k + 1):
+        parts.append(f"""
+    m{s} AS (SELECT c.id, ROUND(c.rel - MAX(sim.s), 6) AS margin
+             FROM cand c JOIN sim ON sim.ia = c.id
+             WHERE sim.ib IN (SELECT id FROM u{s - 1})
+               AND c.id NOT IN (SELECT id FROM u{s - 1})
+             GROUP BY c.id, c.rel),
+    sel{s} AS (SELECT id, margin FROM m{s} ORDER BY margin DESC, id LIMIT 1),
+    u{s} AS (SELECT id FROM u{s - 1} UNION ALL SELECT id FROM sel{s})""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {s} AS step, id AS doc_id, margin FROM sel{s}"
+        for s in range(1, k + 1))
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+@register(
+    "q_retrieval_mmr",
+    oracle=_mmr_oracle(MMR_POOL, MMR_K),
+    doc="Maximal-marginal-relevance diversified top-k (Carbonell & "
+        "Goldstein, SIGIR 1998) over the embedding ranking: greedy "
+        "picks maximizing lambda*rel(d) - (1-lambda)*max sim(d, "
+        "selected) at lambda=0.5, reported as the unscaled "
+        "rel - max-sim margin (identical argmax, and a difference of "
+        "two 6-dp-rounded cosines stays cross-engine exact where a "
+        "scaled half-ulp boundary would not). The distributed work is "
+        "the candidate generation: one corpus pass for relevance "
+        "cosines, TakeOrderedAndProject to a 20-candidate pool, and "
+        "the 20x20 pairwise-cosine matrix via a broadcast self-join. "
+        "The greedy selection itself is inherently sequential over "
+        "k*pool floats of state, so it runs on the driver over the "
+        "COLLECTED 400-row sim matrix — metadata-scale by the same "
+        "standard as the IVF probe-cell resolution — and the picks "
+        "are returned as a literal frame. At 100 TB only the pool "
+        "build touches the corpus.",
+)
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def nrm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    rel = (e.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(probe))
+           .select(F.col("vec_id").alias("id"), "v",
+                   F.round(dot("v", "pv") / (nrm("v") * nrm("pv")), 6)
+                   .alias("rel")))
+    cand = rel.orderBy(F.desc("rel"), "id").limit(MMR_POOL)
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (a.join(F.broadcast(b), F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+                    F.round(dot("a.v", "b.v")
+                            / (nrm("a.v") * nrm("b.v")), 6).alias("s")))
+
+    # pool-sized state to the driver: 20 (id, rel) rows + 380 sims
+    pool = {r["id"]: r["rel"] for r in cand.select("id", "rel").collect()}
+    s = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+
+    def r6(x: float) -> float:  # HALF_UP, as Spark round / DuckDB ROUND
+        return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 \
+            else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+    first = min(pool, key=lambda i: (-pool[i], i))
+    picks = [(1, first, pool[first])]
+    chosen = [first]
+    for step in range(2, MMR_K + 1):
+        best = min(
+            ((i, r6(pool[i] - max(s[(i, j)] for j in chosen)))
+             for i in pool if i not in chosen),
+            key=lambda t: (-t[1], t[0]))
+        picks.append((step, best[0], best[1]))
+        chosen.append(best[0])
+    return spark.createDataFrame(
+        picks, "step int, doc_id long, margin double")
