@@ -118,6 +118,11 @@ ADDITIONS = [
     "q_benford_audit",
     "q_recs_item_knn",
     "q_pages_ingest",
+    # continuation-session additions: lake MERGE, diversified
+    # retrieval, and the closed-form NB classifier
+    "q_merge_upsert",
+    "q_retrieval_mmr",
+    "q_text_nb_langid",
 ]
 
 HEADLINE = CORE + ADDITIONS

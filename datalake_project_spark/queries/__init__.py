@@ -49,8 +49,12 @@ PRIORITY: tuple[str, ...] = (
     # q_snapshot_diff_global and q_snapshot_series_diff rotate to the
     # tail in round 4 — the flagship q_snapshot_diff plus four other
     # CDC reps stay)
+    # (twice-green q_write_roundtrip rotates to the tail late round 4;
+    # its write->pruned-read surface is a strict subset of the new MERGE
+    # query, which exercises K2/K3 plus matched-update /
+    # not-matched-insert / tombstone-delete in one oracle)
     "q_snapshot_diff", "q_latest_snapshot",
-    "q_snapshot_scd2", "q_write_roundtrip",
+    "q_snapshot_scd2", "q_merge_upsert",
     "q_compact_roundtrip",
     # Deduplication family (incl. the end-to-end corpus resolution, the
     # df-capped near-dup skew valve, and the substring-level operators —
