@@ -367,3 +367,74 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.append(best[0])
     return spark.createDataFrame(
         picks, "step int, doc_id long, margin double")
+
+
+ROCCHIO_BETA = 0.75  # feedback weight (alpha = 1.0)
+ROCCHIO_FB = 10      # pseudo-relevant feedback depth
+ROCCHIO_K = 10       # final reranked list
+
+
+@register(
+    "q_retrieval_rocchio",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    top10 AS (SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id
+              LIMIT {ROCCHIO_FB}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    relv AS (SELECT e.v FROM e JOIN top10 ON e.vec_id = top10.doc_id),
+    cent AS (SELECT i, AVG(v[i+1]) AS c
+             FROM relv, unnest(range(0, len(v))) AS u(i) GROUP BY i),
+    qv AS (SELECT list(ROUND(probe.pv[cent.i+1] + {ROCCHIO_BETA} * cent.c, 6)
+                       ORDER BY cent.i) AS q
+           FROM cent CROSS JOIN probe)
+    SELECT vec_id AS doc_id,
+           ROUND(list_cosine_similarity(v, q), 6) AS score
+    FROM e CROSS JOIN qv WHERE vec_id <> 0
+    ORDER BY score DESC, doc_id LIMIT {ROCCHIO_K}
+    """,
+    doc="Pseudo-relevance feedback (Rocchio, alpha=1 beta=0.75): the "
+        "BM25 top-10 act as assumed-relevant feedback, their embedding "
+        "centroid shifts the query vector (fixture vec_id aligns with "
+        "doc_id; probe = vector 0), and the corpus is reranked by "
+        "cosine to the expanded query — the keyword->vector feedback "
+        "loop completing the retrieval arc (rank -> fuse -> diversify "
+        "-> expand). Spark plan: the centroid is a posexplode+avg over "
+        "the TEN feedback vectors only (never the corpus), reassembled "
+        "into one array row via a sorted collect_list, broadcast into "
+        "a single rerank pass with TakeOrderedAndProject — one corpus "
+        "cosine pass, all per-dim state metadata-scale. Per-dim "
+        "expanded-query values are rounded at 6 dp on both engines "
+        "before the rerank so scores are cross-engine deterministic.",
+)
+def q_retrieval_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top10 = (_bm25_scores(spark, sf_dir)
+             .orderBy(F.desc("score"), "doc_id").limit(ROCCHIO_FB)
+             .select("doc_id"))
+
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+
+    relv = e.join(top10, e["vec_id"] == top10["doc_id"]).select("v")
+    cent = (relv.select(F.posexplode("v").alias("i", "x"))
+            .groupBy("i").agg(F.avg("x").alias("c")))
+    pdim = probe.select(F.posexplode("pv").alias("i", "px"))
+    qv = (cent.join(F.broadcast(pdim), "i")
+          .select("i", F.round(F.col("px")
+                               + F.lit(ROCCHIO_BETA) * F.col("c"), 6)
+                  .alias("qd"))
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("i", "qd"))),
+              lambda s: s.qd).alias("q")))
+
+    dot = F.aggregate(F.zip_with("v", "q", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (e.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.round(dot / (nrm("v") * nrm("q")), 6).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(ROCCHIO_K))

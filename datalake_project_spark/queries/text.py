@@ -630,3 +630,72 @@ def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.sum("n_pieces").cast("double")
                                  / F.sum("n_words")).otherwise(0.0), 4)
                   + F.lit(0.0)).alias("fertility")))
+
+
+@register(
+    "q_text_decontaminate",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    probe_sh AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 3),
+    ov AS (
+        SELECT sh.doc_id, COUNT(DISTINCT s) AS n_overlap
+        FROM sh, unnest(sh.shingles) AS u(s)
+        WHERE sh.doc_id >= 3 AND s IN (SELECT s FROM probe_sh)
+        GROUP BY sh.doc_id),
+    corpus AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+        FROM documents WHERE doc_id >= 3),
+    flag AS (
+        SELECT c.source, c.nt,
+               COALESCE(ov.n_overlap, 0) >= 2 AS dropped
+        FROM corpus c LEFT JOIN ov USING (doc_id))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN dropped THEN 1 END) AS n_dropped,
+           CAST(SUM(CASE WHEN NOT dropped THEN nt ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM flag GROUP BY source
+    """,
+    doc="Decontamination REMOVAL pass (the action q_text_contamination's "
+        "scan informs): corpus documents sharing >= 2 distinct word-"
+        "3-grams with the eval probe set (doc_id < 3) are dropped; the "
+        "output is the per-source audit panel (docs, dropped, surviving "
+        "tokens) a release manifest records. Integer threshold, no "
+        "float ratio — hash-exact. Spark plan: corpus shingles explode "
+        "ONCE, the probe shingle set broadcasts into a semi-join-shaped "
+        "filter, overlap is a per-doc countDistinct, and the audit is "
+        "one grouped aggregate — at 100 TB this is the contamination "
+        "scan plus one keyed aggregate, no extra corpus pass.",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import shingles
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = d.select("doc_id", shingles(T.tokens("text"), n=3).alias("_sh")) \
+        .where(F.size("_sh") >= 1)
+    probe = (sh.where(F.col("doc_id") < 3)
+             .select(F.explode("_sh").alias("_s")).distinct())
+    ov = (sh.where(F.col("doc_id") >= 3)
+          .select("doc_id", F.explode("_sh").alias("_s"))
+          .join(F.broadcast(probe), "_s", "left_semi")
+          .groupBy("doc_id")
+          .agg(F.countDistinct("_s").alias("n_overlap")))
+    corpus = (d.where(F.col("doc_id") >= 3)
+              .select("doc_id", "source", T.token_count("text").alias("nt")))
+    flag = (corpus.join(ov, "doc_id", "left")
+            .withColumn("dropped",
+                        F.coalesce(F.col("n_overlap"), F.lit(0)) >= 2))
+    return (flag.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
+                 F.sum(F.when(~F.col("dropped"), F.col("nt")).otherwise(0))
+                 .cast("long").alias("kept_tokens")))
