@@ -176,3 +176,81 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(benford, 4) + F.lit(0.0)).alias("benford"),
                     (F.round(F.abs(share - benford), 4)
                      + F.lit(0.0)).alias("abs_dev")))
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           printf('%d', MIN(o_orderkey)) AS min_s,
+           printf('%d', MAX(o_orderkey)) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           printf('%d', MIN(o_custkey)), printf('%d', MAX(o_custkey))
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d'),
+           STRFTIME(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    doc="Column-profile statistics (the DESCRIBE/ANALYZE operator a "
+        "catalog maintains, and the input to CBO statistics): per "
+        "column, null count, distinct count, and min/max — typed "
+        "values rendered through explicit printf/date formats so the "
+        "long-form table is cross-engine exact. Spark plan: ONE scan "
+        "computes every per-column aggregate as a single 1-row "
+        "aggregate (Catalyst fuses them; no per-column passes), then "
+        "the row pivots to long form via an in-memory union of 5 "
+        "1-row projections — zero extra shuffles, profile cost is one "
+        "corpus pass regardless of column count. At 100 TB these are "
+        "the stats that drive join reordering and partition sizing.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def stats(col: str, mn, mx):
+        return [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__null"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            mn.alias(f"{col}__min"), mx.alias(f"{col}__max"),
+        ]
+
+    fmt_d = lambda c, agg: F.format_string("%d", agg(c))          # noqa: E731
+    fmt_f = lambda c, agg: F.format_string("%.2f", agg(c))        # noqa: E731
+    fmt_t = lambda c, agg: F.date_format(agg(c), "yyyy-MM-dd")    # noqa: E731
+
+    one = o.agg(*(
+        stats("o_orderkey", fmt_d("o_orderkey", F.min), fmt_d("o_orderkey", F.max))
+        + stats("o_custkey", fmt_d("o_custkey", F.min), fmt_d("o_custkey", F.max))
+        + stats("o_totalprice", fmt_f("o_totalprice", F.min), fmt_f("o_totalprice", F.max))
+        + stats("o_orderdate", fmt_t("o_orderdate", F.min), fmt_t("o_orderdate", F.max))
+        + stats("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority"))
+    ))
+    rows = [
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(f"{c}__null").alias("n_null"),
+                 F.col(f"{c}__distinct").alias("n_distinct"),
+                 F.col(f"{c}__min").alias("min_s"),
+                 F.col(f"{c}__max").alias("max_s"))
+        for c in ("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderdate", "o_orderpriority")
+    ]
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.col_name", "p.n_null", "p.n_distinct",
+                    "p.min_s", "p.max_s"))

@@ -282,3 +282,93 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value")))
     return run_available_now(agg, "complete")
+
+
+@register(
+    "q_stream_merge_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events)
+    SELECT event_type, COUNT(*) AS n_users
+    FROM latest WHERE rk = 1
+    GROUP BY event_type
+    """,
+    doc="Streaming CDC MERGE: the events table is staged as two "
+        "time-split files (build-once per fixture, size+mtime key with "
+        "stale cleanup) so maxFilesPerTrigger=1 yields two ordered "
+        "micro-batches; each batch reduces to its latest-event-per-user "
+        "rows and UPSERTS them into one lake state partition via "
+        "foreachBatch + Lake.upsert (streaming/sinks."
+        "stream_upsert_to_lake) — last-writer-wins per key, the "
+        "materialized-view-maintenance pattern a Delta MERGE sink runs. "
+        "Because the files split on event time, the post-stream state "
+        "equals the BATCH latest-event-per-user, which the oracle "
+        "computes directly — a pass proves per-batch reduction, "
+        "cross-batch key replacement, and write->scan fidelity. State "
+        "is wiped and the checkpoint is fresh each run (idempotent); "
+        "at scale the per-batch payload is key-sized and only the one "
+        "state partition rewrites per batch.",
+)
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+    from datalake_project_spark.streaming.sinks import stream_upsert_to_lake
+
+    root = scratch_dir("stream_merge", sf_dir)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    st = os.stat(src)
+    in_dir = os.path.join(root, f"in_{st.st_size}_{int(st.st_mtime)}")
+    e = Catalog(spark, sf_dir).table("events")
+
+    if not os.path.isdir(in_dir):
+        if os.path.isdir(root):  # stale-key cleanup, bucketed-cache style
+            for stale in os.listdir(root):
+                if stale.startswith("in_"):
+                    shutil.rmtree(os.path.join(root, stale),
+                                  ignore_errors=True)
+        # any time split preserves the invariant (later half wins per
+        # key == global latest); the median just balances the batches
+        med = e.agg(F.percentile_approx(F.unix_micros("ts"), 0.5)
+                    .alias("m")).first()["m"]
+        os.makedirs(in_dir)
+        halves = (F.unix_micros("ts") <= med, F.unix_micros("ts") > med)
+        for i, pred in enumerate(halves):
+            tmp = os.path.join(root, f"_stage{i}")
+            e.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"half{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # FileStreamSource orders micro-batches by mtime
+            os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
+
+    lake = Lake(spark, os.path.join(root, "lake"))
+    shutil.rmtree(lake.usage_path("user_state"), ignore_errors=True)
+
+    def latest_per_user(batch: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                                  F.desc("event_id"))
+        return (batch.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") == 1)
+                .select("user_id", "event_type"))
+
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    q = stream_upsert_to_lake(stream, lake, "user_state", "20240101",
+                              "state", keys=["user_id"],
+                              transform=latest_per_user)
+    q.awaitTermination()
+
+    return (lake.read_usage("user_state", "20240101", "state")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -35,4 +35,5 @@ from datalake_project_spark.streaming.ops import (  # noqa: F401
 from datalake_project_spark.streaming.sinks import (  # noqa: F401
     run_ts_of_batch,
     stream_to_lake,
+    stream_upsert_to_lake,
 )

@@ -167,3 +167,23 @@ def test_upsert_delete_tombstones(spark, tmp_path):
     again = {(r["username"], r["full_name"])
              for r in lake.read_usage("followers", "20260813", "0900").collect()}
     assert again == got
+
+def test_stream_upsert_last_writer_wins(spark, tmp_path, snap_dir):
+    """CDC MERGE sink: two ordered micro-batches upsert into ONE state
+    partition; keys in both batches carry the later batch's values,
+    keys absent from later batches survive untouched."""
+    from datalake_project_spark.streaming import stream_upsert_to_lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(snap_dir))
+    q = stream_upsert_to_lake(stream, lake, "state", "20260813", "cur",
+                              keys=["username"],
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {(r["username"], r["full_name"])
+           for r in lake.read_usage("state", "20260813", "cur").collect()}
+    # SNAP1 ∪ SNAP2 keyed by username, SNAP2 winning on overlap
+    assert got == {("ana", "Ana A"), ("bo", "Bo B"),
+                   ("cy", "Cy C"), ("di", "Di D")}
