@@ -133,6 +133,32 @@ class Lake:
         merged = keep.unionByName(ups).localCheckpoint(eager=True)
         self.write_usage(merged, table, ingest_date, run_ts)
 
+    def write_audit_publish(self, df: DataFrame, table: str, ingest_date: str,
+                            run_ts: str, audit, staging_run: str = "staging") -> int:
+        """Write-audit-publish (the Iceberg WAP pattern on the Parquet
+        lake): land ``df`` in a staging ``run_ts`` partition, run
+        ``audit`` (a callable DataFrame -> violation count) over the
+        staged READ-BACK — so the audit sees exactly what a consumer
+        would — and promote to the published ``run_ts`` only when the
+        count is zero. Returns the violation count; on failure the
+        staged partition is retained for inspection and the published
+        partition is untouched. Both writes are dynamic partition
+        overwrites, so re-runs are idempotent and a re-publish replaces
+        only its own partition.
+
+        The reference publishes unconditionally (usage overwrite at
+        `scripts/script_api_apify_to_spark.py:200-209`, enrichment
+        errors swallowed at `:227-232`); this is the gated promotion a
+        production medallion runs instead.
+        """
+        self.write_usage(df, table, ingest_date, staging_run)
+        staged = self.read_usage(table, ingest_date, staging_run)
+        violations = int(audit(staged))
+        if violations == 0:
+            self.write_usage(staged.drop("ingest_date", "run_ts"),
+                             table, ingest_date, run_ts)
+        return violations
+
     # -- maintenance -------------------------------------------------------
     def compact(self, table: str, ingest_date: str, run_ts: str,
                 target_files: int = 1) -> int:

@@ -720,3 +720,63 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys=["custkey"], delete_col="is_deleted")
     return (lake.read_usage("cust_merge", "1995-01-01", "19950101T000000")
             .select("custkey", "order_count", "total_price"))
+
+
+@register(
+    "q_write_audit_publish",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(0 AS BIGINT) AS n_violations,
+           'published' AS status
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc="Write-audit-publish gate (Lake.write_audit_publish, the "
+        "Iceberg WAP pattern): a 1996 per-priority rollup lands in a "
+        "STAGING run_ts partition, the audit battery (null keys, "
+        "duplicate keys, non-empty) runs over the staged READ-BACK, "
+        "and only a zero-violation result promotes the partition to "
+        "'published' — the reference publishes unconditionally and "
+        "swallows enrichment errors "
+        "(scripts/script_api_apify_to_spark.py:200-209,227-232). The "
+        "returned rows are the PUBLISHED partition re-read with the "
+        "audit verdict attached; the oracle recomputes them from "
+        "source, so a pass proves stage->audit->promote->scan "
+        "fidelity. The refusal path (violations retain staging, never "
+        "touch published) is pinned by tests/test_stream_to_lake.py.",
+)
+def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+    def audit(staged: DataFrame) -> int:
+        row = staged.agg(
+            (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nulls"),
+            (F.count(F.lit(1))
+             - F.countDistinct("o_orderpriority")).alias("dups"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return row["nulls"] + row["dups"] + (0 if row["n"] > 0 else 1)
+
+    lake = Lake(spark, scratch_dir("wap", sf_dir))
+    violations = lake.write_audit_publish(
+        snap, "priority_rollup", "1996-01-01", "published", audit)
+    return (lake.read_usage("priority_rollup", "1996-01-01", "published")
+            .select("o_orderpriority", "n_orders", "total_price")
+            .withColumn("n_violations", F.lit(violations).cast("long"))
+            .withColumn("status", F.lit("published")))

@@ -187,3 +187,33 @@ def test_stream_upsert_last_writer_wins(spark, tmp_path, snap_dir):
     # SNAP1 ∪ SNAP2 keyed by username, SNAP2 winning on overlap
     assert got == {("ana", "Ana A"), ("bo", "Bo B"),
                    ("cy", "Cy C"), ("di", "Di D")}
+
+def test_write_audit_publish_refusal(spark, tmp_path):
+    """A failing audit retains staging and never touches published; a
+    clean audit promotes the staged partition byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    dirty = spark.createDataFrame(
+        [("ana", "Ana A"), ("ana", "Ana A2"), (None, "Ghost")], SCHEMA)
+
+    def audit(staged):
+        row = staged.agg(
+            (F.count(F.lit(1)) - F.count("username")).alias("nulls"),
+            (F.count(F.lit(1)) - F.countDistinct("username")).alias("dups"),
+        ).first()
+        return row["nulls"] + row["dups"]
+
+    v = lake.write_audit_publish(dirty, "followers", "20260813",
+                                 "published", audit)
+    assert v == 3  # 1 null + 2 non-distinct rows (dup pair + null row)
+    runs = lake.list_runs("followers", "20260813")
+    assert runs == ["staging"]  # staged retained, nothing published
+
+    clean = spark.createDataFrame([("ana", "Ana A"), ("bo", "Bo B")], SCHEMA)
+    v = lake.write_audit_publish(clean, "followers", "20260813",
+                                 "published", audit)
+    assert v == 0
+    got = {(r["username"], r["full_name"]) for r in
+           lake.read_usage("followers", "20260813", "published").collect()}
+    assert got == {("ana", "Ana A"), ("bo", "Bo B")}
