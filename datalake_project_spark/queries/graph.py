@@ -403,3 +403,73 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.coalesce("lab", F.col("name")).alias("lab")))
     return labels.select(F.col("node").alias("nation"),
                          F.col("lab").alias("community"))
+
+
+N_BF = 3  # Bellman-Ford relaxation rounds (graph diameter bound)
+
+
+def _bf_oracle(n_iter: int) -> str:
+    parts = ["    WITH" + _EDGES_SQL + """,
+    ec AS (SELECT src, dst, CAST(CEIL(100000.0 / w) AS BIGINT) AS cost
+           FROM edges),
+    s AS (SELECT MIN(src) AS sname FROM edges),
+    d0 AS (SELECT name, CASE WHEN name = (SELECT sname FROM s)
+                             THEN CAST(0 AS BIGINT) END AS d
+           FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    relax{i} AS (SELECT ec.dst AS name, MIN(p.d + ec.cost) AS cand
+                 FROM ec JOIN d{i - 1} p ON p.name = ec.src
+                 WHERE p.d IS NOT NULL GROUP BY ec.dst),
+    d{i} AS (SELECT d.name, LEAST(d.d, r.cand) AS d
+             FROM d{i - 1} d LEFT JOIN relax{i} r USING (name))""")
+    return "".join(parts) + f"""
+    SELECT name AS nation, d AS min_cost FROM d{n_iter}"""
+
+
+@register(
+    "q_graph_shortest_cost",
+    oracle=_bf_oracle(N_BF),
+    doc=f"Single-source shortest path by {N_BF} Bellman-Ford relaxation "
+        "rounds over the nation trade graph, edge cost = "
+        "ceil(100000 / line-count) so high-traffic routes are cheap and "
+        "multi-hop routes can beat thin direct edges — the min-plus "
+        "iterate-on-aggregated-state workload beside PageRank (sum-"
+        "times) and components (min-label). Source = lexicographic-min "
+        "node, resolved IN-PLAN as a broadcast 1-row aggregate. Integer "
+        "costs make every distance hash-exact (no float rounding "
+        "anywhere). Fixed iteration count => ONE lazy DAG, relaxations "
+        "as join+min-aggregate layers; the oracle unrolls the identical "
+        "rounds. At 100 TB each round shuffles (node, dist) pairs — "
+        "the standard distributed Bellman-Ford.",
+)
+def q_graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    ec = edges.select("src", "dst",
+                      F.ceil(F.lit(100000.0) / F.col("w")).alias("cost"))
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    src1 = edges.agg(F.min("src").alias("sname"))
+    dist = (nodes.crossJoin(F.broadcast(src1))
+            .select("name", F.when(F.col("name") == F.col("sname"),
+                                   F.lit(0).cast("long")).alias("d")))
+    for _ in range(N_BF):
+        relax = (ec.join(dist.select(F.col("name").alias("src"),
+                                     F.col("d").alias("du")), "src")
+                 .where(F.col("du").isNotNull())
+                 .groupBy("dst")
+                 .agg(F.min(F.col("du") + F.col("cost")).alias("cand")))
+        dist = (dist.join(relax, dist.name == relax.dst, "left")
+                .select("name", F.least(F.col("d"), F.col("cand")).alias("d")))
+    return dist.select(F.col("name").alias("nation"),
+                       F.col("d").alias("min_cost"))

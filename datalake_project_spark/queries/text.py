@@ -699,3 +699,75 @@ def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
                  F.sum(F.when(~F.col("dropped"), F.col("nt")).otherwise(0))
                  .cast("long").alias("kept_tokens")))
+
+
+@register(
+    "q_text_collocations",
+    oracle="""
+    WITH words AS (
+        SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                          FOR i IN range(1, len(ws))]) AS b
+           FROM words WHERE len(ws) >= 2),
+    pc AS (SELECT b, COUNT(*) AS n12 FROM bg GROUP BY b),
+    m1 AS (SELECT split_part(b, ' ', 1) AS w1,
+                  CAST(SUM(n12) AS BIGINT) AS n1 FROM pc GROUP BY 1),
+    m2 AS (SELECT split_part(b, ' ', 2) AS w2,
+                  CAST(SUM(n12) AS BIGINT) AS n2 FROM pc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS nb FROM pc)
+    SELECT b AS bigram, n12 AS n,
+           ROUND(ln(n12::DOUBLE * tot.nb / (m1.n1 * m2.n2)), 6) + 0.0 AS pmi
+    FROM pc
+    JOIN m1 ON m1.w1 = split_part(b, ' ', 1)
+    JOIN m2 ON m2.w2 = split_part(b, ' ', 2)
+    CROSS JOIN tot
+    WHERE n12 >= 5
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="Collocation mining: top-20 adjacent word pairs by pointwise "
+        "mutual information (PMI over the bigram table's own marginals, "
+        "min count 5) — the word-association measure behind phrase "
+        "detection in word2vec-era pipelines, and the text-adjacency "
+        "counterpart of q_events_pmi's co-occurrence association. "
+        "One corpus explode builds the pair-count table; marginals and "
+        "the bigram total re-aggregate from that VOCAB-SIZED table "
+        "(never a second corpus pass) and broadcast back onto it; "
+        "top-20 via TakeOrderedAndProject. The PMI argument is "
+        "computed with the identical operation order on both engines "
+        "(double numerator, exact integer denominator) and rounded at "
+        "6 dp before ranking.",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(T.tokens("text").alias("ws"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    # the pair-count table feeds FOUR branches (marginals, total, main);
+    # a lazy localCheckpoint materializes the corpus explode ONCE and
+    # the vocab-sized table is what every branch re-reads (the LSH
+    # discipline — without it Catalyst re-runs the corpus pass per
+    # branch)
+    pc = (tok.where(n >= 2)
+          .select(F.explode(bg_arr).alias("b"))
+          .groupBy("b").agg(F.count(F.lit(1)).alias("n12"))
+          .localCheckpoint(eager=False))
+    m1 = (pc.groupBy(F.split("b", " ")[0].alias("w1"))
+          .agg(F.sum("n12").cast("long").alias("n1")))
+    m2 = (pc.groupBy(F.split("b", " ")[1].alias("w2"))
+          .agg(F.sum("n12").cast("long").alias("n2")))
+    tot = pc.agg(F.sum("n12").cast("long").alias("nb"))
+    return (pc.where(F.col("n12") >= 5)
+            .withColumn("w1", F.split("b", " ")[0])
+            .withColumn("w2", F.split("b", " ")[1])
+            .join(F.broadcast(m1), "w1")
+            .join(F.broadcast(m2), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("b").alias("bigram"), F.col("n12").alias("n"),
+                    (F.round(F.log(F.col("n12").cast("double") * F.col("nb")
+                                   / (F.col("n1") * F.col("n2"))), 6)
+                     + F.lit(0.0)).alias("pmi"))
+            .orderBy(F.desc("pmi"), "bigram").limit(20))
