@@ -708,3 +708,87 @@ def q_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.abs(F.avg("nt") - F.col("gm")) / F.col("gm"), 4)
                   + F.lit(0.0)).alias("mean_drift"))
             .drop("gm"))
+
+
+SAMPLE_N = 100  # total documents drawn by the quota-exact sampler
+QS_SALT = ":qs:4"
+
+
+@register(
+    "q_corpus_quota_sample",
+    oracle=f"""
+    WITH w AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS wt FROM w),
+    base AS (SELECT source, n_docs,
+                    ({SAMPLE_N} * n_docs) // tot.wt AS bq,
+                    ({SAMPLE_N} * n_docs) % tot.wt AS rem
+             FROM w CROSS JOIN tot),
+    r AS (SELECT CAST({SAMPLE_N} - SUM(bq) AS BIGINT) AS extra FROM base),
+    ranked AS (SELECT source, bq, rem,
+                      ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+               FROM base),
+    quota AS (SELECT source,
+                     CAST(bq + CASE WHEN rk <= (SELECT extra FROM r)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS q
+              FROM ranked),
+    drawn AS (SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR || '{QS_SALT}'),
+                                  doc_id) AS rk
+              FROM documents)
+    SELECT d.doc_id, d.source
+    FROM drawn d JOIN quota USING (source)
+    WHERE d.rk <= quota.q
+    """,
+    doc=f"Quota-EXACT stratified draw: the Hamilton apportionment "
+        f"(q_corpus_quota_allocation's integer arithmetic, here over "
+        f"doc counts) fixes per-source quotas summing to exactly "
+        f"{SAMPLE_N}, then each source contributes its first "
+        "quota-many documents in salted-MD5 order — the drawn sample "
+        "itself, completing the plan->draw arc "
+        "(q_sample_stratified keeps a RATE per stratum; this draws an "
+        "exact COUNT). Deterministic: no rand() anywhere, the same "
+        "sample on any engine or cluster size. Spark plan: quotas via "
+        "the bounded sources-table self-join (no global window), the "
+        "draw via a per-source keyed window over the hash order — "
+        "at 100 TB that is one shuffle on source with "
+        "early-stopping-friendly rank<=q selection, and the quota "
+        "table broadcasts.",
+)
+def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    w = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = w.agg(F.sum("n_docs").cast("long").alias("wt"))
+    n = F.lit(SAMPLE_N)
+    scaled = n * F.col("n_docs")
+    base = (w.crossJoin(F.broadcast(tot))
+            .withColumn("rem", F.pmod(scaled, F.col("wt")))
+            .withColumn("bq", ((scaled - F.pmod(scaled, F.col("wt")))
+                               / F.col("wt")).cast("long")))
+    extra = base.agg((n - F.sum("bq")).cast("long").alias("extra"))
+    a = base.alias("a")
+    b = base.select(F.col("source").alias("b_source"),
+                    F.col("rem").alias("b_rem"))
+    ranked = (a.join(F.broadcast(b),
+                     (F.col("b_rem") > a["rem"])
+                     | ((F.col("b_rem") == a["rem"])
+                        & (F.col("b_source") < a["source"])), "left")
+              .groupBy(a["source"], a["bq"])
+              .agg(F.count("b_source").alias("n_ahead")))
+    quota = (ranked.crossJoin(F.broadcast(extra))
+             .select("source",
+                     (F.col("bq")
+                      + F.when(F.col("n_ahead") < F.col("extra"), 1)
+                      .otherwise(0)).cast("long").alias("q")))
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(QS_SALT)))
+    win = Window.partitionBy("source").orderBy(h, "doc_id")
+    drawn = (d.select("doc_id", "source")
+             .withColumn("rk", F.row_number().over(win)))
+    return (drawn.join(F.broadcast(quota), "source")
+            .where(F.col("rk") <= F.col("q"))
+            .select("doc_id", "source"))

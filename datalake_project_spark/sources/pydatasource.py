@@ -43,10 +43,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -147,6 +149,74 @@ class PagedJsonStreamReader(DataSourceStreamReader):
         pass  # offsets live in Spark's checkpoint; nothing source-side
 
 
+class PageCommit(WriterCommitMessage):
+    """One successfully written temp page per task (or None if the
+    partition was empty)."""
+
+    def __init__(self, tmp_path: str | None):
+        self.tmp_path = tmp_path
+
+
+class PagedJsonWriter(DataSourceWriter):
+    """Writer half of the source — the raw-layer K1 sink
+    (`scripts/script_api_apify_to_spark.py:125-137` dumps verbatim
+    row-oriented JSON) through the Spark commit protocol: each task
+    writes its rows as ONE page file under a temp name, and only the
+    driver-side ``commit`` renames the temp files into the
+    monotonically numbered ``page_NNNNNNNNNN.json`` sequence the batch
+    and stream readers consume. A failed/speculative task leaves at
+    most an orphan temp file (swept on the next commit), never a
+    half-visible page — task-level exactly-once without a transaction
+    log. ``overwrite`` clears the existing sequence at commit time, so
+    readers never observe a partially replaced directory ordering."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("paged_json requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> PageCommit:
+        import uuid
+
+        records = [row.asDict() for row in iterator]
+        if not records:
+            return PageCommit(None)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(records, fh)
+        return PageCommit(tmp)
+
+    def _existing_pages(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(f for f in os.listdir(self.root)
+                      if f.endswith(".json"))
+
+    def commit(self, messages) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        if self.overwrite:
+            for f in self._existing_pages():
+                os.remove(os.path.join(self.root, f))
+        start = len(self._existing_pages())
+        done = [m.tmp_path for m in messages
+                if m is not None and m.tmp_path is not None]
+        for i, tmp in enumerate(done):
+            os.rename(tmp, os.path.join(
+                self.root, f"page_{start + i:010d}.json"))
+        # sweep orphans from failed/speculative attempts
+        for f in os.listdir(self.root):
+            if f.startswith("_tmp_"):
+                os.remove(os.path.join(self.root, f))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path is not None and \
+                    os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PagedJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -160,6 +230,9 @@ class PagedJsonDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> PagedJsonStreamReader:
         return PagedJsonStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> PagedJsonWriter:
+        return PagedJsonWriter(dict(self.options), overwrite)
 
 
 def register_paged_json(spark) -> None:

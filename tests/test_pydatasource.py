@@ -126,3 +126,74 @@ def test_stream_reads_only_new_pages(spark, page_dir, tmp_path):
     second = run_pass()
     assert second - first == {("erin", "Erin E")}
     assert len(second) == len(first) + 1  # no re-ingestion of old pages
+
+
+def test_writer_roundtrip_overwrite_and_append(spark, tmp_path):
+    """df.write.format('paged_json'): rows land as numbered page files
+    through the temp-then-rename commit protocol; overwrite replaces
+    the sequence, append extends it; the source's own reader round-trips
+    the content."""
+    import os
+
+    out = str(tmp_path / "pages")
+    register_paged_json(spark)
+    df = spark.createDataFrame(
+        [("alice", "Alice A"), ("bob", "Bob B")],
+        "username string, full_name string").repartition(2)
+    df.write.format("paged_json").mode("overwrite") \
+        .option("path", out).save()
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files and all(f.startswith("page_") for f in files)
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+
+    back = {(r.username, r.full_name)
+            for r in spark.read.format("paged_json")
+            .option("path", out).load().collect()}
+    assert back == {("alice", "Alice A"), ("bob", "Bob B")}
+
+    spark.createDataFrame([("carol", "Carol C")],
+                          "username string, full_name string") \
+        .write.format("paged_json").mode("append") \
+        .option("path", out).save()
+    back2 = {(r.username, r.full_name)
+             for r in spark.read.format("paged_json")
+             .option("path", out).load().collect()}
+    assert back2 == back | {("carol", "Carol C")}
+
+    # overwrite resets the sequence (numbering restarts at 0)
+    spark.createDataFrame([("dave", "Dave D")],
+                          "username string, full_name string") \
+        .write.format("paged_json").mode("overwrite") \
+        .option("path", out).save()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files == ["page_0000000000.json"]
+
+
+def test_writer_feeds_stream_reader(spark, tmp_path):
+    """Pages written by the writer are picked up incrementally by the
+    source's own streamReader — the full source lifecycle (write ->
+    batch read -> incremental read) in one format."""
+    out = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    register_paged_json(spark)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, "username string, full_name string") \
+            .coalesce(1).write.format("paged_json").mode(mode) \
+            .option("path", out).save()
+
+    def drain():
+        q = (spark.readStream.format("paged_json").option("path", out)
+             .load()
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        return {r.username for r in spark.read.parquet(sink).collect()}
+
+    write([("alice", "Alice A")], "overwrite")
+    assert drain() == {"alice"}
+    write([("bob", "Bob B")], "append")
+    assert drain() == {"alice", "bob"}  # only the new page re-ingested
