@@ -1304,3 +1304,106 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / 1000000.0).cast("long").alias("median_s"),
                  (F.round(F.avg("delta_us") / 1000000.0, 2)
                   + F.lit(0.0)).alias("mean_s")))
+
+
+@register(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, day),
+    m AS (SELECT event_type, AVG(n) AS mu FROM daily GROUP BY event_type),
+    cu AS (
+        SELECT d.event_type, d.day,
+               ROUND(SUM(d.n - m.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING), 6) AS cusum
+        FROM daily d JOIN m USING (event_type)),
+    best AS (
+        SELECT event_type, day, ABS(cusum) AS a,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(cusum) DESC, day) AS rk
+        FROM cu)
+    SELECT event_type,
+           STRFTIME(day, '%Y-%m-%d') AS change_day,
+           ROUND(a, 6) + 0.0 AS max_abs_cusum
+    FROM best WHERE rk = 1
+    """,
+    doc="CUSUM change-point detection over per-type daily event counts: "
+        "the cumulative sum of deviations from the series mean peaks "
+        "(in absolute value) at the most likely level-shift day — the "
+        "classic monitoring statistic for 'did this event stream change "
+        "behavior, and when'. The running sum is a KEYED window "
+        "(partitioned by event_type, ordered by day — never a "
+        "single-partition window), the per-type mean joins back from a "
+        "type-sized aggregate, and the arg-max day is a min-struct "
+        "aggregate. The sequential summation order is the day order on "
+        "both engines, so the 6-dp-rounded trajectory is cross-engine "
+        "exact.",
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    m = daily.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cu = (daily.join(F.broadcast(m), "event_type")
+          .withColumn("cusum",
+                      F.round(F.sum(F.col("n") - F.col("mu")).over(w), 6)))
+    best = (cu.groupBy("event_type")
+            .agg(F.min(F.struct((-F.abs(F.col("cusum"))).alias("neg"),
+                                F.col("day").alias("day"),
+                                F.abs(F.col("cusum")).alias("a"))).alias("p")))
+    return best.select(
+        "event_type",
+        F.date_format("p.day", "yyyy-MM-dd").alias("change_day"),
+        (F.round("p.a", 6) + F.lit(0.0)).alias("max_abs_cusum"))
+
+
+@register(
+    "q_events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::DOUBLE AS n
+        FROM events GROUP BY event_type, day),
+    paired AS (
+        SELECT event_type, day, n,
+               LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+               LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        FROM daily)
+    SELECT event_type,
+           COUNT(*) AS n_pairs,
+           ROUND(CORR(n, prev_n), 6) + 0.0 AS acf_lag1
+    FROM paired
+    WHERE prev_day IS NOT NULL AND day = prev_day + INTERVAL 1 DAY
+    GROUP BY event_type
+    """,
+    doc="Lag-1 autocorrelation of per-type daily event counts over "
+        "CALENDAR-adjacent day pairs (gaps excluded): the first ACF "
+        "coefficient — the statistic that says whether a series is "
+        "momentum-driven or mean-reverting, and the cheap test run "
+        "before fitting any forecaster (cf. q_forecast_seasonal_naive). "
+        "One keyed LAG window over the type-sized daily table, then "
+        "CORR as a closed-form grouped aggregate (the regr_* family "
+        "convention of q_price_trend_regression), rounded at 6 dp.",
+)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    paired = (daily
+              .withColumn("prev_n", F.lag("n").over(w))
+              .withColumn("prev_day", F.lag("day").over(w)))
+    return (paired
+            .where(F.col("prev_day").isNotNull()
+                   & (F.datediff("day", "prev_day") == 1))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.round(F.corr("n", "prev_n"), 6)
+                  + F.lit(0.0)).alias("acf_lag1")))

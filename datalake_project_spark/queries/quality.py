@@ -331,3 +331,53 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + F.lit(0.0)).alias("ensemble")))
     return scored.select("doc_id", "ensemble",
                          (F.col("ensemble") >= 0.5).alias("keep"))
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                         - 84.6 * (n_syllables::DOUBLE / n_words), 4)
+               + 0.0 AS flesch
+    FROM f WHERE n_words >= 1
+    """,
+    doc="Flesch reading-ease scoring (206.835 - 1.015 w/s - 84.6 "
+        "syl/w), with sentences counted as terminal-punctuation runs "
+        "and syllables approximated by vowel-group runs — the classic "
+        "readability feature beside the length/stopword/repetition "
+        "quality battery (readability is a standard column in corpus "
+        "quality filtering, cf. the FineWeb recipe's heuristic stack). "
+        "Pure column expressions over one scan — zero Python, zero "
+        "shuffles beyond the scan itself; identical regex classes on "
+        "both engines keep the integer counts hash-exact and the "
+        "formula is evaluated in the same operation order before the "
+        "4-dp round.",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    n_words = F.size(F.regexp_extract_all(
+        F.lower("text"), F.lit("[a-z0-9]+"), 0))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1))
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"),
+                                    F.lit("[aeiouy]+"), 0)), F.lit(1))
+    f = d.select("doc_id", n_words.alias("n_words"),
+                 n_sent.alias("n_sentences"), n_syl.alias("n_syllables"))
+    fre = (F.lit(206.835)
+           - F.lit(1.015) * (F.col("n_words").cast("double")
+                             / F.col("n_sentences"))
+           - F.lit(84.6) * (F.col("n_syllables").cast("double")
+                            / F.col("n_words")))
+    return (f.where(F.col("n_words") >= 1)
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    (F.round(fre, 4) + F.lit(0.0)).alias("flesch")))
