@@ -123,6 +123,12 @@ ADDITIONS = [
     "q_merge_upsert",
     "q_retrieval_mmr",
     "q_text_nb_langid",
+    "q_stream_merge_upsert",
+    "q_write_audit_publish",
+    "q_text_decontaminate",
+    "q_graph_shortest_cost",
+    "q_events_changepoint",
+    "q_corpus_quota_sample",
 ]
 
 HEADLINE = CORE + ADDITIONS
