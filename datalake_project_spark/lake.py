@@ -208,6 +208,18 @@ class Lake:
         )
         return row["prev"] if row else None
 
+    def rollback(self, table: str, ingest_date: str, to_run: str,
+                 new_run: str) -> None:
+        """Time-travel rollback (Delta RESTORE semantics on the run_ts
+        series): republish snapshot ``to_run`` as ``new_run`` — the
+        newest run — so latest-snapshot readers resolve to the restored
+        state WITHOUT rewriting history (every prior run stays
+        readable; retention expires them on its own schedule). One
+        partition copy-on-write, idempotent via dynamic overwrite."""
+        snap = (self.read_usage(table, ingest_date, to_run)
+                .drop("ingest_date", "run_ts"))
+        self.write_usage(snap, table, ingest_date, new_run)
+
     def list_runs(self, table: str, ingest_date: str) -> list[str]:
         """run_ts values present for one ingest_date, ascending — read
         from the partition directory names (listing-scale, no data

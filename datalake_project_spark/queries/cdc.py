@@ -780,3 +780,60 @@ def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderpriority", "n_orders", "total_price")
             .withColumn("n_violations", F.lit(violations).cast("long"))
             .withColumn("status", F.lit("published")))
+
+
+@register(
+    "q_snapshot_rollback",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           '19980101T000000' AS restored_from,
+           '20000101T000000' AS latest_run,
+           4 AS n_runs
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    """,
+    doc="Snapshot ROLLBACK (Lake.rollback — Delta RESTORE semantics on "
+        "the run_ts series): three yearly snapshots land as ascending "
+        "runs, then the middle one is republished as the NEWEST run, so "
+        "latest-snapshot resolution (reference S7) returns the restored "
+        "state while every prior run stays readable — history is "
+        "extended, never rewritten (the reference can only overwrite "
+        "in place, scripts/script_api_apify_to_spark.py:200-209). The "
+        "result re-reads the resolved latest run partition-pruned and "
+        "pins the full run count; the oracle recomputes the restored "
+        "year's aggregate from source. Completes the time-travel arc: "
+        "AS-OF read (q_snapshot_asof), retention (q_retention_vacuum), "
+        "restore (this). Idempotent: every run rewrites its own "
+        "partitions dynamically.",
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def snap(year: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_orderkey", "o_totalprice")
+
+    lake = Lake(spark, scratch_dir("rollback", sf_dir))
+    runs = {1997: "19970101T000000", 1998: "19980101T000000",
+            1999: "19990101T000000"}
+    for yr, run in runs.items():
+        lake.write_usage(snap(yr), "orders_snap", "2000-01-01", run)
+    lake.rollback("orders_snap", "2000-01-01",
+                  to_run=runs[1998], new_run="20000101T000000")
+
+    all_runs = lake.list_runs("orders_snap", "2000-01-01")
+    latest = all_runs[-1]
+    part = lake.read_usage("orders_snap", "2000-01-01", latest)
+    agg = part.agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 2).alias("t")).first()
+    return spark.createDataFrame(
+        [(agg["n"], float(agg["t"]), runs[1998], latest, len(all_runs))],
+        "n_rows long, total_price double, restored_from string, "
+        "latest_run string, n_runs int")
