@@ -438,3 +438,38 @@ def q_retrieval_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("doc_id"),
                     F.round(dot / (nrm("v") * nrm("q")), 6).alias("score"))
             .orderBy(F.desc("score"), "doc_id").limit(ROCCHIO_K))
+
+
+@register(
+    "q_search_facets",
+    oracle=f"""
+    WITH {_BM25_CTE}
+    SELECT d.source, d.lang,
+           COUNT(*) AS n_hits,
+           ROUND(MAX(b.score), 4) + 0.0 AS best_score,
+           ROUND(SUM(b.score), 4) + 0.0 AS sum_score
+    FROM bm25 b JOIN documents d USING (doc_id)
+    GROUP BY d.source, d.lang
+    """,
+    doc="Faceted search — the Elasticsearch aggregations-alongside-hits "
+        "shape the reference's search mirror exists to serve "
+        "(airflow/dags/apify_dag.py:290-318): for the probe-term query, "
+        "per-(source, lang) hit counts with best/total BM25 score. The "
+        "hit set reuses the probe-filtered inverted index (_bm25_scores "
+        "— only documents containing a query term are ever "
+        "materialized), the facet panel is one grouped aggregate over "
+        "that hit-sized set joined back to the dimension columns; at "
+        "100 TB the facet table is facets-sized and the corpus cost is "
+        "the BM25 scan already paid.",
+)
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    hits = _bm25_scores(spark, sf_dir)
+    return (hits.join(d.select("doc_id", "source", "lang"), "doc_id")
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 (F.round(F.max("score"), 4) + F.lit(0.0)).alias("best_score"),
+                 # sum (not mean) of the 4-dp scores: a sum of exact
+                 # 4-dp decimals stays exact, while a mean can land on
+                 # the .5 rounding boundary and flip between engines
+                 (F.round(F.sum("score"), 4) + F.lit(0.0)).alias("sum_score")))

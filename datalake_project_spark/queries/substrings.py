@@ -1055,3 +1055,78 @@ def q_dedup_winnow_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
     return d.join(non_reps, d.doc_id == non_reps.id, "left_anti") \
         .select("doc_id")
+
+
+CHUNK_BG = 32  # bigrams per scoring window
+
+
+@register(
+    "q_text_worst_window_lm",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    bg AS (SELECT doc_id, i AS pos, ws[i] || ' ' || ws[i+1] AS bg
+           FROM words, unnest(range(1, len(ws))) AS u(i)
+           WHERE len(ws) >= 2),
+    uni AS (SELECT unnest(ws) AS w FROM words),
+    c1 AS (SELECT w AS w1, COUNT(*) AS c1 FROM uni GROUP BY w),
+    c2 AS (SELECT bg.bg, COUNT(*) AS c2 FROM bg GROUP BY bg.bg),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM uni),
+    lp AS (
+        SELECT b.doc_id, (b.pos - 1) // {CHUNK_BG} AS chunk,
+               ln((c2.c2 + 1.0) / (c1.c1 + v.vocab)) AS lp
+        FROM bg b
+        JOIN c2 ON c2.bg = b.bg
+        JOIN c1 ON c1.w1 = string_split(b.bg, ' ')[1]
+        CROSS JOIN v),
+    per_chunk AS (
+        SELECT doc_id, chunk, ROUND(AVG(lp), 6) AS chunk_lp
+        FROM lp GROUP BY doc_id, chunk)
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           MIN(chunk_lp) + 0.0 AS worst_chunk_lp
+    FROM per_chunk GROUP BY doc_id
+    """,
+    doc=f"Worst-window LM scoring: each non-overlapping {CHUNK_BG}-"
+        "bigram window of a document is scored under the corpus-trained "
+        "add-one bigram LM, and the document reports its WORST window — "
+        "span-level quality filtering (a document with one garbage "
+        "section passes a whole-doc mean but fails here; the window-"
+        "perplexity discipline of Gopher-style cleaning) on top of "
+        "q_text_bigram_lm's whole-doc score and q_corpus_chunk's "
+        "windowing. Same one-DAG shape as the LM family: count tables "
+        "and vocab are broadcast 1-row/vocab-sized aggregates, the "
+        "corpus pass is one posexploded bigram stream keyed by "
+        "(doc, chunk), chunk means rounded at 6 dp before the MIN so "
+        "both engines pick the identical worst window.",
+)
+def q_text_worst_window_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    uni = tok.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.count_distinct("w").alias("vocab"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = (tok.where(n >= 2)
+          .select("doc_id", F.posexplode(bg_arr).alias("pos", "bg")))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lp = (bg
+          .join(F.broadcast(c2), "bg")
+          .withColumn("w1", F.split("bg", " ")[0])
+          .join(F.broadcast(c1), "w1")
+          .crossJoin(F.broadcast(v))
+          .select("doc_id",
+                  (F.col("pos") / CHUNK_BG).cast("long").alias("chunk"),
+                  F.log((F.col("c2") + F.lit(1.0))
+                        / (F.col("c1") + F.col("vocab"))).alias("lp")))
+    per_chunk = (lp.groupBy("doc_id", "chunk")
+                 .agg(F.round(F.avg("lp"), 6).alias("chunk_lp")))
+    return (per_chunk.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 (F.min("chunk_lp") + F.lit(0.0)).alias("worst_chunk_lp")))
