@@ -309,3 +309,39 @@ def test_ewma_one_window_one_shuffle(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1
     assert exchange_count(df) == 1
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """With the v2 parquet source, COUNT/MIN/MAX over an unfiltered scan
+    are answered from parquet FOOTER metadata (PushedAggregation in the
+    BatchScan) — at 100 TB these table-stats queries read row-group
+    stats, not data pages. Scoped conf: the engine default stays on the
+    v1 path, so the capability is proven without changing every other
+    plan in the suite."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = ("spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown")
+    saved = {k: conf.get(k, None) for k in keys}
+    # data-page answer on the default v1 path, BEFORE the conf flips
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    slow = tuple(df.agg(F.count(F.lit(1)), F.min("o_orderkey"),
+                        F.max("o_orderkey")).first())
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df2 = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        q = df2.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("o_orderkey").alias("k0"),
+                    F.max("o_orderkey").alias("k1"))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BatchScan" in plan and "count(*)" in plan \
+            and "min(o_orderkey)" in plan
+        assert tuple(q.first()) == slow
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
