@@ -58,6 +58,28 @@ from datalake_project_spark.sources.json_ingest import (
 )
 
 
+_PA_TYPES = {"string": "string", "bigint": "int64", "int": "int32",
+             "double": "float64", "float": "float32", "boolean": "bool_"}
+
+
+def _page_batch(records: list[dict], fields: list[tuple[str, str]]):
+    """One Arrow RecordBatch per page: Spark 4 accepts pyarrow batches
+    from Python DataSource ``read``, which skips per-row pickling —
+    the page crosses the Python/JVM boundary as ONE columnar buffer
+    (the same Arrow lane pandas_udf uses) instead of N row tuples.
+    Types are built from the DECLARED schema, not inferred, so an
+    all-null column keeps its type."""
+    import pyarrow as pa
+
+    arrays, names = [], []
+    for name, dt in fields:
+        pa_type = getattr(pa, _PA_TYPES.get(dt, "string"))()
+        arrays.append(pa.array([r.get(name) for r in records],
+                               type=pa_type))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
 class PagePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -66,6 +88,8 @@ class PagePartition(InputPartition):
 class PagedJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.names = schema.fieldNames()
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
         root = options.get("path")
         if not root:
             raise ValueError("paged_json requires a 'path' option")
@@ -101,12 +125,12 @@ class PagedJsonReader(DataSourceReader):
                     return False
         return True
 
-    def read(self, partition: PagePartition) -> Iterator[tuple]:
+    def read(self, partition: PagePartition):
         with open(partition.path) as fh:
             payload = json.load(fh)
-        for rec in normalize_payload(payload):
-            if self._keep(rec):
-                yield tuple(rec.get(c) for c in self.names)
+        kept = [r for r in normalize_payload(payload) if self._keep(r)]
+        if kept:
+            yield _page_batch(kept, self.fields)
 
 
 class PagedJsonStreamReader(DataSourceStreamReader):
@@ -120,6 +144,8 @@ class PagedJsonStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self.names = schema.fieldNames()
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
         self.root = options.get("path")
         if not self.root:
             raise ValueError("paged_json requires a 'path' option")
@@ -139,11 +165,12 @@ class PagedJsonStreamReader(DataSourceStreamReader):
         return [PagePartition(p)
                 for p in self._pages()[start["n"]:end["n"]]]
 
-    def read(self, partition: PagePartition) -> Iterator[tuple]:
+    def read(self, partition: PagePartition):
         with open(partition.path) as fh:
             payload = json.load(fh)
-        for rec in normalize_payload(payload):
-            yield tuple(rec.get(c) for c in self.names)
+        recs = normalize_payload(payload)
+        if recs:
+            yield _page_batch(recs, self.fields)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing source-side
