@@ -88,8 +88,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
+        # (_id, hash-array) feeds the candidate index AND both sides of
+        # the exact re-verify join; lazy localCheckpoint tokenizes and
+        # shingles the corpus ONCE (compact payload: 8 B per shingle)
         hashed = sh.select("_id", F.transform(
-            "_shingles", lambda s: F.xxhash64(s)).alias("_hs"))
+            "_shingles", lambda s: F.xxhash64(s)).alias("_hs")) \
+            .localCheckpoint(eager=False)
         inv = hashed.select("_id", F.explode("_hs").alias("_s"))
         rare = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
                 .where(F.col("_df") <= max_df).select("_s"))
@@ -103,8 +107,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         return _verify_pairs_exact(hashed, cands, threshold)
 
     sizes = sh.select("_id", F.size("_shingles").alias("_n"))
+    # the inverted index feeds BOTH sides of the self-join; lazy
+    # localCheckpoint materializes the explode+hash corpus pass once
     inv = sh.select("_id", F.explode(
-        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s")) \
+        .localCheckpoint(eager=False)
 
     a, b = inv.alias("a"), inv.alias("b")
     inter = (

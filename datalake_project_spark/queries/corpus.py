@@ -307,8 +307,12 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.functions.text import shingles
 
     d = Catalog(spark, sf_dir).table("documents")
+    # the (source, shingle) index feeds BOTH sides of the self-join; a
+    # lazy localCheckpoint materializes the corpus explode+distinct
+    # once instead of per side (the q_text_collocations discipline)
     sh = (d.select("source", F.explode(shingles(T.tokens("text"), 3)).alias("shingle"))
-          .distinct())
+          .distinct()
+          .localCheckpoint(eager=False))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
