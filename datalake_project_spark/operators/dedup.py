@@ -182,8 +182,10 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     sizes = sh.select("_id", F.size("_shingles").alias("_n"))
+    # self-joined index: lazy localCheckpoint, same as ngram_jaccard_pairs
     inv = sh.select("_id", F.explode(
-        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s"))
+        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s")) \
+        .localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") != F.col("b._id")))

@@ -238,7 +238,11 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.operators.dedup import winnow_fingerprint_rows
 
     d = Catalog(spark, sf_dir).table("documents")
-    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W)
+    # fingerprints feed both sides of the pair join: materialize the
+    # winnowing pipeline once (lazy localCheckpoint, the inverted-index
+    # discipline of operators/dedup.py)
+    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W) \
+        .localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -1042,7 +1046,11 @@ def q_dedup_winnow_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = Catalog(spark, sf_dir).table("documents")
-    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W)
+    # fingerprints feed both sides of the pair join: materialize the
+    # winnowing pipeline once (lazy localCheckpoint, the inverted-index
+    # discipline of operators/dedup.py)
+    fps = winnow_fingerprint_rows(d, k=WINNOW_K, w=WINNOW_W) \
+        .localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
     pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
