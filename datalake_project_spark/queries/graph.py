@@ -307,8 +307,11 @@ def q_graph_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
+    # the bipartite index feeds the degree table AND both join sides:
+    # lazy localCheckpoint runs the lineitem distinct once, not thrice
     bip = li.select(F.col("l_suppkey").alias("s"),
-                    F.col("l_partkey").alias("p")).distinct()
+                    F.col("l_partkey").alias("p")).distinct() \
+        .localCheckpoint(eager=False)
     deg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
     a = bip.select(F.col("s").alias("s1"), "p")
     b = bip.select(F.col("s").alias("s2"), "p")

@@ -107,7 +107,9 @@ def q_dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFram
     d = Catalog(spark, sf_dir).table("documents")
     sp = d.select(
         "doc_id", F.explode(T.span_list(T.tokens("text"), SPAN_N)).alias("span"))
-    h = sp.withColumn("h", F.xxhash64("span"))
+    # the hashed span stream feeds the survivor index AND the re-verify
+    # aggregate: lazy localCheckpoint tokenizes the corpus once
+    h = sp.withColumn("h", F.xxhash64("span")).localCheckpoint(eager=False)
     survivors = (h.groupBy("h")
                  .agg(F.count_distinct("doc_id").alias("nd"))
                  .where(F.col("nd") >= 2)
