@@ -479,7 +479,10 @@ def q_corpus_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rem", F.pmod(scaled, F.col("wt")))
             .withColumn("base_quota",
                         ((scaled - F.pmod(scaled, F.col("wt")))
-                         / F.col("wt")).cast("long")))
+                         / F.col("wt")).cast("long"))
+            # sources-sized result of a corpus aggregate, consumed by
+            # the residue aggregate and both ranking sides: one pass
+            .localCheckpoint(eager=False))
     extra = base.agg((n - F.sum("base_quota")).cast("long").alias("extra"))
     a, b = base.alias("a"), base.alias("b")
     ranked = (a.join(b.select(F.col("source").alias("b_source"),
@@ -772,7 +775,8 @@ def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (w.crossJoin(F.broadcast(tot))
             .withColumn("rem", F.pmod(scaled, F.col("wt")))
             .withColumn("bq", ((scaled - F.pmod(scaled, F.col("wt")))
-                               / F.col("wt")).cast("long")))
+                               / F.col("wt")).cast("long"))
+            .localCheckpoint(eager=False))
     extra = base.agg((n - F.sum("bq")).cast("long").alias("extra"))
     a = base.alias("a")
     b = base.select(F.col("source").alias("b_source"),

@@ -254,7 +254,10 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket index feeds both join sides: one shuffle, not
+    # two (lazy localCheckpoint, the inverted-index discipline)
+    items = li.select("l_orderkey", "l_partkey").distinct() \
+        .localCheckpoint(eager=False)
     a, b = items.alias("a"), items.alias("b")
     return (
         a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -911,7 +914,10 @@ def q_recs_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     li = Catalog(spark, sf_dir).table("lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # distinct basket index reused by the degree table and both join
+    # sides: lazy localCheckpoint pays the distinct shuffle once
+    items = li.select("l_orderkey", "l_partkey").distinct() \
+        .localCheckpoint(eager=False)
     deg = items.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).alias("n"))
     a, b = items.alias("a"), items.alias("b")

@@ -120,7 +120,11 @@ def _candidate_ranks(df: DataFrame, score_col: str, rank_col: str) -> DataFrame:
     ranks are dense and deterministic. No window with an empty
     partition spec anywhere — the candidate list is metadata-scale.
     """
-    top = df.orderBy(F.desc(score_col), "doc_id").limit(N_CAND)
+    # 50-row TakeOrdered result self-joined for ranks: materialize it
+    # once (lazy localCheckpoint) instead of re-running the corpus
+    # ranking per side
+    top = df.orderBy(F.desc(score_col), "doc_id").limit(N_CAND) \
+        .localCheckpoint(eager=False)
     a, b = top.alias("a"), top.alias("b")
     sa, sb = F.col(f"a.{score_col}"), F.col(f"b.{score_col}")
     better = (sb > sa) | ((sb == sa) & (F.col("b.doc_id") < F.col("a.doc_id")))
@@ -241,7 +245,8 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def positions(df: DataFrame, order_col: str) -> DataFrame:
         """Top-NDCG_K rows of df with 1-based position, by
         (order_col desc, doc_id) — bounded self-join, no window."""
-        top = df.orderBy(F.desc(order_col), "doc_id").limit(NDCG_K)
+        top = df.orderBy(F.desc(order_col), "doc_id").limit(NDCG_K) \
+            .localCheckpoint(eager=False)
         a, b = top.alias("a"), top.alias("b")
         oa, ob = F.col(f"a.{order_col}"), F.col(f"b.{order_col}")
         better = ((ob > oa)
@@ -340,7 +345,10 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("vec_id").alias("id"), "v",
                    F.round(dot("v", "pv") / (nrm("v") * nrm("pv")), 6)
                    .alias("rel")))
-    cand = rel.orderBy(F.desc("rel"), "id").limit(MMR_POOL)
+    # pool reused by the sim matrix (both sides) and the rel collect:
+    # one corpus ranking pass
+    cand = rel.orderBy(F.desc("rel"), "id").limit(MMR_POOL) \
+        .localCheckpoint(eager=False)
     a, b = cand.alias("a"), cand.alias("b")
     sims = (a.join(F.broadcast(b), F.col("a.id") != F.col("b.id"))
             .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),

@@ -517,8 +517,11 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
+    # vocab is self-joined for ranks: materialize the corpus explode
+    # once (vocab-sized payload, lazy localCheckpoint)
     vocab = (d.select(F.explode(T.tokens("text")).alias("term"))
-             .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+             .localCheckpoint(eager=False))
     a, b = vocab.alias("a"), vocab.alias("b")
     better = (F.col("b.freq") > F.col("a.freq")) | \
         ((F.col("b.freq") == F.col("a.freq"))
