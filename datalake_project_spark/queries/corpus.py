@@ -479,10 +479,10 @@ def q_corpus_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rem", F.pmod(scaled, F.col("wt")))
             .withColumn("base_quota",
                         ((scaled - F.pmod(scaled, F.col("wt")))
-                         / F.col("wt")).cast("long"))
-            # sources-sized result of a corpus aggregate, consumed by
-            # the residue aggregate and both ranking sides: one pass
-            .localCheckpoint(eager=False))
+                         / F.col("wt")).cast("long")))
+    # no localCheckpoint: this query is pinned fully declarative
+    # (tests/test_plans.py construction probe), and under AQE even an
+    # eager=False checkpoint materializes shuffle stages at construction
     extra = base.agg((n - F.sum("base_quota")).cast("long").alias("extra"))
     a, b = base.alias("a"), base.alias("b")
     ranked = (a.join(b.select(F.col("source").alias("b_source"),

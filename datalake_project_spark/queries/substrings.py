@@ -293,9 +293,13 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tok.select(F.explode("ws").alias("w"))
     c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
     # vocab size as a 1-row aggregate crossJoin'd in (broadcast): the
-    # whole query is ONE DAG — no driver-side action mid-construction,
-    # no second full corpus pass before the query's own aggregations.
-    v = uni.agg(F.count_distinct("w").alias("vocab"))
+    # whole query is ONE DAG — no driver-side action mid-construction
+    # (pinned by tests/test_plans.py). Derived from c1 (row count ==
+    # distinct unigrams), NOT from a second count_distinct corpus pass.
+    # No localCheckpoint here: under AQE even eager=False materializes
+    # shuffle stages at construction, and this query is pinned fully
+    # declarative.
+    v = c1.agg(F.count(F.lit(1)).alias("vocab"))
     n = F.size("ws")
     bg_arr = F.zip_with(
         F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
@@ -920,14 +924,20 @@ def q_text_interpolated_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     tok = d.select("doc_id", T.tokens("text").alias("ws"))
     uni = tok.select(F.explode("ws").alias("w"))
-    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    nt = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # vocab-sized count table consumed three ways (both join sides +
+    # the token total): lazy localCheckpoint, corpus aggregated once
+    c1 = uni.groupBy(F.col("w").alias("w1")) \
+        .agg(F.count(F.lit(1)).alias("c1")).localCheckpoint(eager=False)
+    # token total = sum of unigram counts — derived from c1, not a
+    # second corpus pass
+    nt = c1.agg(F.sum("c1").cast("double").alias("n"))
     n = F.size("ws")
     bg_arr = F.zip_with(
         F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b))
     bg = (tok.where(n >= 2)
-          .select("doc_id", F.explode(bg_arr).alias("bg")))
+          .select("doc_id", F.explode(bg_arr).alias("bg"))
+          .localCheckpoint(eager=False))
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     ca = c1.select(F.col("w1").alias("wa"), F.col("c1").alias("ca"))
     cb = c1.select(F.col("w1").alias("wb"), F.col("c1").alias("cb"))
@@ -1117,14 +1127,16 @@ def q_text_worst_window_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
     tok = d.select("doc_id", T.tokens("text").alias("ws"))
     uni = tok.select(F.explode("ws").alias("w"))
-    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    v = uni.agg(F.count_distinct("w").alias("vocab"))
+    c1 = uni.groupBy(F.col("w").alias("w1")) \
+        .agg(F.count(F.lit(1)).alias("c1")).localCheckpoint(eager=False)
+    v = c1.agg(F.count(F.lit(1)).alias("vocab"))  # rows of c1 == vocab
     n = F.size("ws")
     bg_arr = F.zip_with(
         F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b))
     bg = (tok.where(n >= 2)
-          .select("doc_id", F.posexplode(bg_arr).alias("pos", "bg")))
+          .select("doc_id", F.posexplode(bg_arr).alias("pos", "bg"))
+          .localCheckpoint(eager=False))
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     lp = (bg
           .join(F.broadcast(c2), "bg")
