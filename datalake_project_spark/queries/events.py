@@ -1466,3 +1466,50 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.avg("yc"), 6) + F.lit(0.0)).alias("mean_cuped"),
                  (F.round(1.0 - F.var_pop("yc") / F.var_pop("y"), 6)
                   + F.lit(0.0)).alias("var_reduction")))
+
+
+@register(
+    "q_events_power_analysis",
+    oracle="""
+    WITH peruser AS (
+        SELECT user_id, SUM(value) AS y
+        FROM events GROUP BY user_id),
+    s AS (SELECT AVG(y) AS mu, var_pop(y) AS v, COUNT(*) AS n
+          FROM peruser)
+    SELECT ROUND(mu, 6) + 0.0 AS mean_metric,
+           ROUND(v, 6) + 0.0 AS variance,
+           n AS n_users,
+           CAST(CEIL(2.0 * v * POW((1.959964 + 0.841621), 2)
+                     / POW(0.05 * mu, 2)) AS BIGINT) AS n_per_arm_mde5pct,
+           CAST(CEIL(2.0 * v * POW((1.959964 + 0.841621), 2)
+                     / POW(0.10 * mu, 2)) AS BIGINT) AS n_per_arm_mde10pct
+    FROM s
+    """,
+    doc="A/B sample-size (power) calculation from observed metric "
+        "variance: n per arm = 2*sigma^2*(z_{1-a/2}+z_{power})^2 / "
+        "delta^2 for 5% alpha / 80% power (z constants 1.959964, "
+        "0.841621) at 5% and 10% minimum detectable effects — the "
+        "planning step BEFORE q_events_ab_ttest / q_events_ab_cuped "
+        "run, completing the experimentation arc (power -> assign -> "
+        "test -> variance-reduce). One per-user aggregate pass, then a "
+        "1-row closed-form projection; identical operation order on "
+        "both engines before the 6-dp round, ceil'd sample sizes "
+        "integer-exact.",
+)
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    peruser = e.groupBy("user_id").agg(F.sum("value").alias("y"))
+    s = peruser.agg(F.avg("y").alias("mu"), F.var_pop("y").alias("v"),
+                    F.count(F.lit(1)).alias("n"))
+    z2 = F.pow(F.lit(1.959964 + 0.841621), 2)
+
+    def n_arm(mde: float):
+        return F.ceil(2.0 * F.col("v") * z2
+                      / F.pow(mde * F.col("mu"), 2)).cast("long")
+
+    return s.select(
+        (F.round("mu", 6) + F.lit(0.0)).alias("mean_metric"),
+        (F.round("v", 6) + F.lit(0.0)).alias("variance"),
+        F.col("n").alias("n_users"),
+        n_arm(0.05).alias("n_per_arm_mde5pct"),
+        n_arm(0.10).alias("n_per_arm_mde10pct"))

@@ -942,3 +942,48 @@ def q_recs_item_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3)
             .select(F.col("p").alias("part"), F.col("q").alias("neighbor"),
                     (F.round("c", 6) + F.lit(0.0)).alias("cosine")))
+
+
+@register(
+    "q_orders_seasonal_index",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY yr, mon),
+    avgm AS (SELECT mon, COUNT(*) AS n_years, AVG(rev) AS avg_rev,
+                    SUM(rev) AS total_rev
+             FROM m GROUP BY mon),
+    tot AS (SELECT AVG(rev) AS overall FROM m)
+    SELECT mon AS month, n_years,
+           ROUND(total_rev, 2) + 0.0 AS total_rev,
+           ROUND(avg_rev / tot.overall, 6) + 0.0 AS seasonal_index
+    FROM avgm CROSS JOIN tot
+    """,
+    doc="Classical seasonal decomposition, the index step: each "
+        "calendar month's average revenue across years divided by the "
+        "overall monthly average — the multiplicative seasonal factor "
+        "that q_forecast_seasonal_naive implicitly assumes and this "
+        "makes explicit (index > 1 = peak month). Two keyed aggregates "
+        "over a months-sized table plus a broadcast 1-row overall "
+        "average — the corpus cost is one scan with month extraction "
+        "fused in; no window anywhere.",
+)
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                   F.month("o_orderdate").alias("mon"))
+         .agg(F.sum("o_totalprice").alias("rev")))
+    avgm = (m.groupBy("mon")
+            .agg(F.count(F.lit(1)).alias("n_years"),
+                 F.avg("rev").alias("avg_rev"),
+                 F.sum("rev").alias("total_rev")))
+    tot = m.agg(F.avg("rev").alias("overall"))
+    # total (not mean) is displayed: a mean of month sums can land on a
+    # half-cent rounding boundary and flip between engines
+    return (avgm.crossJoin(F.broadcast(tot))
+            .select(F.col("mon").alias("month"), "n_years",
+                    (F.round("total_rev", 2) + F.lit(0.0)).alias("total_rev"),
+                    (F.round(F.col("avg_rev") / F.col("overall"), 6)
+                     + F.lit(0.0)).alias("seasonal_index")))
