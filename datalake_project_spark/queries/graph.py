@@ -384,7 +384,10 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-             .where(F.col("src") != F.col("dst")))
+             .where(F.col("src") != F.col("dst"))
+             # nation-pair-sized; consumed by sym (twice), nodes
+             # (twice), and through both propagation rounds
+             .localCheckpoint(eager=False))
     sym = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
            .unionAll(edges.select(F.col("dst").alias("u"),
                                   F.col("src").alias("v"), "w"))
@@ -457,7 +460,11 @@ def q_graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(li, F.col("l_orderkey") == o.o_orderkey)
              .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
-             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             # nation-pair-sized result of a 5-way fact join, consumed
+             # by the cost table, node set, source scalar, and every
+             # relaxation layer: materialize once
+             .localCheckpoint(eager=False))
     ec = edges.select("src", "dst",
                       F.ceil(F.lit(100000.0) / F.col("w")).alias("cost"))
     nodes = (edges.select(F.col("src").alias("name"))
