@@ -1513,3 +1513,43 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         n_arm(0.05).alias("n_per_arm_mde5pct"),
         n_arm(0.10).alias("n_per_arm_mde10pct"))
+
+
+@register(
+    "q_events_journey_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 2) OVER w AS t2,
+               LAG(event_type, 1) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+        SELECT t2 || '>' || t1 || '>' || event_type AS trigram
+        FROM seq WHERE t2 IS NOT NULL)
+    SELECT trigram, COUNT(*) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 20
+    """,
+    doc="User-journey trigram mining: the top-20 three-step event-type "
+        "sequences across all users — the pattern table behind funnel "
+        "design and next-event modeling, sitting between the pairwise "
+        "transition matrix (q_events_transitions) and the full Markov "
+        "chain (q_events_markov_stationary): order-2 structure the "
+        "order-1 views cannot show. One keyed window (user_id "
+        "partitions, (ts, event_id) total order — no single-partition "
+        "window), a type^3-bounded count table, TakeOrderedAndProject "
+        "for the top-20. Integer counts, hash-exact.",
+)
+def q_events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"))
+    tri = (seq.where(F.col("t2").isNotNull())
+           .select(F.concat_ws(">", "t2", "t1", "event_type")
+                   .alias("trigram")))
+    return (tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "trigram").limit(20))
