@@ -178,3 +178,52 @@ def test_histogram_auc_equals_pairwise(spark, data):
     want = round(u / (len(pos) * len(neg)), 6)
     assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
     assert abs(got.auc - want) < 1e-9
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _merge_case(draw):
+    keys = st.integers(min_value=0, max_value=9)
+    base = draw(st.dictionaries(keys, st.text("ab", max_size=2), max_size=6))
+    ups = draw(st.dictionaries(keys, st.text("cd", max_size=2), max_size=4))
+    dels = draw(st.sets(keys, max_size=3))
+    return base, ups, dels
+
+
+@settings(max_examples=8, deadline=None)
+@given(_merge_case())
+def test_upsert_matches_dict_merge_semantics(spark, tmp_path_factory, case):
+    """MERGE algebra property: for random base/update/tombstone sets,
+    Lake.upsert(delete_col=...) equals the reference dict semantics
+    base | updates, minus tombstoned keys (tombstones beat updates on
+    the same key only if a key is exclusively tombstoned — the query
+    never emits both, so we draw them disjoint)."""
+    from datalake_project_spark.lake import Lake
+
+    base, ups, dels = case
+    dels = {k for k in dels if k not in ups}  # disjoint roles per key
+    expected = {**base, **ups}
+    for k in dels:
+        expected.pop(k, None)
+
+    tmp = tmp_path_factory.mktemp("merge_prop")
+    lake = Lake(spark, str(tmp / "lake"))
+    schema = "k long, v string"
+    if not base and not ups:
+        return  # nothing to write (empty-frame writes need a schema path)
+    if base:
+        lake.write_usage(spark.createDataFrame(list(base.items()), schema),
+                         "t", "20260814", "r1")
+    rows = ([(k, v, False) for k, v in ups.items()]
+            + [(k, None, True) for k in dels])
+    if rows:
+        updates = spark.createDataFrame(rows, "k long, v string, del boolean")
+        lake.upsert(updates, "t", "20260814", "r1", keys=["k"],
+                    delete_col="del")
+    if not base and not rows:
+        return
+    got = {r["k"]: r["v"]
+           for r in lake.read_usage("t", "20260814", "r1").collect()}
+    assert got == expected
