@@ -594,3 +594,57 @@ def q_dedup_dfcap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cap")
             .agg(F.sum(pairs).cast("long").alias("candidate_pairs"),
                  F.count(dropped).cast("long").alias("shingles_dropped")))
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)))::DOUBLE AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+    cuts AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT threshold,
+           COUNT(CASE WHEN ROUND(j, 4) >= threshold THEN 1 END) AS n_pairs
+    FROM cuts LEFT JOIN pairs ON TRUE
+    GROUP BY threshold
+    """,
+    doc="Dedup threshold tuning table: near-dup PAIR counts at Jaccard "
+        "cuts 0.5-0.9 from ONE candidate-generation pass — the decision "
+        "table read (with q_dedup_dfcap_planner and "
+        "q_dedup_lsh_s_curve) before committing a 100 TB dedup run to a "
+        "threshold: how many pairs (and so how much removal) each cut "
+        "buys. The engine reuses the inverted-index operator at the "
+        "LOWEST cut (>= 0.5, the same Σ df² cost as the single-"
+        "threshold query — higher cuts are a free aggregate over its "
+        "output); counts per cut come from conditional aggregation "
+        "against a broadcast 5-row cut table, no second pass. Integer "
+        "counts, hash-exact. NB pairs below 0.5 are not candidates "
+        "here, so the sweep's floor IS the operating threshold.",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    cuts = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    exploded = pairs.select("jaccard",
+                            F.explode(cuts).alias("threshold"))
+    counted = (exploded.groupBy("threshold")
+               .agg(F.count(F.when(F.col("jaccard") >= F.col("threshold"), 1))
+                    .alias("n_pairs")))
+    # cuts with zero candidate pairs must still appear (LEFT-join shape)
+    all_cuts = d.sparkSession.range(1).select(
+        F.explode(cuts).alias("threshold"))
+    return (all_cuts.join(counted, "threshold", "left")
+            .select("threshold",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs")))
