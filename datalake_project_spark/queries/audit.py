@@ -254,3 +254,58 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (one.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.col_name", "p.n_null", "p.n_distinct",
                     "p.min_s", "p.max_s"))
+
+
+# Declared column contracts for the non-temporal columns of the core
+# tables (temporal columns are excluded on purpose: their parquet
+# physical type varies by fixture generator version and the Catalog
+# normalizes them — see catalog.py _NANOS_TS_COLS).
+SCHEMA_CONTRACT = {
+    "orders": (("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderpriority", "string")),
+    "documents": (("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")),
+    "embeddings": (("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")),
+}
+
+
+def _contract_oracle() -> str:
+    rows = []
+    for tbl, cols in SCHEMA_CONTRACT.items():
+        for name, typ in cols:
+            rows.append(f"SELECT '{tbl}' AS table_name, '{name}' AS col_name,"
+                        f" '{typ}' AS expected_type, '{typ}' AS actual_type,"
+                        f" 'ok' AS status")
+    return "\n    UNION ALL ".join(rows)
+
+
+@register(
+    "q_schema_contract_audit",
+    oracle=_contract_oracle(),
+    doc="Schema-contract validation (schema-on-write enforcement made "
+        "checkable): every declared (table, column, type) of the core "
+        "tables' stable columns compared against the LIVE schema the "
+        "Catalog resolves — missing columns and type drift surface as "
+        "non-'ok' rows (the oracle states the contract as literals, so "
+        "any drift is a value mismatch the gate flags). Temporal "
+        "columns are deliberately excluded: their parquet physical "
+        "type varies by writer and the Catalog normalizes them. "
+        "METADATA-ONLY: the engine side reads parquet footers (schema "
+        "resolution), never a data row — the shape of a catalog "
+        "crawler at 100 TB.",
+)
+def q_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rows = []
+    for tbl, cols in SCHEMA_CONTRACT.items():
+        live = dict(cat.table(tbl).dtypes)
+        for name, typ in cols:
+            actual = live.get(name, "missing")
+            status = "ok" if actual == typ else "drift"
+            rows.append((tbl, name, typ, actual, status))
+    return spark.createDataFrame(
+        rows, "table_name string, col_name string, expected_type string, "
+              "actual_type string, status string")

@@ -1152,3 +1152,74 @@ def q_text_worst_window_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_chunk.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_chunks"),
                  (F.min("chunk_lp") + F.lit(0.0)).alias("worst_chunk_lp")))
+
+
+DECODE_STEPS = 8  # greedy continuation length
+
+
+def _decode_oracle(n_steps: int) -> str:
+    """Unrolled greedy decode: seed = most frequent unigram, then
+    argmax bigram continuation per step (tie -> lexicographic)."""
+    parts = [f"""
+    WITH words AS (
+        SELECT list_filter({_SQL_TOKS}, w -> w <> '') AS ws
+        FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM words),
+    c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    bg AS (SELECT unnest([{{'a': ws[i], 'b': ws[i+1]}}
+                          FOR i IN range(1, len(ws))]) AS p
+           FROM words WHERE len(ws) >= 2),
+    c2 AS (SELECT p.a AS w1, p.b AS w2, COUNT(*) AS c
+           FROM bg GROUP BY w1, w2),
+    s0 AS (SELECT w FROM c1 ORDER BY c DESC, w LIMIT 1)"""]
+    for i in range(1, n_steps + 1):
+        parts.append(f""",
+    s{i} AS (SELECT w2 AS w FROM c2 JOIN s{i - 1} ON c2.w1 = s{i - 1}.w
+             ORDER BY c DESC, w2 LIMIT 1)""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, w AS token FROM s{i}"
+        for i in range(0, n_steps + 1))
+    return "".join(parts) + "\n    " + finals
+
+
+@register(
+    "q_text_lm_greedy_decode",
+    oracle=_decode_oracle(DECODE_STEPS),
+    doc=f"Greedy decoding from the corpus bigram LM: seed = most "
+        f"frequent unigram, then {DECODE_STEPS} steps of argmax "
+        "next-token (tie -> lexicographic) — the engine DECODES from "
+        "the model it trained (the generation-side capstone of the LM "
+        "family: train q_text_bigram_lm, smooth "
+        "q_text_interpolated_lm, filter q_text_worst_window_lm, "
+        "generate here). Each step is a 1-row TakeOrderedAndProject "
+        "over the vocab^2-bounded bigram count table — the chain is "
+        "ONE lazy DAG of bounded joins, the corpus is read once to "
+        "build the counts; the oracle unrolls the identical steps. "
+        "Greedy decode loops forever on a bigram cycle by design "
+        "(deterministic), which the fixed step count bounds.",
+)
+def q_text_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(T.tokens("text").alias("ws"))
+    uni = tok.select(F.explode("ws").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    # bigram count table: the decode chain probes it once per step
+    c2 = (tok.where(n >= 2)
+          .select(F.explode(bg_arr).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+
+    cur = c1.orderBy(F.desc("c"), "w").limit(1).select("w")
+    out = cur.select(F.lit(0).alias("step"), F.col("w").alias("token"))
+    for i in range(1, DECODE_STEPS + 1):
+        cur = (c2.join(cur.withColumnRenamed("w", "w1"), "w1")
+               .orderBy(F.desc("c"), "w2").limit(1)
+               .select(F.col("w2").alias("w")))
+        out = out.unionByName(
+            cur.select(F.lit(i).alias("step"), F.col("w").alias("token")))
+    return out
