@@ -987,3 +987,72 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("total_rev", 2) + F.lit(0.0)).alias("total_rev"),
                     (F.round(F.col("avg_rev") / F.col("overall"), 6)
                      + F.lit(0.0)).alias("seasonal_index")))
+
+
+def _rfm_seg_sql(cutoff: str) -> str:
+    """Segment CASE with recency thresholds relative to ``cutoff``
+    (same rule shape as q_customer_rfm, made as-of-aware)."""
+    return f"""CASE WHEN last_order >= DATE '{cutoff}' - INTERVAL 1 YEAR
+                     AND frequency >= 5 THEN 'active'
+                WHEN last_order >= DATE '{cutoff}' - INTERVAL 2 YEAR
+                     THEN 'cooling'
+                ELSE 'lapsed' END"""
+
+
+@register(
+    "q_customer_segment_migration",
+    oracle=f"""
+    WITH r97 AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_custkey),
+    r99 AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY o_custkey),
+    s97 AS (SELECT custkey, {_rfm_seg_sql('1997-01-01')} AS seg FROM r97),
+    s99 AS (SELECT custkey, {_rfm_seg_sql('1999-01-01')} AS seg FROM r99)
+    SELECT COALESCE(s97.seg, 'new') AS segment_1997,
+           s99.seg AS segment_1999,
+           COUNT(*) AS n_customers
+    FROM s99 LEFT JOIN s97 USING (custkey)
+    GROUP BY segment_1997, segment_1999
+    """,
+    doc="Customer segment MIGRATION matrix: the as-of-aware RFM rules "
+        "(recency thresholds relative to each cutoff) scored at two "
+        "points in time, joined per customer — where q_customer_rfm "
+        "answers 'who is what now', this answers 'who MOVED where' "
+        "(active->lapsed flow is the churn alarm; new->active the "
+        "activation rate). Two per-customer aggregates (the 1997 one "
+        "scans a strict subset of the 1999 one), one keyed join, a "
+        "segments^2-bounded output. Deterministic: fixed thresholds, "
+        "no quantile tiers.",
+)
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def scored(cutoff: str) -> DataFrame:
+        rfm = (o.where(F.col("o_orderdate")
+                       < F.lit(cutoff).cast("timestamp"))
+               .groupBy(F.col("o_custkey").alias("custkey"))
+               .agg(F.max(F.to_date("o_orderdate")).alias("last_order"),
+                    F.count(F.lit(1)).alias("frequency")))
+        seg = (F.when((F.col("last_order")
+                       >= F.add_months(F.lit(cutoff).cast("date"), -12))
+                      & (F.col("frequency") >= 5), "active")
+               .when(F.col("last_order")
+                     >= F.add_months(F.lit(cutoff).cast("date"), -24),
+                     "cooling")
+               .otherwise("lapsed"))
+        return rfm.select("custkey", seg.alias("seg"))
+
+    s97 = scored("1997-01-01").withColumnRenamed("seg", "seg97")
+    s99 = scored("1999-01-01").withColumnRenamed("seg", "seg99")
+    return (s99.join(s97, "custkey", "left")
+            .groupBy(F.coalesce("seg97", F.lit("new")).alias("segment_1997"),
+                     F.col("seg99").alias("segment_1999"))
+            .agg(F.count(F.lit(1)).alias("n_customers")))
