@@ -1056,3 +1056,60 @@ def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.coalesce("seg97", F.lit("new")).alias("segment_1997"),
                      F.col("seg99").alias("segment_1999"))
             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+@register(
+    "q_orders_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                         CAST(MIN(l.l_shipdate) AS DATE)) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate),
+    ranked AS (
+        SELECT o_orderpriority, days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY days, o_orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lat)
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rk = (n - 1) // 2 + 1 THEN days END) AS median_days,
+           MAX(CASE WHEN rk = (n - 1) * 9 // 10 + 1 THEN days END) AS p90_days,
+           ROUND(AVG(days), 4) + 0.0 AS mean_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    doc="Order-fulfillment latency SLA panel: days from order date to "
+        "FIRST line shipment, with EXACT per-priority median and p90 "
+        "by order statistics (k = floor((n-1)q)+1 over a total order — "
+        "the q_winsorize discipline, so both engines pick the identical "
+        "element; approx_percentile would be engine-dependent). One "
+        "join + per-order min, then a priority-keyed ranking window "
+        "(never single-partition) and conditional aggregation. The "
+        "operations dashboard beside the backlog series.",
+)
+def q_orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+           .agg(F.min("l_shipdate").alias("first_ship"))
+           .select("o_orderkey", "o_orderpriority",
+                   F.datediff(F.to_date("first_ship"),
+                              F.to_date("o_orderdate")).alias("days")))
+    w = Window.partitionBy("o_orderpriority").orderBy("days", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = (lat.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    k_med = F.floor((F.col("n") - 1) * 0.5).cast("long") + 1
+    k_p90 = F.floor((F.col("n") - 1) * 0.9).cast("long") + 1
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.max("n").cast("long").alias("n_orders"),
+                 F.max(F.when(F.col("rk") == k_med, F.col("days")))
+                 .alias("median_days"),
+                 F.max(F.when(F.col("rk") == k_p90, F.col("days")))
+                 .alias("p90_days"),
+                 (F.round(F.avg("days"), 4) + F.lit(0.0)).alias("mean_days")))
