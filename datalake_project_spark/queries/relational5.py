@@ -1113,3 +1113,51 @@ def q_orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("rk") == k_p90, F.col("days")))
                  .alias("p90_days"),
                  (F.round(F.avg("days"), 4) + F.lit(0.0)).alias("mean_days")))
+
+
+@register(
+    "q_supplier_scorecard",
+    oracle="""
+    SELECT s.s_name,
+           COUNT(*) AS n_lines,
+           COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS n_returned,
+           ROUND(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END)::DOUBLE
+                 / COUNT(*), 6) + 0.0 AS return_rate,
+           ROUND(AVG(DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 4)
+               + 0.0 AS mean_ship_days,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="Supplier scorecard — the vendor-performance mart: per "
+        "supplier, line volume, return count/rate (l_returnflag='R'), "
+        "mean order-to-ship days, and discounted revenue, in ONE "
+        "grouped pass over the fact joined to orders (dates) and the "
+        "broadcast supplier dim. COUNT(CASE) not SUM(CASE) for the "
+        "return tally (the HUGEINT lesson); the rate divides the two "
+        "counts so it is a ratio of ints rounded identically on both "
+        "engines. At 100 TB: one fact shuffle on suppkey after the "
+        "broadcast joins.",
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    ship_days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 ret.alias("n_returned"),
+                 (F.round(ret.cast("double") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("return_rate"),
+                 (F.round(F.avg(ship_days), 4) + F.lit(0.0))
+                 .alias("mean_ship_days"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
