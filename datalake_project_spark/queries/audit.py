@@ -309,3 +309,53 @@ def q_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, col_name string, expected_type string, "
               "actual_type string, status string")
+
+
+L_DIV = 2  # required distinct sensitive values per QI group
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS n,
+               COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END) AS l
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT COUNT(*) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_diversity,
+           CAST(COUNT(CASE WHEN l < {L_DIV} THEN 1 END) AS BIGINT)
+               AS n_homogeneous_groups,
+           CAST(COALESCE(SUM(CASE WHEN l < {L_DIV} THEN n END), 0)
+                AS BIGINT) AS n_exposed_rows,
+           (MIN(l) >= {L_DIV}) AS l_diverse
+    FROM g
+    """,
+    doc=f"l-diversity audit (l={L_DIV}) — the homogeneity-attack "
+        "complement of q_k_anonymity: a QI group can be large enough "
+        "for k-anonymity yet expose its members anyway if everyone in "
+        "it shares the same SENSITIVE value (here: account-balance "
+        "band). Per (nation, segment) group, the distinct sensitive "
+        "bands are counted; groups below l are homogeneous and their "
+        "rows exposed. Same one-groupBy + 1-row-summary shape as the "
+        "k audit, all integers — hash-exact.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    band = (F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct(band).alias("l")))
+    homog = F.when(F.col("l") < L_DIV, F.col("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").cast("long").alias("min_diversity"),
+        F.count(F.when(F.col("l") < L_DIV, 1)).cast("long")
+        .alias("n_homogeneous_groups"),
+        F.coalesce(F.sum(homog), F.lit(0)).cast("long")
+        .alias("n_exposed_rows"),
+        (F.min("l") >= L_DIV).alias("l_diverse"))

@@ -483,3 +483,55 @@ def q_graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("name", F.least(F.col("d"), F.col("cand")).alias("d")))
     return dist.select(F.col("name").alias("nation"),
                        F.col("d").alias("min_cost"))
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH""" + _EDGES_SQL + """,
+    und AS (SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+            UNION SELECT dst, src FROM edges WHERE src <> dst),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY u)
+    SELECT COUNT(*) AS n_directed_edges,
+           ROUND(CORR(da.d, db.d), 6) + 0.0 AS assortativity
+    FROM und
+    JOIN deg da ON da.node = und.u
+    JOIN deg db ON db.node = und.v
+    """,
+    doc="Degree assortativity of the (undirected) nation trade graph: "
+        "Pearson correlation of endpoint degrees over every directed "
+        "edge realization (Newman 2002) — positive means hubs trade "
+        "with hubs, negative a hub-and-spoke topology; the one-number "
+        "structure statistic beside the degree distribution "
+        "(q_graph_degrees) and triangle count. Degrees are a "
+        "node-sized aggregate broadcast onto the edge list; the "
+        "coefficient is the closed-form CORR aggregate (the regr_* "
+        "convention), rounded at 6 dp.",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("src") != F.col("dst"))
+             .localCheckpoint(eager=False))
+    und = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           .union(edges.select(F.col("dst").alias("u"),
+                               F.col("src").alias("v")))
+           .distinct())
+    deg = und.groupBy(F.col("u").alias("node")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (und.join(F.broadcast(da), "u").join(F.broadcast(db), "v")
+            .agg(F.count(F.lit(1)).alias("n_directed_edges"),
+                 (F.round(F.corr("du", "dv"), 6) + F.lit(0.0))
+                 .alias("assortativity")))
