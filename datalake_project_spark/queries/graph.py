@@ -531,7 +531,12 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # corr == covar/(sd*sd) (pop-vs-sample factors cancel); try_divide
+    # yields NULL on a degree-regular (e.g. complete) graph, matching
+    # DuckDB's CORR, where ANSI F.corr would raise DIVIDE_BY_ZERO
     return (und.join(F.broadcast(da), "u").join(F.broadcast(db), "v")
             .agg(F.count(F.lit(1)).alias("n_directed_edges"),
-                 (F.round(F.corr("du", "dv"), 6) + F.lit(0.0))
-                 .alias("assortativity")))
+                 (F.round(F.try_divide(
+                     F.covar_pop("du", "dv"),
+                     F.stddev_pop("du") * F.stddev_pop("dv")), 6)
+                  + F.lit(0.0)).alias("assortativity")))
