@@ -1423,7 +1423,8 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AVG(x) AS mx
               FROM peruser),
     adj AS (SELECT user_id % 2 AS arm_i, y,
-                   y - (stats.cxy / stats.vx) * (x - stats.mx) AS yc
+                   y - (CASE WHEN stats.vx > 0 THEN stats.cxy / stats.vx
+                             ELSE 0 END) * (x - stats.mx) AS yc
             FROM peruser CROSS JOIN stats)
     SELECT CASE WHEN arm_i = 0 THEN 'A' ELSE 'B' END AS arm,
            COUNT(*) AS n_users,
@@ -1457,7 +1458,12 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.avg("x").alias("mx"))
     adj = (peruser.crossJoin(F.broadcast(stats))
            .select((F.col("user_id") % 2).alias("arm_i"), "y",
-                   (F.col("y") - (F.col("cxy") / F.col("vx"))
+                   # theta degenerates to 0 (raw readout) when the
+                   # pre-period has zero variance — regenerated
+                   # fixtures must not turn this into DIVIDE_BY_ZERO
+                   (F.col("y") - F.when(F.col("vx") > 0,
+                                        F.col("cxy") / F.col("vx"))
+                    .otherwise(0.0)
                     * (F.col("x") - F.col("mx"))).alias("yc")))
     return (adj.groupBy(F.when(F.col("arm_i") == 0, "A").otherwise("B")
                         .alias("arm"))
