@@ -481,3 +481,60 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  # 4-dp decimals stays exact, while a mean can land on
                  # the .5 rounding boundary and flip between engines
                  (F.round(F.sum("score"), 4) + F.lit(0.0)).alias("sum_score")))
+
+
+KWIC_TERM = "hash"
+KWIC_WIN = 3  # words of context each side
+
+
+@register(
+    "q_search_kwic",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    hits AS (
+        SELECT doc_id, t.i AS pos,
+               COALESCE(array_to_string(
+                   ws[GREATEST(1, t.i - {KWIC_WIN}) : t.i - 1], ' '), '')
+                   AS left_ctx,
+               COALESCE(array_to_string(
+                   ws[t.i + 1 : LEAST(len(ws), t.i + {KWIC_WIN})], ' '), '')
+                   AS right_ctx
+        FROM words, unnest(range(1, len(ws) + 1)) AS t(i)
+        WHERE ws[t.i] = '{KWIC_TERM}')
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, left_ctx, right_ctx
+    FROM hits
+    ORDER BY doc_id, pos LIMIT 50
+    """,
+    doc=f"Keyword-in-context concordance for '{KWIC_TERM}' "
+        f"(+/-{KWIC_WIN} words): every occurrence with its left/right "
+        "context window, first 50 in (doc, position) order — the hit "
+        "display a search UI renders under the BM25 ranking, and the "
+        "corpus-linguistics view of how a term is used. Plan: "
+        "positions via posexplode (each token once on its own row — "
+        "the winnowing lesson, no per-position array lambdas), context "
+        "slices computed only on HIT rows (the term filter runs before "
+        "the slicing), TakeOrderedAndProject for the bounded output.",
+)
+def q_search_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    hits = (tok.select("doc_id", "ws",
+                       F.posexplode("ws").alias("p0", "w"))
+            .where(F.col("w") == KWIC_TERM)
+            .withColumn("pos", F.col("p0") + 1))  # 1-based like the oracle
+    left_start = F.greatest(F.lit(1), F.col("pos") - KWIC_WIN)
+    left_len = F.col("pos") - left_start
+    right_len = F.least(F.size("ws"), F.col("pos") + KWIC_WIN) - F.col("pos")
+    return (hits.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(" ", F.slice("ws", left_start, left_len))
+        .alias("left_ctx"),
+        F.concat_ws(" ", F.slice("ws", F.col("pos") + 1, right_len))
+        .alias("right_ctx"))
+        .orderBy("doc_id", "pos").limit(50))
