@@ -1161,3 +1161,34 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+@register(
+    "q_json_variant",
+    oracle="""
+    WITH x AS (
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events)
+    SELECT k % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM x GROUP BY k_bucket
+    """,
+    doc="Semi-structured analytics through the Spark 4 VARIANT type: "
+        "props parses ONCE into the binary variant encoding "
+        "(parse_json), fields extract with typed variant_get — the "
+        "modern engine path for JSON columns, where "
+        "q_json_extract's get_json_object re-parses the string per "
+        "access. At 100 TB the parse cost is paid once per row "
+        "regardless of how many fields later stages pull, and the "
+        "binary encoding pushes through shuffles; the aggregate here "
+        "proves the typed round-trip end-to-end against the oracle's "
+        "json_extract.",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("v"))
+    k = v.select(F.expr("variant_get(v, '$.k', 'int')").alias("k"))
+    return (k.groupBy((F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("long").alias("sum_k")))
