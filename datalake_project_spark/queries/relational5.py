@@ -1192,3 +1192,44 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (k.groupBy((F.col("k") % 10).alias("k_bucket"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("k").cast("long").alias("sum_k")))
+
+
+@register(
+    "q_transpose",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               COUNT(*)::DOUBLE AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) <= 1997
+        GROUP BY yr)
+    SELECT 'n_orders' AS key,
+           MAX(CASE WHEN yr = 1995 THEN n_orders END) AS "1995",
+           MAX(CASE WHEN yr = 1996 THEN n_orders END) AS "1996",
+           MAX(CASE WHEN yr = 1997 THEN n_orders END) AS "1997"
+    FROM m
+    UNION ALL
+    SELECT 'revenue',
+           MAX(CASE WHEN yr = 1995 THEN revenue END),
+           MAX(CASE WHEN yr = 1996 THEN revenue END),
+           MAX(CASE WHEN yr = 1997 THEN revenue END)
+    FROM m
+    """,
+    doc="Matrix transpose of a yearly-metrics table "
+        "(DataFrame.transpose, Spark 4.0): metric rows become the key "
+        "column, year values become columns — the reshape that "
+        "completes the pivot/unpivot pair for the 'metrics as rows, "
+        "periods as columns' report layout. Bounded by definition "
+        "(transpose collects the index column to name the output "
+        "columns, so it is a small-aggregate operation, never a "
+        "corpus one); the oracle states the same reshape as "
+        "conditional aggregation.",
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = (o.where(F.year("o_orderdate") <= 1997)
+         .groupBy(F.year("o_orderdate").alias("yr"))
+         .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
+              F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    return m.transpose("yr")
