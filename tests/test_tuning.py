@@ -51,3 +51,26 @@ def test_apply_from_real_footprint(spark, tmp_path):
         assert big == MIN_PARTITIONS * 2  # 2 GiB / 128 MiB = 16
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_observation_collects_inflight_metrics(spark):
+    """df.observe: named metrics computed DURING a job (no second scan)
+    — the production pattern for row-count/quality counters on a
+    pipeline write. Values must equal a direct aggregate."""
+    from pyspark.sql import Observation, functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"))
+    obs = Observation("pipeline_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        F.count(F.when(F.col("g") == 0, 1)).alias("n_g0"))
+    # one action drives both the result and the metrics
+    out = observed.groupBy("g").count().collect()
+    assert len(out) == 7
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["id_sum"] == 499500
+    assert got["n_g0"] == len([i for i in range(1000) if i % 7 == 0])
