@@ -1233,3 +1233,40 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).cast("double").alias("n_orders"),
               F.round(F.sum("o_totalprice"), 2).alias("revenue")))
     return m.transpose("yr")
+
+
+@register(
+    "q_unknown_member_join",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal >= 0)
+    SELECT COALESCE(dim.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(CASE WHEN dim.c_custkey IS NULL THEN 1 END)
+               AS n_unmatched
+    FROM orders o LEFT JOIN dim ON o.o_custkey = dim.c_custkey
+    GROUP BY segment
+    """,
+    doc="Unknown-member dimension join — the warehouse pattern for "
+        "late-arriving/incomplete dimensions: facts whose key misses "
+        "the (filtered) customer dim don't vanish (inner join) or "
+        "null-pollute the report; they land in an explicit 'UNKNOWN' "
+        "member with their own tally, so revenue totals reconcile with "
+        "the fact table exactly. LEFT join against the broadcast dim, "
+        "COALESCE to the sentinel, one grouped pass — the n_unmatched "
+        "column is the data-quality signal that feeds the referential "
+        "check in q_data_quality_audit.",
+)
+def q_unknown_member_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    dim = (_t(spark, sf_dir, "customer")
+           .where(F.col("c_acctbal") >= 0)
+           .select("c_custkey", "c_mktsegment"))
+    return (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "left")
+            .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                     .alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.when(F.col("c_custkey").isNull(), 1))
+                 .alias("n_unmatched")))
