@@ -774,3 +774,83 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / (F.col("n1") * F.col("n2"))), 6)
                      + F.lit(0.0)).alias("pmi"))
             .orderBy(F.desc("pmi"), "bigram").limit(20))
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT t AS term, COUNT(*) AS freq
+        FROM (SELECT unnest({_SQL_TOKS}) AS t FROM documents)
+        GROUP BY t),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM vocab),
+    ranked AS (
+        SELECT a.term, a.freq,
+               1 + COUNT(b.term) AS rk
+        FROM vocab a LEFT JOIN vocab b
+          ON (b.freq > a.freq) OR (b.freq = a.freq AND b.term < a.term)
+        GROUP BY a.term, a.freq),
+    cum AS (
+        SELECT a.rk,
+               CAST(SUM(b.freq) AS BIGINT) AS cum_freq
+        FROM ranked a JOIN ranked b ON b.rk <= a.rk
+        GROUP BY a.rk),
+    cuts AS (SELECT unnest([0.90, 0.95, 0.99]) AS coverage)
+    SELECT coverage::DOUBLE AS coverage,
+           CAST(MIN(cum.rk) AS BIGINT) AS min_vocab_size,
+           CAST(MIN(CASE WHEN cum.rk = m.r THEN cum.cum_freq END)
+                AS BIGINT) AS tokens_covered
+    FROM cuts
+    JOIN tot ON TRUE
+    JOIN cum ON cum.cum_freq >= CAST(CEIL(coverage * tot.n) AS BIGINT)
+    JOIN (SELECT c2.coverage AS cov, MIN(cum2.rk) AS r
+          FROM (SELECT unnest([0.90, 0.95, 0.99]) AS coverage) c2
+          CROSS JOIN tot t2
+          JOIN cum cum2
+            ON cum2.cum_freq >= CAST(CEIL(c2.coverage * t2.n) AS BIGINT)
+          GROUP BY cov) m ON m.cov = coverage
+    GROUP BY coverage
+    """,
+    doc="Vocabulary coverage curve: the smallest frequency-ranked "
+        "vocab size covering 90/95/99% of all token instances — the "
+        "table that sizes a tokenizer's vocabulary (diminishing-"
+        "returns knee) before BPE training commits to one. Ranks and "
+        "prefix sums run over the VOCAB-sized table via bounded "
+        "self-joins (the q_text_zipf_fit shape — never a corpus-sized "
+        "or single-partition window; at true web-scale vocabularies "
+        "the decile-sharded prefix sum of q_classifier_auc is the "
+        "drop-in). Integer counts; the coverage thresholds compare "
+        "against ceil(c*N) so both engines pick the identical rank.",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    vocab = (d.select(F.explode(T.tokens("text")).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+             .localCheckpoint(eager=False))
+    tot = vocab.agg(F.sum("freq").cast("long").alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    better = (F.col("b.freq") > F.col("a.freq")) | \
+        ((F.col("b.freq") == F.col("a.freq"))
+         & (F.col("b.term") < F.col("a.term")))
+    ranked = (a.join(b, better, "left")
+              .groupBy(F.col("a.term"), F.col("a.freq"))
+              .agg((F.count(F.col("b.term")) + 1).alias("rk"))
+              .localCheckpoint(eager=False))
+    ra = ranked.alias("ra")
+    rb = ranked.select(F.col("rk").alias("rk_b"), F.col("freq").alias("f_b"))
+    cum = (ra.join(rb, F.col("rk_b") <= F.col("ra.rk"))
+           .groupBy(F.col("ra.rk").alias("rk"))
+           .agg(F.sum("f_b").cast("long").alias("cum_freq")))
+    cuts = (d.sparkSession.range(1)
+            .select(F.explode(F.array(F.lit(0.90), F.lit(0.95),
+                                      F.lit(0.99))).alias("coverage")))
+    need = F.ceil(F.col("coverage") * F.col("n")).cast("long")
+    hits = (cuts.crossJoin(F.broadcast(tot))
+            .join(cum, cum["cum_freq"] >= need)
+            .groupBy("coverage")
+            .agg(F.min(F.struct(F.col("rk").alias("rk"),
+                                F.col("cum_freq").alias("cf"))).alias("p")))
+    return hits.select(
+        "coverage",
+        F.col("p.rk").cast("long").alias("min_vocab_size"),
+        F.col("p.cf").cast("long").alias("tokens_covered"))
