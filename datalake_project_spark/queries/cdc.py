@@ -899,3 +899,116 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest(e, 2)                            # full source; delta via watermark
     return spark.createDataFrame(
         results, "pass int, n_ingested long, n_total_after long")
+
+
+@register(
+    "q_pipeline_end_to_end",
+    oracle="""
+    WITH act95 AS (
+        SELECT DISTINCT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+          AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    act96 AS (
+        SELECT DISTINCT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND c.c_mktsegment IN ('BUILDING', 'MACHINERY'))
+    SELECT c_mktsegment AS account, 'n_records' AS metric,
+           COUNT(*) AS n
+    FROM act96 GROUP BY account
+    UNION ALL
+    SELECT c_mktsegment, 'n_female',
+           COUNT(CASE WHEN c_custkey % 3 = 0 THEN 1 END)
+    FROM act96 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'added', COUNT(*)
+    FROM act96 a WHERE NOT EXISTS (
+        SELECT 1 FROM act95 p WHERE p.c_name = a.c_name)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'deleted', COUNT(*)
+    FROM act95 p WHERE NOT EXISTS (
+        SELECT 1 FROM act96 a WHERE a.c_name = p.c_name)
+    GROUP BY c_mktsegment
+    """,
+    doc="The reference's ENTIRE dataflow as one oracle-checked query "
+        "(SURVEY §3 entry points 1-3, O1-O4 as data not codegen): two "
+        "market segments act as the reference's accounts; each run's "
+        "payload (the API-response analog: driver-side record lists, "
+        "faithfully crossing the same boundary the reference's "
+        "requests.get does) flows through ingest (S2/S3) -> gender "
+        "enrichment via broadcast lookup (F1; lookup rows for custkey "
+        "% 3 == 0 match the full-name token at 0.9, the cleaned "
+        "username 'customer' matches mostly_male at 0.4 for everyone "
+        "else) -> formatted append (K2) -> usage snapshot (K3) -> "
+        "previous-run resolution (S7) -> per-account anti-join diff "
+        "(J1/J2) -> cross-account aggregate with provenance (U2/P3). "
+        "Run twice (1995-actives then 1996-actives), the output reads "
+        "BACK from the lake: per-account record/gender tallies from "
+        "final_aggregated and added/deleted counts from the comparatif "
+        "tables — the oracle recomputes all four metrics from source. "
+        "Idempotent: every partition rewrite is dynamic, formatted is "
+        "wiped at start.",
+)
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.pipeline import run_pipeline
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    segs = ("BUILDING", "MACHINERY")
+
+    def actives(year: int) -> DataFrame:
+        return (c.join(o, o.o_custkey == c.c_custkey)
+                .where((F.col("o_orderdate")
+                        >= F.lit(f"{year}-01-01").cast("timestamp"))
+                       & (F.col("o_orderdate")
+                          < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+                       & F.col("c_mktsegment").isin(*segs))
+                .select("c_custkey", "c_name", "c_mktsegment").distinct())
+
+    def payloads(year: int) -> dict:
+        rows = actives(year).collect()  # the API-response boundary
+        return {seg: [{"username": r["c_name"], "full_name": r["c_name"]}
+                      for r in rows if r["c_mktsegment"] == seg]
+                for seg in segs}
+
+    # lookup: exact full-name tokens for custkey % 3 == 0 (-> female
+    # at 0.9) plus the cleaned-username catch-all (-> mostly_male 0.4)
+    lookup = (c.where(F.col("c_custkey") % 3 == 0)
+              .select(F.col("c_name").alias("first_name"),
+                      F.lit("female").alias("gender"))
+              .unionByName(spark.createDataFrame(
+                  [("customer", "mostly_male")],
+                  "first_name string, gender string")))
+
+    lake = Lake(spark, scratch_dir("pipeline", sf_dir))
+    for seg in segs:
+        shutil.rmtree(lake.formatted_path(
+            f"apify_instagram_data_{seg}"), ignore_errors=True)
+    run_pipeline(spark, lake, payloads(1995), lookup, "1996-01-01", "r1")
+    run_pipeline(spark, lake, payloads(1996), lookup, "1996-01-01", "r2")
+
+    agg = (lake.read_usage("final_aggregated", "1996-01-01", "r2")
+           .groupBy(F.col("username_scraped").alias("account"))
+           .agg(F.count(F.lit(1)).alias("n_records"),
+                F.count(F.when(F.col("predicted_gender") == "female", 1))
+                .alias("n_female")))
+    metrics = (agg.selectExpr("account", "'n_records' AS metric",
+                              "n_records AS n")
+               .unionByName(agg.selectExpr(
+                   "account", "'n_female' AS metric", "n_female AS n")))
+    for seg in segs:
+        diff = lake.read_usage(f"comparatif_apify_instagram_data_{seg}",
+                               "1996-01-01", "r2")
+        dm = (diff.groupBy("change").agg(F.count(F.lit(1)).alias("n"))
+              .select(F.lit(seg).alias("account"),
+                      F.col("change").alias("metric"), "n"))
+        metrics = metrics.unionByName(dm)
+    return metrics
