@@ -53,7 +53,12 @@ PRIORITY: tuple[str, ...] = (
     # its write->pruned-read surface is a strict subset of the new MERGE
     # query, which exercises K2/K3 plus matched-update /
     # not-matched-insert / tombstone-delete in one oracle)
-    "q_snapshot_diff", "q_latest_snapshot",
+    # (thrice-green q_latest_snapshot rotates to the tail late round 4;
+    # its S7 surface stays in-window through q_pipeline_end_to_end,
+    # whose run_pipeline resolves the previous snapshot via
+    # latest_run_before — and which puts the reference's ENTIRE
+    # dataflow, previously pytest-only, in the value-checked window)
+    "q_snapshot_diff", "q_pipeline_end_to_end",
     "q_snapshot_scd2", "q_merge_upsert",
     "q_compact_roundtrip",
     # Deduplication family (incl. the end-to-end corpus resolution, the
