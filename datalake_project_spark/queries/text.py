@@ -838,15 +838,18 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint(eager=False))
     ra = ranked.alias("ra")
     rb = ranked.select(F.col("rk").alias("rk_b"), F.col("freq").alias("f_b"))
-    cum = (ra.join(rb, F.col("rk_b") <= F.col("ra.rk"))
+    # vocab-sized non-equi self-join: broadcast one side so the plan is
+    # a BroadcastNestedLoopJoin over the bounded table, never a
+    # CartesianProduct (plan_sweep-pinned)
+    cum = (ra.join(F.broadcast(rb), F.col("rk_b") <= F.col("ra.rk"))
            .groupBy(F.col("ra.rk").alias("rk"))
            .agg(F.sum("f_b").cast("long").alias("cum_freq")))
     cuts = (d.sparkSession.range(1)
             .select(F.explode(F.array(F.lit(0.90), F.lit(0.95),
                                       F.lit(0.99))).alias("coverage")))
     need = F.ceil(F.col("coverage") * F.col("n")).cast("long")
-    hits = (cuts.crossJoin(F.broadcast(tot))
-            .join(cum, cum["cum_freq"] >= need)
+    hits = (cum.join(F.broadcast(cuts.crossJoin(tot)),
+                     cum["cum_freq"] >= need)
             .groupBy("coverage")
             .agg(F.min(F.struct(F.col("rk").alias("rk"),
                                 F.col("cum_freq").alias("cf"))).alias("p")))
