@@ -150,6 +150,12 @@ def main() -> None:
     # to the first probe measurement.
     from datalake_project_spark.queries.similarity import _ivf_index_for
     _ivf_index_for(spark, sf_dir)
+    # Same rationale for the Python-DataSource page fixture: the staged
+    # page directory is built once per fixture lifecycle (size+mtime
+    # keyed); a regenerated fixture would otherwise bill the one-time
+    # page build to the first q_pages_ingest measurement.
+    from datalake_project_spark.queries.formats import _pages_for
+    _pages_for(sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
