@@ -1602,3 +1602,51 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum(F.expr("bitmap_count(m)")).alias("n_users"))
              .select(F.lit("TOTAL").alias("day"), "n_users"))
     return per_day.unionByName(total)
+
+
+@register(
+    "q_hll_mergeable_distinct",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_5pct
+    FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY day
+    UNION ALL
+    SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE
+    FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    """,
+    doc="Approximate mergeable distinct counts via Datasketches HLL "
+        "(hll_sketch_agg / hll_union_agg / hll_sketch_estimate) — the "
+        "constant-size twin of q_bitmap_distinct_users: per-day "
+        "sketches estimate daily distincts, and the week TOTAL merges "
+        "the SAME sketches (union-agg), never re-scanning raw events. "
+        "A bitmap is exact but proportional to the key universe; the "
+        "HLL sketch is ~KB at ANY cardinality — the trade a 100 TB "
+        "rollup chooses per column. Checked with the recall-floor "
+        "discipline: the engine emits the EXACT count (value-checked) "
+        "plus a within-5% flag for the estimate (default lgK=12 has "
+        "~1.6% standard error, so 5% is a >3-sigma floor); the "
+        "engine-specific estimate itself stays out of the hash.",
+)
+def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("ts") < F.lit("2024-01-08").cast("timestamp")))
+    base = e.select(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                    .alias("day"), "user_id")
+    sk = (base.groupBy("day")
+          .agg(F.expr("hll_sketch_agg(user_id)").alias("s"),
+               F.countDistinct("user_id").alias("n_exact"))
+          .localCheckpoint(eager=False))  # sketches feed both levels
+    ok = (F.abs(F.expr("hll_sketch_estimate(s)")
+                - F.col("n_exact")).cast("double")
+          / F.col("n_exact") <= 0.05)
+    per_day = sk.select("day", "n_exact", ok.alias("within_5pct"))
+    tot = (sk.agg(F.expr("hll_union_agg(s)").alias("m"))
+           .crossJoin(F.broadcast(
+               base.agg(F.countDistinct("user_id").alias("n_exact"))))
+           .select(F.lit("TOTAL").alias("day"), "n_exact",
+                   (F.abs(F.expr("hll_sketch_estimate(m)")
+                          - F.col("n_exact")).cast("double")
+                    / F.col("n_exact") <= 0.05).alias("within_5pct")))
+    return per_day.unionByName(tot)
