@@ -1270,3 +1270,36 @@ def q_unknown_member_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"),
                  F.count(F.when(F.col("c_custkey").isNull(), 1))
                  .alias("n_unmatched")))
+
+
+@register(
+    "q_try_functions",
+    oracle="""
+    WITH x AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                      o_orderpriority AS s
+               FROM orders WHERE o_orderkey < 100)
+    SELECT k,
+           CASE WHEN (k % 10) <> 0 THEN p / (k % 10) END AS safe_div,
+           TRY_CAST(s AS DOUBLE) AS bad_cast,
+           TRY_CAST(SUBSTR(s, 1, 1) AS BIGINT) AS prio_digit
+    FROM x
+    """,
+    doc="Error-safe expression battery (try_divide / try_cast): under "
+        "ANSI mode (the engine default) a divide-by-zero or malformed "
+        "cast FAILS the job; the try_* family returns NULL instead — "
+        "the difference between one bad row killing a 100 TB pipeline "
+        "and it landing in a quarantine column. Three shapes: guarded "
+        "division (NULL at zero divisors), a cast that always fails "
+        "(priority strings -> DOUBLE), and one that partially succeeds "
+        "(leading digit -> BIGINT). DuckDB lacks try_divide, so the "
+        "oracle states the division guard as CASE — same values.",
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 10)
+        .alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS DOUBLE)").alias("bad_cast"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)")
+        .alias("prio_digit"))
