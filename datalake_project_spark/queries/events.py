@@ -1650,3 +1650,47 @@ def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - F.col("n_exact")).cast("double")
                     / F.col("n_exact") <= 0.05).alias("within_5pct")))
     return per_day.unionByName(tot)
+
+
+@register(
+    "q_events_reactivation",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    gaps AS (
+        SELECT user_id,
+               COUNT(CASE WHEN date_diff('second', prev_ts, ts)
+                               > 7 * 86400 THEN 1 END) AS n_reactivations
+        FROM seq WHERE prev_ts IS NOT NULL
+        GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(COUNT(CASE WHEN n_reactivations > 0 THEN 1 END) AS BIGINT)
+               AS n_reactivated_users,
+           CAST(SUM(n_reactivations) AS BIGINT) AS n_reactivation_events
+    FROM gaps
+    """,
+    doc="Dormancy/reactivation metric: users whose event stream "
+        "contains a gap of more than 7 days and came BACK — the growth "
+        "counterpart of churn (a reactivated user is cheaper than a "
+        "new one), built on the same user-keyed LAG window as the "
+        "inter-arrival histogram and the streak islands. One shuffle "
+        "on user_id, integer gap threshold in seconds on both engines "
+        "— hash-exact.",
+)
+def q_events_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    gaps = (seq.where(F.col("prev_ts").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.when(gap_s > 7 * 86400, 1))
+                 .alias("n_reactivations")))
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("n_reactivations") > 0, 1)).cast("long")
+        .alias("n_reactivated_users"),
+        F.sum("n_reactivations").cast("long").alias("n_reactivation_events"))
