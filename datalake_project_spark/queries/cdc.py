@@ -1012,3 +1012,74 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("change").alias("metric"), "n"))
         metrics = metrics.unionByName(dm)
     return metrics
+
+
+@register(
+    "q_replica_repair",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey)
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(total_price), 2) AS total_price,
+           (SELECT COUNT(*) FROM a
+            WHERE custkey % 7 = 0
+               OR (custkey % 11 = 0 AND custkey % 7 <> 0)) AS n_repaired
+    FROM a
+    """,
+    doc="Anti-entropy replica repair — the diff operator CLOSING the "
+        "loop with MERGE: a replica of the 1997 per-customer rollup is "
+        "corrupted deterministically (every 7th key missing, every "
+        "11th stale by +1.00), the full-outer value-level diff against "
+        "the source of truth finds exactly the damaged keys, and "
+        "Lake.upsert patches only those rows (copy-on-write of the one "
+        "partition). The re-read replica's row count and money total "
+        "then equal the truth, which the oracle recomputes from "
+        "source, along with the repaired-key count — so a pass proves "
+        "detection found ALL damage and repair introduced none. At "
+        "100 TB the diff is one keyed join with Bloom-filtered probe "
+        "and the patch payload is damage-sized, not table-sized.",
+)
+def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+    truth = (o.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("order_count"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+    lake = Lake(spark, scratch_dir("repair", sf_dir))
+    # corrupted replica: %7 keys dropped, %11 keys stale (+1.00)
+    replica = (truth.where(F.col("custkey") % 7 != 0)
+               .withColumn("total_price",
+                           F.when(F.col("custkey") % 11 == 0,
+                                  F.round(F.col("total_price") + 1.0, 2))
+                           .otherwise(F.col("total_price"))))
+    lake.write_usage(replica, "replica", "1997-01-01", "r")
+
+    b = (lake.read_usage("replica", "1997-01-01", "r")
+         .select(F.col("custkey").alias("b_key"),
+                 F.col("order_count").alias("b_cnt"),
+                 F.col("total_price").alias("b_price")))
+    damaged = (truth.join(b, truth.custkey == b.b_key, "left")
+               .where(F.col("b_key").isNull()
+                      | ~F.col("order_count").eqNullSafe(F.col("b_cnt"))
+                      | ~F.col("total_price").eqNullSafe(F.col("b_price")))
+               .select("custkey", "order_count", "total_price"))
+    n_repaired = damaged.localCheckpoint(eager=True)
+    lake.upsert(n_repaired, "replica", "1997-01-01", "r", keys=["custkey"])
+
+    fixed = lake.read_usage("replica", "1997-01-01", "r")
+    agg = fixed.agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("total_price"), 2).alias("t")).first()
+    return spark.createDataFrame(
+        [(agg["n"], float(agg["t"]), n_repaired.count())],
+        "n_rows long, total_price double, n_repaired long")
