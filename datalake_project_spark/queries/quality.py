@@ -381,3 +381,61 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (f.where(F.col("n_words") >= 1)
             .select("doc_id", "n_words", "n_sentences", "n_syllables",
                     (F.round(fre, 4) + F.lit(0.0)).alias("flesch")))
+
+
+@register(
+    "q_quality_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, ({_stop_sql('en')}) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN len(toks) > 0 AND
+                           (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE < 2.0
+                            OR list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE > 12.0)
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok),
+    cuts AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6]) AS threshold)
+    SELECT threshold::DOUBLE AS threshold,
+           COUNT(CASE WHEN quality >= threshold THEN 1 END) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN quality >= threshold
+                                  THEN n_tokens END), 0) AS BIGINT)
+               AS kept_tokens
+    FROM cuts LEFT JOIN feat ON TRUE
+    GROUP BY threshold
+    """,
+    doc="Quality-filter calibration sweep: surviving docs and tokens at "
+        "heuristic-quality cuts 0.2-0.6 from ONE corpus pass "
+        "(conditional aggregation against a broadcast 5-row cut table) "
+        "— the table that sets the clean funnel's operating threshold "
+        "(q_corpus_clean_funnel ships 0.3) by showing what each cut "
+        "costs in data, the quality twin of q_dedup_threshold_sweep. "
+        "Integer doc/token tallies against 4-dp-rounded scores — "
+        "hash-exact.",
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import quality_score
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = tokens("text")
+    feat = d.select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text"), toks), 4).alias("quality"))
+    cuts = F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6)])
+    return (feat.select("n_tokens", "quality",
+                        F.explode(cuts).alias("threshold"))
+            .groupBy("threshold")
+            .agg(F.count(F.when(F.col("quality") >= F.col("threshold"), 1))
+                 .alias("n_kept"),
+                 F.coalesce(F.sum(F.when(
+                     F.col("quality") >= F.col("threshold"),
+                     F.col("n_tokens"))), F.lit(0)).cast("long")
+                 .alias("kept_tokens")))
