@@ -648,3 +648,58 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (all_cuts.join(counted, "threshold", "left")
             .select("threshold",
                     F.coalesce("n_pairs", F.lit(0)).alias("n_pairs")))
+
+
+@register(
+    "q_dedup_review_sample",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)))::DOUBLE,
+                     4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
+              >= 0.5)
+    SELECT p.a_id, p.b_id, p.jaccard,
+           substr(da.text, 1, 60) AS a_snippet,
+           substr(db.text, 1, 60) AS b_snippet
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.a_id
+    JOIN documents db ON db.doc_id = p.b_id
+    ORDER BY p.jaccard DESC, p.a_id, p.b_id
+    LIMIT 10
+    """,
+    doc="Near-dup REVIEW QUEUE: the top-10 highest-Jaccard candidate "
+        "pairs with 60-char snippets of both documents side by side — "
+        "the human-QA sample a dedup rollout ships before flipping the "
+        "removal switch (thresholds and S-curves say how many; this "
+        "shows WHAT). Pairs come from the same inverted-index operator "
+        "as q_dedup_ngram_jaccard; snippets join back to the corpus "
+        "for exactly the 10 surviving ids (two Bloom-filtered keyed "
+        "probes at scale), TakeOrderedAndProject for the cut.",
+)
+def q_dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = (D.ngram_jaccard_pairs(d, threshold=0.5)
+             .orderBy(F.desc("jaccard"), "a_id", "b_id").limit(10)
+             .localCheckpoint(eager=False))
+    da = d.select(F.col("doc_id").alias("a_id"),
+                  F.substring("text", 1, 60).alias("a_snippet"))
+    db = d.select(F.col("doc_id").alias("b_id"),
+                  F.substring("text", 1, 60).alias("b_snippet"))
+    return (pairs.join(da, "a_id").join(db, "b_id")
+            .select("a_id", "b_id", "jaccard", "a_snippet", "b_snippet")
+            .orderBy(F.desc("jaccard"), "a_id", "b_id"))
