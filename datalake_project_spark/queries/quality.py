@@ -439,3 +439,115 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("quality") >= F.col("threshold"),
                      F.col("n_tokens"))), F.lit(0)).cast("long")
                  .alias("kept_tokens")))
+
+
+@register(
+    "q_filter_agreement",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    feat AS (
+        SELECT doc_id,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, ({_stop_sql('en')}) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN len(toks) > 0 AND
+                           (list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE < 2.0
+                            OR list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                            / len(toks)::DOUBLE > 12.0)
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok),
+    ent AS (
+        SELECT doc_id,
+               ROUND(LN(SUM(n)::DOUBLE) - SUM(n * LN(n::DOUBLE)) / SUM(n)::DOUBLE, 4)
+                   AS entropy
+        FROM (
+            SELECT doc_id, c, COUNT(*) AS n FROM (
+                SELECT doc_id,
+                       unnest([lower(text)[i] FOR i IN range(1, length(text) + 1)]) AS c
+                FROM documents WHERE length(text) > 0)
+            GROUP BY doc_id, c)
+        GROUP BY doc_id),
+    flags AS (
+        SELECT (f.quality < 0.3) AS fail_q,
+               (COALESCE(e.entropy, 0.0) < 2.0) AS fail_e
+        FROM feat f LEFT JOIN ent e USING (doc_id)),
+    cm AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN fail_q AND fail_e THEN 1 END)::DOUBLE AS a,
+               COUNT(CASE WHEN fail_q AND NOT fail_e THEN 1 END)::DOUBLE AS b,
+               COUNT(CASE WHEN NOT fail_q AND fail_e THEN 1 END)::DOUBLE AS c,
+               COUNT(CASE WHEN NOT fail_q AND NOT fail_e THEN 1 END)::DOUBLE AS d
+        FROM flags)
+    SELECT CAST(a AS BIGINT) AS n_both_fail,
+           CAST(b AS BIGINT) AS n_only_quality,
+           CAST(c AS BIGINT) AS n_only_entropy,
+           CAST(d AS BIGINT) AS n_both_pass,
+           ROUND(CASE WHEN 1.0 - ((a + b) * (a + c) + (c + d) * (b + d))
+                                 / (n::DOUBLE * n) > 0
+                      THEN ((a + d) / n
+                            - ((a + b) * (a + c) + (c + d) * (b + d))
+                              / (n::DOUBLE * n))
+                           / (1.0 - ((a + b) * (a + c) + (c + d) * (b + d))
+                                    / (n::DOUBLE * n))
+                      END, 6) + 0.0 AS cohens_kappa
+    FROM cm
+    """,
+    doc="Filter-agreement audit with Cohen's kappa: the 2x2 confusion "
+        "of the heuristic-quality gate (< 0.3 fails) against the "
+        "char-entropy gate (< 2.0 fails) plus chance-corrected "
+        "agreement — the diagnostic that says whether a second filter "
+        "ADDS signal (kappa << 1: it catches different documents) or "
+        "just re-rejects the same ones (kappa ~ 1: drop it and save a "
+        "corpus pass). Both gate formulas are the exact fragments the "
+        "clean funnel runs; the kappa arithmetic is a 1-row closed "
+        "form over integer cells, identical operation order on both "
+        "engines, NULL when chance agreement is total.",
+)
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import quality_score
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = tokens("text")
+    feat = d.select("doc_id",
+                    F.round(quality_score(F.col("text"), toks), 4)
+                    .alias("quality"))
+    chars = (d.where(F.length("text") > 0)
+             .select("doc_id",
+                     F.explode(F.filter(F.split(F.lower("text"), ""),
+                                        lambda c: F.length(c) > 0))
+                     .alias("c")))
+    hist = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    n_sum = F.sum("n")
+    ent = hist.groupBy("doc_id").agg(
+        F.round(F.log(n_sum.cast("double"))
+                - F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                / n_sum.cast("double"), 4).alias("entropy"))
+    flags = (feat.join(ent, "doc_id", "left")
+             .select((F.col("quality") < 0.3).alias("fail_q"),
+                     (F.coalesce("entropy", F.lit(0.0)) < 2.0)
+                     .alias("fail_e")))
+    cm = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("fail_q") & F.col("fail_e"), 1))
+        .cast("double").alias("a"),
+        F.count(F.when(F.col("fail_q") & ~F.col("fail_e"), 1))
+        .cast("double").alias("b"),
+        F.count(F.when(~F.col("fail_q") & F.col("fail_e"), 1))
+        .cast("double").alias("c"),
+        F.count(F.when(~F.col("fail_q") & ~F.col("fail_e"), 1))
+        .cast("double").alias("d"))
+    n = F.col("n").cast("double")
+    pe = ((F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+          + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))) / (n * n)
+    po = (F.col("a") + F.col("d")) / n
+    return cm.select(
+        F.col("a").cast("long").alias("n_both_fail"),
+        F.col("b").cast("long").alias("n_only_quality"),
+        F.col("c").cast("long").alias("n_only_entropy"),
+        F.col("d").cast("long").alias("n_both_pass"),
+        (F.round(F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)), 6)
+         + F.lit(0.0)).alias("cohens_kappa"))
