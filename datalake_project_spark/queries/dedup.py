@@ -703,3 +703,34 @@ def q_dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(da, "a_id").join(db, "b_id")
             .select("a_id", "b_id", "jaccard", "a_snippet", "b_snippet")
             .orderBy(F.desc("jaccard"), "a_id", "b_id"))
+
+
+@register(
+    "q_dedup_winnow_params",
+    oracle="""
+    SELECT u.w AS window_w,
+           5 + u.w - 1 AS guarantee_tokens,
+           ROUND(2.0 / (u.w + 1), 4) + 0.0 AS expected_density,
+           (u.w = 4) AS deployed
+    FROM unnest([2, 4, 8, 16, 32]) AS u(w)
+    """,
+    doc="Winnowing parameter table for the engine's k=5 fingerprints "
+        "(operators/dedup.py winnow_fingerprint_rows): per candidate "
+        "window w, the detection GUARANTEE (any shared token run of "
+        ">= k+w-1 is always caught — Schleimer et al. 2003's "
+        "correctness bound) against the expected fingerprint density "
+        "~2/(w+1) (the storage/shuffle cost) — the trade a re-tune of "
+        "a 100 TB fingerprint index reads before changing w, beside "
+        "the LSH S-curve. Data-free, generated in-plan; the deployed "
+        "w=4 row is flagged.",
+)
+def q_dedup_winnow_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in (2, 4, 8, 16, 32)]))
+        .alias("window_w"))
+    return grid.select(
+        "window_w",
+        (F.lit(5) + F.col("window_w") - 1).alias("guarantee_tokens"),
+        (F.round(2.0 / (F.col("window_w") + 1), 4) + F.lit(0.0))
+        .alias("expected_density"),
+        (F.col("window_w") == 4).alias("deployed"))
