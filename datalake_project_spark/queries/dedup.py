@@ -734,3 +734,136 @@ def q_dedup_winnow_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(2.0 / (F.col("window_w") + 1), 4) + F.lit(0.0))
         .alias("expected_density"),
         (F.col("window_w") == 4).alias("deployed"))
+
+
+@register(
+    "q_dedup_savings_ladder",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '') AS ws
+        FROM documents),
+    tcnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nt FROM words),
+    ex AS (SELECT d.doc_id,
+                  MIN(d2.doc_id) AS keeper
+           FROM documents d JOIN documents d2
+             ON lower(d2.text) = lower(d.text)
+           GROUP BY d.doc_id),
+    s1 AS (SELECT doc_id FROM ex WHERE doc_id = keeper),
+    sh AS (
+        SELECT w.doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words w JOIN s1 USING (doc_id) WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    s2 AS (SELECT doc_id FROM s1
+           WHERE NOT EXISTS (SELECT 1 FROM comp
+                             WHERE comp.id = s1.doc_id
+                               AND comp.id <> comp.rep)),
+    sp AS (
+        SELECT w.doc_id, t.i AS pos,
+               array_to_string(ws[t.i:t.i+7], ' ') AS span
+        FROM words w JOIN s2 USING (doc_id),
+             unnest(range(1, len(ws) - 6)) AS t(i)
+        WHERE len(ws) >= 8),
+    rep AS (SELECT span FROM sp GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT DISTINCT s.doc_id, u.p
+        FROM sp s JOIN rep USING (span),
+             unnest(range(s.pos, s.pos + 8)) AS u(p)),
+    t0 AS (SELECT CAST(SUM(nt) AS BIGINT) AS t FROM tcnt),
+    t1 AS (SELECT CAST(SUM(nt) AS BIGINT) AS t
+           FROM tcnt JOIN s1 USING (doc_id)),
+    t2 AS (SELECT CAST(SUM(nt) AS BIGINT) AS t
+           FROM tcnt JOIN s2 USING (doc_id)),
+    cv AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cov)
+    SELECT 'raw' AS stage, t0.t AS tokens_remaining,
+           CAST(0 AS BIGINT) AS tokens_removed FROM t0
+    UNION ALL
+    SELECT 'exact', t1.t, t0.t - t1.t FROM t0, t1
+    UNION ALL
+    SELECT 'near_dup', t2.t, t1.t - t2.t FROM t1, t2
+    UNION ALL
+    SELECT 'substring_mask', t2.t - cv.c, cv.c FROM t2, cv
+    """,
+    doc="The dedup savings LADDER — every family's incremental token "
+        "cost in one table: raw corpus -> exact content dedup "
+        "(keep-first per normalized text) -> near-dup cluster "
+        "resolution on the survivors (inverted-index Jaccard >= 0.5 -> "
+        "connected components -> representatives only) -> cross-"
+        "document repeated-span masking on what remains. Each stage "
+        "runs on the PREVIOUS stage's survivors, so the removed-token "
+        "columns are the true incremental savings (near-dup only gets "
+        "credit beyond exact; spans only beyond both) — the table that "
+        "justifies each family's 100 TB compute spend. Engine side "
+        "composes the existing operators (keep-first anti-join, the "
+        "checkpointed Jaccard index, min-label components, hashed span "
+        "coverage); the oracle replays the identical ladder with a "
+        "recursive-CTE closure. Integer token counts — hash-exact.",
+)
+def q_dedup_savings_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tcnt = d.select("doc_id", F.size(T.tokens("text")).cast("long").alias("nt"))
+
+    # stage 1: exact content dedup (keep-first per normalized text)
+    from pyspark.sql.window import Window
+    keeper = F.min("doc_id").over(Window.partitionBy(F.lower("text")))
+    s1 = (d.withColumn("_keep", keeper)
+          .where(F.col("doc_id") == F.col("_keep")).select("doc_id"))
+    d1 = d.join(s1, "doc_id", "left_semi")
+
+    # stage 2: near-dup resolution on survivors
+    pairs = D.ngram_jaccard_pairs(d1, threshold=0.5)
+    comp = D.connected_components(pairs)
+    non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
+    s2 = s1.join(non_reps, s1.doc_id == non_reps.id, "left_anti")
+    d2 = d.join(s2, "doc_id", "left_semi")
+
+    # stage 3: cross-document repeated-span coverage on what remains
+    sp = d2.select("doc_id", F.posexplode(
+        T.span_list(T.tokens("text"), 8)).alias("pos", "span"))
+    h = sp.withColumn("h", F.xxhash64("span")).localCheckpoint(eager=False)
+    surv = (h.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2).select("h"))
+    cov = (h.join(surv, "h", "left_semi")
+           .select("doc_id", F.explode(
+               F.sequence(F.col("pos") + 1, F.col("pos") + 8)).alias("p"))
+           .distinct())
+
+    t0 = tcnt.agg(F.sum("nt").alias("t"))
+    t1 = tcnt.join(s1, "doc_id", "left_semi").agg(F.sum("nt").alias("t"))
+    t2 = tcnt.join(s2, "doc_id", "left_semi").agg(F.sum("nt").alias("t"))
+    cv = cov.agg(F.count(F.lit(1)).alias("c"))
+
+    row = (t0.crossJoin(F.broadcast(t1.withColumnRenamed("t", "t1")))
+           .crossJoin(F.broadcast(t2.withColumnRenamed("t", "t2")))
+           .crossJoin(F.broadcast(cv)))
+    return row.select(F.explode(F.array(
+        F.struct(F.lit("raw").alias("stage"),
+                 F.col("t").alias("tokens_remaining"),
+                 F.lit(0).cast("long").alias("tokens_removed")),
+        F.struct(F.lit("exact").alias("stage"),
+                 F.col("t1").alias("tokens_remaining"),
+                 (F.col("t") - F.col("t1")).alias("tokens_removed")),
+        F.struct(F.lit("near_dup").alias("stage"),
+                 F.col("t2").alias("tokens_remaining"),
+                 (F.col("t1") - F.col("t2")).alias("tokens_removed")),
+        F.struct(F.lit("substring_mask").alias("stage"),
+                 (F.col("t2") - F.col("c")).alias("tokens_remaining"),
+                 F.col("c").cast("long").alias("tokens_removed")),
+    )).alias("s")).select("s.stage", "s.tokens_remaining", "s.tokens_removed")
