@@ -800,3 +800,66 @@ def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (drawn.join(F.broadcast(quota), "source")
             .where(F.col("rk") <= F.col("q"))
             .select("doc_id", "source"))
+
+
+@register(
+    "q_split_ngram_leakage",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 2)
+                         < 'cc' THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 2)
+                         < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    words AS (
+        SELECT split,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM assigned),
+    sh AS (
+        SELECT DISTINCT split,
+               unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                     FOR i IN range(1, len(ws) - 1)])) AS s
+        FROM words WHERE len(ws) >= 3),
+    tr AS (SELECT s FROM sh WHERE split = 'train'),
+    te AS (SELECT split, s FROM sh WHERE split <> 'train'),
+    per AS (SELECT split, COUNT(*) AS n_shingles,
+                   COUNT(CASE WHEN s IN (SELECT s FROM tr) THEN 1 END)
+                       AS n_in_train
+            FROM te GROUP BY split)
+    SELECT split, n_shingles, n_in_train,
+           ROUND(n_in_train::DOUBLE / n_shingles, 6) + 0.0 AS leak_rate
+    FROM per
+    """,
+    doc="Cross-split n-gram leakage: for each held-out split, the "
+        "fraction of its distinct word-3-grams that also appear in "
+        "TRAIN — the classic contamination check between a model's own "
+        "splits (q_split_embedding_leakage catches paraphrase-level "
+        "leakage the n-grams miss; this catches verbatim leakage the "
+        "embeddings blur). Uses the exact salted-MD5 assignment of "
+        "q_split_train_test; the train shingle set semi-joins into the "
+        "held-out sets (at 100 TB: hashed 8-byte keys, the shingle "
+        "index the dedup family already builds). Integer tallies plus "
+        "a 6-dp ratio of ints — hash-exact.",
+)
+def q_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import shingles, tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    assigned = split_assign(d, "doc_id")
+    sh = (assigned.select("split",
+                          F.explode(shingles(tokens("text"), 3)).alias("s"))
+          .distinct()
+          .localCheckpoint(eager=False))  # feeds train side and held-out side
+    tr = sh.where(F.col("split") == "train").select("s")
+    te = sh.where(F.col("split") != "train")
+    hit = (te.join(tr.withColumn("_hit", F.lit(1)).distinct(), "s", "left")
+           .groupBy("split")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.count("_hit").alias("n_in_train")))
+    return hit.select(
+        "split", "n_shingles", "n_in_train",
+        (F.round(F.col("n_in_train").cast("double")
+                 / F.col("n_shingles"), 6) + F.lit(0.0)).alias("leak_rate"))
