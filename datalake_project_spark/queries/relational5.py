@@ -1303,3 +1303,60 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(o_orderpriority AS DOUBLE)").alias("bad_cast"),
         F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)")
         .alias("prio_digit"))
+
+
+@register(
+    "q_recs_coverage",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n12
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    sym AS (
+        SELECT pa AS p, pb AS q, n12 FROM pairs
+        UNION ALL
+        SELECT pb AS p, pa AS q, n12 FROM pairs),
+    sim AS (
+        SELECT s.p, s.q, s.n12 / sqrt(dp.n::DOUBLE * dq.n::DOUBLE) AS c
+        FROM sym s
+        JOIN deg dp ON dp.p = s.p
+        JOIN deg dq ON dq.p = s.q),
+    topk AS (
+        SELECT p, q FROM sim
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY c DESC, q) <= 3),
+    uni AS (SELECT COUNT(*) AS n_parts FROM deg)
+    SELECT uni.n_parts,
+           (SELECT COUNT(DISTINCT p) FROM topk) AS n_anchors,
+           (SELECT COUNT(DISTINCT q) FROM topk) AS n_recommended,
+           ROUND((SELECT COUNT(DISTINCT q) FROM topk)::DOUBLE
+                 / uni.n_parts, 6) + 0.0 AS catalog_coverage
+    FROM uni
+    """,
+    doc="Recommender catalog coverage — the recsys health metric on "
+        "top of q_recs_item_knn: what fraction of the purchasable "
+        "catalog ever appears in ANY top-3 neighbor list (low coverage "
+        "= popularity bias, the long tail never gets surfaced), plus "
+        "how many anchor parts have recommendations at all. The "
+        "neighbor lists are the EXACT q_recs_item_knn output (same "
+        "registered function), reduced to three distinct-count "
+        "aggregates over the per-part-bounded top-k table.",
+)
+def q_recs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.queries import REGISTRY
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    topk = REGISTRY["q_recs_item_knn"].fn(spark, sf_dir)
+    uni = (li.select("l_partkey").distinct()
+           .agg(F.count(F.lit(1)).alias("n_parts")))
+    stats = topk.agg(F.countDistinct("part").alias("n_anchors"),
+                     F.countDistinct("neighbor").alias("n_recommended"))
+    return (uni.crossJoin(F.broadcast(stats))
+            .select("n_parts", "n_anchors", "n_recommended",
+                    (F.round(F.col("n_recommended").cast("double")
+                             / F.col("n_parts"), 6)
+                     + F.lit(0.0)).alias("catalog_coverage")))
