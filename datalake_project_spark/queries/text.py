@@ -857,3 +857,63 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coverage",
         F.col("p.rk").cast("long").alias("min_vocab_size"),
         F.col("p.cf").cast("long").alias("tokens_covered"))
+
+
+OOV_VOCAB_K = 500  # fixed vocabulary size for the OOV audit
+
+
+@register(
+    "q_text_oov_rate",
+    oracle=f"""
+    WITH inst AS (
+        SELECT lang, unnest({_SQL_TOKS}) AS t FROM documents),
+    vocab AS (SELECT t AS term, COUNT(*) AS freq FROM inst GROUP BY t),
+    ranked AS (
+        SELECT a.term, 1 + COUNT(b.term) AS rk
+        FROM vocab a LEFT JOIN vocab b
+          ON (b.freq > a.freq) OR (b.freq = a.freq AND b.term < a.term)
+        GROUP BY a.term, a.freq),
+    kept AS (SELECT term FROM ranked WHERE rk <= {OOV_VOCAB_K})
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN t NOT IN (SELECT term FROM kept) THEN 1 END)
+               AS n_oov,
+           ROUND(COUNT(CASE WHEN t NOT IN (SELECT term FROM kept)
+                            THEN 1 END)::DOUBLE / COUNT(*), 6) + 0.0
+               AS oov_rate
+    FROM inst GROUP BY lang
+    """,
+    doc=f"Out-of-vocabulary rate per language under a FIXED top-"
+        f"{OOV_VOCAB_K} frequency vocabulary — the multilingual-equity "
+        "audit beside tokenizer fertility: a corpus-majority language "
+        "dominates the shared vocab, so minority languages pay the OOV "
+        "(or subword-explosion) tax; this table quantifies who pays "
+        "before a vocab size ships (q_text_vocab_coverage says how "
+        "big; this says for whom). Vocab ranking via the bounded "
+        "vocab-sized self-join; membership is a broadcast anti-"
+        "semi-join against the K kept terms on the single corpus "
+        "instance pass. Ratio of ints at 6 dp — hash-exact.",
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    inst = (d.select("lang", F.explode(T.tokens("text")).alias("t"))
+            .localCheckpoint(eager=False))  # feeds vocab AND the audit
+    vocab = inst.groupBy(F.col("t").alias("term")) \
+        .agg(F.count(F.lit(1)).alias("freq"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    better = (F.col("b.freq") > F.col("a.freq")) | \
+        ((F.col("b.freq") == F.col("a.freq"))
+         & (F.col("b.term") < F.col("a.term")))
+    kept = (a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col("a.term"))
+            .agg((F.count(F.col("b.term")) + 1).alias("rk"))
+            .where(F.col("rk") <= OOV_VOCAB_K)
+            .select(F.col("term").alias("t"))
+            .withColumn("_in", F.lit(1)))
+    return (inst.join(F.broadcast(kept), "t", "left")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("_in").isNull(), 1)).alias("n_oov"),
+                 (F.round(F.count(F.when(F.col("_in").isNull(), 1))
+                          .cast("double") / F.count(F.lit(1)), 6)
+                  + F.lit(0.0)).alias("oov_rate")))
