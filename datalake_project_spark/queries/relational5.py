@@ -1360,3 +1360,54 @@ def q_recs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("n_recommended").cast("double")
                              / F.col("n_parts"), 6)
                      + F.lit(0.0)).alias("catalog_coverage")))
+
+
+@register(
+    "q_pricing_integrity_audit",
+    oracle="""
+    WITH up AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_lines,
+               MIN(l_extendedprice / l_quantity) AS min_unit,
+               MAX(l_extendedprice / l_quantity) AS max_unit
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, n_lines,
+           CAST(FLOOR(10000 * min_unit) AS BIGINT) AS min_unit_e4,
+           CAST(FLOOR(10000 * max_unit) AS BIGINT) AS max_unit_e4,
+           CAST(FLOOR(10000 * max_unit / min_unit) AS BIGINT)
+               AS dispersion_bp
+    FROM up
+    ORDER BY max_unit / min_unit DESC, l_partkey LIMIT 10
+    """,
+    doc="Pricing-integrity audit: per-part unit-price dispersion "
+        "(max/min of extendedprice/quantity across its order lines) — "
+        "the worst-10 panel that catches unit errors, currency mixups, "
+        "or broken discount application in a fact table (a part "
+        "selling at 3x its own unit price on another line is a data "
+        "bug or a story). One grouped pass over the fact with the "
+        "quantity guard pushed to the scan, TakeOrderedAndProject for "
+        "the panel. The dispersion reports as FLOORed basis points: "
+        "the ratio double is bit-identical on both engines (same "
+        "element divisions, same min/max selection), so floor is "
+        "deterministic where ROUND's half-way tie-breaking is not — "
+        "measured: half-ulp ROUND divergences at 4 dp (unit prices "
+        "are 2-dp decimals over integer quantities, so exact half-way "
+        "values are COMMON, not rare). All three metrics report as "
+        "FLOORed 1e4-scaled integers.",
+)
+def q_pricing_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    up = (li.groupBy(F.col("l_partkey").alias("partkey"))
+          .agg(F.count(F.lit(1)).alias("n_lines"),
+               F.min(unit).alias("min_unit"),
+               F.max(unit).alias("max_unit")))
+    return (up.select(
+        "partkey", "n_lines",
+        F.floor(10000 * F.col("min_unit")).cast("long").alias("min_unit_e4"),
+        F.floor(10000 * F.col("max_unit")).cast("long").alias("max_unit_e4"),
+        F.floor(10000 * F.col("max_unit") / F.col("min_unit"))
+        .cast("long").alias("dispersion_bp"),
+        (F.col("max_unit") / F.col("min_unit")).alias("_o"))
+        .orderBy(F.desc("_o"), "partkey").limit(10).drop("_o"))
