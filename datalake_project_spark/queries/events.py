@@ -1694,3 +1694,77 @@ def q_events_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_reactivations") > 0, 1)).cast("long")
         .alias("n_reactivated_users"),
         F.sum("n_reactivations").cast("long").alias("n_reactivation_events"))
+
+
+@register(
+    "q_events_cms_frequency",
+    oracle="""
+    WITH rows_r AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT r,
+               ('0x' || substr(md5(user_id::VARCHAR || ':cms:'
+                                   || r::VARCHAR), 1, 8))::BIGINT % 512 AS bk,
+               COUNT(*) AS c
+        FROM events, rows_r
+        GROUP BY r, bk
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+    ),
+    top AS (
+        SELECT user_id, n_exact FROM exact
+        ORDER BY n_exact DESC, user_id LIMIT 20
+    ),
+    probes AS (
+        SELECT t.user_id, t.n_exact, rows_r.r,
+               ('0x' || substr(md5(t.user_id::VARCHAR || ':cms:'
+                                   || rows_r.r::VARCHAR), 1, 8))::BIGINT
+                   % 512 AS bk
+        FROM top t, rows_r
+    )
+    SELECT p.user_id, p.n_exact,
+           MIN(c.c) AS cms_estimate,
+           MIN(c.c) - p.n_exact AS overcount
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bk = p.bk
+    GROUP BY p.user_id, p.n_exact
+    """,
+    doc="Count-min sketch frequency estimation, cross-engine EXACT: a "
+        "d=4 x w=512 CMS over event user frequencies built with the "
+        "repo's engine-portable hash (md5 hex substring -> int, the "
+        "q_split_train_test discipline), probed at the true top-20 "
+        "users — output is (exact count, CMS estimate, overcount), and "
+        "because BOTH engines compute the identical sketch the "
+        "estimate itself is value-checked, not floor-checked (unlike "
+        "the opaque-binary Datasketches HLL next door). The sketch "
+        "table is O(d*w) = 2048 cells regardless of data volume and "
+        "merges by cell-wise + — the mergeability that lets 1000 "
+        "executors sketch partitions independently; estimates only "
+        "ever OVERcount (min over d rows bounds collision inflation). "
+        "Two corpus passes (cell build, exact counts), each one "
+        "map-side-combined shuffle; the probe join broadcasts 80 rows "
+        "against the 2048-cell table.",
+)
+def q_events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    d_rows = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(key_col, r_col):
+        h = F.md5(F.concat(key_col.cast("string"), F.lit(":cms:"),
+                           r_col.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % 512).alias("bk")
+
+    tagged = e.select("user_id", F.explode(d_rows).alias("r"))
+    cells = (tagged.select("r", bucket(F.col("user_id"), F.col("r")))
+             .groupBy("r", "bk").agg(F.count(F.lit(1)).alias("c")))
+    top = (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+           .orderBy(F.desc("n_exact"), "user_id").limit(20))
+    probes = (top.select("user_id", "n_exact", F.explode(d_rows).alias("r"))
+              .select("user_id", "n_exact", "r",
+                      bucket(F.col("user_id"), F.col("r"))))
+    return (F.broadcast(probes)
+            .join(cells, ["r", "bk"])
+            .groupBy("user_id", "n_exact")
+            .agg(F.min("c").alias("cms_estimate"))
+            .withColumn("overcount",
+                        F.col("cms_estimate") - F.col("n_exact")))

@@ -249,3 +249,34 @@ def q_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"))
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="XML sink + source round-trip through Spark 4's BUILT-IN xml "
+        "format (no external package): per-nation supplier aggregate "
+        "written with rowTag=supplier, re-read with an EXPLICIT schema "
+        "(no inference scan) and returned. The oracle recomputes the "
+        "aggregate from Parquet, so XML text encoding of bigints and "
+        "doubles must round-trip exactly. At scale the write shards one "
+        "file per task and the read is one partition per file — the "
+        "same shape as the CSV/JSONL edges; XML is the remaining "
+        "interchange format enterprise lake edges speak (feeds, SOAP "
+        "exports, config dumps).",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("xml_rt", sf_dir)
+    s = Catalog(spark, sf_dir).table("supplier")
+    agg = (s.groupBy("s_nationkey")
+           .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal")))
+    (agg.write.mode("overwrite").format("xml")
+        .option("rowTag", "supplier").save(path))
+    return (spark.read.format("xml")
+            .schema("s_nationkey bigint, n_suppliers bigint, total_bal double")
+            .option("rowTag", "supplier").load(path))

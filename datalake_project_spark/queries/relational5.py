@@ -1411,3 +1411,74 @@ def q_pricing_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("dispersion_bp"),
         (F.col("max_unit") / F.col("min_unit")).alias("_o"))
         .orderBy(F.desc("_o"), "partkey").limit(10).drop("_o"))
+
+
+@register(
+    "q_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT lo AS month_start, hi FROM bounds
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE), hi
+        FROM cal WHERE month_start < hi
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(c.month_start, '%Y-%m') AS month,
+           COALESCE(rev.n_orders, 0) AS n_orders,
+           COALESCE(rev.revenue, 0.0) AS revenue
+    FROM cal c LEFT JOIN rev ON rev.m = c.month_start
+    """,
+    doc="Recursive CTE (WITH RECURSIVE — Spark 4's native recursion "
+        "surface, SPARK-24497): generates the complete month spine "
+        "between the first and last order date by recursive "
+        "month-increment, then LEFT JOINs monthly revenue so months "
+        "with no orders still appear (the calendar-dimension pattern "
+        "without a calendar table). Both engines run structurally "
+        "identical recursive SQL — this pins the recursion surface "
+        "itself (anchor referencing a prior CTE, recursive member with "
+        "a carried bound column, termination by WHERE), not just the "
+        "join. Scale note: the recursion materializes one row per "
+        "month (~decades = hundreds of rows, driver-scale) while the "
+        "revenue aggregate is the only corpus-sized pass — recursion "
+        "depth is bounded by calendar span, never by data volume; the "
+        "recursion-level limit is raised explicitly so a longer "
+        "fixture span cannot hit the default 100-level ceiling.",
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+    except Exception:
+        pass  # conf absent on this build -> default limit applies
+    return Catalog(spark, sf_dir).sql("""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('MM', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('MM', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        cal AS (
+            SELECT lo AS month_start, hi FROM bounds
+            UNION ALL
+            SELECT add_months(month_start, 1), hi
+            FROM cal WHERE month_start < hi
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('MM', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(c.month_start, 'yyyy-MM') AS month,
+               COALESCE(rev.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(rev.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM cal c LEFT JOIN rev ON rev.m = c.month_start
+    """)
