@@ -129,6 +129,13 @@ ADDITIONS = [
     "q_graph_shortest_cost",
     "q_events_changepoint",
     "q_corpus_quota_sample",
+    # continuation-session-2 additions: new Spark-4 engine surfaces
+    # (built-in XML, recursive CTE, collation-aware grouping) and the
+    # cross-engine-exact count-min sketch
+    "q_xml_roundtrip",
+    "q_recursive_month_spine",
+    "q_events_cms_frequency",
+    "q_collation_group",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -1482,3 +1482,46 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(rev.revenue, CAST(0.0 AS DOUBLE)) AS revenue
         FROM cal c LEFT JOIN rev ON rev.m = c.month_start
     """)
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                    WHEN doc_id % 3 = 1 THEN source
+                    ELSE lower(source) END AS sv,
+               n_chars
+        FROM documents)
+    SELECT lower(sv) AS source_lc,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM v GROUP BY lower(sv)
+    """,
+    doc="Collation-aware grouping (Spark 4's collation engine, "
+        "F.collate / UTF8_LCASE): a deliberately case-scrambled source "
+        "column (upper/as-is/lower by doc_id residue) groups "
+        "case-insensitively under the UTF8_LCASE collation — "
+        "exercising collation-aware hashing and equality in the "
+        "aggregate exchange itself, not an expression-level lower() "
+        "rewrite. The output key is normalized to lower and cast back "
+        "to a plain (UTF8_BINARY) string so the result schema is "
+        "collation-free; the oracle states the same grouping as "
+        "GROUP BY lower(). At scale collation-aware grouping shuffles "
+        "on the collation key exactly like any agg — one exchange, "
+        "map-side partials; ICU comparison cost is per-row CPU, not a "
+        "plan-shape change.",
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    res = F.col("doc_id") % 3
+    variant = (F.when(res == 0, F.upper("source"))
+               .when(res == 1, F.col("source"))
+               .otherwise(F.lower("source")))
+    return (d.select(F.collate(variant, "UTF8_LCASE").alias("src_ci"),
+                     "n_chars")
+            .groupBy("src_ci")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .select(F.lower("src_ci").cast("string").alias("source_lc"),
+                    "n_docs", "total_chars"))

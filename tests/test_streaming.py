@@ -4,6 +4,7 @@ within the watermark."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datalake_project_spark.catalog import Catalog
@@ -281,3 +282,73 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # a third restart with no new files must add nothing (idempotent)
     run_once()
     assert spark.read.parquet(out).count() == 5
+
+
+def test_transform_with_state_running_profile(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas (the successor of
+    applyInPandasWithState: typed per-key state handles + timers,
+    RocksDB-backed): running per-event-type (count, sum) via a
+    ValueState. The surface needs the python `protobuf` package for its
+    driver<->worker state protocol — absent in this sandbox, so the
+    test self-skips there and runs wherever the dependency exists (any
+    real cluster image); the equivalent operator the engine SHIPS on
+    this sandbox is applyInPandasWithState (streaming/ops.py)."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState("acc", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame({"event_type": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 2)]})
+
+        def close(self):
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        ev = events_stream(spark, "/root/testdata/sf0.001")
+        res = ev.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=TypeProfile(), outputStructType=out_schema,
+            outputMode="Update", timeMode="None")
+        q = (res.writeStream.format("memory").queryName("tws_profile")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["event_type"]: (r["n_events"], r["total_value"])
+               for r in spark.sql(
+                   "SELECT * FROM tws_profile").collect()}
+        exact = {r["event_type"]: (r["n"], r["t"]) for r in
+                 Catalog(spark, "/root/testdata/sf0.001").table("events")
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.sum("value"), 2).alias("t")).collect()}
+        assert got == exact
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
