@@ -1768,3 +1768,128 @@ def q_events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("c").alias("cms_estimate"))
             .withColumn("overcount",
                         F.col("cms_estimate") - F.col("n_exact")))
+
+
+@register(
+    "q_events_kaplan_meier",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS st FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pt
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.st
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    g AS (SELECT MAX(ts) AS end_ts FROM events),
+    obs AS (
+        SELECT CASE WHEN p.pt IS NOT NULL
+                    THEN datediff('hour', s.st, p.pt)
+                    ELSE datediff('hour', s.st, g.end_ts) END AS dur,
+               CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s LEFT JOIN p ON s.user_id = p.user_id, g),
+    byday AS (
+        SELECT dur, COUNT(*) AS n_all,
+               COUNT(CASE WHEN ev = 1 THEN 1 END) AS n_ev
+        FROM obs GROUP BY dur),
+    risk AS (
+        SELECT dur, n_ev,
+               (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(n_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+        FROM byday),
+    km AS (
+        SELECT dur, n_ev, at_risk,
+               EXP(SUM(LN(GREATEST(1.0 - n_ev::DOUBLE / at_risk, 1e-300)))
+                   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS s
+        FROM risk)
+    SELECT dur AS hour, at_risk, n_ev AS n_converted,
+           ROUND(s, 6) + 0.0 AS survival
+    FROM km WHERE n_ev > 0
+    """,
+    doc="Kaplan-Meier time-to-event estimator over signup-to-first-"
+        "purchase latency (hour granularity): users whose stream never "
+        "purchases after signup are CENSORED at observation end rather "
+        "than dropped — the survival-analysis correction a naive "
+        "conversion-latency histogram lacks (dropping censored users "
+        "biases conversion fast). S(t) = prod_(d<=t) (1 - e_d / r_d) "
+        "over the per-duration histogram (bounded by span hours, "
+        "corpus-size-independent); BOTH prefix passes — exclusive "
+        "at-risk counts and the inclusive cumulative log-factor — run "
+        "with the sharded-window discipline (monotone shard + "
+        "intra-shard windows + broadcast cross-shard offsets, the "
+        "histogram_auc pattern), so no single-partition WindowExec "
+        "at any scale. Hour diffs are computed as hour-boundary "
+        "crossings (date_trunc subtraction) to match DuckDB's "
+        "datediff semantics exactly; the product is exp(sum(ln)) with "
+        "a floor guard so an all-convert terminal hour yields 0, not "
+        "ln(0).",
+)
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    s = (e.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("st")))
+    p = (e.where(F.col("event_type") == "purchase").alias("e")
+         .join(s.alias("s"), (F.col("e.user_id") == F.col("s.user_id"))
+               & (F.col("e.ts") >= F.col("s.st")))
+         .groupBy(F.col("e.user_id").alias("user_id"))
+         .agg(F.min("e.ts").alias("pt")))
+    end = e.agg(F.max("ts").alias("end_ts"))
+
+    def hours_between(a, b):
+        return ((F.unix_timestamp(F.date_trunc("hour", b))
+                 - F.unix_timestamp(F.date_trunc("hour", a))) / 3600
+                ).cast("long")
+
+    obs = (s.join(p, "user_id", "left")
+           .crossJoin(F.broadcast(end))
+           .select(
+               F.when(F.col("pt").isNotNull(),
+                      hours_between(F.col("st"), F.col("pt")))
+               .otherwise(hours_between(F.col("st"), F.col("end_ts")))
+               .alias("dur"),
+               F.col("pt").isNotNull().cast("int").alias("ev")))
+    byday = (obs.groupBy("dur")
+             .agg(F.count(F.lit(1)).alias("n_all"),
+                  F.count(F.when(F.col("ev") == 1, 1)).alias("n_ev")))
+    total = byday.agg(F.sum("n_all").alias("n_total"))
+
+    # Prefix pass 1 (exclusive): observations with duration < d -> at_risk.
+    sharded = byday.withColumn("shard",
+                               F.floor(F.col("dur") / 64).cast("int"))
+    w_ex = (Window.partitionBy("shard").orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    intra = sharded.withColumn(
+        "cnt_intra", F.coalesce(F.sum("n_all").over(w_ex), F.lit(0)))
+    stot = sharded.groupBy("shard").agg(F.sum("n_all").alias("s_all"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.s_all"), F.lit(0)).alias("cnt_shards")))
+    risk = (intra.join(F.broadcast(below), "shard")
+            .crossJoin(F.broadcast(total))
+            .withColumn("at_risk", F.col("n_total") - F.col("cnt_shards")
+                        - F.col("cnt_intra")))
+
+    # Prefix pass 2 (inclusive): cumulative sum of ln(1 - e/r).
+    lf = F.log(F.greatest(
+        F.lit(1.0) - F.col("n_ev").cast("double") / F.col("at_risk"),
+        F.lit(1e-300)))
+    risk = risk.withColumn("lf", lf)
+    w_in = (Window.partitionBy("shard").orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    intra2 = risk.withColumn("lf_intra", F.sum("lf").over(w_in))
+    ltot = risk.groupBy("shard").agg(F.sum("lf").alias("s_lf"))
+    lbelow = (ltot.alias("a")
+              .join(F.broadcast(ltot.alias("b")),
+                    F.col("b.shard") < F.col("a.shard"), "left")
+              .groupBy(F.col("a.shard").alias("shard"))
+              .agg(F.coalesce(F.sum("b.s_lf"), F.lit(0.0)).alias("lf_shards")))
+    km = (intra2.join(F.broadcast(lbelow), "shard")
+          .withColumn("s", F.exp(F.col("lf_shards") + F.col("lf_intra"))))
+    return (km.where(F.col("n_ev") > 0)
+            .select(F.col("dur").alias("hour"),
+                    F.col("at_risk").cast("long").alias("at_risk"),
+                    F.col("n_ev").alias("n_converted"),
+                    (F.round("s", 6) + F.lit(0.0)).alias("survival")))

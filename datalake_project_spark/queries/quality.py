@@ -551,3 +551,50 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_both_pass"),
         (F.round(F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)), 6)
          + F.lit(0.0)).alias("cohens_kappa"))
+
+
+@register(
+    "q_text_mojibake",
+    oracle="""
+    WITH aug AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' cafÃ© â€” donâ€™t'
+                    ELSE text END AS t
+        FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN position('â€' IN t) > 0
+                        OR position('Ã©' IN t) > 0 THEN 1 END)
+               AS n_mojibake,
+           ROUND(COUNT(CASE WHEN position('â€' IN t) > 0
+                              OR position('Ã©' IN t) > 0 THEN 1 END)
+                 ::DOUBLE / COUNT(*), 4) + 0.0 AS mojibake_rate
+    FROM aug GROUP BY source
+    """,
+    doc="Encoding-corruption (mojibake) detection: UTF-8 text that was "
+        "decoded as Latin-1 somewhere upstream leaves characteristic "
+        "artifact bigrams ('â€¦' from curly punctuation, 'Ã©' from "
+        "accented letters) — the ftfy-class cleaning signal every "
+        "crawl-scale corpus audit runs before training. The fixture "
+        "corpus is clean, so corruption is INJECTED deterministically "
+        "in the query on both engines (the q_pii_redaction "
+        "augmentation discipline: doc_id % 7 docs get a mojibake "
+        "suffix), then detected by artifact substring scan. Pure "
+        "Column expressions over one scan — map-side partials, one "
+        "exchange on source; at 100 TB the scan cost IS the query, "
+        "exactly as a cleaning pass should be.",
+)
+def q_text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" cafÃ© â€” donâ€™t"))).otherwise(F.col("text"))
+    hit = F.contains(t, F.lit("â€")) | F.contains(t, F.lit("Ã©"))
+    return (d.select("source", hit.alias("h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("h"), 1)).alias("n_mojibake"))
+            .withColumn("mojibake_rate",
+                        F.round(F.col("n_mojibake").cast("double")
+                                / F.col("n_docs"), 4) + F.lit(0.0)))
