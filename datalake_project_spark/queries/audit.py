@@ -359,3 +359,51 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(homog), F.lit(0)).cast("long")
         .alias("n_exposed_rows"),
         (F.min("l") >= L_DIV).alias("l_diverse"))
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n_exact
+        FROM events GROUP BY event_type),
+    n AS (
+        SELECT event_type, n_exact,
+               ('0x' || substr(md5(event_type || ':dp:7'), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM c)
+    SELECT event_type, n_exact,
+           ROUND(n_exact + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                 * LN(GREATEST(1.0 - 2.0 * ABS(u - 0.5), 1e-300)), 4)
+               + 0.0 AS n_noisy
+    FROM n
+    """,
+    doc="Differentially-private released counts (event-level adjacency, "
+        "epsilon=1, sensitivity 1): Laplace(1/eps) noise via the "
+        "inverse-CDF transform X = -b*sgn(U-.5)*ln(1-2|U-.5|) over a "
+        "uniform U derived from the engine-portable md5-substring hash "
+        "of the group key — so BOTH engines synthesize bit-identical "
+        "noise and the released value itself is value-checked (seeded "
+        "noise is also what makes a DP release auditable/reproducible "
+        "in practice). Noise is added ONCE per group after full "
+        "aggregation — the correct DP composition (noising partials "
+        "then merging would sum d noise draws) — so the plan is the "
+        "plain distributed count plus a map-only post-step; at 100 TB "
+        "the DP layer costs nothing beyond the aggregate it protects. "
+        "Production would swap the md5-seed for a secret key drawn "
+        "per release (same plan), and event-level for user-level "
+        "adjacency via per-user contribution clipping (a groupBy "
+        "ahead of the count).",
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.col("event_type"), F.lit(":dp:7"))), 1, 8),
+        16, 10).cast("long") / F.lit(4294967296.0))
+    noise = (F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+             * F.log(F.greatest(F.lit(1.0) - 2.0 * F.abs(u - 0.5),
+                                F.lit(1e-300))))
+    return c.select(
+        "event_type", "n_exact",
+        (F.round(F.col("n_exact") + noise, 4) + F.lit(0.0)).alias("n_noisy"))

@@ -1287,3 +1287,80 @@ def q_text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", F.col("p.cls").alias("predicted")))
     return (pred.groupBy(F.col("lang").alias("actual"), "predicted")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
+    "q_ols_multivariate",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_discount AS DOUBLE) AS d,
+               l_extendedprice AS y
+        FROM lineitem),
+    m AS (
+        SELECT flag, COUNT(*) AS n_obs,
+               AVG(q) AS qb, AVG(d) AS db, AVG(y) AS yb,
+               var_samp(q) AS vqq, var_samp(d) AS vdd, var_samp(y) AS vyy,
+               covar_samp(q, d) AS vqd,
+               covar_samp(q, y) AS cqy,
+               covar_samp(d, y) AS cdy
+        FROM pts GROUP BY flag),
+    fit AS (
+        SELECT flag, n_obs, qb, db, yb, vyy, cqy, cdy,
+               (cqy * vdd - cdy * vqd) / (vqq * vdd - vqd * vqd) AS b1,
+               (cdy * vqq - cqy * vqd) / (vqq * vdd - vqd * vqd) AS b2
+        FROM m)
+    SELECT flag, n_obs,
+           ROUND(yb - b1 * qb - b2 * db, 2) + 0.0 AS intercept,
+           ROUND(b1, 4) + 0.0 AS beta_quantity,
+           ROUND(b2, 4) + 0.0 AS beta_discount,
+           ROUND((b1 * cqy + b2 * cdy) / vyy, 4) + 0.0 AS r2
+    FROM fit
+    """,
+    doc="Multivariate OLS (2 features + intercept) in closed form per "
+        "group: extended price regressed on quantity and discount per "
+        "return flag, solved via the COVARIANCE normal equations "
+        "(2x2 Cramer on centered second moments) rather than raw-"
+        "moment matrices — centering keeps the system well-conditioned "
+        "so cross-engine ulp noise in the parallel sums dies in the "
+        "4-dp rounding, where raw-moment determinants would amplify "
+        "it by catastrophic cancellation. One grouped aggregate "
+        "computes all nine sufficient statistics (var/covar partials "
+        "merge associatively -> map-side combine, one exchange), then "
+        "the solve is per-group arithmetic — the multi-feature "
+        "generalization of q_price_trend_regression's regr_* family, "
+        "and the largest linear model that stays sane as hand-written "
+        "Cramer; beyond this the normal-equation solve moves to a "
+        "driver-side numpy solve over the SAME aggregate outputs "
+        "(k x k for k features, data pass unchanged).",
+)
+def q_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_discount").cast("double").alias("d"),
+        F.col("l_extendedprice").alias("y"))
+    m = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("q").alias("qb"), F.avg("d").alias("db"),
+        F.avg("y").alias("yb"),
+        F.var_samp("q").alias("vqq"), F.var_samp("d").alias("vdd"),
+        F.var_samp("y").alias("vyy"),
+        F.covar_samp("q", "d").alias("vqd"),
+        F.covar_samp("q", "y").alias("cqy"),
+        F.covar_samp("d", "y").alias("cdy"))
+    det = F.col("vqq") * F.col("vdd") - F.col("vqd") * F.col("vqd")
+    b1 = (F.col("cqy") * F.col("vdd") - F.col("cdy") * F.col("vqd")) / det
+    b2 = (F.col("cdy") * F.col("vqq") - F.col("cqy") * F.col("vqd")) / det
+    fit = m.withColumn("b1", b1).withColumn("b2", b2)
+    return fit.select(
+        "flag", "n_obs",
+        (F.round(F.col("yb") - F.col("b1") * F.col("qb")
+                 - F.col("b2") * F.col("db"), 2) + F.lit(0.0))
+        .alias("intercept"),
+        (F.round("b1", 4) + F.lit(0.0)).alias("beta_quantity"),
+        (F.round("b2", 4) + F.lit(0.0)).alias("beta_discount"),
+        (F.round((F.col("b1") * F.col("cqy") + F.col("b2") * F.col("cdy"))
+                 / F.col("vyy"), 4) + F.lit(0.0)).alias("r2"))

@@ -1525,3 +1525,63 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").alias("total_chars"))
             .select(F.lower("src_ci").cast("string").alias("source_lc"),
                     "n_docs", "total_chars"))
+
+
+@register(
+    "q_geo_radius_join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':gx'), 1, 8))
+                   ::BIGINT / 4294967296.0 * 100 AS x,
+               ('0x' || substr(md5(c_custkey::VARCHAR || ':gy'), 1, 8))
+                   ::BIGINT / 4294967296.0 * 100 AS y
+        FROM customer)
+    SELECT a.k AS a_key, b.k AS b_key,
+           ROUND(SQRT((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 4) + 0.0 AS dist
+    FROM pts a JOIN pts b ON a.k < b.k
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+    """,
+    doc="Spatial radius self-join via GRID BUCKETING: deterministic "
+        "points in [0,100)^2 (engine-portable md5-uniform per customer "
+        "key), pairs within Euclidean distance 2 found by hashing each "
+        "point to a radius-sized grid cell, expanding the LEFT side to "
+        "its 3x3 cell neighborhood (a bounded 9x explode), equi-"
+        "joining on cell id, then exact-distance filtering — each true "
+        "pair matches exactly once because the right side keeps its "
+        "single exact cell. This turns the quadratic theta-join the "
+        "ORACLE states (the spec) into an equi-join whose cost is "
+        "sum-of-squares of CELL occupancy — the standard spatial-join "
+        "scale shape (uniform points: ~(9*density^2) per cell, never "
+        "n^2), with cell skew handled by the same AQE valves as any "
+        "hash join. Distance is one identical expression tree on both "
+        "engines -> bit-identical doubles under 4-dp rounding.",
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+
+    def uniform(salt: str):
+        h = F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                / F.lit(4294967296.0) * 100)
+
+    pts = c.select(F.col("c_custkey").alias("k"),
+                   uniform(":gx").alias("x"), uniform(":gy").alias("y"))
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = (pts.select("k", "x", "y", F.explode(offsets).alias("o"))
+         .select(F.col("k").alias("a_key"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"),
+                 (F.floor(F.col("x") / 2) + F.col("o.dx")).alias("cx"),
+                 (F.floor(F.col("y") / 2) + F.col("o.dy")).alias("cy")))
+    b = pts.select(F.col("k").alias("b_key"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"),
+                   F.floor(F.col("x") / 2).alias("cx"),
+                   F.floor(F.col("y") / 2).alias("cy"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    return (a.join(b, ["cx", "cy"])
+            .where((F.col("a_key") < F.col("b_key")) & (d2 <= 4.0))
+            .select("a_key", "b_key",
+                    (F.round(F.sqrt(d2), 4) + F.lit(0.0)).alias("dist")))
