@@ -280,3 +280,58 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.format("xml")
             .schema("s_nationkey bigint, n_suppliers bigint, total_bal double")
             .option("rowTag", "supplier").load(path))
+
+
+@register(
+    "q_log_parse",
+    oracle="""
+    WITH lines AS (
+        SELECT '10.' || (user_id % 256)::VARCHAR || '.0.'
+               || (event_id % 256)::VARCHAR || ' - u' || user_id::VARCHAR
+               || ' "GET /' || event_type || ' HTTP/1.1" '
+               || (CASE WHEN event_type = 'error' THEN 500 ELSE 200
+                   END)::VARCHAR
+               || ' ' || (event_id % 10000)::VARCHAR AS line
+        FROM events),
+    parsed AS (
+        SELECT regexp_extract(line, '"([A-Z]+) /([a-z]+) HTTP/1\\.1" ([0-9]+) ([0-9]+)$', 2) AS path,
+               CAST(regexp_extract(line, '"([A-Z]+) /([a-z]+) HTTP/1\\.1" ([0-9]+) ([0-9]+)$', 3) AS INT) AS status,
+               CAST(regexp_extract(line, '"([A-Z]+) /([a-z]+) HTTP/1\\.1" ([0-9]+) ([0-9]+)$', 4) AS BIGINT) AS n_bytes
+        FROM lines)
+    SELECT path, status, COUNT(*) AS n_requests,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+    FROM parsed GROUP BY path, status
+    """,
+    doc="Semi-structured access-log ETL: Apache-combined-style request "
+        "lines (synthesized deterministically from events on both "
+        "engines — the augmentation discipline; a real deployment "
+        "reads them via spark.read.text) parsed back into typed "
+        "columns with ONE anchored regexp evaluated once per needed "
+        "group, then aggregated per (path, status). regexp_extract "
+        "compiles into codegen — the whole parse+aggregate is a "
+        "single map-side-combined pass with no Python, which is the "
+        "only acceptable shape for the classic 100 TB workload this "
+        "represents (raw web logs -> traffic rollup). The regex "
+        "stays in the RE2-compatible subset so Java and DuckDB "
+        "semantics coincide.",
+)
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    status = F.when(F.col("event_type") == "error",
+                    F.lit(500)).otherwise(F.lit(200))
+    line = F.concat(
+        F.lit("10."), (F.col("user_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 256).cast("string"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(' "GET /'), F.col("event_type"),
+        F.lit(' HTTP/1.1" '), status.cast("string"),
+        F.lit(" "), (F.col("event_id") % 10000).cast("string"))
+    pat = r'"([A-Z]+) /([a-z]+) HTTP/1\.1" ([0-9]+) ([0-9]+)$'
+    lines = e.select(line.alias("line"))
+    parsed = lines.select(
+        F.regexp_extract("line", pat, 2).alias("path"),
+        F.regexp_extract("line", pat, 3).cast("int").alias("status"),
+        F.regexp_extract("line", pat, 4).cast("long").alias("n_bytes"))
+    return (parsed.groupBy("path", "status")
+            .agg(F.count(F.lit(1)).alias("n_requests"),
+                 F.sum("n_bytes").alias("total_bytes")))

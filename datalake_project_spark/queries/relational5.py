@@ -1585,3 +1585,62 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("a_key") < F.col("b_key")) & (d2 <= 4.0))
             .select("a_key", "b_key",
                     (F.round(F.sqrt(d2), 4) + F.lit(0.0)).alias("dist")))
+
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+    WITH s AS (
+        SELECT p_partkey, p_retailprice, p_size FROM part)
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size < a.p_size))
+    """,
+    doc="2-D skyline (Pareto frontier) of parts minimizing both retail "
+        "price and size: the multi-criteria shortlist query (cheapest-"
+        "AND-smallest tradeoff curve). The oracle states the quadratic "
+        "NOT-EXISTS domination spec; the engine computes it linearly — "
+        "a point survives iff no strictly-cheaper price level has "
+        "min-size <= its size AND it achieves its own price level's "
+        "min size. The strictly-cheaper prefix-min runs over the "
+        "per-price-level min-size table (already groupBy-reduced) "
+        "with the sharded-window discipline (monotone price-band "
+        "shard, intra-shard exclusive window, broadcast cross-shard "
+        "band mins), so the plan is two keyed aggregates + one "
+        "partitioned window + a broadcast join — no n^2 pair "
+        "comparison and no single-partition WindowExec at any scale. "
+        "Equal-(price,size) duplicates survive together, matching the "
+        "spec's strict-domination semantics.",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    lvl = (s.groupBy("p_retailprice")
+           .agg(F.min("p_size").alias("m2"))
+           .withColumn("shard",
+                       F.floor(F.col("p_retailprice") / 100).cast("int")))
+    w_ex = (Window.partitionBy("shard").orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    intra = lvl.withColumn("m_intra", F.min("m2").over(w_ex))
+    stot = lvl.groupBy("shard").agg(F.min("m2").alias("s_min"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.min("b.s_min").alias("m_shards")))
+    m1 = (intra.join(F.broadcast(below), "shard")
+          .select("p_retailprice", "m2",
+                  F.least(
+                      F.coalesce("m_intra", F.lit(2 ** 31)),
+                      F.coalesce("m_shards", F.lit(2 ** 31))).alias("m1")))
+    return (s.join(m1, "p_retailprice")
+            .where((F.col("m1") > F.col("p_size"))
+                   & (F.col("p_size") == F.col("m2")))
+            .select("p_partkey", "p_retailprice", "p_size"))
