@@ -407,3 +407,55 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "event_type", "n_exact",
         (F.round(F.col("n_exact") + noise, 4) + F.lit(0.0)).alias("n_noisy"))
+
+
+@register(
+    "q_pseudonymize_join_integrity",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Deterministic pseudonymization with referential integrity: "
+        "the customer key is replaced by a keyed-hash token "
+        "(md5(key || secret salt), 16 hex chars) INDEPENDENTLY in the "
+        "fact and dimension tables — the GDPR-style de-identification "
+        "that lets analysts join on tokens without seeing raw ids — "
+        "and the per-nation rollup then runs entirely over tokens. "
+        "The oracle computes the same rollup over the RAW join, so a "
+        "pass proves the tokenization is consistent across tables "
+        "(same input -> same token), collision-free at this scale "
+        "(n_customers counts distinct TOKENS on the engine side, "
+        "distinct raw keys in the oracle), and lossless for "
+        "analytics. Map-only token derivation (no extra shuffle "
+        "beyond the join's own), and the token space (64 bits) keeps "
+        "the birthday bound negligible at 100 TB key cardinalities; "
+        "production swaps the literal salt for a vault-held secret "
+        "(plan unchanged).",
+)
+def q_pseudonymize_join_integrity(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+
+    def token(col):
+        return F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(":vault-salt:29"))),
+            1, 16)
+
+    c = cat.table("customer").select(
+        token(F.col("c_custkey")).alias("c_tok"), "c_nationkey")
+    o = cat.table("orders").select(
+        token(F.col("o_custkey")).alias("o_tok"), "o_totalprice")
+    n = cat.table("nation")
+    return (o.join(c, o.o_tok == c.c_tok)
+            .join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.countDistinct("o_tok").alias("n_customers")))

@@ -1793,10 +1793,10 @@ def q_events_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs GROUP BY dur),
     risk AS (
         SELECT dur, n_ev,
-               (SELECT COUNT(*) FROM obs)
+               CAST((SELECT COUNT(*) FROM obs)
                - COALESCE(SUM(n_all) OVER (ORDER BY dur
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS at_risk
+                   AS BIGINT) AS at_risk
         FROM byday),
     km AS (
         SELECT dur, n_ev, at_risk,
@@ -1893,3 +1893,124 @@ def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("at_risk").cast("long").alias("at_risk"),
                     F.col("n_ev").alias("n_converted"),
                     (F.round("s", 6) + F.lit(0.0)).alias("survival")))
+
+
+@register(
+    "q_events_anova",
+    oracle="""
+    WITH g AS (
+        SELECT event_type AS grp, value FROM events
+        WHERE value IS NOT NULL),
+    st AS (
+        SELECT grp, COUNT(*) AS n, AVG(value) AS m
+        FROM g GROUP BY grp),
+    tot AS (
+        SELECT COUNT(*) AS n_all, AVG(value) AS gm,
+               SUM(value * value) AS ss
+        FROM g),
+    parts AS (
+        SELECT (SELECT COUNT(*) FROM st) AS k,
+               tot.n_all,
+               SUM(st.n * (st.m - tot.gm) * (st.m - tot.gm)) AS ssb,
+               MAX(tot.ss) - SUM(st.n * st.m * st.m) AS ssw
+        FROM st, tot GROUP BY tot.n_all)
+    SELECT CAST(k AS BIGINT) AS k_groups, n_all,
+           ROUND(ssb / (k - 1), 4) + 0.0 AS ms_between,
+           ROUND(ssw / (n_all - k), 4) + 0.0 AS ms_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n_all - k)), 4) + 0.0
+               AS f_stat
+    FROM parts
+    """,
+    doc="One-way ANOVA F-test of event value across event types: "
+        "between-group and within-group mean squares from the "
+        "standard decomposition (SSW = SS_total - sum n_g*m_g^2, "
+        "SSB = sum n_g*(m_g - grand_mean)^2), completing the "
+        "hypothesis-test battery beside the two-sample t-test, "
+        "chi-squared, and KS drift checks. Two aggregates (per-group "
+        "and grand), both map-side-combined single exchanges over one "
+        "scan; the k-group statistics table is k rows, so the F "
+        "assembly is driver-scale arithmetic kept in-plan via a "
+        "broadcast crossJoin — no action, no Python. An F >> 1 says "
+        "the value distribution genuinely differs by type (here "
+        "'purchase' carries order values) — the screening test before "
+        "any per-segment modeling.",
+)
+def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select(F.col("event_type").alias("grp"), "value"))
+    st = e.groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
+                              F.avg("value").alias("m"))
+    tot = e.agg(F.count(F.lit(1)).alias("n_all"),
+                F.avg("value").alias("gm"),
+                F.sum(F.col("value") * F.col("value")).alias("ss"))
+    parts = (st.crossJoin(F.broadcast(tot))
+             .groupBy("n_all")
+             .agg(F.count(F.lit(1)).cast("long").alias("k_groups"),
+                  F.sum(F.col("n") * (F.col("m") - F.col("gm"))
+                        * (F.col("m") - F.col("gm"))).alias("ssb"),
+                  (F.max("ss") - F.sum(F.col("n") * F.col("m") * F.col("m")))
+                  .alias("ssw")))
+    msb = F.col("ssb") / (F.col("k_groups") - 1)
+    msw = F.col("ssw") / (F.col("n_all") - F.col("k_groups"))
+    return parts.select(
+        "k_groups", "n_all",
+        (F.round(msb, 4) + F.lit(0.0)).alias("ms_between"),
+        (F.round(msw, 4) + F.lit(0.0)).alias("ms_within"),
+        (F.round(msb / msw, 4) + F.lit(0.0)).alias("f_stat"))
+
+
+@register(
+    "q_events_session_window_native",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS sid
+        FROM flagged)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    doc="Sessionization via the NATIVE F.session_window aggregate in "
+        "BATCH mode — the one-groupBy formulation of what "
+        "q_events_sessionize builds from lag/cumsum windows, pinning "
+        "that Spark's built-in session merge agrees with the islands "
+        "spec. Boundary semantics differ at EXACTLY the gap: "
+        "session_window treats windows as [start, last+gap) — an "
+        "event landing exactly at last+gap starts a NEW session — so "
+        "the oracle's new-session rule is >= gap where the islands "
+        "query's is > gap; the returned window_end is last_event + "
+        "gap (the native struct's end), not last_event. One exchange "
+        "on user_id, session merge inside the aggregate — at scale "
+        "this is strictly cheaper than the two-window islands plan "
+        "(no per-row lag pass before the groupBy).",
+)
+def q_events_session_window_native(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    return (e.groupBy("user_id",
+                      F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id",
+                    F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_end"),
+                    "n_events", "session_value"))
