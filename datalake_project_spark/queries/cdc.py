@@ -1083,3 +1083,49 @@ def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(agg["n"], float(agg["t"]), n_repaired.count())],
         "n_rows long, total_price double, n_repaired long")
+
+
+@register(
+    "q_rollup_cascade",
+    oracle="""
+    SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) > 0 AS has_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY day
+    """,
+    doc="Materialized-rollup cascade: raw events aggregate to MINUTE "
+        "grain, minutes re-aggregate to HOUR, hours to DAY — and the "
+        "day level is proven equal to aggregating raw directly (the "
+        "oracle). This pins the re-aggregability contract a 100 TB "
+        "rollup pyramid depends on: counts and sums merge "
+        "associatively through every level, so the day table can be "
+        "served from the hour table (1/3600th the rows) instead of "
+        "re-scanning raw — the cascade is how second-grain telemetry "
+        "stays queryable at year horizons. COUNT DISTINCT deliberately "
+        "appears only as an existence flag: distincts do NOT "
+        "re-aggregate (the bitmap/HLL mergeable-sketch queries next "
+        "door are the correct cascade for those). Each level is one "
+        "map-side-combined exchange over the (smaller) previous "
+        "level; value sums round once at the END, never at "
+        "intermediate levels where rounding would compound.",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    minute = (e.groupBy(F.date_trunc("minute", "ts").alias("m"),
+                        F.to_date("ts").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("v"),
+                   F.countDistinct("user_id").alias("du")))
+    hour = (minute.groupBy(F.date_trunc("hour", "m").alias("h"), "d")
+            .agg(F.sum("n").alias("n"), F.sum("v").alias("v"),
+                 F.sum("du").alias("du")))
+    day = (hour.groupBy("d")
+           .agg(F.sum("n").alias("n_events"), F.sum("v").alias("v"),
+                F.sum("du").alias("du")))
+    return day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        (F.col("du") > 0).alias("has_users"),
+        (F.round("v", 2)).alias("total_value"))

@@ -863,3 +863,79 @@ def q_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "n_shingles", "n_in_train",
         (F.round(F.col("n_in_train").cast("double")
                  / F.col("n_shingles"), 6) + F.lit(0.0)).alias("leak_rate"))
+
+
+@register(
+    "q_corpus_budget_select",
+    oracle="""
+    WITH ta AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        FROM documents),
+    t AS (
+        SELECT doc_id, source, len(arr) AS toks,
+               len(list_distinct(arr))::DOUBLE / len(arr) AS score
+        FROM ta WHERE len(arr) > 0),
+    b AS (SELECT CAST(FLOOR(0.25 * SUM(toks)) AS BIGINT) AS budget FROM t),
+    r AS (
+        SELECT t.*, COALESCE(SUM(toks) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM t),
+    sel AS (SELECT r.* FROM r, b WHERE r.cum < b.budget)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens
+    FROM sel GROUP BY source
+    """,
+    doc="Token-budget data selection: rank every document by a quality "
+        "score (distinct-token ratio — a repetition penalty) and keep "
+        "the best docs until a fixed token budget (25% of corpus "
+        "tokens) is spent — the 'select the best N-billion tokens' "
+        "step between scoring and training-set assembly in an LLM "
+        "pipeline. The greedy cutoff needs a corpus-wide running sum "
+        "in score order, which runs with the sharded-window "
+        "discipline: shard = floor((1-score)*16) is monotone in the "
+        "sort key (ties share a shard since the shard is a function "
+        "of the score), per-shard exclusive prefix sums, broadcast "
+        "cross-shard offsets — no single-partition WindowExec. All "
+        "cumulative quantities are INTEGER token counts (exact, "
+        "order-independent) and scores are single-division doubles "
+        "(bit-identical both engines), so the selection boundary is "
+        "deterministic. Docs whose exclusive prefix is under budget "
+        "are kept (the standard greedy that may overshoot by one "
+        "doc).",
+)
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    arr = tokens(F.col("text"))
+    t = (d.select("doc_id", "source", arr.alias("arr"))
+         .where(F.size("arr") > 0)
+         .select("doc_id", "source", F.size("arr").alias("toks"),
+                 (F.size(F.array_distinct("arr")).cast("double")
+                  / F.size("arr")).alias("score")))
+    b = t.agg(F.floor(0.25 * F.sum("toks")).cast("long").alias("budget"))
+
+    from pyspark.sql.window import Window
+    sharded = t.withColumn(
+        "shard", F.floor((F.lit(1.0) - F.col("score")) * 16).cast("int"))
+    w_ex = (Window.partitionBy("shard")
+            .orderBy(F.desc("score"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    intra = sharded.withColumn(
+        "cum_intra", F.coalesce(F.sum("toks").over(w_ex), F.lit(0)))
+    stot = sharded.groupBy("shard").agg(F.sum("toks").alias("s_toks"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.s_toks"), F.lit(0)).alias("cum_shards")))
+    sel = (intra.join(F.broadcast(below), "shard")
+           .crossJoin(F.broadcast(b))
+           .where(F.col("cum_shards") + F.col("cum_intra")
+                  < F.col("budget")))
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").cast("long").alias("n_tokens")))
