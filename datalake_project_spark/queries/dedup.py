@@ -867,3 +867,83 @@ def q_dedup_savings_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("t2") - F.col("c")).alias("tokens_remaining"),
                  F.col("c").cast("long").alias("tokens_removed")),
     )).alias("s")).select("s.stage", "s.tokens_remaining", "s.tokens_removed")
+
+
+@register(
+    "q_dedup_resolved_by_quality",
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
+              >= 0.5),
+    und AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+    reach(u, v) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        WHERE e.v <> r.u),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 0
+                    THEN len(list_distinct(ws))::DOUBLE / len(ws)
+                    ELSE 0.0 END AS score
+        FROM words),
+    ranked AS (
+        SELECT c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.rep
+                                  ORDER BY s.score DESC, c.id) AS rk
+        FROM comp c JOIN scored s ON s.doc_id = c.id),
+    dropped AS (SELECT id FROM ranked WHERE rk > 1)
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.id = d.doc_id)
+    """,
+    doc="Quality-ARBITRATED dedup resolution: same near-dup clusters "
+        "as q_dedup_resolved (inverted-index Jaccard pairs -> "
+        "connected components), but each cluster keeps its HIGHEST-"
+        "QUALITY member (distinct-token-ratio score, min-id "
+        "tie-break) instead of the minimum id — what production "
+        "pipelines actually do, since the first-crawled copy of a "
+        "page is often the boilerplate-heavy one. Adds one broadcast-"
+        "sized join of the (cluster-member, score) table and a "
+        "PARTITIONED per-cluster row_number on top of the resolved "
+        "plan; scores are single-division doubles (bit-identical "
+        "cross-engine) so the arbitration is deterministic.",
+)
+def q_dedup_resolved_by_quality(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    comp = D.connected_components(pairs)
+    ws = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.when(F.size(ws) > 0,
+               F.size(F.array_distinct(ws)).cast("double") / F.size(ws))
+        .otherwise(F.lit(0.0)).alias("score"))
+    ranked = (comp.join(scored, comp.id == scored.doc_id)
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("rep")
+                  .orderBy(F.desc("score"), "id"))))
+    dropped = ranked.where(F.col("rk") > 1).select("id")
+    return d.join(dropped, d.doc_id == dropped.id, "left_anti") \
+        .select("doc_id")
