@@ -136,6 +136,19 @@ ADDITIONS = [
     "q_recursive_month_spine",
     "q_events_cms_frequency",
     "q_collation_group",
+    "q_events_kaplan_meier",
+    "q_text_mojibake",
+    "q_dp_noisy_counts",
+    "q_ols_multivariate",
+    "q_geo_radius_join",
+    "q_skyline_pareto",
+    "q_log_parse",
+    "q_events_anova",
+    "q_events_session_window_native",
+    "q_pseudonymize_join_integrity",
+    "q_rollup_cascade",
+    "q_corpus_budget_select",
+    "q_dedup_resolved_by_quality",
 ]
 
 HEADLINE = CORE + ADDITIONS

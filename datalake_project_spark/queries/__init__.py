@@ -58,9 +58,13 @@ PRIORITY: tuple[str, ...] = (
     # whose run_pipeline resolves the previous snapshot via
     # latest_run_before — and which puts the reference's ENTIRE
     # dataflow, previously pytest-only, in the value-checked window)
+    # (twice-green q_compact_roundtrip rotates to the tail in the
+    # round-4 continuation; the new rollup-cascade query takes the
+    # medallion-maintenance slot — re-aggregability minute->hour->day
+    # proven against direct-from-raw)
     "q_snapshot_diff", "q_pipeline_end_to_end",
     "q_snapshot_scd2", "q_merge_upsert",
-    "q_compact_roundtrip",
+    "q_rollup_cascade",
     # Deduplication family (incl. the end-to-end corpus resolution, the
     # df-capped near-dup skew valve, and the substring-level operators —
     # q_dedup_exact_text rotates to the tail after green stamps in r1-r2;
@@ -74,11 +78,17 @@ PRIORITY: tuple[str, ...] = (
     # Python-DataSource ingestion rep q_pages_ingest below; the exact
     # family stays covered in-window by q_dedup_resolved's keep-first
     # anchor and the full battery in the tail)
+    # (r3-stamped q_dedup_ngram_jaccard_capped and
+    # q_dedup_substring_spans rotate to the tail in the round-4
+    # continuation — the capped twin shares its oracle with the
+    # in-window jaccard, and the span REMOVAL consumer stays in-window;
+    # the freed slots go to the cross-engine-exact count-min sketch and
+    # the Kaplan-Meier estimator below)
     "q_dedup_ngram_jaccard",
-    "q_dedup_ngram_jaccard_capped", "q_dedup_minhash_lsh",
+    "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_simhash_recall", "q_dedup_resolved",
-    "q_dedup_substring_spans", "q_dedup_winnow_pairs",
+    "q_dedup_winnow_pairs",
     "q_dedup_substring_removal", "q_dedup_semantic_resolved",
     "q_split_embedding_leakage",
     # Similarity / ANN family (+ recall floors for the approximate paths;
@@ -102,25 +112,33 @@ PRIORITY: tuple[str, ...] = (
     # (twice-green q_text_quality / q_text_langid rotate out late
     # round 4; the model-based classifier filter and BM25/RRF retrieval
     # layer enter)
+    # (r3-stamped q_text_vocab and q_text_tfidf_top_terms rotate to
+    # the tail in the round-4 continuation — vocabulary coverage/OOV
+    # and the TF-IDF ranking stay exercised there; the slots go to the
+    # token-budget selection step and the new engine surfaces below)
     "q_text_bpe_tokens", "q_text_bpe_train",
     "q_text_quality_classifier",
-    "q_text_vocab", "q_text_tfidf_top_terms", "q_text_contamination",
+    "q_text_contamination",
     "q_pack_sequences_sharded", "q_text_bigram_lm",
     "q_text_source_divergence", "q_text_heavy_hitters",
     "q_text_bm25_topk", "q_hybrid_retrieval_rrf",
     # Corpus assembly: the end-to-end cleaning funnel
     # (q_split_train_test / q_corpus_mix earned driver-green stamps in
     # r3 and rotate to the tail)
-    "q_corpus_clean_funnel",
+    "q_corpus_clean_funnel", "q_corpus_budget_select",
     # Relational semantics batteries (round-4 promotions: three-valued
     # NULL logic and exact DECIMAL money aggregation)
+    # (round-4 continuation: the Spark-4 engine surfaces enter — native
+    # recursive CTE and collation-aware grouping)
     "q_null_semantics", "q_decimal_money",
+    "q_recursive_month_spine", "q_collation_group",
     # Events: sessionization, as-of join, Markov transitions,
     # time-bucket gap-fill (twice-green q_range_join rotates out late
     # round 4; its operator stays covered by q_asof_join and the
     # in-tail q_temporal_join consumer)
     "q_events_sessionize", "q_asof_join",
     "q_events_transitions", "q_events_gapfill",
+    "q_events_cms_frequency", "q_events_kaplan_meier",
     # Multimodal plumbing (twice-green q_multimodal_frame_sample
     # rotates to the tail in round 4)
     "q_multimodal_features",
@@ -130,8 +148,12 @@ PRIORITY: tuple[str, ...] = (
     # in round 4, four streaming reps stay)
     # (twice-green q_stream_user_profile rotates out late round 4;
     # three streaming reps stay)
+    # (twice-green q_stream_sessionize rotates to the tail in the
+    # round-4 continuation; the session semantics stay in-window via
+    # q_events_sessionize and the native batch session_window in the
+    # tail, and two streaming reps remain)
     "q_stream_lake_roundtrip",
-    "q_stream_sessionize", "q_stream_stream_join",
+    "q_stream_stream_join",
     # (q_csv_roundtrip — the interchange-format representative — earned
     # its driver-green stamp in r3 and rotates to the tail with the
     # ORC/JSONL variants; the source-format slot is taken by the

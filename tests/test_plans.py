@@ -345,3 +345,32 @@ def test_parquet_aggregate_pushdown(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_join_strategy_hints_switch_physical_plans(spark):
+    """Join-strategy hints are the manual override valve when AQE's
+    choice is wrong for a known workload: BROADCAST forces a
+    broadcast-hash join on an over-threshold side, MERGE forces
+    sort-merge, SHUFFLE_HASH forces a shuffled hash join. Pin that
+    each hint actually lands its physical operator AND that results
+    are identical — the control surface a 100 TB tuning session
+    reaches for before any config change."""
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    cat = Catalog(spark, SF)
+    o = cat.table("orders").select("o_orderkey", "o_custkey")
+    c = cat.table("customer").select("c_custkey", "c_nationkey")
+
+    plans = {
+        h: simple_plan(o.join(c.hint(h), o.o_custkey == c.c_custkey))
+        for h in ("broadcast", "merge", "shuffle_hash")
+    }
+    assert "BroadcastHashJoin" in plans["broadcast"]
+    assert "SortMergeJoin" in plans["merge"]
+    assert "ShuffledHashJoin" in plans["shuffle_hash"]
+    counts = {
+        h: o.join(c.hint(h), o.o_custkey == c.c_custkey).count()
+        for h in ("broadcast", "merge", "shuffle_hash")
+    }
+    assert len(set(counts.values())) == 1
