@@ -1223,3 +1223,118 @@ def q_text_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             cur.select(F.lit(i).alias("step"), F.col("w").alias("token")))
     return out
+
+
+@register(
+    "q_text_unigram_viterbi",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    words AS (
+        SELECT w, COUNT(*) AS f FROM toks
+        WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+    occ AS (
+        SELECT w.w, w.f, j.j, k.k, substr(w.w, j.j + 1, k.k) AS piece
+        FROM words w,
+             (SELECT unnest(range(0, 12)) AS j) j,
+             (SELECT unnest([1, 2, 3]) AS k) k
+        WHERE j.j + k.k <= len(w.w)),
+    vocab AS (
+        SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM occ GROUP BY piece),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    edges AS (
+        SELECT o.w, o.j, o.j + o.k AS i,
+               LN(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+        FROM occ o JOIN vocab v ON v.piece = o.piece, tot),
+    paths AS (
+        SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM words
+        UNION ALL
+        SELECT e.w, e.i, p.s + e.lp
+        FROM paths p JOIN edges e ON e.w = p.w AND e.j = p.i),
+    best AS (
+        SELECT p.w, MAX(p.s) AS b
+        FROM paths p JOIN words ww ON ww.w = p.w AND len(ww.w) = p.i
+        GROUP BY p.w)
+    SELECT b.w AS word, ww.f AS freq, ROUND(b.b, 4) + 0.0 AS best_logp
+    FROM best b JOIN words ww ON ww.w = b.w
+    ORDER BY ww.f DESC, b.w LIMIT 20
+    """,
+    doc="Unigram-LM (SentencePiece-style) Viterbi segmentation: each "
+        "word is tokenized into the maximum-likelihood sequence of "
+        "character pieces (len 1-3) under a unigram piece model whose "
+        "probabilities come from occurrence-frequency counts — the "
+        "OTHER dominant tokenizer family beside the BPE train/encode "
+        "pair, where tokenization is best-path search over the "
+        "segmentation lattice rather than greedy merge application. "
+        "The engine runs the LINEAR DP: per position i (1..12), the "
+        "frontier joins the edges ending at i and keeps max(score) — "
+        "12 bounded join+aggregate steps over the DISTINCT-word table "
+        "(vocabulary-scale, sublinear in corpus; the corpus is touched "
+        "exactly once to count words), each step checkpointed so the "
+        "recurrence has flat lineage (a cumulative lazy union "
+        "re-expands 3 predecessors per step -> 3^12 plan nodes — the "
+        "exponential-lineage trap, documented in the code). "
+        "The oracle states the spec by brute force: a recursive CTE "
+        "enumerates EVERY segmentation path (tribonacci(12) ~ 1.4k "
+        "per word, fine at fixture scale) and takes the max. Path "
+        "sums accumulate left-to-right identically on both engines -> "
+        "bit-identical doubles under 4-dp rounding; piece counts and "
+        "totals are integer-exact. An EM trainer is this E-step "
+        "iterated with count re-estimation (same DAG shape per "
+        "round); words over 12 chars are excluded identically on "
+        "both sides (the documented cap).",
+)
+def q_text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    words = (toks.where(F.length("w").between(1, 12))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    occ = (words
+           .select("w", "f",
+                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
+                   .alias("j"))
+           .select("w", "f", "j",
+                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                   .alias("k"))
+           .where(F.col("j") + F.col("k") <= F.length("w"))
+           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
+                                            F.col("k"))))
+    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    edges = (occ.join(vocab, "piece")
+             .crossJoin(F.broadcast(tot))
+             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
+                     F.log(F.col("c").cast("double")
+                           / F.col("t").cast("double")).alias("lp"))
+             ).localCheckpoint()
+    # Driver-stepped Viterbi (the BPE-train discipline): each position's
+    # frontier is localCheckpointed so the 12-step recurrence has FLAT
+    # lineage — a cumulative lazy union re-expands its 3 predecessors
+    # per step (3^12 plan nodes, the exponential-lineage trap iterative
+    # DataFrame algorithms hit). The frontier's columns are RENAMED
+    # (pw/pi/ps) rather than alias()-scoped: unionByName over
+    # checkpointed relations + DataFrame aliases trips an attribute-
+    # resolution bug in this build (key not found: w#N).
+    dp = [words.select("w", F.lit(0).alias("i"),
+                       F.lit(0.0).alias("s")).localCheckpoint()]
+    for i in range(1, 13):
+        frontier = (reduce(lambda a, b: a.unionByName(b), dp[-3:])
+                    .select(F.col("w").alias("pw"), F.col("i").alias("pi"),
+                            F.col("s").alias("ps")))
+        step = (edges.where(F.col("i") == i)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("j") == F.col("pi")))
+                .groupBy("w", "i")
+                .agg(F.max(F.col("ps") + F.col("lp")).alias("s"))
+                .localCheckpoint())
+        dp.append(step)
+    full = reduce(lambda a, b: a.unionByName(b), dp)
+    best = (full.select(F.col("w").alias("word"), "i", "s")
+            .join(words.withColumnRenamed("w", "word"), "word")
+            .where(F.col("i") == F.length("word"))
+            .select("word", F.col("f").alias("freq"),
+                    (F.round("s", 4) + F.lit(0.0)).alias("best_logp")))
+    return best.orderBy(F.desc("freq"), "word").limit(20)
