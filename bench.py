@@ -149,6 +149,7 @@ ADDITIONS = [
     "q_rollup_cascade",
     "q_corpus_budget_select",
     "q_dedup_resolved_by_quality",
+    "q_text_unigram_viterbi",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -372,3 +372,67 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (lake.read_usage("user_state", "20240101", "state")
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register(
+    "q_stream_outer_join",
+    oracle="""
+    WITH s AS (SELECT event_id AS sid, user_id, ts AS st
+               FROM events WHERE event_type = 'signup'),
+    e AS (SELECT event_id AS eid, user_id, ts AS et
+          FROM events WHERE event_type = 'error'),
+    wm AS (SELECT LEAST((SELECT MAX(st) FROM s),
+                        (SELECT MAX(et) FROM e))
+                  - INTERVAL 2 HOUR AS w),
+    b AS (SELECT s.sid, s.user_id, s.st, e.eid, e.et
+          FROM s LEFT JOIN e
+            ON e.user_id = s.user_id
+           AND e.et >= s.st
+           AND e.et < s.st + INTERVAL 1 HOUR)
+    SELECT sid AS signup_event_id, eid AS err_event_id, user_id,
+           epoch_us(et) - epoch_us(st) AS lag_us
+    FROM b WHERE eid IS NOT NULL
+    UNION ALL
+    SELECT sid, NULL, user_id, NULL
+    FROM b
+    WHERE eid IS NULL AND st + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+    doc="Stream-stream LEFT OUTER interval join — and an exact pin of "
+        "its watermark-withholding semantics: an unmatched signup "
+        "emits its null-matched row only once the GLOBAL watermark "
+        "(min over both streams of max-event-time-seen minus the 2h "
+        "delay) passes the end of its match window, so the stream's "
+        "availableNow drain equals the batch left join MINUS the "
+        "unmatched rows whose window end sits at/after that final "
+        "watermark — which the oracle states verbatim "
+        "(st + 1h < least(max_s, max_e) - 2h). This is the part of "
+        "outer-join state eviction that silently truncates results "
+        "when a pipeline drains a bounded source; the inner-join twin "
+        "(q_stream_stream_join) has no such tail. Matched rows flow "
+        "exactly as the inner join; null emission is the final "
+        "no-data micro-batch flushing evicted left state. State "
+        "remains bounded by the same interval condition at any "
+        "stream length.",
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    signups = (ev.where("event_type = 'signup'")
+               .select(F.col("event_id").alias("signup_event_id"),
+                       "user_id", F.col("ts").alias("s_ts"))
+               .withWatermark("s_ts", "2 hours").alias("l"))
+    errors = (events_stream(spark, sf_dir)
+              .where("event_type = 'error'")
+              .select(F.col("event_id").alias("err_event_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("e_ts"))
+              .withWatermark("e_ts", "2 hours").alias("r"))
+    cond = ((F.col("l.user_id") == F.col("r.e_user_id"))
+            & (F.col("r.e_ts") >= F.col("l.s_ts"))
+            & (F.col("r.e_ts") < F.col("l.s_ts")
+               + F.expr("INTERVAL 1 HOUR")))
+    out = (signups.join(errors, cond, "left_outer")
+           .select("l.signup_event_id", "r.err_event_id",
+                   F.col("l.user_id").alias("user_id"),
+                   (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts"))
+                   .alias("lag_us")))
+    return run_available_now(out, "append")
