@@ -2014,3 +2014,74 @@ def q_events_session_window_native(spark: SparkSession,
                     F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss")
                     .alias("window_end"),
                     "n_events", "session_value"))
+
+
+@register(
+    "q_quantile_rollup",
+    oracle="""
+    WITH m AS (SELECT MIN(value) AS lo, MAX(value) AS hi
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT LEAST(CAST(FLOOR((value - m.lo) / (m.hi - m.lo) * 256)
+                            AS INT), 255) AS bk
+          FROM events, m WHERE value IS NOT NULL),
+    h AS (SELECT bk, COUNT(*) AS c FROM b GROUP BY bk),
+    n AS (SELECT COUNT(*) AS nn FROM b),
+    cum AS (SELECT h1.bk, CAST(SUM(h2.c) AS BIGINT) AS cc
+            FROM h h1 JOIN h h2 ON h2.bk <= h1.bk
+            GROUP BY h1.bk),
+    qs AS (SELECT unnest([50, 90, 99]) AS qp),
+    pick AS (SELECT qs.qp, MIN(cum.bk) AS bk
+             FROM qs, cum, n
+             WHERE cum.cc >= CEIL(qs.qp / 100.0 * n.nn)
+             GROUP BY qs.qp)
+    SELECT p.qp AS percentile, p.bk AS bucket,
+           ROUND(m.lo + p.bk * (m.hi - m.lo) / 256, 4) + 0.0 AS bucket_lo,
+           ROUND(m.lo + (p.bk + 1) * (m.hi - m.lo) / 256, 4) + 0.0
+               AS bucket_hi
+    FROM pick p, m
+    """,
+    doc="Mergeable quantile estimation via histogram partials — the "
+        "rollup-cascade property for ORDER STATISTICS, which exact "
+        "percentiles lack entirely: per-day 256-bucket equi-width "
+        "histograms (the materialization a rollup table stores) merge "
+        "by cell-wise addition into the full-range histogram, and "
+        "p50/p90/p99 read off the merged cumulative as the first "
+        "bucket crossing ceil(q*n) — error bounded by one bucket "
+        "width, zero re-scan of raw data. The engine builds the "
+        "day-grain partials and merges them (proving the cascade); "
+        "the oracle histograms the raw directly — equality IS the "
+        "re-aggregability proof. The cumulative runs as a bounded "
+        "256-row self-join (window-free); range bounds enter as a "
+        "broadcast 1-row aggregate, bucket arithmetic is one shared "
+        "expression tree -> bit-identical bucket assignment.",
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    m = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bk = F.least(
+        F.floor((F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * 256).cast("int"),
+        F.lit(255))
+    tagged = (e.crossJoin(F.broadcast(m))
+              .select(F.to_date("ts").alias("day"), bk.alias("bk")))
+    daily = tagged.groupBy("day", "bk").agg(F.count(F.lit(1)).alias("c"))
+    hist = daily.groupBy("bk").agg(F.sum("c").alias("c"))
+    n = hist.agg(F.sum("c").alias("nn"))
+    cum = (hist.alias("h1")
+           .join(hist.alias("h2"), F.col("h2.bk") <= F.col("h1.bk"))
+           .groupBy(F.col("h1.bk").alias("bk"))
+           .agg(F.sum("h2.c").cast("long").alias("cc")))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("qp"))
+    pick = (F.broadcast(qs).crossJoin(cum).crossJoin(F.broadcast(n))
+            .where(F.col("cc") >= F.ceil(F.col("qp") / 100.0 * F.col("nn")))
+            .groupBy("qp").agg(F.min("bk").alias("bk")))
+    w = (F.col("hi") - F.col("lo")) / 256
+    return (pick.crossJoin(F.broadcast(m))
+            .select(F.col("qp").alias("percentile"),
+                    F.col("bk").alias("bucket"),
+                    (F.round(F.col("lo") + F.col("bk") * w, 4)
+                     + F.lit(0.0)).alias("bucket_lo"),
+                    (F.round(F.col("lo") + (F.col("bk") + 1) * w, 4)
+                     + F.lit(0.0)).alias("bucket_hi")))

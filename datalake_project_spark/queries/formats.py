@@ -335,3 +335,46 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (parsed.groupBy("path", "status")
             .agg(F.count(F.lit(1)).alias("n_requests"),
                  F.sum("n_bytes").alias("total_bytes")))
+
+
+@register(
+    "q_json_corrupt_records",
+    oracle="""
+    SELECT COUNT(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_good,
+           COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+               AS total_n
+    FROM documents
+    """,
+    doc="Corrupt-record-tolerant ingestion (PERMISSIVE JSON with "
+        "columnNameOfCorruptRecord): a JSONL landing file is "
+        "synthesized with every doc_id % 7 line truncated mid-object "
+        "(the malformed-producer reality of any landing zone), then "
+        "read back with an explicit schema + _corrupt_record column — "
+        "bad lines surface AS DATA (null fields + the raw line "
+        "preserved) instead of failing the job or silently dropping, "
+        "so the quarantine/alert decision is a normal filter. The "
+        "oracle derives the same good/corrupt split from the source "
+        "table, so a pass proves no line was lost in either "
+        "direction. One write + one scan, corrupt handling entirely "
+        "in the JVM parser; at 100 TB the good path pays nothing "
+        "extra and bad lines cost their own parse attempt.",
+)
+def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("json_corrupt", sf_dir)
+    d = Catalog(spark, sf_dir).table("documents")
+    line = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+        F.lit(', "n": '), F.col("n_chars").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.lit("}")))
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (spark.read
+            .schema("doc_id bigint, n bigint, _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path))
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n"))).cast("long").alias("total_n"))

@@ -1644,3 +1644,39 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("m1") > F.col("p_size"))
                    & (F.col("p_size") == F.col("m2")))
             .select("p_partkey", "p_retailprice", "p_size"))
+
+
+@register(
+    "q_sql_variables",
+    oracle="""
+    WITH t AS (SELECT AVG(o_totalprice) AS a FROM orders)
+    SELECT o_orderpriority, COUNT(*) AS n_above,
+           ROUND(t.a, 2) + 0.0 AS threshold
+    FROM orders, t
+    WHERE o_totalprice > t.a
+    GROUP BY o_orderpriority, t.a
+    """,
+    doc="SQL session variables (Spark 4's DECLARE VARIABLE / SET VAR "
+        "surface): a data-derived threshold (average order price) is "
+        "captured into a typed session variable and referenced by a "
+        "second statement — the parameterized-script pattern SQL-first "
+        "users port from warehouse procedures. SET VAR runs the scalar "
+        "aggregate as its own driver-side job by construction (that is "
+        "the variable semantics — one scalar job, then the main query "
+        "plans with the value as a LITERAL, enabling pushdown of the "
+        "derived predicate); the all-lazy alternative for plan-fusion "
+        "cases is the broadcast-crossJoin scalar the LM family uses. "
+        "Oracle states the same computation as a scalar CTE.",
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    spark.sql("DECLARE OR REPLACE VARIABLE avg_price DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR avg_price = (SELECT AVG(o_totalprice) FROM orders)")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_above,
+               ROUND(avg_price, 2) + 0.0 AS threshold
+        FROM orders
+        WHERE o_totalprice > avg_price
+        GROUP BY o_orderpriority
+    """)
