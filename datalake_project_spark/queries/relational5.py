@@ -1680,3 +1680,40 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > avg_price
         GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1),
+    b AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1)
+    SELECT a.k AS priority, a.n_orders, b.total_price
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): two "
+        "aggregates keyed by a NULLABLE bucket (one priority mapped to "
+        "NULL via NULLIF — the 'unknown' bucket every dimensional "
+        "model carries) reconcile with the null-safe operator, so the "
+        "NULL groups MATCH each other instead of silently dropping as "
+        "ordinary equality would — the standard bug when metric "
+        "tables with unknown-member rows are stitched. <=> plans as a "
+        "normal hash join (NULL hashes like any value under null-safe "
+        "semantics, no fallback to nested-loop), so the shape is "
+        "unchanged at scale.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = o.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = (o.groupBy(k.alias("k"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+    return (a.alias("a")
+            .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+            .select(F.col("a.k").alias("priority"), "n_orders",
+                    "total_price"))

@@ -374,3 +374,4 @@ def test_join_strategy_hints_switch_physical_plans(spark):
         for h in ("broadcast", "merge", "shuffle_hash")
     }
     assert len(set(counts.values())) == 1
+
