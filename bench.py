@@ -150,6 +150,13 @@ ADDITIONS = [
     "q_corpus_budget_select",
     "q_dedup_resolved_by_quality",
     "q_text_unigram_viterbi",
+    "q_stream_outer_join",
+    "q_sql_variables",
+    "q_json_corrupt_records",
+    "q_quantile_rollup",
+    "q_null_safe_join",
+    "q_embed_mahalanobis_outliers",
+    "q_zorder_layout_roundtrip",
 ]
 
 HEADLINE = CORE + ADDITIONS

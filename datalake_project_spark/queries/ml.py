@@ -1364,3 +1364,62 @@ def q_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("b2", 4) + F.lit(0.0)).alias("beta_discount"),
         (F.round((F.col("b1") * F.col("cqy") + F.col("b2") * F.col("cdy"))
                  / F.col("vyy"), 4) + F.lit(0.0)).alias("r2"))
+
+
+@register(
+    "q_embed_mahalanobis_outliers",
+    oracle="""
+    WITH pts AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings),
+    m AS (
+        SELECT AVG(x) AS mx, AVG(y) AS my,
+               var_samp(x) AS a, covar_samp(x, y) AS b,
+               var_samp(y) AS c
+        FROM pts),
+    d AS (
+        SELECT p.vec_id,
+               ((p.x - m.mx) * (m.c * (p.x - m.mx) - m.b * (p.y - m.my))
+                + (p.y - m.my) * (m.a * (p.y - m.my) - m.b * (p.x - m.mx)))
+               / (m.a * m.c - m.b * m.b) AS d2
+        FROM pts p, m)
+    SELECT vec_id, ROUND(d2, 4) + 0.0 AS mahalanobis_sq
+    FROM d ORDER BY d2 DESC, vec_id LIMIT 10
+    """,
+    doc="Mahalanobis-distance outlier panel over the first two "
+        "embedding dimensions: distance accounts for the covariance "
+        "ELLIPSE (a point far along the correlated axis is normal; "
+        "the same Euclidean distance across it is anomalous), which "
+        "is what the plain norm-outlier check (q_embed_norm_outliers) "
+        "cannot see. The 2x2 precision matrix inverts in CLOSED FORM "
+        "inside the plan (det = ac - b^2), so the whole query is one "
+        "statistics aggregate (map-side partials), a broadcast 1-row "
+        "join, and a TakeOrderedAndProject top-10 — no driver-side "
+        "linear algebra, no second pass. For d dimensions the same "
+        "shape holds with the d x d solve moving to a numpy inverse "
+        "of the aggregate output (k^2 scalars, driver-scale), as the "
+        "covariance/PCA queries already do.",
+)
+def q_embed_mahalanobis_outliers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    pts = e.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"))
+    m = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"),
+                F.var_samp("x").alias("a"),
+                F.covar_samp("x", "y").alias("b"),
+                F.var_samp("y").alias("c"))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("a") * F.col("c") - F.col("b") * F.col("b")
+    d2 = ((dx * (F.col("c") * dx - F.col("b") * dy)
+           + dy * (F.col("a") * dy - F.col("b") * dx)) / det)
+    return (pts.crossJoin(F.broadcast(m))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy(F.desc("d2"), "vec_id").limit(10)
+            .select("vec_id",
+                    (F.round("d2", 4) + F.lit(0.0))
+                    .alias("mahalanobis_sq")))
