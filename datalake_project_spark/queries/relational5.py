@@ -1717,3 +1717,96 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
             .select(F.col("a.k").alias("priority"), "n_orders",
                     "total_price"))
+
+
+@register(
+    "q_linkage_fellegi_sunter",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+               CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS g2,
+               CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 100.0
+                    THEN 1 ELSE 0 END AS g3
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey),
+    u AS (
+        SELECT GREATEST(LEAST(AVG(CAST(g1 AS DOUBLE)), 1 - 1e-6), 1e-6)
+                   AS u1,
+               GREATEST(LEAST(AVG(CAST(g2 AS DOUBLE)), 1 - 1e-6), 1e-6)
+                   AS u2,
+               GREATEST(LEAST(AVG(CAST(g3 AS DOUBLE)), 1 - 1e-6), 1e-6)
+                   AS u3
+        FROM pairs),
+    scored AS (
+        SELECT p.left_key, p.right_key,
+               (CASE WHEN g1 = 1 THEN LN(0.95 / u1)
+                     ELSE LN(0.05 / (1 - u1)) END)
+             + (CASE WHEN g2 = 1 THEN LN(0.90 / u2)
+                     ELSE LN(0.10 / (1 - u2)) END)
+             + (CASE WHEN g3 = 1 THEN LN(0.80 / u3)
+                     ELSE LN(0.20 / (1 - u3)) END) AS s
+        FROM pairs p, u)
+    SELECT left_key, right_key, ROUND(s, 4) + 0.0 AS match_weight
+    FROM scored
+    ORDER BY s DESC, left_key, right_key LIMIT 15
+    """,
+    doc="Fellegi-Sunter probabilistic record linkage: nation-blocked "
+        "candidate pairs scored by summed log-likelihood ratios over "
+        "three field comparators (name edit-sim, segment equality, "
+        "balance proximity) — the statistical upgrade of the "
+        "hard-threshold q_record_linkage, ranking AMBIGUOUS pairs "
+        "instead of keeping/dropping them. The u-probabilities "
+        "(P(agree | random pair)) are ESTIMATED FROM THE DATA as "
+        "within-block agreement rates (one aggregate over the pair "
+        "comparisons, broadcast back — the unsupervised half of FS; "
+        "m stays a stated prior, which production refines by EM over "
+        "exactly this table). Blocked Σ block_size² comparison cost, "
+        "the pair table evaluated twice (u pass + score pass) as two "
+        "map-side-combined passes; agreement ratios derive from "
+        "integer counts -> identical doubles, and the 3-term score "
+        "is one shared expression tree. Clamps keep degenerate "
+        "u in (0,1) so LN stays finite on any fixture.",
+)
+def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    a = c.select(F.col("c_custkey").alias("left_key"),
+                 F.col("c_name").alias("ln_"),
+                 F.col("c_mktsegment").alias("ls_"),
+                 F.col("c_acctbal").alias("lb_"),
+                 F.col("c_nationkey").alias("nk"))
+    b = c.select(F.col("c_custkey").alias("right_key"),
+                 F.col("c_name").alias("rn_"),
+                 F.col("c_mktsegment").alias("rs_"),
+                 F.col("c_acctbal").alias("rb_"),
+                 F.col("c_nationkey").alias("nk"))
+    pairs = (a.join(b, "nk")
+             .where(F.col("left_key") < F.col("right_key"))
+             .select("left_key", "right_key",
+                     (F.levenshtein("ln_", "rn_") <= 2).cast("int")
+                     .alias("g1"),
+                     (F.col("ls_") == F.col("rs_")).cast("int").alias("g2"),
+                     (F.abs(F.col("lb_") - F.col("rb_")) < 100.0)
+                     .cast("int").alias("g3")))
+
+    def clamp(col):
+        return F.greatest(F.least(col, F.lit(1 - 1e-6)), F.lit(1e-6))
+
+    u = pairs.agg(clamp(F.avg(F.col("g1").cast("double"))).alias("u1"),
+                  clamp(F.avg(F.col("g2").cast("double"))).alias("u2"),
+                  clamp(F.avg(F.col("g3").cast("double"))).alias("u3"))
+
+    def term(g, m, uc):
+        return (F.when(F.col(g) == 1, F.log(F.lit(m) / F.col(uc)))
+                .otherwise(F.log(F.lit(1 - m) / (F.lit(1.0) - F.col(uc)))))
+
+    s = (term("g1", 0.95, "u1") + term("g2", 0.90, "u2")
+         + term("g3", 0.80, "u3"))
+    return (pairs.crossJoin(F.broadcast(u))
+            .select("left_key", "right_key", s.alias("s"))
+            .orderBy(F.desc("s"), "left_key", "right_key").limit(15)
+            .select("left_key", "right_key",
+                    (F.round("s", 4) + F.lit(0.0)).alias("match_weight")))
