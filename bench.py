@@ -157,6 +157,7 @@ ADDITIONS = [
     "q_null_safe_join",
     "q_embed_mahalanobis_outliers",
     "q_zorder_layout_roundtrip",
+    "q_linkage_fellegi_sunter",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -1783,14 +1783,26 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("c_mktsegment").alias("rs_"),
                  F.col("c_acctbal").alias("rb_"),
                  F.col("c_nationkey").alias("nk"))
+    # Comparator-pass shape: the blocked join emits pairs on only
+    # |blocks| keys (25 nations), so the expensive comparators are
+    # REPARTITIONED off the join's key-bound parallelism before they
+    # run; levenshtein uses the threshold form (early exit at edit
+    # distance 2: O(len*threshold) per pair instead of O(len^2), and
+    # -1 means "over threshold" — same predicate as the oracle's
+    # plain levenshtein <= 2). The resulting integer indicator table
+    # feeds BOTH the u-estimation aggregate and the scoring pass, so
+    # it is materialized once (4 ints per pair) rather than running
+    # the comparators twice.
     pairs = (a.join(b, "nk")
              .where(F.col("left_key") < F.col("right_key"))
+             .repartition(64)
              .select("left_key", "right_key",
-                     (F.levenshtein("ln_", "rn_") <= 2).cast("int")
+                     (F.levenshtein("ln_", "rn_", 2) >= 0).cast("int")
                      .alias("g1"),
                      (F.col("ls_") == F.col("rs_")).cast("int").alias("g2"),
                      (F.abs(F.col("lb_") - F.col("rb_")) < 100.0)
-                     .cast("int").alias("g3")))
+                     .cast("int").alias("g3"))
+             .localCheckpoint())
 
     def clamp(col):
         return F.greatest(F.least(col, F.lit(1 - 1e-6)), F.lit(1e-6))
