@@ -1423,3 +1423,109 @@ def q_embed_mahalanobis_outliers(spark: SparkSession,
             .select("vec_id",
                     (F.round("d2", 4) + F.lit(0.0))
                     .alias("mahalanobis_sq")))
+
+
+_QUAL_SQL = """
+        SELECT doc_id,
+               ROUND(GREATEST(0.0, LEAST(1.0,
+                   0.5 * LEAST(1.0, ln(1.0 + len(toks)::DOUBLE) / ln(101.0))
+                   + 0.3 * LEAST(1.0, (CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','and','of','to','in','is','it')))::DOUBLE
+                       / len(toks)::DOUBLE ELSE 0.0 END) * 5.0)
+                   - 0.3 * LEAST(1.0, (CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text)::DOUBLE ELSE 0.0 END) * 4.0)
+                   - (CASE WHEN (CASE WHEN len(toks) > 0 THEN
+                        list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                        / len(toks)::DOUBLE ELSE 0.0 END) < 2.0
+                      OR (CASE WHEN len(toks) > 0 THEN
+                        list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                        / len(toks)::DOUBLE ELSE 0.0 END) > 12.0
+                      THEN 0.5 ELSE 0.0 END) * 0.2)), 4) AS quality
+        FROM tok"""
+
+
+@register(
+    "q_classifier_conformal",
+    oracle=f"""
+    WITH {_CLS_CTE},
+    qual AS ({_QUAL_SQL}),
+    pts AS (
+        SELECT c.doc_id, ROUND(1.0 - c.prob, 4) + 0.0 AS s,
+               CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS y,
+               CASE WHEN substr(md5(c.doc_id::VARCHAR || ':conf:11'), 1, 2)
+                         < '80' THEN 1 ELSE 0 END AS is_cal
+        FROM cls c JOIN qual q USING (doc_id)),
+    cal1 AS (SELECT s FROM pts WHERE is_cal = 1 AND y = 1),
+    n AS (SELECT COUNT(*) AS nc FROM cal1),
+    hist AS (SELECT s, COUNT(*) AS c FROM cal1 GROUP BY s),
+    cum AS (SELECT h1.s, CAST(SUM(h2.c) AS BIGINT) AS cc
+            FROM hist h1 JOIN hist h2 ON h2.s <= h1.s GROUP BY h1.s),
+    qhat AS (SELECT MIN(cum.s) AS q
+             FROM cum, n WHERE cum.cc >= CEIL((n.nc + 1) * 0.9)),
+    test1 AS (SELECT s FROM pts WHERE is_cal = 0 AND y = 1)
+    SELECT (SELECT nc FROM n) AS n_calibration,
+           (SELECT ROUND(q, 4) + 0.0 FROM qhat) AS qhat,
+           COUNT(*) AS n_test,
+           COUNT(CASE WHEN t.s <= (SELECT q FROM qhat) THEN 1 END)
+               AS n_covered,
+           ROUND(COUNT(CASE WHEN t.s <= (SELECT q FROM qhat) THEN 1 END)
+                 ::DOUBLE / COUNT(*), 4) + 0.0 AS coverage
+    FROM test1 t
+    """,
+    doc="Split conformal prediction for the quality classifier: the "
+        "corpus hash-splits into calibration and test halves, the "
+        "nonconformity score (1 - classifier prob) of the "
+        "calibration GOOD documents yields the conformal threshold "
+        "qhat = the ceil((n+1)(1-alpha))-th smallest score "
+        "(alpha = 0.1), and the TEST half's good documents report "
+        "their empirical coverage at qhat — the distribution-free "
+        "finite-sample guarantee (marginal coverage >= 90%) that "
+        "turns a raw classifier score into a calibrated keep/review "
+        "decision with a stated error budget. The order statistic is "
+        "computed WINDOW-FREE from the 4-dp score histogram (bounded "
+        "self-join cumulative, the q_quantile_rollup shape); scores "
+        "and the split are engine-portable (rounded probs, "
+        "md5-bucket split), so threshold and coverage are "
+        "value-checked exactly.",
+)
+def q_classifier_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    cls = _classifier_scores(spark, sf_dir)
+    d = Catalog(spark, sf_dir).table("documents")
+    qual = d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text"), T.tokens("text")), 4)
+        .alias("quality"))
+    pts = (cls.join(qual, "doc_id")
+           .select("doc_id",
+                   (F.round(F.lit(1.0) - F.col("prob"), 4) + F.lit(0.0))
+                   .alias("s"),
+                   (F.col("quality") >= 0.5).cast("int").alias("y"),
+                   (F.substring(F.md5(F.concat(
+                       F.col("doc_id").cast("string"),
+                       F.lit(":conf:11"))), 1, 2) < "80")
+                   .cast("int").alias("is_cal")))
+    cal1 = pts.where((F.col("is_cal") == 1) & (F.col("y") == 1)).select("s")
+    n = cal1.agg(F.count(F.lit(1)).alias("nc"))
+    hist = cal1.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    cum = (hist.alias("h1")
+           .join(hist.alias("h2"), F.col("h2.s") <= F.col("h1.s"))
+           .groupBy(F.col("h1.s").alias("s"))
+           .agg(F.sum("h2.c").cast("long").alias("cc")))
+    qhat = (cum.crossJoin(F.broadcast(n))
+            .where(F.col("cc") >= F.ceil((F.col("nc") + 1) * 0.9))
+            .agg(F.min("s").alias("q")))
+    test1 = pts.where((F.col("is_cal") == 0) & (F.col("y") == 1)).select("s")
+    return (test1.crossJoin(F.broadcast(qhat))
+            .crossJoin(F.broadcast(n))
+            .agg(F.first("nc").alias("n_calibration"),
+                 (F.round(F.first("q"), 4) + F.lit(0.0)).alias("qhat"),
+                 F.count(F.lit(1)).alias("n_test"),
+                 F.count(F.when(F.col("s") <= F.col("q"), 1))
+                 .alias("n_covered"))
+            .withColumn("coverage",
+                        F.round(F.col("n_covered").cast("double")
+                                / F.col("n_test"), 4) + F.lit(0.0)))

@@ -1822,3 +1822,75 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("s"), "left_key", "right_key").limit(15)
             .select("left_key", "right_key",
                     (F.round("s", 4) + F.lit(0.0)).alias("match_weight")))
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    cum AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        FROM rev),
+    cls AS (
+        SELECT CASE WHEN cc * 100 <= t * 80 THEN 'A'
+                    WHEN cc * 100 <= t * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM cum, tot)
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM cls GROUP BY abc_class
+    """,
+    doc="ABC (Pareto) classification of parts by revenue: rank by "
+        "revenue descending, class A = parts inside the first 80% of "
+        "cumulative revenue, B to 95%, C the tail — the inventory-"
+        "prioritization classic. EXACT by construction: revenue is "
+        "summed as integer CENTS (2-dp prices scale losslessly), so "
+        "the corpus-wide cumulative sum and the 80/95 boundary "
+        "comparisons (cc*100 <= t*80, integer arithmetic) are "
+        "order-independent — no float cum-share near a threshold can "
+        "flip between engines. The ranked cumulative runs with the "
+        "sharded-window discipline (revenue-magnitude shard via "
+        "int bit-length, monotone in the DESC sort key; broadcast "
+        "cross-shard offsets); ties share a shard since the shard is "
+        "a function of the sort key.",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("cents")))
+    tot = rev.agg(F.sum("cents").alias("t"))
+    # shard = magnitude bucket of cents -> monotone DESC in cents
+    # (larger revenue => smaller shard index); ties share a shard.
+    sharded = rev.withColumn(
+        "shard",
+        (F.lit(63) - F.floor(F.log2(F.col("cents") + 1))).cast("int"))
+    w_in = (Window.partitionBy("shard")
+            .orderBy(F.desc("cents"), "l_partkey")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    intra = sharded.withColumn("cum_intra", F.sum("cents").over(w_in))
+    stot = sharded.groupBy("shard").agg(F.sum("cents").alias("s_c"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.s_c"), F.lit(0)).alias("cum_shards")))
+    cum = (intra.join(F.broadcast(below), "shard")
+           .crossJoin(F.broadcast(tot))
+           .withColumn("cc", F.col("cum_shards") + F.col("cum_intra")))
+    cls = F.when(F.col("cc") * 100 <= F.col("t") * 80, "A") \
+        .when(F.col("cc") * 100 <= F.col("t") * 95, "B").otherwise("C")
+    return (cum.select(cls.alias("abc_class"), "cents")
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("cents").cast("long").alias("revenue_cents")))
