@@ -158,6 +158,8 @@ ADDITIONS = [
     "q_embed_mahalanobis_outliers",
     "q_zorder_layout_roundtrip",
     "q_linkage_fellegi_sunter",
+    "q_abc_classification",
+    "q_classifier_conformal",
 ]
 
 HEADLINE = CORE + ADDITIONS
