@@ -1338,3 +1338,113 @@ def q_text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", F.col("f").alias("freq"),
                     (F.round("s", 4) + F.lit(0.0)).alias("best_logp")))
     return best.orderBy(F.desc("freq"), "word").limit(20)
+
+
+@register(
+    "q_text_unigram_forward",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    words AS (
+        SELECT w, COUNT(*) AS f FROM toks
+        WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+    occ AS (
+        SELECT w.w, w.f, j.j, k.k, substr(w.w, j.j + 1, k.k) AS piece
+        FROM words w,
+             (SELECT unnest(range(0, 12)) AS j) j,
+             (SELECT unnest([1, 2, 3]) AS k) k
+        WHERE j.j + k.k <= len(w.w)),
+    vocab AS (
+        SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM occ GROUP BY piece),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    edges AS (
+        SELECT o.w, o.j, o.j + o.k AS i,
+               LN(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+        FROM occ o JOIN vocab v ON v.piece = o.piece, tot),
+    paths AS (
+        SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM words
+        UNION ALL
+        SELECT e.w, e.i, p.s + e.lp
+        FROM paths p JOIN edges e ON e.w = p.w AND e.j = p.i),
+    complete AS (
+        SELECT p.w, p.s
+        FROM paths p JOIN words ww ON ww.w = p.w AND len(ww.w) = p.i),
+    mx AS (SELECT w, MAX(s) AS m FROM complete GROUP BY w)
+    SELECT c.w AS word, ww.f AS freq,
+           ROUND(mx.m + LN(SUM(EXP(c.s - mx.m))), 4) + 0.0 AS log_z
+    FROM complete c
+    JOIN mx ON mx.w = c.w
+    JOIN words ww ON ww.w = c.w
+    GROUP BY c.w, ww.f, mx.m
+    ORDER BY ww.f DESC, c.w LIMIT 20
+    """,
+    doc="Unigram-LM FORWARD algorithm: the total likelihood of a word "
+        "under ALL segmentations (log Z, computed by the same lattice "
+        "DP as q_text_unigram_viterbi with logsumexp replacing max) — "
+        "the E-step normalizer that makes SentencePiece-style EM "
+        "training feasible: expected piece counts are "
+        "forward*edge*backward / Z over exactly this recurrence, so "
+        "a trainer is this query plus its mirror-image backward pass "
+        "iterated. Same driver-stepped checkpointed DP (flat "
+        "lineage); each step is two vocabulary-scale aggregates "
+        "(per-cell max for the logsumexp shift, then the shifted "
+        "exp-sum — the standard overflow guard, since 12-piece path "
+        "sums reach e^-100). The oracle brute-forces Z by "
+        "path enumeration with the same max-shift; exp-sum "
+        "association differs between the stepwise DP and the flat "
+        "enumeration only at ulp level, absorbed by 4-dp rounding.",
+)
+def q_text_unigram_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    words = (toks.where(F.length("w").between(1, 12))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    occ = (words
+           .select("w", "f",
+                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
+                   .alias("j"))
+           .select("w", "f", "j",
+                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                   .alias("k"))
+           .where(F.col("j") + F.col("k") <= F.length("w"))
+           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
+                                            F.col("k"))))
+    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    edges = (occ.join(vocab, "piece")
+             .crossJoin(F.broadcast(tot))
+             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
+                     F.log(F.col("c").cast("double")
+                           / F.col("t").cast("double")).alias("lp"))
+             ).localCheckpoint()
+    dp = [words.select("w", F.lit(0).alias("i"),
+                       F.lit(0.0).alias("s")).localCheckpoint()]
+    for i in range(1, 13):
+        frontier = (reduce(lambda a, b: a.unionByName(b), dp[-3:])
+                    .select(F.col("w").alias("pw"), F.col("i").alias("pi"),
+                            F.col("s").alias("ps")))
+        cand = (edges.where(F.col("i") == i)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("j") == F.col("pi")))
+                .select("w", "i", (F.col("ps") + F.col("lp")).alias("cs")))
+        mx = cand.groupBy("w", "i").agg(F.max("cs").alias("m"))
+        step = (cand.join(mx.select(F.col("w").alias("mw"),
+                                    F.col("i").alias("mi"), "m"),
+                          (F.col("w") == F.col("mw"))
+                          & (F.col("i") == F.col("mi")))
+                .groupBy("w", "i")
+                .agg((F.first("m")
+                      + F.log(F.sum(F.exp(F.col("cs") - F.col("m")))))
+                     .alias("s"))
+                .localCheckpoint())
+        dp.append(step)
+    full = reduce(lambda a, b: a.unionByName(b), dp)
+    return (full.select(F.col("w").alias("word"), "i", "s")
+            .join(words.withColumnRenamed("w", "word"), "word")
+            .where(F.col("i") == F.length("word"))
+            .select("word", F.col("f").alias("freq"),
+                    (F.round("s", 4) + F.lit(0.0)).alias("log_z"))
+            .orderBy(F.desc("freq"), "word").limit(20))
