@@ -160,6 +160,7 @@ ADDITIONS = [
     "q_linkage_fellegi_sunter",
     "q_abc_classification",
     "q_classifier_conformal",
+    "q_text_unigram_forward",
 ]
 
 HEADLINE = CORE + ADDITIONS
