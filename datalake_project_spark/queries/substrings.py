@@ -1448,3 +1448,172 @@ def q_text_unigram_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", F.col("f").alias("freq"),
                     (F.round("s", 4) + F.lit(0.0)).alias("log_z"))
             .orderBy(F.desc("freq"), "word").limit(20))
+
+
+@register(
+    "q_text_unigram_em_counts",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    words AS (
+        SELECT w, COUNT(*) AS f FROM toks
+        WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+    occ AS (
+        SELECT w.w, w.f, j.j, k.k, substr(w.w, j.j + 1, k.k) AS piece
+        FROM words w,
+             (SELECT unnest(range(0, 12)) AS j) j,
+             (SELECT unnest([1, 2, 3]) AS k) k
+        WHERE j.j + k.k <= len(w.w)),
+    vocab AS (
+        SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM occ GROUP BY piece),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    edges AS (
+        SELECT o.w, o.j, o.j + o.k AS i, o.piece,
+               LN(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+        FROM occ o JOIN vocab v ON v.piece = o.piece, tot),
+    paths AS (
+        SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS s,
+               CAST([] AS VARCHAR[]) AS ps
+        FROM words
+        UNION ALL
+        SELECT e.w, e.i, p.s + e.lp, list_append(p.ps, e.piece)
+        FROM paths p JOIN edges e ON e.w = p.w AND e.j = p.i),
+    complete AS (
+        SELECT p.w, p.s, p.ps
+        FROM paths p JOIN words ww ON ww.w = p.w AND len(ww.w) = p.i),
+    mx2 AS (SELECT w, MAX(s) AS m FROM complete GROUP BY w),
+    z AS (
+        SELECT c.w, mx2.m + LN(SUM(EXP(c.s - mx2.m))) AS logz
+        FROM complete c JOIN mx2 ON mx2.w = c.w
+        GROUP BY c.w, mx2.m),
+    weighted AS (
+        SELECT c.w, EXP(c.s - z.logz) * ww.f AS wt, c.ps
+        FROM complete c JOIN z ON z.w = c.w JOIN words ww ON ww.w = c.w),
+    expanded AS (
+        SELECT unnest(ps) AS piece, wt FROM weighted)
+    SELECT piece, ROUND(SUM(wt), 4) + 0.0 AS expected_count
+    FROM expanded GROUP BY piece
+    ORDER BY SUM(wt) DESC, piece LIMIT 20
+    """,
+    doc="Unigram-LM EM E-step: EXPECTED piece counts over all "
+        "segmentations — forward(alpha) x edge x backward(beta) / Z "
+        "per lattice edge, summed per piece and weighted by word "
+        "frequency. This is the complete inner loop of SentencePiece "
+        "training: renormalizing these counts IS the M-step, so the "
+        "trainer is this query iterated. Both DPs run as the "
+        "driver-stepped checkpointed recurrence (alpha left-to-right, "
+        "beta right-to-left over the same edge table, logsumexp cells "
+        "with max-shift); the per-edge posterior then joins the two "
+        "tables and aggregates per piece — all vocabulary-scale. The "
+        "oracle brute-forces the expectation by enumerating every "
+        "path WITH its piece list (recursive CTE carrying a VARCHAR[] "
+        "accumulator), weighting each by exp(s - logZ), and unnesting "
+        "— associativity differences against the DP factorization are "
+        "ulp-level, absorbed by 4-dp rounding.",
+)
+def q_text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    words = (toks.where(F.length("w").between(1, 12))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    occ = (words
+           .select("w", "f",
+                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
+                   .alias("j"))
+           .select("w", "f", "j",
+                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                   .alias("k"))
+           .where(F.col("j") + F.col("k") <= F.length("w"))
+           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
+                                            F.col("k"))))
+    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    edges = (occ.join(vocab, "piece")
+             .crossJoin(F.broadcast(tot))
+             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
+                     "piece",
+                     F.log(F.col("c").cast("double")
+                           / F.col("t").cast("double")).alias("lp"))
+             ).localCheckpoint()
+
+    def lse_step(cand):
+        """cand: (w, pos, cs) -> (w, pos, s) via shifted logsumexp."""
+        mx = cand.groupBy("w", "pos").agg(F.max("cs").alias("m"))
+        return (cand.join(mx.select(F.col("w").alias("mw"),
+                                    F.col("pos").alias("mp"), "m"),
+                          (F.col("w") == F.col("mw"))
+                          & (F.col("pos") == F.col("mp")))
+                .groupBy("w", "pos")
+                .agg((F.first("m")
+                      + F.log(F.sum(F.exp(F.col("cs") - F.col("m")))))
+                     .alias("s"))
+                .localCheckpoint())
+
+    # alpha: left-to-right over end positions.
+    alpha = [words.select("w", F.lit(0).alias("pos"),
+                          F.lit(0.0).alias("s")).localCheckpoint()]
+    for i in range(1, 13):
+        frontier = (reduce(lambda a, b: a.unionByName(b), alpha[-3:])
+                    .select(F.col("w").alias("pw"),
+                            F.col("pos").alias("pi"),
+                            F.col("s").alias("ps")))
+        cand = (edges.where(F.col("i") == i)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("j") == F.col("pi")))
+                .select("w", F.col("i").alias("pos"),
+                        (F.col("ps") + F.col("lp")).alias("cs")))
+        alpha.append(lse_step(cand))
+    a_full = reduce(lambda a, b: a.unionByName(b), alpha)
+
+    # beta: right-to-left over start positions; init beta(L) = 0.
+    # Unlike alpha's position-0 base (only reachable from the first 3
+    # steps), the beta base sits at each word's OWN length L, so an
+    # edge ending exactly at L can occur at ANY step — the init frame
+    # must stay in every frontier, joined beside the last 3 computed
+    # position tables (no duplicates: a step at j never produces a
+    # (w, j) row with j == len(w), since no edge starts at L).
+    beta_init = words.select("w", F.length("w").alias("pos"),
+                             F.lit(0.0).alias("s")).localCheckpoint()
+    beta = [beta_init]
+    for j in range(11, -1, -1):
+        frontier = (reduce(lambda a, b: a.unionByName(b),
+                           [beta_init] + beta[1:][-3:])
+                    .select(F.col("w").alias("pw"),
+                            F.col("pos").alias("pi"),
+                            F.col("s").alias("ps")))
+        cand = (edges.where(F.col("j") == j)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("i") == F.col("pi")))
+                .select("w", F.col("j").alias("pos"),
+                        (F.col("ps") + F.col("lp")).alias("cs")))
+        beta.append(lse_step(cand))
+    b_full = reduce(lambda a, b: a.unionByName(b), beta)
+
+    z = (a_full.join(words.select(F.col("w").alias("zw0"),
+                                  F.length("w").alias("lpos"), "f"),
+                     (F.col("w") == F.col("zw0"))
+                     & (F.col("pos") == F.col("lpos")))
+         .select(F.col("zw0").alias("zw"), F.col("s").alias("logz"),
+                 F.col("f")))
+    post = (edges
+            .join(a_full.select(F.col("w").alias("aw"),
+                                F.col("pos").alias("aj"),
+                                F.col("s").alias("al")),
+                  (F.col("w") == F.col("aw")) & (F.col("j") == F.col("aj")))
+            .join(b_full.select(F.col("w").alias("bw"),
+                                F.col("pos").alias("bi"),
+                                F.col("s").alias("bl")),
+                  (F.col("w") == F.col("bw")) & (F.col("i") == F.col("bi")))
+            .join(z, F.col("w") == F.col("zw"))
+            .select("piece",
+                    (F.exp(F.col("al") + F.col("lp") + F.col("bl")
+                           - F.col("logz")) * F.col("f")).alias("wt")))
+    return (post.groupBy("piece")
+            .agg(F.sum("wt").alias("swt"))
+            .orderBy(F.desc("swt"), "piece").limit(20)
+            .select("piece",
+                    (F.round("swt", 4) + F.lit(0.0))
+                    .alias("expected_count")))
