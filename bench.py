@@ -161,6 +161,7 @@ ADDITIONS = [
     "q_abc_classification",
     "q_classifier_conformal",
     "q_text_unigram_forward",
+    "q_text_unigram_em_round",
 ]
 
 HEADLINE = CORE + ADDITIONS

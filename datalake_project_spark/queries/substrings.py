@@ -1340,6 +1340,141 @@ def q_text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.orderBy(F.desc("freq"), "word").limit(20)
 
 
+# --- unigram-LM lattice machinery (shared by forward / EM queries) -------
+
+def _unigram_words_occ(spark: SparkSession, sf_dir: str):
+    """(words, occ): distinct-word frequencies (len 1-12 cap) and every
+    (word, start, len, piece) candidate edge position for pieces of
+    length 1-3 — the lattice every unigram-LM query builds on."""
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    words = (toks.where(F.length("w").between(1, 12))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    occ = (words
+           .select("w", "f",
+                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
+                   .alias("j"))
+           .select("w", "f", "j",
+                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                   .alias("k"))
+           .where(F.col("j") + F.col("k") <= F.length("w"))
+           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
+                                            F.col("k"))))
+    return words, occ
+
+
+def _unigram_edges(occ: DataFrame, probs: DataFrame) -> DataFrame:
+    """Checkpointed edge table (w, j, i, piece, lp) from a (piece, c)
+    weight table: lp = ln(c / sum(c)), the sum entering as a broadcast
+    1-row aggregate."""
+    tot = probs.agg(F.sum("c").alias("t"))
+    return (occ.join(probs, "piece")
+            .crossJoin(F.broadcast(tot))
+            .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
+                    "piece",
+                    F.log(F.col("c").cast("double")
+                          / F.col("t").cast("double")).alias("lp"))
+            ).localCheckpoint()
+
+
+def _lse_step(cand: DataFrame) -> DataFrame:
+    """(w, pos, cs) -> (w, pos, s) by shifted logsumexp (two
+    vocabulary-scale aggregates: per-cell max, then the shifted
+    exp-sum — the overflow guard for deep path sums)."""
+    mx = cand.groupBy("w", "pos").agg(F.max("cs").alias("m"))
+    return (cand.join(mx.select(F.col("w").alias("mw"),
+                                F.col("pos").alias("mp"), "m"),
+                      (F.col("w") == F.col("mw"))
+                      & (F.col("pos") == F.col("mp")))
+            .groupBy("w", "pos")
+            .agg((F.first("m")
+                  + F.log(F.sum(F.exp(F.col("cs") - F.col("m")))))
+                 .alias("s"))
+            .localCheckpoint())
+
+
+def _unigram_alpha(words: DataFrame, edges: DataFrame) -> DataFrame:
+    """Forward logsumexp DP over end positions; driver-stepped with
+    per-step checkpoints (flat lineage — see q_text_unigram_viterbi's
+    exponential-lineage note). Returns all (w, pos, s) cells."""
+    from functools import reduce
+
+    alpha = [words.select("w", F.lit(0).alias("pos"),
+                          F.lit(0.0).alias("s")).localCheckpoint()]
+    for i in range(1, 13):
+        frontier = (reduce(lambda a, b: a.unionByName(b), alpha[-3:])
+                    .select(F.col("w").alias("pw"),
+                            F.col("pos").alias("pi"),
+                            F.col("s").alias("ps")))
+        cand = (edges.where(F.col("i") == i)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("j") == F.col("pi")))
+                .select("w", F.col("i").alias("pos"),
+                        (F.col("ps") + F.col("lp")).alias("cs")))
+        alpha.append(_lse_step(cand))
+    return reduce(lambda a, b: a.unionByName(b), alpha)
+
+
+def _unigram_beta(words: DataFrame, edges: DataFrame) -> DataFrame:
+    """Backward logsumexp DP over start positions. The base case sits
+    at each word's OWN length L, so an edge ending exactly at L can
+    occur at ANY step — the init frame stays in every frontier,
+    joined beside the last 3 computed position tables (no duplicates:
+    no edge starts at L, so a step never reproduces an init cell)."""
+    from functools import reduce
+
+    beta_init = words.select("w", F.length("w").alias("pos"),
+                             F.lit(0.0).alias("s")).localCheckpoint()
+    beta = [beta_init]
+    for j in range(11, -1, -1):
+        frontier = (reduce(lambda a, b: a.unionByName(b),
+                           [beta_init] + beta[1:][-3:])
+                    .select(F.col("w").alias("pw"),
+                            F.col("pos").alias("pi"),
+                            F.col("s").alias("ps")))
+        cand = (edges.where(F.col("j") == j)
+                .join(frontier, (F.col("w") == F.col("pw"))
+                      & (F.col("i") == F.col("pi")))
+                .select("w", F.col("j").alias("pos"),
+                        (F.col("ps") + F.col("lp")).alias("cs")))
+        beta.append(_lse_step(cand))
+    return reduce(lambda a, b: a.unionByName(b), beta)
+
+
+def _unigram_logz(a_full: DataFrame, words: DataFrame) -> DataFrame:
+    """(zw, logz, f): per-word total segmentation log-likelihood =
+    alpha at the word's final position."""
+    return (a_full.join(words.select(F.col("w").alias("zw0"),
+                                     F.length("w").alias("lpos"), "f"),
+                        (F.col("w") == F.col("zw0"))
+                        & (F.col("pos") == F.col("lpos")))
+            .select(F.col("zw0").alias("zw"), F.col("s").alias("logz"),
+                    F.col("f")))
+
+
+def _unigram_expected_counts(occ: DataFrame, edges: DataFrame,
+                             a_full: DataFrame, b_full: DataFrame,
+                             z: DataFrame) -> DataFrame:
+    """(piece, c): frequency-weighted expected piece counts —
+    alpha(j) * p(edge) * beta(i) / Z per lattice edge, the EM E-step
+    posterior summed per piece."""
+    return (edges
+            .join(a_full.select(F.col("w").alias("aw"),
+                                F.col("pos").alias("aj"),
+                                F.col("s").alias("al")),
+                  (F.col("w") == F.col("aw")) & (F.col("j") == F.col("aj")))
+            .join(b_full.select(F.col("w").alias("bw"),
+                                F.col("pos").alias("bi"),
+                                F.col("s").alias("bl")),
+                  (F.col("w") == F.col("bw")) & (F.col("i") == F.col("bi")))
+            .join(z, F.col("w") == F.col("zw"))
+            .select("piece",
+                    (F.exp(F.col("al") + F.col("lp") + F.col("bl")
+                           - F.col("logz")) * F.col("f")).alias("wt"))
+            .groupBy("piece").agg(F.sum("wt").alias("c")))
+
+
+
 @register(
     "q_text_unigram_forward",
     oracle="""
@@ -1396,57 +1531,13 @@ def q_text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "enumeration only at ulp level, absorbed by 4-dp rounding.",
 )
 def q_text_unigram_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
-    d = Catalog(spark, sf_dir).table("documents")
-    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
-    words = (toks.where(F.length("w").between(1, 12))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    occ = (words
-           .select("w", "f",
-                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
-                   .alias("j"))
-           .select("w", "f", "j",
-                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                   .alias("k"))
-           .where(F.col("j") + F.col("k") <= F.length("w"))
-           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
-                                            F.col("k"))))
-    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
-    tot = vocab.agg(F.sum("c").alias("t"))
-    edges = (occ.join(vocab, "piece")
-             .crossJoin(F.broadcast(tot))
-             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
-                     F.log(F.col("c").cast("double")
-                           / F.col("t").cast("double")).alias("lp"))
-             ).localCheckpoint()
-    dp = [words.select("w", F.lit(0).alias("i"),
-                       F.lit(0.0).alias("s")).localCheckpoint()]
-    for i in range(1, 13):
-        frontier = (reduce(lambda a, b: a.unionByName(b), dp[-3:])
-                    .select(F.col("w").alias("pw"), F.col("i").alias("pi"),
-                            F.col("s").alias("ps")))
-        cand = (edges.where(F.col("i") == i)
-                .join(frontier, (F.col("w") == F.col("pw"))
-                      & (F.col("j") == F.col("pi")))
-                .select("w", "i", (F.col("ps") + F.col("lp")).alias("cs")))
-        mx = cand.groupBy("w", "i").agg(F.max("cs").alias("m"))
-        step = (cand.join(mx.select(F.col("w").alias("mw"),
-                                    F.col("i").alias("mi"), "m"),
-                          (F.col("w") == F.col("mw"))
-                          & (F.col("i") == F.col("mi")))
-                .groupBy("w", "i")
-                .agg((F.first("m")
-                      + F.log(F.sum(F.exp(F.col("cs") - F.col("m")))))
-                     .alias("s"))
-                .localCheckpoint())
-        dp.append(step)
-    full = reduce(lambda a, b: a.unionByName(b), dp)
-    return (full.select(F.col("w").alias("word"), "i", "s")
-            .join(words.withColumnRenamed("w", "word"), "word")
-            .where(F.col("i") == F.length("word"))
-            .select("word", F.col("f").alias("freq"),
-                    (F.round("s", 4) + F.lit(0.0)).alias("log_z"))
+    words, occ = _unigram_words_occ(spark, sf_dir)
+    probs = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    edges = _unigram_edges(occ, probs)
+    a_full = _unigram_alpha(words, edges)
+    return (_unigram_logz(a_full, words)
+            .select(F.col("zw").alias("word"), F.col("f").alias("freq"),
+                    (F.round("logz", 4) + F.lit(0.0)).alias("log_z"))
             .orderBy(F.desc("freq"), "word").limit(20))
 
 
@@ -1513,107 +1604,116 @@ def q_text_unigram_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ulp-level, absorbed by 4-dp rounding.",
 )
 def q_text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
-    d = Catalog(spark, sf_dir).table("documents")
-    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
-    words = (toks.where(F.length("w").between(1, 12))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    occ = (words
-           .select("w", "f",
-                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
-                   .alias("j"))
-           .select("w", "f", "j",
-                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                   .alias("k"))
-           .where(F.col("j") + F.col("k") <= F.length("w"))
-           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
-                                            F.col("k"))))
-    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
-    tot = vocab.agg(F.sum("c").alias("t"))
-    edges = (occ.join(vocab, "piece")
-             .crossJoin(F.broadcast(tot))
-             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
-                     "piece",
-                     F.log(F.col("c").cast("double")
-                           / F.col("t").cast("double")).alias("lp"))
-             ).localCheckpoint()
-
-    def lse_step(cand):
-        """cand: (w, pos, cs) -> (w, pos, s) via shifted logsumexp."""
-        mx = cand.groupBy("w", "pos").agg(F.max("cs").alias("m"))
-        return (cand.join(mx.select(F.col("w").alias("mw"),
-                                    F.col("pos").alias("mp"), "m"),
-                          (F.col("w") == F.col("mw"))
-                          & (F.col("pos") == F.col("mp")))
-                .groupBy("w", "pos")
-                .agg((F.first("m")
-                      + F.log(F.sum(F.exp(F.col("cs") - F.col("m")))))
-                     .alias("s"))
-                .localCheckpoint())
-
-    # alpha: left-to-right over end positions.
-    alpha = [words.select("w", F.lit(0).alias("pos"),
-                          F.lit(0.0).alias("s")).localCheckpoint()]
-    for i in range(1, 13):
-        frontier = (reduce(lambda a, b: a.unionByName(b), alpha[-3:])
-                    .select(F.col("w").alias("pw"),
-                            F.col("pos").alias("pi"),
-                            F.col("s").alias("ps")))
-        cand = (edges.where(F.col("i") == i)
-                .join(frontier, (F.col("w") == F.col("pw"))
-                      & (F.col("j") == F.col("pi")))
-                .select("w", F.col("i").alias("pos"),
-                        (F.col("ps") + F.col("lp")).alias("cs")))
-        alpha.append(lse_step(cand))
-    a_full = reduce(lambda a, b: a.unionByName(b), alpha)
-
-    # beta: right-to-left over start positions; init beta(L) = 0.
-    # Unlike alpha's position-0 base (only reachable from the first 3
-    # steps), the beta base sits at each word's OWN length L, so an
-    # edge ending exactly at L can occur at ANY step — the init frame
-    # must stay in every frontier, joined beside the last 3 computed
-    # position tables (no duplicates: a step at j never produces a
-    # (w, j) row with j == len(w), since no edge starts at L).
-    beta_init = words.select("w", F.length("w").alias("pos"),
-                             F.lit(0.0).alias("s")).localCheckpoint()
-    beta = [beta_init]
-    for j in range(11, -1, -1):
-        frontier = (reduce(lambda a, b: a.unionByName(b),
-                           [beta_init] + beta[1:][-3:])
-                    .select(F.col("w").alias("pw"),
-                            F.col("pos").alias("pi"),
-                            F.col("s").alias("ps")))
-        cand = (edges.where(F.col("j") == j)
-                .join(frontier, (F.col("w") == F.col("pw"))
-                      & (F.col("i") == F.col("pi")))
-                .select("w", F.col("j").alias("pos"),
-                        (F.col("ps") + F.col("lp")).alias("cs")))
-        beta.append(lse_step(cand))
-    b_full = reduce(lambda a, b: a.unionByName(b), beta)
-
-    z = (a_full.join(words.select(F.col("w").alias("zw0"),
-                                  F.length("w").alias("lpos"), "f"),
-                     (F.col("w") == F.col("zw0"))
-                     & (F.col("pos") == F.col("lpos")))
-         .select(F.col("zw0").alias("zw"), F.col("s").alias("logz"),
-                 F.col("f")))
-    post = (edges
-            .join(a_full.select(F.col("w").alias("aw"),
-                                F.col("pos").alias("aj"),
-                                F.col("s").alias("al")),
-                  (F.col("w") == F.col("aw")) & (F.col("j") == F.col("aj")))
-            .join(b_full.select(F.col("w").alias("bw"),
-                                F.col("pos").alias("bi"),
-                                F.col("s").alias("bl")),
-                  (F.col("w") == F.col("bw")) & (F.col("i") == F.col("bi")))
-            .join(z, F.col("w") == F.col("zw"))
+    words, occ = _unigram_words_occ(spark, sf_dir)
+    probs = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    edges = _unigram_edges(occ, probs)
+    a_full = _unigram_alpha(words, edges)
+    b_full = _unigram_beta(words, edges)
+    z = _unigram_logz(a_full, words)
+    ec = _unigram_expected_counts(occ, edges, a_full, b_full, z)
+    return (ec.orderBy(F.desc("c"), "piece").limit(20)
             .select("piece",
-                    (F.exp(F.col("al") + F.col("lp") + F.col("bl")
-                           - F.col("logz")) * F.col("f")).alias("wt")))
-    return (post.groupBy("piece")
-            .agg(F.sum("wt").alias("swt"))
-            .orderBy(F.desc("swt"), "piece").limit(20)
-            .select("piece",
-                    (F.round("swt", 4) + F.lit(0.0))
-                    .alias("expected_count")))
+                    (F.round("c", 4) + F.lit(0.0)).alias("expected_count")))
+
+
+@register(
+    "q_text_unigram_em_round",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+    words AS (
+        SELECT w, COUNT(*) AS f FROM toks
+        WHERE len(w) BETWEEN 1 AND 12 GROUP BY w),
+    occ AS (
+        SELECT w.w, w.f, j.j, k.k, substr(w.w, j.j + 1, k.k) AS piece
+        FROM words w,
+             (SELECT unnest(range(0, 12)) AS j) j,
+             (SELECT unnest([1, 2, 3]) AS k) k
+        WHERE j.j + k.k <= len(w.w)),
+    vocab AS (
+        SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM occ GROUP BY piece),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+    edges AS (
+        SELECT o.w, o.j, o.j + o.k AS i, o.piece,
+               LN(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+        FROM occ o JOIN vocab v ON v.piece = o.piece, tot),
+    paths AS (
+        SELECT w, 0 AS i, CAST(0.0 AS DOUBLE) AS s,
+               CAST([] AS VARCHAR[]) AS ps
+        FROM words
+        UNION ALL
+        SELECT e.w, e.i, p.s + e.lp, list_append(p.ps, e.piece)
+        FROM paths p JOIN edges e ON e.w = p.w AND e.j = p.i),
+    complete AS (
+        SELECT p.w, p.s, p.ps
+        FROM paths p JOIN words ww ON ww.w = p.w AND len(ww.w) = p.i),
+    mx2 AS (SELECT w, MAX(s) AS m FROM complete GROUP BY w),
+    z AS (
+        SELECT c.w, mx2.m + LN(SUM(EXP(c.s - mx2.m))) AS logz
+        FROM complete c JOIN mx2 ON mx2.w = c.w
+        GROUP BY c.w, mx2.m),
+    lik0 AS (
+        SELECT SUM(ww.f * z.logz) AS l
+        FROM z JOIN words ww ON ww.w = z.w),
+    weighted AS (
+        SELECT c.w, EXP(c.s - z.logz) * ww.f AS wt, c.ps
+        FROM complete c JOIN z ON z.w = c.w JOIN words ww ON ww.w = c.w),
+    ec AS (
+        SELECT piece, SUM(wt) AS c
+        FROM (SELECT unnest(ps) AS piece, wt FROM weighted)
+        GROUP BY piece),
+    ectot AS (SELECT SUM(c) AS t FROM ec),
+    exploded AS (
+        SELECT w, ps, unnest(ps) AS piece FROM complete),
+    s1 AS (
+        SELECT e.w, e.ps, SUM(LN(ec.c / ectot.t)) AS s_new
+        FROM exploded e JOIN ec ON ec.piece = e.piece, ectot
+        GROUP BY e.w, e.ps),
+    mxn AS (SELECT w, MAX(s_new) AS m FROM s1 GROUP BY w),
+    z1 AS (
+        SELECT s1.w, mxn.m + LN(SUM(EXP(s1.s_new - mxn.m))) AS logz
+        FROM s1 JOIN mxn ON mxn.w = s1.w
+        GROUP BY s1.w, mxn.m),
+    lik1 AS (
+        SELECT SUM(ww.f * z1.logz) AS l
+        FROM z1 JOIN words ww ON ww.w = z1.w)
+    SELECT ROUND((SELECT l FROM lik0), 3) + 0.0 AS loglik_before,
+           ROUND((SELECT l FROM lik1), 3) + 0.0 AS loglik_after,
+           (SELECT l FROM lik1) >= (SELECT l FROM lik0) AS improved
+    """,
+    doc="One COMPLETE unigram-LM EM iteration with its monotonicity "
+        "receipt: E-step expected piece counts (forward-backward "
+        "posteriors), M-step renormalization into new piece "
+        "probabilities, then the forward pass re-run under the new "
+        "model — corpus log-likelihood before and after, plus the "
+        "EM-guaranteed 'improved' flag computed from the actual "
+        "numbers. This is the full training loop of a SentencePiece-"
+        "style tokenizer demonstrated end-to-end on the engine (the "
+        "trainer is this query iterated; vocabulary pruning between "
+        "rounds is a filter on the count table). Three driver-stepped "
+        "checkpointed DPs over the vocabulary-scale lattice; the "
+        "corpus is touched once. The oracle brute-forces both "
+        "likelihoods by path enumeration — the second pass re-scores "
+        "each enumerated path under the renormalized counts via a "
+        "correlated piece-probability lookup.",
+)
+def q_text_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, occ = _unigram_words_occ(spark, sf_dir)
+    probs0 = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    edges0 = _unigram_edges(occ, probs0)
+    a0 = _unigram_alpha(words, edges0)
+    b0 = _unigram_beta(words, edges0)
+    z0 = _unigram_logz(a0, words)
+    lik0 = z0.agg(F.sum(F.col("f") * F.col("logz")).alias("l0"))
+
+    ec = _unigram_expected_counts(occ, edges0, a0, b0, z0)
+    edges1 = _unigram_edges(occ, ec)
+    a1 = _unigram_alpha(words, edges1)
+    z1 = _unigram_logz(a1, words)
+    lik1 = z1.agg(F.sum(F.col("f") * F.col("logz")).alias("l1"))
+
+    return (lik0.crossJoin(F.broadcast(lik1))
+            .select((F.round("l0", 3) + F.lit(0.0)).alias("loglik_before"),
+                    (F.round("l1", 3) + F.lit(0.0)).alias("loglik_after"),
+                    (F.col("l1") >= F.col("l0")).alias("improved")))

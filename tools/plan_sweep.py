@@ -33,6 +33,7 @@ SKIP = {
     "q_text_unigram_viterbi",                        # driver-stepped DP
     "q_text_unigram_forward",                        # driver-stepped DP
     "q_text_unigram_em_counts",                      # driver-stepped DP
+    "q_text_unigram_em_round",                       # driver-stepped DP
     "q_linkage_fellegi_sunter",                      # materializes pair table
     "q_bucketed_join_roundtrip",                     # builds scratch tables
     "q_ann_ivf_topk", "q_ann_ivf_recall",            # builds IVF index
