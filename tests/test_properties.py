@@ -227,3 +227,26 @@ def test_upsert_matches_dict_merge_semantics(spark, tmp_path_factory, case):
     got = {r["k"]: r["v"]
            for r in lake.read_usage("t", "20260814", "r1").collect()}
     assert got == expected
+
+
+def test_kaplan_meier_estimator_invariants(spark):
+    """Structural invariants of the KM curve that hold for ANY data
+    (the oracle pins exact values; this pins the estimator's shape):
+    survival lies in [0,1] and is non-increasing over event time,
+    at-risk counts are non-increasing, and every curve point has at
+    least one conversion with at_risk >= n_converted."""
+    from datalake_project_spark.queries import load_all
+
+    rows_ = (load_all()["q_events_kaplan_meier"]
+             .fn(spark, "/root/testdata/sf0.001")
+             .orderBy("hour").collect())
+    assert rows_, "fixture must produce a non-empty curve"
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows_:
+        assert 0.0 <= r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-9
+        assert r["n_converted"] >= 1
+        assert r["at_risk"] >= r["n_converted"]
+        if prev_risk is not None:
+            assert r["at_risk"] <= prev_risk
+        prev_s, prev_risk = r["survival"], r["at_risk"]
