@@ -162,6 +162,7 @@ ADDITIONS = [
     "q_classifier_conformal",
     "q_text_unigram_forward",
     "q_text_unigram_em_round",
+    "q_stream_session_append",
 ]
 
 HEADLINE = CORE + ADDITIONS
