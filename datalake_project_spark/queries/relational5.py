@@ -1455,6 +1455,11 @@ def q_pricing_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixture span cannot hit the default 100-level ceiling.",
 )
 def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately session-sticky (not save/restored): the returned
+    # DataFrame executes LAZILY after this function returns, so a
+    # scoped restore would re-lower the ceiling before the recursion
+    # runs. Raising this limit is a monotonic safety-ceiling change
+    # with no behavioral effect on other queries.
     try:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
     except Exception:
@@ -1660,7 +1665,9 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surface): a data-derived threshold (average order price) is "
         "captured into a typed session variable and referenced by a "
         "second statement — the parameterized-script pattern SQL-first "
-        "users port from warehouse procedures. SET VAR runs the scalar "
+        "users port from warehouse procedures (the variable name is "
+        "engine-prefixed to keep the session namespace clean). SET VAR "
+        "runs the scalar "
         "aggregate as its own driver-side job by construction (that is "
         "the variable semantics — one scalar job, then the main query "
         "plans with the value as a LITERAL, enabling pushdown of the "
@@ -1671,13 +1678,13 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cat.register_views()
-    spark.sql("DECLARE OR REPLACE VARIABLE avg_price DOUBLE DEFAULT 0.0")
-    spark.sql("SET VAR avg_price = (SELECT AVG(o_totalprice) FROM orders)")
+    spark.sql("DECLARE OR REPLACE VARIABLE dlps_avg_price DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR dlps_avg_price = (SELECT AVG(o_totalprice) FROM orders)")
     return spark.sql("""
         SELECT o_orderpriority, COUNT(*) AS n_above,
-               ROUND(avg_price, 2) + 0.0 AS threshold
+               ROUND(dlps_avg_price, 2) + 0.0 AS threshold
         FROM orders
-        WHERE o_totalprice > avg_price
+        WHERE o_totalprice > dlps_avg_price
         GROUP BY o_orderpriority
     """)
 

@@ -1288,56 +1288,36 @@ def q_text_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    d = Catalog(spark, sf_dir).table("documents")
-    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
-    words = (toks.where(F.length("w").between(1, 12))
-             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    occ = (words
-           .select("w", "f",
-                   F.explode(F.sequence(F.lit(0), F.length("w") - 1))
-                   .alias("j"))
-           .select("w", "f", "j",
-                   F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                   .alias("k"))
-           .where(F.col("j") + F.col("k") <= F.length("w"))
-           .withColumn("piece", F.substring(F.col("w"), F.col("j") + 1,
-                                            F.col("k"))))
-    vocab = occ.groupBy("piece").agg(F.sum("f").alias("c"))
-    tot = vocab.agg(F.sum("c").alias("t"))
-    edges = (occ.join(vocab, "piece")
-             .crossJoin(F.broadcast(tot))
-             .select("w", "j", (F.col("j") + F.col("k")).alias("i"),
-                     F.log(F.col("c").cast("double")
-                           / F.col("t").cast("double")).alias("lp"))
-             ).localCheckpoint()
-    # Driver-stepped Viterbi (the BPE-train discipline): each position's
-    # frontier is localCheckpointed so the 12-step recurrence has FLAT
-    # lineage — a cumulative lazy union re-expands its 3 predecessors
-    # per step (3^12 plan nodes, the exponential-lineage trap iterative
-    # DataFrame algorithms hit). The frontier's columns are RENAMED
-    # (pw/pi/ps) rather than alias()-scoped: unionByName over
-    # checkpointed relations + DataFrame aliases trips an attribute-
-    # resolution bug in this build (key not found: w#N).
-    dp = [words.select("w", F.lit(0).alias("i"),
+    words, occ = _unigram_words_occ(spark, sf_dir)
+    probs = occ.groupBy("piece").agg(F.sum("f").alias("c"))
+    edges = _unigram_edges(occ, probs)
+    # Max-DP over the same lattice the logsumexp queries run
+    # (helpers below): per position, the frontier keeps max(score)
+    # instead of the shifted exp-sum; same checkpointed flat-lineage
+    # discipline (see the helper docstrings for the exponential-
+    # lineage and alias-resolution notes).
+    dp = [words.select("w", F.lit(0).alias("pos"),
                        F.lit(0.0).alias("s")).localCheckpoint()]
     for i in range(1, 13):
         frontier = (reduce(lambda a, b: a.unionByName(b), dp[-3:])
-                    .select(F.col("w").alias("pw"), F.col("i").alias("pi"),
+                    .select(F.col("w").alias("pw"),
+                            F.col("pos").alias("pi"),
                             F.col("s").alias("ps")))
         step = (edges.where(F.col("i") == i)
                 .join(frontier, (F.col("w") == F.col("pw"))
                       & (F.col("j") == F.col("pi")))
-                .groupBy("w", "i")
+                .groupBy("w", F.col("i").alias("pos"))
                 .agg(F.max(F.col("ps") + F.col("lp")).alias("s"))
                 .localCheckpoint())
         dp.append(step)
     full = reduce(lambda a, b: a.unionByName(b), dp)
-    best = (full.select(F.col("w").alias("word"), "i", "s")
+    return (full.select(F.col("w").alias("word"), "pos", "s")
             .join(words.withColumnRenamed("w", "word"), "word")
-            .where(F.col("i") == F.length("word"))
+            .where(F.col("pos") == F.length("word"))
             .select("word", F.col("f").alias("freq"),
-                    (F.round("s", 4) + F.lit(0.0)).alias("best_logp")))
-    return best.orderBy(F.desc("freq"), "word").limit(20)
+                    (F.round("s", 4) + F.lit(0.0)).alias("best_logp"))
+            .orderBy(F.desc("freq"), "word").limit(20))
+
 
 
 # --- unigram-LM lattice machinery (shared by forward / EM queries) -------
