@@ -163,6 +163,7 @@ ADDITIONS = [
     "q_text_unigram_forward",
     "q_text_unigram_em_round",
     "q_stream_session_append",
+    "q_multimodal_shard_plan",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -167,3 +167,69 @@ def q_multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("file_name"),
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"))
+
+
+@register(
+    "q_multimodal_shard_plan",
+    oracle="""
+    WITH sz AS (
+        SELECT md5(doc_id::VARCHAR) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents),
+    tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS t FROM sz),
+    cum AS (
+        SELECT nb,
+               CAST(COALESCE(SUM(nb) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM sz),
+    tagged AS (
+        SELECT CAST(FLOOR(cb / CEIL(t / 8.0)) AS INT) AS shard_id, nb
+        FROM cum, tot)
+    SELECT shard_id, COUNT(*) AS n_items,
+           CAST(SUM(nb) AS BIGINT) AS shard_bytes
+    FROM tagged GROUP BY shard_id
+    """,
+    doc="Training-shard packing plan for the media column (the "
+        "WebDataset/tar-shard layout step): payloads are placed in "
+        "HASH order (md5 of the id — the deterministic global shuffle "
+        "a training run wants baked into its shards) and cut into 8 "
+        "byte-balanced shards by cumulative size, so each shard is "
+        "within one item of target bytes and the plan is reproducible "
+        "bit-for-bit. The corpus-wide running byte total uses the "
+        "sharded-window discipline (first hex nibble of the hash as "
+        "the monotone 16-way shard, per-shard exclusive prefix sums, "
+        "broadcast cross-shard offsets); sizes are integer bytes -> "
+        "cumulative arithmetic and cut points are exact on both "
+        "engines. At 100 TB this query IS the shard manifest job "
+        "that precedes the copy: the writer then repartitions by "
+        "shard_id and streams each shard sequentially.",
+)
+def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    media = as_media(Catalog(spark, sf_dir).table("documents"))
+    sz = media.select(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.length("payload").cast("long").alias("nb"))
+    tot = sz.agg(F.sum("nb").alias("t"))
+    sharded = sz.withColumn("bk", F.substring("h", 1, 1))
+    w_ex = (Window.partitionBy("bk").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    intra = sharded.withColumn(
+        "cb_intra", F.coalesce(F.sum("nb").over(w_ex), F.lit(0)))
+    stot = sharded.groupBy("bk").agg(F.sum("nb").alias("s_nb"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.bk") < F.col("a.bk"), "left")
+             .groupBy(F.col("a.bk").alias("bk"))
+             .agg(F.coalesce(F.sum("b.s_nb"), F.lit(0)).alias("cb_bks")))
+    tagged = (intra.join(F.broadcast(below), "bk")
+              .crossJoin(F.broadcast(tot))
+              .select((F.floor((F.col("cb_bks") + F.col("cb_intra"))
+                               / F.ceil(F.col("t") / 8.0)).cast("int"))
+                      .alias("shard_id"), "nb"))
+    return (tagged.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("nb").cast("long").alias("shard_bytes")))
