@@ -164,6 +164,7 @@ ADDITIONS = [
     "q_text_unigram_em_round",
     "q_stream_session_append",
     "q_multimodal_shard_plan",
+    "q_tpch_refresh_stream",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -1189,3 +1189,63 @@ def q_zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("l_quantity").cast("long").alias("total_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+
+
+@register(
+    "q_tpch_refresh_stream",
+    oracle="""
+    WITH aug AS (
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM aug GROUP BY o_orderpriority
+    """,
+    doc="TPC-H-style refresh stream (RF1 insert batch + RF2 delete "
+        "batch) against the FACT table in the lake — the ACID "
+        "maintenance test the 22 read-only queries skip: the orders "
+        "fact lands as a lake partition, one changes table carries "
+        "the RF1 inserts (key-shifted clones of o_orderkey % 89 "
+        "orders, keys offset far above the fixture key space) beside "
+        "the RF2 tombstones (o_orderkey % 97 originals), "
+        "Lake.upsert applies all branches in ONE partition rewrite, "
+        "and the refreshed fact is re-read and aggregated. The oracle "
+        "states the post-refresh state declaratively (originals minus "
+        "deletes union inserts), so a pass proves row-level "
+        "insert+delete fidelity through the write->scan cycle on a "
+        "fact-table-shaped (not rollup-shaped) target. Idempotent: "
+        "the base partition is rewritten before each refresh. At "
+        "scale this is the nightly maintenance transaction — "
+        "anti-join with Bloom pushdown over touched keys, one "
+        "partition replaced; on Delta/Iceberg the identical call is "
+        "MERGE INTO plus an append.",
+)
+def q_tpch_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    inserts = (o.where(F.col("o_orderkey") % 89 == 0)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.lit(10_000_000))
+               .withColumn("is_deleted", F.lit(False)))
+    deletes = (o.where(F.col("o_orderkey") % 97 == 0)
+               .select("o_orderkey")
+               .withColumn("o_orderpriority", F.lit(None).cast("string"))
+               .withColumn("o_totalprice", F.lit(None).cast("double"))
+               .withColumn("is_deleted", F.lit(True)))
+    changes = inserts.unionByName(deletes)
+
+    lake = Lake(spark, scratch_dir("tpch_rf", sf_dir))
+    lake.write_usage(o, "orders_fact", "1995-01-01", "19950101T000000")
+    lake.upsert(changes, "orders_fact", "1995-01-01", "19950101T000000",
+                keys=["o_orderkey"], delete_col="is_deleted")
+    refreshed = lake.read_usage("orders_fact", "1995-01-01",
+                                "19950101T000000")
+    return (refreshed.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
