@@ -165,6 +165,7 @@ ADDITIONS = [
     "q_stream_session_append",
     "q_multimodal_shard_plan",
     "q_tpch_refresh_stream",
+    "q_embed_triplet_mining",
 ]
 
 HEADLINE = CORE + ADDITIONS

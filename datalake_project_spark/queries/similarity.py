@@ -242,3 +242,79 @@ def q_embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_queries"),
                  F.count(F.when(F.col("nn_label") == F.col("q_label"), 1))
                  .cast("long").alias("n_match")))
+
+
+@register(
+    "q_embed_triplet_mining",
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS aid, embedding AS av, label AS al
+        FROM embeddings WHERE vec_id < 20),
+    s AS (
+        SELECT a.aid, a.al, e.vec_id AS nid, e.label AS nl,
+               list_cosine_similarity(a.av::DOUBLE[],
+                                      e.embedding::DOUBLE[]) AS cs
+        FROM a JOIN embeddings e ON e.vec_id <> a.aid),
+    pos AS (
+        SELECT aid, nid, cs,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY cs DESC, nid) AS rk
+        FROM s WHERE nl = al),
+    neg AS (
+        SELECT aid, nid, cs,
+               ROW_NUMBER() OVER (PARTITION BY aid
+                                  ORDER BY cs DESC, nid) AS rk
+        FROM s WHERE nl <> al)
+    SELECT p.aid AS anchor_id, p.nid AS pos_id, n.nid AS neg_id,
+           ROUND(p.cs, 6) + 0.0 AS pos_sim,
+           ROUND(n.cs, 6) + 0.0 AS neg_sim,
+           ROUND(p.cs - n.cs, 6) + 0.0 AS margin
+    FROM pos p JOIN neg n ON n.aid = p.aid AND n.rk = 1
+    WHERE p.rk = 1
+    """,
+    doc="Hard-negative triplet mining for contrastive training: for "
+        "each anchor vector, the positive is its nearest SAME-label "
+        "neighbor and the negative its nearest DIFFERENT-label "
+        "neighbor (the hard negative — the pair selection that makes "
+        "contrastive/metric learning converge, vs easy random "
+        "negatives), with the margin the loss will push on. Same "
+        "plan shape as the exact ANN baseline: anchors broadcast "
+        "against the candidate side, one scored pass, two partitioned "
+        "rank-1 windows (per-anchor, bounded groups) — at 100 TB the "
+        "anchor batch streams through the same broadcast lane as ANN "
+        "queries, and the candidate scan is shared by both ranks. "
+        "Deterministic (cosine DESC, id ASC) tie-break on both "
+        "engines, identical to the ANN family.",
+)
+def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.vectors import cosine
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    a = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av"),
+        F.col("label").alias("al"))
+    s = (e.crossJoin(F.broadcast(a))
+         .where(F.col("vec_id") != F.col("aid"))
+         .select("aid", "al", F.col("vec_id").alias("nid"),
+                 F.col("label").alias("nl"),
+                 cosine(F.col("av"), F.col("embedding")).alias("cs")))
+    w = Window.partitionBy("aid").orderBy(F.desc("cs"), "nid")
+    pos = (s.where(F.col("nl") == F.col("al"))
+           .withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") == 1)
+           .select("aid", F.col("nid").alias("pos_id"),
+                   F.col("cs").alias("pcs")))
+    neg = (s.where(F.col("nl") != F.col("al"))
+           .withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") == 1)
+           .select(F.col("aid").alias("naid"),
+                   F.col("nid").alias("neg_id"),
+                   F.col("cs").alias("ncs")))
+    return (pos.join(neg, pos.aid == neg.naid)
+            .select(F.col("aid").alias("anchor_id"), "pos_id", "neg_id",
+                    (F.round("pcs", 6) + F.lit(0.0)).alias("pos_sim"),
+                    (F.round("ncs", 6) + F.lit(0.0)).alias("neg_sim"),
+                    (F.round(F.col("pcs") - F.col("ncs"), 6) + F.lit(0.0))
+                    .alias("margin")))
