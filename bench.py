@@ -166,6 +166,7 @@ ADDITIONS = [
     "q_multimodal_shard_plan",
     "q_tpch_refresh_stream",
     "q_embed_triplet_mining",
+    "q_corpus_epoch_plan",
 ]
 
 HEADLINE = CORE + ADDITIONS

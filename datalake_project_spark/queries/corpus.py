@@ -939,3 +939,55 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sel.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("toks").cast("long").alias("n_tokens")))
+
+
+@register(
+    "q_corpus_epoch_plan",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_toks,
+                   COUNT(*) AS n_sources FROM t)
+    SELECT t.source, t.n_tokens,
+           CAST(FLOOR(2.0 * tot.all_toks / tot.n_sources) AS BIGINT)
+               AS budget_tokens,
+           CAST(FLOOR((2.0 * tot.all_toks / tot.n_sources)
+                      / t.n_tokens) AS BIGINT) AS full_epochs,
+           ROUND((2.0 * tot.all_toks / tot.n_sources) / t.n_tokens, 4)
+               + 0.0 AS epochs
+    FROM t, tot
+    """,
+    doc="Per-source epoch plan: given a training token budget (here "
+        "2x the corpus, split equally across sources — the "
+        "upsampling scenario), how many passes over each source the "
+        "budget implies (epochs = source budget / source tokens, with "
+        "the integer full-epoch count separated from the fractional "
+        "tail) — the repetition table data-mixing recipes publish "
+        "(small curated sources run many epochs, big crawl slices "
+        "fractions of one) and the q_corpus_quota_allocation "
+        "counterpart when the knob is repetition rather than "
+        "sampling. One token-count rollup (map-side partials) plus a "
+        "broadcast 1-row total; token counts integer-exact, the "
+        "epoch ratio one shared division.",
+)
+def q_corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    t = (d.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+         .groupBy("source").agg(F.sum("nt").cast("long").alias("n_tokens")))
+    tot = t.agg(F.sum("n_tokens").alias("all_toks"),
+                F.count(F.lit(1)).alias("n_sources"))
+    budget = F.lit(2.0) * F.col("all_toks") / F.col("n_sources")
+    return (t.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    F.floor(F.lit(2.0) * F.col("all_toks")
+                            / F.col("n_sources")).cast("long")
+                    .alias("budget_tokens"),
+                    F.floor(budget / F.col("n_tokens")).cast("long")
+                    .alias("full_epochs"),
+                    (F.round(budget / F.col("n_tokens"), 4) + F.lit(0.0))
+                    .alias("epochs")))
