@@ -167,6 +167,7 @@ ADDITIONS = [
     "q_tpch_refresh_stream",
     "q_embed_triplet_mining",
     "q_corpus_epoch_plan",
+    "q_retrieval_mrr",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -538,3 +538,91 @@ def q_search_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("ws", F.col("pos") + 1, right_len))
         .alias("right_ctx"))
         .orderBy("doc_id", "pos").limit(50))
+
+
+@register(
+    "q_retrieval_mrr",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks))::DOUBLE AS avgdl
+              FROM tok),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, unnest(toks) AS t, len(toks) AS dl FROM tok)
+        WHERE t IN ({_TERMS_SQL})
+        GROUP BY doc_id, t),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    pt AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                     * tf.tf * {K1 + 1.0}
+                     / (tf.tf + {K1} * ({1.0 - B}
+                                        + {B} * tf.dl / s.avgdl)), 4)
+                   + 0.0 AS s
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s),
+    ranked AS (
+        SELECT term, doc_id, tf, s,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS rnk
+        FROM pt),
+    fr AS (
+        SELECT term, CAST(MIN(rnk) AS BIGINT) AS first_rel_rank
+        FROM ranked WHERE tf >= 3 GROUP BY term)
+    SELECT term, first_rel_rank,
+           ROUND(1.0 / first_rel_rank, 6) + 0.0 AS reciprocal_rank
+    FROM fr
+    UNION ALL
+    SELECT 'MRR', CAST(NULL AS BIGINT),
+           ROUND(AVG(1.0 / first_rel_rank), 6) + 0.0
+    FROM fr
+    """,
+    doc="Mean reciprocal rank over the three probe-term queries: each "
+        "term ranks documents by its OWN per-term BM25 contribution, "
+        "relevance is tf >= 3 (length normalization makes rank-1 "
+        "non-trivial: a short tf=2 doc can outrank a long tf=3 one), "
+        "and MRR averages 1/rank-of-first-relevant — the first-"
+        "answer-position metric completing the IR-evaluation triad "
+        "beside nDCG (graded list quality) and the Mann-Whitney AUC "
+        "(classifier separation). Per-term ranking is a PARTITIONED "
+        "window over the probe-filtered inverted index (three "
+        "bounded groups, never the corpus); scores round at 4 dp "
+        "before ranking so both engines order identically.",
+)
+def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("toks"))
+    tok = tok.select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = tok.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").cast("double").alias("avgdl"))
+    tf = (tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*PROBE_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.any_value("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    norm = (F.col("tf") + K1 * ((1.0 - B)
+                                + B * F.col("dl") / F.col("avgdl")))
+    pt = (tf.join(F.broadcast(dfreq), "term")
+          .crossJoin(F.broadcast(stats))
+          .withColumn("s", F.round(idf * F.col("tf") * (K1 + 1.0)
+                                   / norm, 4) + F.lit(0.0)))
+    w = Window.partitionBy("term").orderBy(F.desc("s"), "doc_id")
+    fr = (pt.withColumn("rnk", F.row_number().over(w))
+          .where(F.col("tf") >= 3)
+          .groupBy("term")
+          .agg(F.min("rnk").cast("long").alias("first_rel_rank")))
+    per = fr.select(
+        "term", "first_rel_rank",
+        (F.round(F.lit(1.0) / F.col("first_rel_rank"), 6) + F.lit(0.0))
+        .alias("reciprocal_rank"))
+    mrr = fr.agg(
+        (F.round(F.avg(F.lit(1.0) / F.col("first_rel_rank")), 6)
+         + F.lit(0.0)).alias("reciprocal_rank")).select(
+        F.lit("MRR").alias("term"),
+        F.lit(None).cast("long").alias("first_rel_rank"),
+        "reciprocal_rank")
+    return per.unionByName(mrr)
