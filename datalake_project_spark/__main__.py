@@ -76,6 +76,14 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_schedule(args) -> int:
+    from datalake_project_spark.scheduler import scheduled_run
+
+    return scheduled_run(args.query, args.sf_dir, run_ts=args.run_ts,
+                         retries=args.retries,
+                         retry_delay=args.retry_delay, force=args.force)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datalake_project_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,6 +108,22 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--limit", type=int, default=20)
     ps.add_argument("--json", action="store_true")
     ps.set_defaults(fn=cmd_sql)
+
+    pc = sub.add_parser(
+        "schedule",
+        help="cron-able run of a registered query with the reference "
+             "DAG's retry policy and an explicit logical run_ts")
+    pc.add_argument("query")
+    pc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pc.add_argument("--run-ts", default=None,
+                    help="logical timestamp (default: wall clock UTC); "
+                         "set explicitly for backfills")
+    pc.add_argument("--retries", type=int, default=2)
+    pc.add_argument("--retry-delay", type=float, default=30.0)
+    pc.add_argument("--force", action="store_true",
+                    help="rerun even if this (query, run_ts) already "
+                         "succeeded")
+    pc.set_defaults(fn=cmd_schedule)
 
     args = p.parse_args(argv)
     return args.fn(args)

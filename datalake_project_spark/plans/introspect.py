@@ -72,6 +72,52 @@ def scan_columns(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
 
 
+_TREE_PREFIX = re.compile(r"^[\s+:\-]*")
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(_TREE_PREFIX.sub("", line))
+
+
+def _node(line: str) -> str:
+    """Operator name at the start of a plan-tree line (tree art and
+    whole-stage-codegen ``*(N)`` markers stripped)."""
+    s = _TREE_PREFIX.sub("", line)
+    return re.sub(r"^\*\(\d+\)\s*", "", s)
+
+
+def single_partition_sort_smells(plan: str) -> list[str]:
+    """Global-sort/window scale-killers: every ``Exchange SinglePartition``
+    whose consumer (the nearest preceding line with smaller indent) is a
+    Sort or Window node — Spark is about to move the ENTIRE input through
+    one task to satisfy a partition-less ordering.
+
+    Structural, not regex-on-the-Window-node: Spark 4.1.2 prints a
+    partition-less Window with only two bracket groups
+    (``Window [exprs], [order]``), so matching the Window line for an
+    empty partition list silently never fires (the round-4 dead-detector
+    lesson). A SinglePartition exchange under a final global
+    HashAggregate is NOT flagged — that exchange carries one row per
+    partial-aggregate partition, not the input.
+    """
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _indent(ln)
+        for j in range(i - 1, -1, -1):
+            if _indent(lines[j]) < d and _node(lines[j]).strip():
+                parent = _node(lines[j])
+                # Word-boundary match: SortAggregate(key=) is the sort-based
+                # FINAL global aggregate (one row per partition crosses the
+                # exchange) — legitimate, not a global sort of the input.
+                if re.match(r"(Sort|Window|WindowGroupLimit)\b", parent):
+                    hits.append(f"global-sort:{parent.split('[')[0].strip() or 'Sort'}")
+                break
+    return hits
+
+
 def plan_summary(df: DataFrame) -> dict:
     """One-call scale scorecard for a query plan."""
     return {

@@ -723,6 +723,144 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_manifest_merge_upsert",
+    oracle="""
+    WITH t95 AS (SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01'
+                 GROUP BY o_custkey),
+         t96 AS (SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'
+                 GROUP BY o_custkey),
+         churn AS (SELECT t95.custkey FROM t95
+                   JOIN customer ON c_custkey = t95.custkey
+                   WHERE c_acctbal < 0
+                     AND NOT EXISTS (SELECT 1 FROM t96
+                                     WHERE t96.custkey = t95.custkey))
+    SELECT custkey, order_count, total_price FROM t96
+    UNION ALL
+    SELECT custkey, order_count, total_price FROM t95
+    WHERE NOT EXISTS (SELECT 1 FROM t96 WHERE t96.custkey = t95.custkey)
+      AND NOT EXISTS (SELECT 1 FROM churn WHERE churn.custkey = t95.custkey)
+    """,
+    doc="The q_merge_upsert MERGE triple executed through the "
+        "MANIFEST-COMMIT backend (ManifestLake — round 5's ACID layer): "
+        "identical inputs, identical oracle, but the write path is "
+        "stage-immutable-files -> atomic os.link manifest commit with "
+        "optimistic-concurrency conflict detection, and the re-read is "
+        "a snapshot-isolated manifest-resolved scan instead of a "
+        "directory listing. A pass proves the Delta/Iceberg-style "
+        "commit protocol preserves MERGE semantics bit-for-bit; the "
+        "concurrent-writer properties (atomic visibility, rebase, "
+        "serializable re-merge, refcount vacuum) are pinned in "
+        "tests/test_manifest_lake.py. At 100 TB the manifest lives on "
+        "an object store with put-if-absent (S3 conditional PUT) and "
+        "the protocol is unchanged.",
+)
+def q_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c = cat.table("customer")
+
+    def rollup(year: int) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("order_count"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        )
+
+    base, cur = rollup(1995), rollup(1996)
+    churn = (
+        base.select("custkey")
+        .join(cur.select("custkey"), "custkey", "left_anti")
+        .join(c.where(F.col("c_acctbal") < 0)
+               .select(F.col("c_custkey").alias("custkey")),
+              "custkey", "left_semi")
+        .withColumn("order_count", F.lit(None).cast("long"))
+        .withColumn("total_price", F.lit(None).cast("double"))
+        .withColumn("is_deleted", F.lit(True))
+    )
+    updates = cur.withColumn("is_deleted", F.lit(False)).unionByName(churn)
+
+    lake = ManifestLake(spark, scratch_dir("mlake", sf_dir))
+    lake.write_usage(base, "cust_merge", "1995-01-01", "19950101T000000")
+    lake.upsert(updates, "cust_merge", "1995-01-01", "19950101T000000",
+                keys=["custkey"], delete_col="is_deleted")
+    return (lake.read_usage("cust_merge", "1995-01-01", "19950101T000000")
+            .select("custkey", "order_count", "total_price"))
+
+
+@register(
+    "q_manifest_timetravel",
+    oracle="""
+    SELECT 'v_base' AS snapshot, COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT 'latest', COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+    doc="Version time travel on the manifest-commit lake: the 1995 "
+        "order snapshot commits as version V, the same (ingest_date, "
+        "run_ts) partition is then REPLACED by the 1996 snapshot at "
+        "V+1, and the query reads BOTH — read_usage_at(V) resolves the "
+        "superseded manifest (whose immutable files the V+1 commit "
+        "never touched) while the latest read sees only V+1. The "
+        "oracle recomputes both years from source, so a pass proves "
+        "snapshot isolation: a partition overwrite is invisible to a "
+        "reader pinned at an older version (Delta VERSION AS OF / "
+        "Iceberg snapshot-id reads; the write-time version handles "
+        "make the query idempotent across gate re-runs even as the "
+        "version chain grows). The bare-Parquet Lake physically "
+        "cannot express this — its overwrite deletes the old files.",
+)
+def q_manifest_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def snap(year: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_orderkey", "o_totalprice")
+
+    lake = ManifestLake(spark, scratch_dir("mlake", sf_dir))
+    v_base = lake.write_usage(snap(1995), "orders_tt",
+                              "1995-01-01", "19950101T000000")
+    lake.write_usage(snap(1996), "orders_tt",
+                     "1995-01-01", "19950101T000000")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+
+    past = lake.read_usage_at("orders_tt", v_base,
+                              "1995-01-01", "19950101T000000")
+    now = lake.read_usage("orders_tt", "1995-01-01", "19950101T000000")
+    return agg(past, "v_base").unionByName(agg(now, "latest"))
+
+
+@register(
     "q_write_audit_publish",
     oracle="""
     SELECT o_orderpriority,
@@ -1229,9 +1367,16 @@ def q_tpch_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
+    # Clone-key offset is DERIVED from the data (next power of two above
+    # max(o_orderkey)) rather than a fixed literal: at sf >= ~1.7 real
+    # orderkeys exceed 10M, and a fixed offset would silently collide
+    # clones with existing keys. One tiny aggregate (row-group stats
+    # read, no full scan at scale) makes the refresh sf-proof.
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    offset = 1 << int(max_key).bit_length()
     inserts = (o.where(F.col("o_orderkey") % 89 == 0)
                .withColumn("o_orderkey",
-                           F.col("o_orderkey") + F.lit(10_000_000))
+                           F.col("o_orderkey") + F.lit(offset))
                .withColumn("is_deleted", F.lit(False)))
     deletes = (o.where(F.col("o_orderkey") % 97 == 0)
                .select("o_orderkey")

@@ -2021,8 +2021,9 @@ def q_events_session_window_native(spark: SparkSession,
     oracle="""
     WITH m AS (SELECT MIN(value) AS lo, MAX(value) AS hi
                FROM events WHERE value IS NOT NULL),
-    b AS (SELECT LEAST(CAST(FLOOR((value - m.lo) / (m.hi - m.lo) * 256)
-                            AS INT), 255) AS bk
+    b AS (SELECT CASE WHEN m.hi = m.lo THEN 0
+                 ELSE LEAST(CAST(FLOOR((value - m.lo) / (m.hi - m.lo) * 256)
+                            AS INT), 255) END AS bk
           FROM events, m WHERE value IS NOT NULL),
     h AS (SELECT bk, COUNT(*) AS c FROM b GROUP BY bk),
     n AS (SELECT COUNT(*) AS nn FROM b),
@@ -2059,10 +2060,13 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (Catalog(spark, sf_dir).table("events")
          .where(F.col("value").isNotNull()))
     m = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    bk = F.least(
+    # Degenerate-range guard (all values equal => hi == lo): everything
+    # maps to bucket 0 on BOTH engine and oracle sides, instead of a
+    # divide-by-zero NULL/NaN with engine-specific null semantics.
+    bk = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(F.least(
         F.floor((F.col("value") - F.col("lo"))
                 / (F.col("hi") - F.col("lo")) * 256).cast("int"),
-        F.lit(255))
+        F.lit(255)))
     tagged = (e.crossJoin(F.broadcast(m))
               .select(F.to_date("ts").alias("day"), bk.alias("bk")))
     daily = tagged.groupBy("day", "bk").agg(F.count(F.lit(1)).alias("c"))

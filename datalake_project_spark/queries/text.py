@@ -339,31 +339,21 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id").distinct())
 
 
-@register(
-    "q_pack_sequences",
-    oracle="""
-    WITH tc AS (
-        SELECT doc_id,
-               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
-        FROM documents),
-    packed AS (
-        SELECT doc_id, n_tokens,
-               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
-                    AS BIGINT) AS bin_id
-        FROM tc)
-    SELECT bin_id, COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-    FROM packed GROUP BY bin_id
-    """,
-    doc="Sequence packing for training batches: documents chunked into "
-        "~2048-token bins by exclusive running token count over a "
-        "deterministic total order. The window runs as ONE global "
-        "ordered pass here; at 100 TB the order key becomes "
-        "(shard, doc_id) so each shard packs independently — packing "
-        "is embarrassingly parallel given a partitioned sort key.",
-)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEC-ONLY — deliberately UNREGISTERED (round 5).
+
+    The semantic specification of sequence packing: an exclusive running
+    token count over ONE deterministic total order, binned every 2048
+    tokens. Its physical plan is the engine's canonical scale-killer —
+    ``Exchange SinglePartition`` under a partition-less Window — which is
+    exactly why it is not in the registry: the shipped, driver-verified
+    formulation is ``q_pack_sequences_sharded`` (queries/corpus.py),
+    whose per-shard windows compute the SAME semantics independently per
+    shard. tests/test_plans.py pins both directions: (a) this spec's
+    plan IS flagged by the structural global-sort detector (the detector
+    regression test), and (b) the sharded variant's per-shard bins equal
+    this spec applied to each shard's rows (the derivation proof).
+    """
     from pyspark.sql.window import Window
 
     d = Catalog(spark, sf_dir).table("documents")

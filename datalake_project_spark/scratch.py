@@ -34,8 +34,51 @@ def scratch_root() -> str:
 
 def scratch_dir(kind: str, sf_dir: str) -> str:
     """Deterministic per-(kind, input-dir) scratch path, collision-free
-    across same-basename inputs."""
+    across same-basename inputs.
+
+    Growth is bounded: each resolved dir records its source input path in
+    a ``.src`` marker, and every resolution best-effort prunes sibling
+    dirs of the same kind whose recorded source no longer exists (the
+    pytest-tmp_path fixtures that accumulated 40+ dead cache dirs by
+    round 4). Same stale-key discipline as the bucketed/IVF caches."""
     sf_abs = os.path.abspath(sf_dir.rstrip("/"))
     digest = hashlib.sha1(sf_abs.encode()).hexdigest()[:8]
     tag = f"{os.path.basename(sf_abs) or 'sf'}_{digest}"
-    return f"{scratch_root()}/{kind}_{tag}"
+    root = scratch_root()
+    _prune_stale_siblings(root, kind)
+    path = f"{root}/{kind}_{tag}"
+    try:
+        parent = Path(path)
+        parent.mkdir(parents=True, exist_ok=True)
+        marker = parent / ".src"
+        if not marker.exists():
+            marker.write_text(sf_abs)
+    except OSError:
+        pass
+    return path
+
+
+def _prune_stale_siblings(root: str, kind: str) -> None:
+    """Remove ``<kind>_*`` scratch dirs whose recorded source input dir
+    has vanished (dead pytest tmp dirs). Best-effort, never raises."""
+    import shutil
+
+    prefix = f"{kind}_"
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        d = os.path.join(root, name)
+        marker = os.path.join(d, ".src")
+        try:
+            if not os.path.isfile(marker):
+                continue
+            with open(marker) as fh:
+                src = fh.read().strip()
+            if src and not os.path.exists(src):
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue

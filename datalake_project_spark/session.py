@@ -26,6 +26,11 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _scratch() -> str:
+    from datalake_project_spark.scratch import scratch_root
+    return scratch_root()
+
+
 def get_spark(app_name: str = "datalake_project_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Create (or get) the engine SparkSession with scale-ready defaults."""
@@ -64,6 +69,12 @@ def get_spark(app_name: str = "datalake_project_spark", master: str | None = Non
         # Read parquet TIMESTAMP(NANOS) (unsupported by Spark) as int64;
         # Catalog.table converts back to timestamp at microsecond precision.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Run-time litter (spark-warehouse/, Derby's derby.log) goes into
+        # .scratch, not the checkout root.
+        .config("spark.sql.warehouse.dir", f"{_scratch()}/spark-warehouse")
+        .config("spark.driver.extraJavaOptions",
+                f"-Dderby.stream.error.file={_scratch()}/derby.log "
+                f"-Dderby.system.home={_scratch()}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

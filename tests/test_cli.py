@@ -33,3 +33,34 @@ def test_cli_sql(capsys, spark):
                  "--sf-dir", "/root/testdata/sf0.001", "--json"]) == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert rows[0]["n"] == 5
+
+
+def test_cli_schedule_success_marker_and_skip(capsys, spark, monkeypatch,
+                                              tmp_path):
+    """The scheduler shim: a run succeeds, writes its success marker, and
+    re-delivery of the same (query, run_ts) tick is a no-op — the
+    at-least-once-cron idempotency the reference got from Airflow."""
+    monkeypatch.setenv("DATALAKE_SPARK_SCRATCH", str(tmp_path))
+    args = ["schedule", "q1_pricing_summary",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--run-ts", "20260101T000000", "--retries", "0"]
+    assert main(args) == 0
+    out1 = capsys.readouterr().out
+    assert "ok" in out1
+    marker = tmp_path / "sched" / "q1_pricing_summary" / "20260101T000000.done"
+    assert marker.exists()
+    assert main(args) == 0
+    assert "skipping" in capsys.readouterr().out
+
+
+def test_cli_schedule_retries_then_fails(capsys, spark, monkeypatch,
+                                         tmp_path):
+    monkeypatch.setenv("DATALAKE_SPARK_SCRATCH", str(tmp_path))
+    assert main(["schedule", "q_no_such_query"]) == 2
+    # a real query against a missing fixture dir exhausts retries -> 1
+    assert main(["schedule", "q1_pricing_summary",
+                 "--sf-dir", str(tmp_path / "nope"),
+                 "--run-ts", "20260101T000001",
+                 "--retries", "1", "--retry-delay", "0.01"]) == 1
+    out = capsys.readouterr().out
+    assert "FAILED after 2 attempts" in out

@@ -7,6 +7,7 @@ DataFrame, SQL) provably agree."""
 
 from __future__ import annotations
 
+import math
 import warnings
 
 import pandas as pd
@@ -37,7 +38,10 @@ def test_groupby_agg_matches_pandas_and_native(spark, psdf):
             .agg(["count", "sum"]).sort_index())
     assert list(got.index) == list(want.index)
     assert (got["count"] == want["count"]).all()
-    assert (got["sum"] - want["sum"]).abs().max() < 1e-6
+    # Relative tolerance: the sums are ~1e7-1e8, where an absolute 1e-6
+    # is near double accumulation error and partition-count sensitive.
+    assert all(math.isclose(a, b, rel_tol=1e-9)
+               for a, b in zip(got["sum"], want["sum"]))
 
     native = {
         r["o_orderpriority"]: (r["n"], r["s"])
@@ -48,7 +52,7 @@ def test_groupby_agg_matches_pandas_and_native(spark, psdf):
     }
     for k in got.index:
         assert native[k][0] == got.loc[k, "count"]
-        assert abs(native[k][1] - got.loc[k, "sum"]) < 1e-6
+        assert math.isclose(native[k][1], got.loc[k, "sum"], rel_tol=1e-9)
 
 
 def test_filter_assign_sort_matches_pandas(psdf):

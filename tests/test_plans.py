@@ -375,3 +375,65 @@ def test_join_strategy_hints_switch_physical_plans(spark):
     }
     assert len(set(counts.values())) == 1
 
+
+
+def test_global_window_smell_detector_fires(spark):
+    """Regression for the round-4 dead-detector finding: the old regex
+    (``Window \\[...\\], \\[\\], \\[``) could never match on Spark 4.1.2,
+    which prints a partition-less Window with only TWO bracket groups.
+    The structural detector must flag the spec-only q_pack_sequences
+    (Exchange SinglePartition under Sort+Window) and must NOT flag a
+    global aggregate (whose SinglePartition exchange carries one row per
+    partial-agg partition) or a properly partitioned window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.plans.introspect import (
+        simple_plan, single_partition_sort_smells)
+    from datalake_project_spark.queries.text import q_pack_sequences
+
+    smells = single_partition_sort_smells(
+        simple_plan(q_pack_sequences(spark, SF)))
+    assert smells, "deliberately-global window was NOT flagged"
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    assert single_partition_sort_smells(
+        simple_plan(o.agg(F.sum("o_totalprice")))) == []
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    assert single_partition_sort_smells(
+        simple_plan(o.withColumn("rn", F.row_number().over(w)))) == []
+
+
+def test_pack_sequences_sharded_matches_spec_per_shard(spark):
+    """Derivation proof for the shipped sharded packing: within each
+    shard, the per-shard windows of q_pack_sequences_sharded produce
+    exactly the bins the global spec (q_pack_sequences) produces when
+    applied to that shard's rows alone — packing parallelizes without
+    changing semantics, and total tokens are conserved."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.functions import text as T
+    from datalake_project_spark.queries.corpus import (
+        N_PACK_SHARDS, PACK_BIN_TOKENS, q_pack_sequences_sharded)
+
+    sf = "/root/testdata/sf0.001"
+    sharded = {tuple(r) for r in q_pack_sequences_sharded(spark, sf)
+               .select("shard", "bin_id", "n_docs", "bin_tokens").collect()}
+
+    d = Catalog(spark, sf).table("documents")
+    tc = d.select("doc_id", T.token_count("text").alias("n_tokens"))
+    spec = set()
+    for shard in range(N_PACK_SHARDS):
+        sub = tc.where(F.col("doc_id") % N_PACK_SHARDS == shard)
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        packed = sub.withColumn(
+            "bin_id", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                              / F.lit(float(PACK_BIN_TOKENS))))
+        spec |= {(shard,) + tuple(r) for r in packed.groupBy("bin_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens")).collect()}
+    assert sharded == spec
+    total = tc.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r[3] for r in sharded) == total
