@@ -173,6 +173,20 @@ ADDITIONS = [
     "q_embed_triplet_mining",
     "q_corpus_epoch_plan",
     "q_retrieval_mrr",
+    # round-5 additions: the manifest-commit ACID layer, incremental
+    # join maintenance, CDC changelog compaction, the re-blocked
+    # Fellegi-Sunter, Kneser-Ney LM scoring, and the LATERAL / SQL-UDF
+    # engine surfaces
+    "q_manifest_merge_upsert",
+    "q_manifest_timetravel",
+    "q_manifest_version_diff",
+    "q_incremental_join_maintenance",
+    "q_cdc_apply_latest",
+    "q_asof_tolerance_join",
+    "q_text_kneser_ney",
+    "q_lateral_topn",
+    "q_sql_udf_margin",
+    "q_snapshot_scd3",
 ]
 
 HEADLINE = CORE + ADDITIONS

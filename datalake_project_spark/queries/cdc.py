@@ -1394,3 +1394,253 @@ def q_tpch_refresh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (refreshed.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "q_incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate  < TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Incremental view maintenance of a JOIN — the delta rule every "
+        "materialized join view needs at 100 TB, where re-joining the "
+        "full inputs nightly is the cost center: with base tables "
+        "A0 (orders before 1996) ⋈ B0 (lineitem shipped before 1996) "
+        "already materialized in the lake, the arrival of insert-only "
+        "deltas dA (1996 orders) and dB (1996 shipments) is absorbed "
+        "by appending exactly ΔJ = dA⋈B0 ∪ A0⋈dB ∪ dA⋈dB — three "
+        "delta-sized joins (each bounded by |delta| x fanout, never "
+        "|base|²) instead of one full recompute. The maintained view "
+        "is read BACK from the lake and aggregated; the oracle "
+        "recomputes the join from source over the union window, so a "
+        "pass proves the delta algebra is exact (no lost, duplicated, "
+        "or phantom join rows across the four quadrants). At cluster "
+        "scale the base-side scans of the delta joins carry the "
+        "runtime Bloom filter on the delta's keys — touching only "
+        "base row groups that can match.",
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.lake import Lake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    cut95 = F.lit("1996-01-01").cast("timestamp")
+    cut96 = F.lit("1997-01-01").cast("timestamp")
+    o = cat.table("orders").select("o_orderkey", "o_orderpriority",
+                                   "o_orderdate")
+    li = cat.table("lineitem").select("l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate")
+    a0 = o.where(F.col("o_orderdate") < cut95)
+    da = o.where((F.col("o_orderdate") >= cut95)
+                 & (F.col("o_orderdate") < cut96))
+    b0 = li.where(F.col("l_shipdate") < cut95)
+    db = li.where((F.col("l_shipdate") >= cut95)
+                  & (F.col("l_shipdate") < cut96))
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (left.join(right,
+                          right.l_orderkey == left.o_orderkey)
+                .select("o_orderpriority", "l_extendedprice", "l_discount"))
+
+    lake = Lake(spark, scratch_dir("ivm", sf_dir))
+    lake.write_usage(j(a0, b0), "join_view", "1996-01-01", "base")
+    delta = j(da, b0).unionByName(j(a0, db)).unionByName(j(da, db))
+    # append the delta beside the base materialization (one partition
+    # per refresh keeps the view's history auditable and the append
+    # blind to base size)
+    lake.write_usage(delta, "join_view", "1996-01-01", "delta1")
+    view = lake.read_usage("join_view", "1996-01-01")
+    return (view.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@register(
+    "q_manifest_version_diff",
+    oracle="""
+    WITH t95 AS (SELECT o_custkey AS custkey,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01'
+                 GROUP BY o_custkey),
+         t96 AS (SELECT o_custkey AS custkey,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'
+                 GROUP BY o_custkey)
+    SELECT 'added' AS change, COUNT(*) AS n FROM t96
+    WHERE NOT EXISTS (SELECT 1 FROM t95 WHERE t95.custkey = t96.custkey)
+    UNION ALL
+    SELECT 'deleted', COUNT(*) FROM t95
+    WHERE NOT EXISTS (SELECT 1 FROM t96 WHERE t96.custkey = t95.custkey)
+    UNION ALL
+    SELECT 'changed', COUNT(*) FROM t95 JOIN t96 USING (custkey)
+    WHERE t95.total_price <> t96.total_price
+    """,
+    doc="CDC between TABLE VERSIONS on the manifest-commit lake (Delta "
+        "CHANGE DATA FEED / table_changes semantics): the 1995 rollup "
+        "commits as version V, the 1996 rollup replaces the same "
+        "partition at V+1, and the added/deleted/changed counts are "
+        "computed by diffing read_usage_at(V) against read_usage_at "
+        "(V+1) — two snapshot-isolated reads of IMMUTABLE file sets, "
+        "so the diff is exact even while newer commits land (the "
+        "bare-Parquet lake must materialize both snapshots as live "
+        "partitions to do this; the manifest lake gets any historical "
+        "pair for free). Same anti-join + value-compare shape as the "
+        "flagship q_snapshot_diff, now driven by version handles; the "
+        "oracle recomputes all three counts from source. At scale "
+        "this is the audit query behind every 'what changed between "
+        "yesterday's and today's table' question.",
+)
+def q_manifest_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def rollup(year: int) -> DataFrame:
+        return (o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp")))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+    lake = ManifestLake(spark, scratch_dir("mlake", sf_dir))
+    v1 = lake.write_usage(rollup(1995), "vdiff", "1995-01-01", "T01")
+    v2 = lake.write_usage(rollup(1996), "vdiff", "1995-01-01", "T01")
+    old = (lake.read_usage_at("vdiff", v1, "1995-01-01", "T01")
+           .select("custkey", "total_price"))
+    new = (lake.read_usage_at("vdiff", v2, "1995-01-01", "T01")
+           .select("custkey", "total_price"))
+    added = (new.join(old.select("custkey"), "custkey", "left_anti")
+             .agg(F.lit("added").alias("change"),
+                  F.count(F.lit(1)).alias("n")))
+    deleted = (old.join(new.select("custkey"), "custkey", "left_anti")
+               .agg(F.lit("deleted").alias("change"),
+                    F.count(F.lit(1)).alias("n")))
+    changed = (old.alias("o").join(new.alias("n"), "custkey")
+               .where(F.col("o.total_price") != F.col("n.total_price"))
+               .agg(F.lit("changed").alias("change"),
+                    F.count(F.lit(1)).alias("n")))
+    return added.unionByName(deleted).unionByName(changed)
+
+
+@register(
+    "q_cdc_apply_latest",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        WHERE event_type IN ('signup', 'purchase', 'logout')),
+    ranked AS (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM ops)
+    SELECT user_id, n_ops, ROUND(value, 2) AS last_value
+    FROM ranked
+    WHERE rk = 1 AND event_type <> 'logout'
+    """,
+    doc="Changelog compaction (Debezium/CDC apply with LATEST-WINS): an "
+        "out-of-order stream of per-key operations — upserts (signup/"
+        "purchase carry the new value) and deletes (logout tombstones) "
+        "— folds to the final table state by keeping each key's "
+        "newest op under a TOTAL order (ts, event_id; the event_id "
+        "tie-break makes equal-timestamp batches deterministic) and "
+        "dropping keys whose newest op is a tombstone. This is the "
+        "batch/backfill twin of the streaming CDC MERGE sink "
+        "(streaming/sinks.py): one window over the changelog, no "
+        "target join at all — compaction BEFORE merge is how a "
+        "backlogged CDC topic is applied in one pass instead of "
+        "replaying every intermediate state. One shuffle on the key; "
+        "at 100 TB the rank prunes with WindowGroupLimit pushdown "
+        "(rk = 1 becomes a per-partition top-1, never a full sort "
+        "materialization).",
+)
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("events")
+    ops = (e.where(F.col("event_type").isin("signup", "purchase", "logout"))
+           .select("user_id", "event_id", "ts", "event_type", "value"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    ranked = (ops.withColumn("rk", F.row_number().over(w))
+              .withColumn("n_ops", F.count(F.lit(1)).over(wc)))
+    return (ranked.where((F.col("rk") == 1)
+                         & (F.col("event_type") != "logout"))
+            .select("user_id", "n_ops",
+                    F.round("value", 2).alias("last_value")))
+
+
+@register(
+    "q_snapshot_scd3",
+    oracle="""
+    WITH t95 AS (SELECT o_custkey AS custkey,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01'
+                 GROUP BY o_custkey),
+         t96 AS (SELECT o_custkey AS custkey,
+                        ROUND(SUM(o_totalprice), 2) AS total_price
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01'
+                 GROUP BY o_custkey)
+    SELECT COALESCE(t96.custkey, t95.custkey) AS custkey,
+           t96.total_price AS current_price,
+           t95.total_price AS previous_price,
+           CASE WHEN t95.custkey IS NULL THEN 'new'
+                WHEN t96.custkey IS NULL THEN 'lapsed'
+                WHEN t95.total_price <> t96.total_price THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM t95 FULL OUTER JOIN t96 ON t95.custkey = t96.custkey
+    """,
+    doc="SCD Type 3 — current-plus-previous ATTRIBUTE COLUMNS per key, "
+        "completing the slowly-changing-dimension family beside the "
+        "interval-versioned Type 2 (q_snapshot_scd2) and the "
+        "overwrite-in-place Type 1 the plain usage write implements: "
+        "one full-outer join of consecutive snapshots yields the "
+        "(current, previous, change_type) row a Type-3 dimension "
+        "stores, where NULLs in either column ARE the signal (new key "
+        "-> no previous; lapsed key -> no current). The warehouse "
+        "trade-off it encodes: one prior version, O(1) storage per "
+        "key, no history explosion — the right SCD when only "
+        "'what changed since last load' matters. One shuffle on the "
+        "key (both rollups partition identically so AQE can plan the "
+        "join shuffle-free after the aggregates).",
+)
+def q_snapshot_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def rollup(year: int) -> DataFrame:
+        return (o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp")))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+    t95 = rollup(1995).select("custkey",
+                              F.col("total_price").alias("prev_p"))
+    t96 = rollup(1996).select("custkey",
+                              F.col("total_price").alias("cur_p"))
+    j = t95.join(t96, "custkey", "full_outer")
+    change = (F.when(F.col("prev_p").isNull(), "new")
+              .when(F.col("cur_p").isNull(), "lapsed")
+              .when(F.col("prev_p") != F.col("cur_p"), "changed")
+              .otherwise("unchanged"))
+    return j.select("custkey",
+                    F.col("cur_p").alias("current_price"),
+                    F.col("prev_p").alias("previous_price"),
+                    change.alias("change_type"))

@@ -2089,3 +2089,39 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.lit(0.0)).alias("bucket_lo"),
                     (F.round(F.col("lo") + (F.col("bk") + 1) * w, 4)
                      + F.lit(0.0)).alias("bucket_hi")))
+
+
+@register(
+    "q_asof_tolerance_join",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CASE WHEN e.ts - s.ts <= INTERVAL 30 MINUTES
+                THEN s.event_id END AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    doc="As-of join with a TOLERANCE bound (pandas merge_asof's "
+        "tolerance= / kdb wj semantics): each error event matches the "
+        "latest prior-or-equal signup of its user ONLY if that signup "
+        "is within 30 minutes — older matches become NULL, "
+        "distinguishing 'no recent context' from 'no context ever'. "
+        "Same union + last-value-window plan as q_asof_join (ONE "
+        "shuffle on user_id, no nested-loop range join); the "
+        "tolerance is a post-match null-out, which is exactly how the "
+        "oracle states it over DuckDB's native ASOF JOIN — proving "
+        "the window formulation and a native as-of executor agree on "
+        "the bounded-staleness contract.",
+)
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event_id"), "ts")
+    joined = asof_join(errors, signups, on=["user_id"], left_ts="ts",
+                       right_ts="ts", right_cols=["signup_event_id", "ts"],
+                       suffix="_s", tolerance_seconds=1800.0)
+    return joined.select("event_id", "user_id",
+                         F.col("signup_event_id_s").alias("signup_event_id"))

@@ -1955,3 +1955,98 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("abc_class")
             .agg(F.count(F.lit(1)).alias("n_parts"),
                  F.sum("cents").cast("long").alias("revenue_cents")))
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="LATERAL correlated subquery in FROM — the SQL-standard "
+        "per-row-subquery surface (each BUILDING customer's top-3 "
+        "orders by price): the form warehouse users write instead of "
+        "a window + filter, and a Spark engine surface distinct from "
+        "correlated WHERE subqueries. Catalyst DECORRELATES the "
+        "lateral LIMIT into a partitioned window + rank filter (one "
+        "shuffle on the join key, no per-row re-execution), so the "
+        "plan is the same scale-safe shape as q_window_topn — the "
+        "pass proves the decorrelation rewrite preserves per-group "
+        "LIMIT semantics against an engine (DuckDB) that executes "
+        "the lateral loop natively. Tie-break on o_orderkey makes "
+        "the per-group top-3 a total order in both engines.",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.sql("""
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)
+
+
+@register(
+    "q_sql_udf_margin",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged,
+           ROUND(SUM(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice * l_discount END), 2)
+               AS heavy_discount_given
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL scalar UDFs (Spark 4 CREATE FUNCTION ... RETURNS ... "
+        "RETURN expr): the charged-amount and discount-given formulas "
+        "are declared ONCE as named SQL functions and reused across "
+        "aggregates — the warehouse pattern for shared business logic "
+        "that row-at-a-time engines implement as procedures. Spark "
+        "INLINES the SQL function body into the plan at analysis time, "
+        "so the aggregate runs fully inside whole-stage codegen with "
+        "ZERO Python or procedure-call overhead (the oracle states the "
+        "inlined expressions directly, proving the inlining preserves "
+        "semantics). This is the 100 TB answer to shared logic: a "
+        "library of SQL UDFs costs nothing at execution time, unlike "
+        "the per-row UDF tax every call-based engine pays.",
+)
+def q_sql_udf_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION dlps_charged(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DOUBLE RETURN price * (1 - disc) * (1 + tax)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION dlps_disc_given(
+            price DOUBLE, disc DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN disc > 0.05 THEN price * disc END
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               ROUND(SUM(dlps_charged(l_extendedprice, l_discount, l_tax)), 2)
+                   AS charged,
+               ROUND(SUM(dlps_disc_given(l_extendedprice, l_discount)), 2)
+                   AS heavy_discount_given
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)

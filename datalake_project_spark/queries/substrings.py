@@ -1697,3 +1697,81 @@ def q_text_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.round("l0", 3) + F.lit(0.0)).alias("loglik_before"),
                     (F.round("l1", 3) + F.lit(0.0)).alias("loglik_after"),
                     (F.col("l1") >= F.col("l0")).alias("improved")))
+
+
+@register(
+    "q_text_kneser_ney",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                   AS bg
+        FROM tok WHERE len(ws) >= 2),
+    sp AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[2] AS w2
+           FROM bg),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM sp GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+                  COUNT(*) AS n1fw
+           FROM c2 GROUP BY w1),
+    bw AS (SELECT w2, COUNT(*) AS n1bw FROM c2 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n1all FROM c2)
+    SELECT sp.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(
+               GREATEST(c2.c2 - 0.75, 0.0) / c1.c1::DOUBLE
+               + 0.75 * c1.n1fw / c1.c1::DOUBLE
+                 * bw.n1bw / tot.n1all::DOUBLE)), 4) AS avg_logprob
+    FROM sp
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    JOIN bw USING (w2)
+    CROSS JOIN tot
+    GROUP BY sp.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram LM scoring — the smoothing that "
+        "actually ships in KenLM/CCNet-grade perplexity filters, beside "
+        "the add-one twin (q_text_bigram_lm): P(w2|w1) = "
+        "max(c(w1,w2)-D,0)/c(w1) + D*N1+(w1,.)/c(w1) * Pcont(w2), with "
+        "absolute discount D=0.75 and the continuation probability "
+        "Pcont(w2) = N1+(.,w2)/N1+(.,.) built from distinct-CONTEXT "
+        "counts, not raw frequency (the 'san francisco' correction: "
+        "frequent-but-predictable words stop inflating unseen-history "
+        "scores). Train = the same two count aggregations the add-one "
+        "LM needs plus two distinct-type aggregates DERIVED from the "
+        "bigram count table (no extra corpus pass); score = three "
+        "vocab-sized joins, broadcast under AQE at any corpus scale. "
+        "The formula is evaluated with an identical operation tree in "
+        "both engines (exact integer counts -> identical IEEE "
+        "doubles), so the per-document mean log probability is fully "
+        "value-checked.",
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    sp = (tok.where(n >= 2)
+          .select("doc_id", F.explode(bg_arr).alias("bg"))
+          .select("doc_id", F.split("bg", " ")[0].alias("w1"),
+                  F.split("bg", " ")[1].alias("w2")))
+    c2 = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"),
+                              F.count(F.lit(1)).alias("n1fw"))
+    bw = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    tot = c2.agg(F.count(F.lit(1)).alias("n1all"))
+    p = (F.greatest(F.col("c2") - 0.75, F.lit(0.0))
+         / F.col("c1").cast("double")
+         + F.lit(0.75) * F.col("n1fw") / F.col("c1").cast("double")
+         * F.col("n1bw") / F.col("n1all").cast("double"))
+    scored = (sp.join(c2, ["w1", "w2"])
+              .join(c1, "w1")
+              .join(bw, "w2")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("lp", F.log(p)))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"))

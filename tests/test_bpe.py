@@ -93,7 +93,12 @@ def test_merge_cache_hits_and_invalidates(spark, tmp_path):
     assert m1 == m2 and len(m1) == 2
 
     root = scratch_dir("bpe", str(tmp_path))
-    assert len(os.listdir(root)) == 1
+
+    def cache_entries():
+        # ignore the .src provenance marker scratch_dir writes (round 5)
+        return [f for f in os.listdir(root) if not f.startswith(".")]
+
+    assert len(cache_entries()) == 1
 
     # regenerate the fixture => different (size, mtime) key
     docs2 = spark.createDataFrame(
@@ -106,4 +111,4 @@ def test_merge_cache_hits_and_invalidates(spark, tmp_path):
 
     m3 = _learn_bpe_merges(spark, str(tmp_path), 2)
     assert m3 != m1                       # retrained on the new corpus
-    assert len(os.listdir(root)) == 1     # stale entry evicted
+    assert len(cache_entries()) == 1      # stale entry evicted

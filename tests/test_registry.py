@@ -53,7 +53,18 @@ def test_every_family_in_driver_window():
         "events": ("q_events", "q_asof", "q_range"),
         "multimodal": ("q_multimodal",),
         "streaming": ("q_stream_",),
-        "relational": ("q1_", "q3_", "q_json", "q_window", "q_gender"),
+        # representatives rotate per round with the PRIORITY window; the
+        # prefix sets name CURRENT in-window reps plus historic ones so
+        # a future rotation keeps at least one match per family
+        "relational": ("q1_", "q3_", "q9_", "q_json", "q_window",
+                       "q_gender", "q_sql_", "q_customer", "q_skyline",
+                       "q_geo_", "q_lateral", "q_linkage"),
+        "lake": ("q_merge", "q_manifest", "q_retention", "q_tpch_refresh",
+                 "q_write_audit", "q_snapshot_rollback"),
+        "retrieval": ("q_retrieval", "q_hybrid", "q_text_bm25"),
+        "corpus": ("q_corpus",),
+        "graph": ("q_graph",),
+        "embed": ("q_embed",),
     }
     window = list(load_all())[:50]
     for fam, prefixes in families.items():

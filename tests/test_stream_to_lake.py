@@ -217,3 +217,55 @@ def test_write_audit_publish_refusal(spark, tmp_path):
     got = {(r["username"], r["full_name"]) for r in
            lake.read_usage("followers", "20260813", "published").collect()}
     assert got == {("ana", "Ana A"), ("bo", "Bo B")}
+
+
+def test_restart_resumes_from_checkpoint_no_duplicates(spark, tmp_path,
+                                                       snap_dir):
+    """Restart-RESUME (the property test_replayed_batch_is_idempotent
+    does NOT cover — that one uses fresh checkpoints): stop the stream
+    after the first two snapshots, land a THIRD file, restart with the
+    SAME checkpoint dir. The resumed stream must process only the new
+    file (offsets advance from the checkpoint) and the lake must hold
+    exactly three partitions with no re-landed rows — the exactly-once
+    restart contract every production stream relies on."""
+    import shutil
+    import time
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(snap_dir))
+        q = stream_to_lake(stream, lake, "followers", "20260813",
+                          checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    run_once()
+    n_after_first = lake.read_usage("followers", "20260813").count()
+    assert n_after_first == len(SNAP1) + len(SNAP2)
+
+    # a third snapshot arrives while the stream is down
+    snap3 = [("di", "Di D"), ("ed", "Ed E")]
+    df = spark.createDataFrame(snap3, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    import glob
+    src = glob.glob(str(tmp_path / "stage2" / "part-*.parquet"))[0]
+    shutil.copy(src, f"{snap_dir}/snap2.parquet")
+    now = time.time()
+    import os
+    os.utime(f"{snap_dir}/snap2.parquet", (now, now))
+
+    run_once()  # same checkpoint: resumes at batch 2, reads ONLY snap2
+    parts = sorted(r["run_ts"] for r in
+                   lake.read_usage("followers", "20260813")
+                   .select("run_ts").distinct().collect())
+    assert parts == [run_ts_of_batch(0), run_ts_of_batch(1),
+                     run_ts_of_batch(2)]
+    # no duplicates in the resumed partition, old partitions untouched
+    assert lake.read_usage("followers", "20260813").count() \
+        == n_after_first + len(snap3)
+    got3 = {(r["username"], r["full_name"]) for r in
+            lake.read_usage("followers", "20260813", run_ts_of_batch(2))
+            .select("username", "full_name").collect()}
+    assert got3 == set(snap3)
