@@ -540,3 +540,68 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.covar_pop("du", "dv"),
                      F.stddev_pop("du") * F.stddev_pop("dv")), 6)
                   + F.lit(0.0)).alias("assortativity")))
+
+
+@register(
+    "q_graph_neighbor_jaccard",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    pdeg AS (SELECT p, COUNT(*) AS np FROM bip GROUP BY p),
+    sdeg AS (SELECT s, COUNT(*) AS d FROM bip GROUP BY s),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+        FROM bip a
+        JOIN bip b ON a.p = b.p AND a.s < b.s
+        JOIN pdeg ON pdeg.p = a.p
+        WHERE pdeg.np BETWEEN 2 AND 1000
+        GROUP BY 1, 2)
+    SELECT s1, s2, shared,
+           ROUND(shared::DOUBLE / (d1.d + d2.d - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sdeg d1 ON d1.s = s1
+    JOIN sdeg d2 ON d2.s = s2
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT 20
+    """,
+    doc="Neighborhood Jaccard similarity between suppliers via "
+        "co-supplied parts: J(u,v) = |N(u) n N(v)| / |N(u) u N(v)| — "
+        "the structural-equivalence link predictor beside Adamic-Adar "
+        "(q_graph_adamic_adar weights rare neighbors; Jaccard "
+        "normalizes by degree, so hub suppliers can't dominate). "
+        "Intersection sizes come from the same inverted-index wedge "
+        "join (per-part supplier lists joined on the part key, cost "
+        "Sigma np^2 never |S|^2) and the union size is d1 + d2 - "
+        "shared from the tiny degree table — no set materialization. "
+        "The part-degree valve (2 <= np <= 1000) is LOAD-BEARING here "
+        "unlike in Adamic-Adar: a ubiquitous part contributes full "
+        "intersection weight, so at 100 TB the cap bounds wedge "
+        "volume exactly like the dedup max_df valve, and it is part "
+        "of the operator's contract (stated in the oracle, same cap "
+        "both engines). Jaccard itself is one exact integer ratio "
+        "rounded once; top-20 is TakeOrderedAndProject with a total "
+        "order (jaccard desc, s1, s2).",
+)
+def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    bip = li.select(F.col("l_suppkey").alias("s"),
+                    F.col("l_partkey").alias("p")).distinct() \
+        .localCheckpoint(eager=False)
+    pdeg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    sdeg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = bip.select(F.col("s").alias("s1"), "p")
+    b = bip.select(F.col("s").alias("s2"), "p")
+    pairs = (a.join(b, "p")
+             .where(F.col("s1") < F.col("s2"))
+             .join(pdeg.where(F.col("np").between(2, 1000)), "p")
+             .groupBy("s1", "s2")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    d1 = sdeg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = sdeg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (pairs.join(F.broadcast(d1), "s1").join(F.broadcast(d2), "s2")
+            .select("s1", "s2", "shared",
+                    F.round(F.col("shared").cast("double")
+                            / (F.col("d1") + F.col("d2") - F.col("shared")),
+                            6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "s1", "s2")
+            .limit(20))

@@ -1775,3 +1775,79 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"))
+
+
+@register(
+    "q_text_ppl_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS ws FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                   AS bg
+        FROM tok WHERE len(ws) >= 2),
+    sp AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[2] AS w2
+           FROM bg),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM sp GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+                  COUNT(*) AS n1fw
+           FROM c2 GROUP BY w1),
+    bw AS (SELECT w2, COUNT(*) AS n1bw FROM c2 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n1all FROM c2),
+    scored AS (
+        SELECT sp.doc_id,
+               ROUND(AVG(LN(
+                   GREATEST(c2.c2 - 0.75, 0.0) / c1.c1::DOUBLE
+                   + 0.75 * c1.n1fw / c1.c1::DOUBLE
+                     * bw.n1bw / tot.n1all::DOUBLE)), 4) AS lp
+        FROM sp
+        JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN bw USING (w2)
+        CROSS JOIN tot
+        GROUP BY sp.doc_id),
+    b AS (
+        SELECT d.source, scored.lp,
+               NTILE(3) OVER (PARTITION BY d.source
+                              ORDER BY scored.lp DESC, scored.doc_id)
+                   AS bucket
+        FROM scored JOIN documents d USING (doc_id))
+    SELECT source, bucket, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(lp * 10000) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 10000.0), 4) AS avg_logprob
+    FROM b GROUP BY source, bucket
+    """,
+    doc="CCNet-style perplexity-tertile bucketing — the curriculum/"
+        "quality partition step after LM scoring: per source, documents "
+        "split into head/middle/tail thirds by Kneser-Ney mean log "
+        "probability (best = bucket 1), the partition CCNet keeps/"
+        "inspects/drops and curriculum schedules sample from. Buckets "
+        "come from NTILE over a TOTAL order (logprob desc, doc_id) so "
+        "the assignment is deterministic in both engines; scores reuse "
+        "the exact q_text_kneser_ney formulation (rounded once before "
+        "ranking so both engines rank identical values). The per-source "
+        "window is the demo formulation — at 100 TB the ranking runs "
+        "per (source, shard) with broadcast cross-shard offsets, the "
+        "sharded-window discipline q_abc_classification implements, or "
+        "bucket boundaries come from a quantile sketch with the exact "
+        "NTILE reserved for the oracle.",
+)
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents")
+    scored = (q_text_kneser_ney(spark, sf_dir)
+              .select("doc_id", F.col("avg_logprob").alias("lp")))
+    w = Window.partitionBy("source").orderBy(F.desc("lp"), "doc_id")
+    b = (scored.join(d.select("doc_id", "source"), "doc_id")
+         .withColumn("bucket", F.ntile(3).over(w)))
+    # The bucket mean re-aggregates ALREADY-4dp-rounded scores: summing
+    # them as exact integer ten-thousandths makes the mean summation-
+    # order-independent (a plain AVG straddled a half-ulp rounding
+    # boundary between engines at sf0.001).
+    return (b.groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(
+                     F.sum(F.round(F.col("lp") * 10000, 0).cast("long"))
+                     .cast("double")
+                     / (F.count(F.lit(1)) * F.lit(10000.0)), 4)
+                 .alias("avg_logprob")))

@@ -808,8 +808,8 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix sums run over the VOCAB-sized table via bounded "
         "self-joins (the q_text_zipf_fit shape — never a corpus-sized "
         "or single-partition window; at true web-scale vocabularies "
-        "the decile-sharded prefix sum of q_classifier_auc is the "
-        "drop-in). Integer counts; the coverage thresholds compare "
+        "q_text_vocab_coverage_sharded is the V log V drop-in). "
+        "Integer counts; the coverage thresholds compare "
         "against ceil(c*N) so both engines pick the identical rank.",
 )
 def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -194,3 +194,23 @@ def test_compact_reduces_file_count_same_rows(spark, tmp_path):
     m = lake._latest("t")[1]
     assert len(lake._entry_files(m, (D, "T01"))) == 1
     assert lake.read_usage("t", D, "T01").count() == 100
+
+
+def test_read_prunes_to_manifest_files(spark, tmp_path):
+    """Partition pruning is MANIFEST pruning: a filtered read's scan
+    touches exactly the filtered partition's files — the other
+    partitions contribute zero files to the plan (Iceberg-style
+    listing-free skip, verified via input_file_name)."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(spark.range(100).selectExpr("id", "id * 2 AS v")
+                     .repartition(4), "t", D, "T01")
+    lake.write_usage(spark.range(50).selectExpr("id", "id * 3 AS v")
+                     .repartition(4), "t", D, "T02")
+    m = lake._latest("t")[1]
+    want = lake._entry_files(m, (D, "T02"))
+    got = {r["f"] for r in
+           lake.read_usage("t", D, "T02")
+           .select(F.input_file_name().alias("f")).distinct().collect()}
+    # normalize file:// prefixes
+    got = {g.removeprefix("file://") for g in got}
+    assert got == set(want)

@@ -437,3 +437,67 @@ def test_pack_sequences_sharded_matches_spec_per_shard(spark):
     assert sharded == spec
     total = tc.agg(F.sum("n_tokens")).first()[0]
     assert sum(r[3] for r in sharded) == total
+
+
+def test_lateral_topn_decorrelates_to_window(spark, registry):
+    """The LATERAL per-group LIMIT must decorrelate into a partitioned
+    window/rank plan — NOT a nested-loop re-execution per outer row.
+    WindowGroupLimit pushdown makes the rank a per-partition top-k."""
+    from datalake_project_spark.plans.introspect import (
+        simple_plan, single_partition_sort_smells)
+
+    df = registry["q_lateral_topn"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert single_partition_sort_smells(plan) == []
+    from pyspark.sql import functions as F
+    rows = df.groupBy("custkey").count().agg(F.max("count")).first()[0]
+    assert rows <= 3
+
+
+def test_sql_udf_inlines_no_python(spark, registry):
+    """SQL scalar UDFs must inline to pure expressions: no Python
+    evaluation node, single shuffle for the group-by."""
+    from datalake_project_spark.plans.introspect import simple_plan
+
+    df = registry["q_sql_udf_margin"].fn(spark, SF)
+    plan = simple_plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert exchange_count(df) == 1
+
+
+def test_vocab_coverage_sharded_ranking_matches_global_window(spark):
+    """The sharded cumulative (magnitude shard + broadcast offsets) in
+    q_text_vocab_coverage must equal the naive global-window spec, and
+    its plan must carry no single-partition sort/window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.plans.introspect import (
+        simple_plan, single_partition_sort_smells)
+    from datalake_project_spark.queries.robust import (
+        q_text_vocab_coverage_sharded)
+
+    sf = "/root/testdata/sf0.001"
+    df = q_text_vocab_coverage_sharded(spark, sf)
+    assert single_partition_sort_smells(simple_plan(df)) == []
+    got = {r["threshold_pct"]: (r["vocab_size"], r["coverage_pct"])
+           for r in df.collect()}
+
+    d = Catalog(spark, sf).table("documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    vocab = (d.select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.desc("c"), "word").rowsBetween(
+        Window.unboundedPreceding, 0)
+    ranked = (vocab.withColumn("cum", F.sum("c").over(w))
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy(F.desc("c"), "word"))))
+    total = vocab.agg(F.sum("c")).first()[0]
+    rows = ranked.orderBy("rnk").collect()
+    for thr in (50, 80, 90, 95, 99):
+        spec = next(r for r in rows if r["cum"] * 100 >= total * thr)
+        assert got[thr][0] == spec["rnk"], thr
+        assert abs(got[thr][1] - spec["cum"] * 100.0 / total) < 5e-4, thr
