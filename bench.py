@@ -187,6 +187,22 @@ ADDITIONS = [
     "q_lateral_topn",
     "q_sql_udf_margin",
     "q_snapshot_scd3",
+    # round-5 continuation: robust-stats/guardrail tranche + the
+    # perplexity-bucket curriculum step and linear-blocking linkage
+    "q_text_ppl_buckets",
+    "q_events_mad_outliers",
+    "q_events_ab_srm",
+    "q_text_vocab_coverage_sharded",
+    "q_stats_bootstrap_ci",
+    "q_text_ttr_hapax",
+    "q_graph_neighbor_jaccard",
+    "q_events_rolling_median",
+    "q_quality_gopher_rules",
+    "q_linkage_sorted_neighborhood",
+    "q_events_seasonal_decompose",
+    "q_events_ab_uplift_ci",
+    "q_text_burstiness",
+    "q_corpus_jsd_matrix",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -77,22 +77,25 @@ PRIORITY: tuple[str, ...] = (
     # smoothed LM beside the add-one and interpolated twins)
     "q_text_unigram_em_round", "q_text_kneser_ney",
     "q_text_collocations", "q_text_decontaminate",
-    "q_text_interpolated_lm", "q_text_nb_langid",
-    # Retrieval + evaluation arc
+    "q_text_ppl_buckets", "q_text_nb_langid",
+    # Retrieval + evaluation arc (rocchio rotates to the tail for the
+    # round-5 Gopher-rules audit — quality family was unrepresented)
     "q_retrieval_ndcg", "q_retrieval_mrr",
-    "q_retrieval_mmr", "q_retrieval_rocchio",
-    # Corpus assembly / release
-    "q_corpus_release", "q_corpus_epoch_plan", "q_corpus_quota_sample",
+    "q_retrieval_mmr", "q_quality_gopher_rules",
+    # Corpus assembly / release + the Poisson-bootstrap CI
+    "q_corpus_release", "q_corpus_epoch_plan", "q_stats_bootstrap_ci",
     # Relational semantics + linkage (q_linkage_fellegi_sunter enters
     # with the round-5 composite pigeonhole re-block; LATERAL and SQL
     # UDFs are new round-5 engine surfaces)
     "q_linkage_fellegi_sunter", "q_sql_variables",
     "q_lateral_topn", "q_sql_udf_margin",
     "q_skyline_pareto", "q9_product_profit", "q_customer_rfm",
-    # Events / experimentation (round 5 adds CDC changelog compaction
-    # and the tolerance-bounded as-of join)
-    "q_events_funnel", "q_quantile_rollup", "q_cdc_apply_latest",
-    "q_asof_tolerance_join", "q_group_zscore",
+    # Events / experimentation (round 5 adds CDC changelog compaction,
+    # the tolerance-bounded as-of join, MAD robust outliers, and the
+    # linear-blocking sorted-neighborhood linkage; the r4-stamped
+    # funnel/zscore veterans rotate to the tail)
+    "q_events_mad_outliers", "q_quantile_rollup", "q_cdc_apply_latest",
+    "q_asof_tolerance_join", "q_linkage_sorted_neighborhood",
     # Structured Streaming (the append-mode/outer-join drains whose
     # watermark-withholding rules are stated verbatim in the oracles)
     "q_stream_outer_join", "q_stream_session_append",

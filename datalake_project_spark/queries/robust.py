@@ -635,3 +635,273 @@ def q_events_seasonal_decompose(spark: SparkSession,
         .alias("r2_dow"),
         F.round(F.sum("s_hr").cast("double") / F.sum("s_tot"), 6)
         .alias("r2_hour"))
+
+
+@register(
+    "q_events_ab_uplift_ci",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id % 2 AS arm,
+               CAST(ROUND(value * 10000) AS BIGINT) AS v10k
+        FROM events WHERE value IS NOT NULL),
+    reps AS (SELECT unnest(range(200)) AS b),
+    w AS (
+        SELECT base.arm, base.v10k, reps.b,
+               (1103515245 * ((base.event_id * 1000003 + reps.b)
+                              % 2147483648) + 12345) % 2147483648 AS r
+        FROM base CROSS JOIN reps),
+    pois AS (
+        SELECT arm, v10k, b,
+               CASE WHEN r < 790015084  THEN 0
+                    WHEN r < 1580030168 THEN 1
+                    WHEN r < 1975037710 THEN 2
+                    WHEN r < 2106706891 THEN 3
+                    WHEN r < 2139624186 THEN 4
+                    ELSE 5 END AS wt
+        FROM w),
+    rep_diffs AS (
+        SELECT b,
+               ROUND(SUM(CASE WHEN arm = 1 THEN wt * v10k END)::DOUBLE
+                     / (SUM(CASE WHEN arm = 1 THEN wt END) * 10000.0)
+                   - SUM(CASE WHEN arm = 0 THEN wt * v10k END)::DOUBLE
+                     / (SUM(CASE WHEN arm = 0 THEN wt END) * 10000.0), 6)
+                   AS d
+        FROM pois GROUP BY b
+        HAVING SUM(CASE WHEN arm = 1 THEN wt END) > 0
+           AND SUM(CASE WHEN arm = 0 THEN wt END) > 0),
+    point AS (
+        SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+               COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+               ROUND(SUM(CASE WHEN arm = 0 THEN v10k END)::DOUBLE
+                     / (COUNT(CASE WHEN arm = 0 THEN 1 END) * 10000.0), 4)
+                   AS mean_a,
+               ROUND(SUM(CASE WHEN arm = 1 THEN v10k END)::DOUBLE
+                     / (COUNT(CASE WHEN arm = 1 THEN 1 END) * 10000.0), 4)
+                   AS mean_b
+        FROM base)
+    SELECT point.n_a, point.n_b, point.mean_a, point.mean_b,
+           ROUND(point.mean_b - point.mean_a, 4) AS diff,
+           ROUND(quantile_cont(rep_diffs.d, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(rep_diffs.d, 0.975), 4) AS ci_hi
+    FROM rep_diffs CROSS JOIN point
+    GROUP BY point.n_a, point.n_b, point.mean_a, point.mean_b
+    """,
+    doc="A/B uplift with a Poisson-bootstrap 95% CI on the arm-mean "
+        "difference — the experiment readout that follows the "
+        "q_events_ab_srm validity check (and the resampling complement "
+        "of q_events_ab_ttest's normal-theory interval): arm = "
+        "user_id parity, B=200 replicates, each (event, replicate) "
+        "drawing an independent Poisson(1) weight from the same "
+        "integer 31-bit LCG as q_stats_bootstrap_ci. The DOUBLE metric "
+        "is snapped to integer ten-thousandths BEFORE the weighted "
+        "sums, so every replicate mean is an exact integer ratio — no "
+        "float accumulation order anywhere (where q_stats_bootstrap_ci "
+        "relied on n_chars already being integer, this handles the "
+        "general continuous-metric case). One explode-by-200 scan and "
+        "one grouped aggregate; replicate state is 200 rows.",
+)
+def q_events_ab_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select("event_id", (F.col("user_id") % 2).alias("arm"),
+                 F.round(F.col("value") * 10000, 0).cast("long")
+                 .alias("v10k")))
+    M = F.lit(2147483648)
+    reps = e.select("arm", "v10k",
+                    F.explode(F.sequence(F.lit(0), F.lit(199))).alias("b"),
+                    "event_id")
+    r = (F.lit(1103515245)
+         * ((F.col("event_id") * F.lit(1000003) + F.col("b")) % M)
+         + F.lit(12345)) % M
+    wt = (F.when(r < 790015084, 0).when(r < 1580030168, 1)
+          .when(r < 1975037710, 2).when(r < 2106706891, 3)
+          .when(r < 2139624186, 4).otherwise(5))
+    arm1 = F.col("arm") == 1
+    rep_diffs = (reps.withColumn("wt", wt)
+                 .groupBy("b")
+                 .agg(F.sum(F.when(arm1, F.col("wt") * F.col("v10k")))
+                      .alias("s1"),
+                      F.sum(F.when(arm1, F.col("wt"))).alias("w1"),
+                      F.sum(F.when(~arm1, F.col("wt") * F.col("v10k")))
+                      .alias("s0"),
+                      F.sum(F.when(~arm1, F.col("wt"))).alias("w0"))
+                 .where((F.col("w1") > 0) & (F.col("w0") > 0))
+                 .select(F.round(
+                     F.col("s1").cast("double")
+                     / (F.col("w1") * F.lit(10000.0))
+                     - F.col("s0").cast("double")
+                     / (F.col("w0") * F.lit(10000.0)), 6).alias("d")))
+    point = e.agg(
+        F.count(F.when(~arm1, F.lit(1))).alias("n_a"),
+        F.count(F.when(arm1, F.lit(1))).alias("n_b"),
+        F.round(F.sum(F.when(~arm1, F.col("v10k"))).cast("double")
+                / (F.count(F.when(~arm1, F.lit(1))) * F.lit(10000.0)), 4)
+        .alias("mean_a"),
+        F.round(F.sum(F.when(arm1, F.col("v10k"))).cast("double")
+                / (F.count(F.when(arm1, F.lit(1))) * F.lit(10000.0)), 4)
+        .alias("mean_b"))
+    ci = rep_diffs.agg(
+        F.round(F.expr("percentile(d, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(d, 0.975)"), 4).alias("ci_hi"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select("n_a", "n_b", "mean_a", "mean_b",
+                    F.round(F.col("mean_b") - F.col("mean_a"), 4)
+                    .alias("diff"),
+                    "ci_lo", "ci_hi"))
+
+
+@register(
+    "q_text_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+    per_doc AS (
+        SELECT word, doc_id, COUNT(*) AS c FROM tok GROUP BY word, doc_id),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (
+        SELECT word, COUNT(*) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(c * c) AS BIGINT) AS tf2
+        FROM per_doc GROUP BY word)
+    SELECT word, df, tf,
+           ROUND((n.n_docs * tf2 - tf * tf)::DOUBLE
+                 / (n.n_docs::DOUBLE * tf), 6) AS vmr
+    FROM stats CROSS JOIN n
+    WHERE df >= 20
+    ORDER BY vmr DESC, word
+    LIMIT 20
+    """,
+    doc="Term burstiness (Church-Gale): variance-to-mean ratio of a "
+        "word's per-document count over ALL documents (zeros "
+        "included) — bursty content words (VMR >> 1) cluster in few "
+        "docs; function words sit near Poisson (VMR ~ 1). The "
+        "topical-term detector that complements TF-IDF (df-based) "
+        "with a dispersion signal, and a standard spam/template "
+        "screen. VMR folds to one EXACT integer expression — "
+        "(N*Sum(c^2) - Sum(c)^2) / (N*Sum(c)) — via E[x^2] over the "
+        "sparse nonzero counts only, so the all-docs variance needs "
+        "no dense explode and no float accumulation; df >= 20 floor "
+        "keeps rare-word noise out. Two map-side-combinable "
+        "aggregates on bounded vocabulary keys + broadcast N, top-20 "
+        "via TakeOrderedAndProject with a total order.",
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    per_doc = (d.select("doc_id", F.explode(toks).alias("word"))
+               .groupBy("word", "doc_id")
+               .agg(F.count(F.lit(1)).alias("c")))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (per_doc.groupBy("word")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("c").cast("long").alias("tf"),
+                  F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2")))
+    return (stats.where(F.col("df") >= 20)
+            .crossJoin(F.broadcast(n))
+            .select("word", "df", "tf",
+                    F.round((F.col("n_docs") * F.col("tf2")
+                             - F.col("tf") * F.col("tf")).cast("double")
+                            / (F.col("n_docs").cast("double")
+                               * F.col("tf")), 6).alias("vmr"))
+            .orderBy(F.desc("vmr"), "word")
+            .limit(20))
+
+
+@register(
+    "q_corpus_jsd_matrix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_SQL_TOKS}) AS word FROM documents),
+    cnt AS (SELECT source, word, COUNT(*) AS c FROM tok
+            GROUP BY source, word),
+    gl AS (SELECT word, CAST(SUM(c) AS BIGINT) AS g FROM cnt
+           GROUP BY word),
+    top AS (SELECT word FROM gl ORDER BY g DESC, word LIMIT 500),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt
+           GROUP BY source),
+    topc AS (SELECT cnt.source, CAST(SUM(c) AS BIGINT) AS tc
+             FROM cnt JOIN top USING (word) GROUP BY cnt.source),
+    feat AS (
+        SELECT st.source, top.word,
+               CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c, st.t
+        FROM st CROSS JOIN top
+        LEFT JOIN cnt ON cnt.source = st.source AND cnt.word = top.word
+        UNION ALL
+        SELECT st.source, '<OTHER>' AS word,
+               st.t - COALESCE(topc.tc, 0) AS c, st.t
+        FROM st LEFT JOIN topc USING (source)),
+    pairs AS (
+        SELECT a.source AS s1, b.source AS s2,
+               a.c AS c1, a.t AS t1, b.c AS c2, b.t AS t2
+        FROM feat a JOIN feat b
+          ON a.word = b.word AND a.source < b.source),
+    terms AS (
+        SELECT s1, s2,
+               CAST(ROUND((
+                   CASE WHEN c1 > 0 THEN
+                       (c1::DOUBLE / t1) / 2 * LN((c1::DOUBLE / t1)
+                           / ((c1::DOUBLE / t1 + c2::DOUBLE / t2) / 2))
+                   ELSE 0.0 END
+                 + CASE WHEN c2 > 0 THEN
+                       (c2::DOUBLE / t2) / 2 * LN((c2::DOUBLE / t2)
+                           / ((c1::DOUBLE / t1 + c2::DOUBLE / t2) / 2))
+                   ELSE 0.0 END) * 1000000000000) AS BIGINT) AS term
+        FROM pairs)
+    SELECT s1, s2, ROUND(SUM(term) / 1000000000000.0, 6) AS jsd
+    FROM terms GROUP BY s1, s2
+    ORDER BY jsd DESC, s1, s2 LIMIT 15
+    """,
+    doc="Jensen-Shannon divergence matrix between per-source unigram "
+        "distributions over a BOUNDED feature space (global top-500 "
+        "words + one <OTHER> bucket) — the corpus drift/mix monitor "
+        "that says WHICH sources differ lexically (top-15 most "
+        "divergent pairs), complementing q_text_length_ks_drift "
+        "(lengths) and q_corpus_overlap_matrix (shared n-grams). The "
+        "bounded vocabulary is the scale design, not a shortcut: a "
+        "drift monitor at 100 TB pins its feature space so the dense "
+        "S x 501 profile table stays tiny and comparable across "
+        "snapshots — probabilities are exact integer ratios, every "
+        "JSD term is snapped to integer picounits before summation "
+        "(order-independent; a 1-ulp libm LN divergence is 4 orders "
+        "below the snap), and the pairwise join runs on the profile "
+        "table, never the corpus. JSD is symmetric, bounded by ln 2, "
+        "and zero-safe (absent words contribute exactly 0).",
+)
+def q_corpus_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    cnt = (d.select("source", F.explode(toks).alias("word"))
+           .groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))
+    top = (cnt.groupBy("word").agg(F.sum("c").alias("g"))
+           .orderBy(F.desc("g"), "word").limit(500).select("word"))
+    st = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    topc = (cnt.join(F.broadcast(top), "word")
+            .groupBy("source").agg(F.sum("c").cast("long").alias("tc")))
+    dense = (st.crossJoin(F.broadcast(top))
+             .join(cnt, ["source", "word"], "left")
+             .select("source", "word",
+                     F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                     .alias("c"), "t"))
+    other = (st.join(F.broadcast(topc), "source", "left")
+             .select("source", F.lit("<OTHER>").alias("word"),
+                     (F.col("t") - F.coalesce(F.col("tc"), F.lit(0)))
+                     .alias("c"), "t"))
+    feat = dense.unionByName(other)
+    a = feat.select(F.col("source").alias("s1"), "word",
+                    F.col("c").alias("c1"), F.col("t").alias("t1"))
+    b = feat.select(F.col("source").alias("s2"), "word",
+                    F.col("c").alias("c2"), F.col("t").alias("t2"))
+    pairs = a.join(b, "word").where(F.col("s1") < F.col("s2"))
+    p = F.col("c1").cast("double") / F.col("t1")
+    q = F.col("c2").cast("double") / F.col("t2")
+    m = (p + q) / 2
+    term = (F.when(F.col("c1") > 0, p / 2 * F.log(p / m)).otherwise(0.0)
+            + F.when(F.col("c2") > 0, q / 2 * F.log(q / m)).otherwise(0.0))
+    terms = pairs.select(
+        "s1", "s2",
+        F.round(term * F.lit(1000000000000), 0).cast("long").alias("term"))
+    return (terms.groupBy("s1", "s2")
+            .agg(F.round(F.sum("term") / F.lit(1000000000000.0), 6)
+                 .alias("jsd"))
+            .orderBy(F.desc("jsd"), "s1", "s2").limit(15))
