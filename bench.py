@@ -203,6 +203,7 @@ ADDITIONS = [
     "q_events_ab_uplift_ci",
     "q_text_burstiness",
     "q_corpus_jsd_matrix",
+    "q_manifest_stats_skipping",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -159,6 +159,96 @@ class ManifestLake(Lake):
             for f in files
             if f.endswith(".parquet") and not f.startswith(("_", ".")))
 
+    # -- per-file column stats (Iceberg manifest-stats skipping) ------------
+    def _collect_stats(self, files: list[str]) -> dict:
+        """Per-file min/max for every integral/float/string column of the
+        freshly staged files — the Iceberg/Delta file-stats record that
+        lets a reader skip whole data files from the MANIFEST, before
+        any footer is opened. One distributed scan of the stage dir
+        (row-group metadata makes min/max cheap); the result is
+        manifest-bounded (files x columns), never row-bounded."""
+        from pyspark.sql.types import DecimalType, NumericType, StringType
+
+        if not files:
+            return {}
+        df = self.spark.read.parquet(*files)
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (NumericType, StringType))
+                and not isinstance(f.dataType, DecimalType)]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"mn__{c}"))
+            aggs.append(F.max(c).alias(f"mx__{c}"))
+        rows = (df.groupBy(F.input_file_name().alias("__f"))
+                .agg(*aggs).collect())
+        out = {}
+        for r in rows:
+            f = r["__f"]
+            f = f[7:] if f.startswith("file://") else f
+            out[f] = {c: [r[f"mn__{c}"], r[f"mx__{c}"]] for c in cols}
+        return out
+
+    @staticmethod
+    def _prune_files(entry: dict, col: str, lo, hi) -> list[str]:
+        """Files of one manifest entry that can contain rows with
+        ``col`` in [lo, hi]. A file with no stats for ``col`` is kept
+        (conservative — stats are an optimization, never a filter); a
+        file whose min/max are both null holds no non-null values and
+        range predicates never match null, so it is skipped."""
+        stats = entry.get("stats", {})
+        keep = []
+        for f in entry["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            mn, mx = s
+            if mn is None and mx is None:
+                continue
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            keep.append(f)
+        return keep
+
+    def scan_usage(self, table: str, col: str, lo=None, hi=None,
+                   ingest_date: str | None = None,
+                   run_ts: str | None = None) -> DataFrame:
+        """Stats-pruned range scan: resolve the latest manifest, keep
+        only data files whose recorded [min, max] for ``col`` overlaps
+        [lo, hi], read those, and apply the residual row filter. With
+        range-clustered writes (repartitionByRange before write_usage)
+        this skips whole files from metadata alone — the manifest-level
+        twin of parquet row-group skipping, and the reason Iceberg
+        scans of a clustered table touch O(matching) files at 100 TB."""
+        _, m = self._latest(table)
+        frames = []
+        for e in m.get("entries", []):
+            d, ts = e["keys"]
+            if ingest_date is not None and d != ingest_date:
+                continue
+            if run_ts is not None and ts != run_ts:
+                continue
+            files = self._prune_files(e, col, lo, hi)
+            if files:
+                frames.append(self.spark.read.parquet(*files)
+                              .withColumn("ingest_date", F.lit(d))
+                              .withColumn("run_ts", F.lit(ts)))
+        if not frames:
+            base = self.read_usage(table, ingest_date, run_ts).limit(0)
+            return base
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        if lo is not None:
+            out = out.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(col) <= F.lit(hi))
+        return out
+
     # -- Lake API ----------------------------------------------------------
     def write_usage(self, df: DataFrame, table: str, ingest_date: str,
                     run_ts: str) -> int:
@@ -167,12 +257,14 @@ class ManifestLake(Lake):
         (ingest_date, run_ts) entry in one atomic version bump.
         Returns the committed snapshot version (time-travel handle)."""
         files = self._stage(df.drop("ingest_date", "run_ts"), table)
+        stats = self._collect_stats(files)
         key = [ingest_date, run_ts]
 
         def mutate(m: dict) -> dict:
             m["entries"] = [e for e in m.get("entries", [])
                             if e["keys"] != key]
-            m["entries"].append({"keys": key, "files": files})
+            m["entries"].append({"keys": key, "files": files,
+                                 "stats": stats})
             return m
 
         return self._commit(table, mutate)
@@ -183,15 +275,17 @@ class ManifestLake(Lake):
         new files ADD to the partition's file set — concurrent appends
         both survive (each retries with the other's files in its base)."""
         files = self._stage(df, table + "__formatted")
+        stats = self._collect_stats(files)
         key = [ingest_date]
 
         def mutate(m: dict) -> dict:
             for e in m.get("entries", []):
                 if e["keys"] == key:
                     e["files"] = sorted(set(e["files"]) | set(files))
+                    e["stats"] = {**e.get("stats", {}), **stats}
                     return m
             m.setdefault("entries", []).append(
-                {"keys": key, "files": files})
+                {"keys": key, "files": files, "stats": stats})
             return m
 
         return self._commit(table + "__formatted", mutate)
@@ -293,12 +387,14 @@ class ManifestLake(Lake):
                 merged = keep.unionByName(ups)
             files = self._stage(merged.localCheckpoint(eager=True)
                                 .drop("ingest_date", "run_ts"), table)
+            stats = self._collect_stats(files)
             key = [ingest_date, run_ts]
 
-            def mutate(m: dict, _files=files) -> dict:
+            def mutate(m: dict, _files=files, _stats=stats) -> dict:
                 m["entries"] = [e for e in m.get("entries", [])
                                 if e["keys"] != key]
-                m["entries"].append({"keys": key, "files": _files})
+                m["entries"].append({"keys": key, "files": _files,
+                                     "stats": _stats})
                 return m
 
             try:
@@ -324,10 +420,14 @@ class ManifestLake(Lake):
             src_now = self._entry_files(mm, (ingest_date, to_run))
             if not src_now:
                 raise CommitConflict("rollback source expired mid-commit")
+            src_stats = next(
+                (e.get("stats", {}) for e in mm.get("entries", [])
+                 if tuple(e["keys"]) == (ingest_date, to_run)), {})
             mm["entries"] = [e for e in mm.get("entries", [])
                              if e["keys"] != key]
             mm["entries"].append({"keys": key,
-                                  "files": sorted(src_now)})
+                                  "files": sorted(src_now),
+                                  "stats": src_stats})
             return mm
 
         self._commit(table, mutate)

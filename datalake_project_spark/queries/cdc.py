@@ -1644,3 +1644,64 @@ def q_snapshot_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cur_p").alias("current_price"),
                     F.col("prev_p").alias("previous_price"),
                     change.alias("change_type"))
+
+
+@register(
+    "q_manifest_stats_skipping",
+    oracle="""
+    WITH mx AS (
+        SELECT CAST(FLOOR(MAX(o_orderkey) / 10.0) AS BIGINT) AS lo,
+               CAST(FLOOR(MAX(o_orderkey) * 3 / 10.0) AS BIGINT) AS hi
+        FROM orders)
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           TRUE AS files_pruned
+    FROM orders, mx
+    WHERE o_orderkey BETWEEN mx.lo AND mx.hi
+    """,
+    doc="Manifest-stats file skipping on the ACID lake (Iceberg-style "
+        "data-file pruning): orders are written range-clustered on "
+        "o_orderkey into 8 immutable files whose per-file min/max land "
+        "in the manifest at commit time; a range scan for the "
+        "[10%, 30%] keyspace band then drops whole files from METADATA "
+        "alone (ManifestLake.scan_usage / _prune_files — no footer "
+        "opened, no listing) before the residual row filter runs. The "
+        "files_pruned column is the engine's own receipt that the "
+        "pruned file set is a strict subset (the oracle pins it TRUE: "
+        "with 8 range-clustered files an interior 20% band must "
+        "exclude at least one file); row values are oracle-checked "
+        "against a plain filtered aggregate of the source, proving "
+        "skipping loses nothing. The [lo, hi] bounds come from one "
+        "1-row max aggregate (a bounded driver boundary, same as the "
+        "IVF probe cells — file pruning is inherently a driver/"
+        "metadata decision). At 100 TB this is the difference between "
+        "touching O(matching) files and O(all) files on every "
+        "clustered scan; stats collection itself is one distributed "
+        "pass over freshly staged files at write time.",
+)
+def q_manifest_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    mx = o.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    lo, hi = mx // 10, mx * 3 // 10
+
+    lake = ManifestLake(spark, scratch_dir("mstats", sf_dir))
+    lake.write_usage(o.repartitionByRange(8, "o_orderkey"),
+                     "ord_clustered", "1995-01-01", "19950101T000000")
+    entry = next(e for e in lake._latest("ord_clustered")[1]["entries"]
+                 if e["keys"] == ["1995-01-01", "19950101T000000"])
+    kept = lake._prune_files(entry, "o_orderkey", lo, hi)
+    pruned = len(kept) < len(entry["files"])
+
+    scanned = lake.scan_usage("ord_clustered", "o_orderkey", lo, hi)
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.lit(bool(pruned)).alias("files_pruned"))

@@ -214,3 +214,68 @@ def test_read_prunes_to_manifest_files(spark, tmp_path):
     # normalize file:// prefixes
     got = {g.removeprefix("file://") for g in got}
     assert got == set(want)
+
+
+# -- per-file column stats / manifest-level file skipping --------------------
+
+
+def test_scan_prunes_files_by_column_stats(spark, tmp_path):
+    """Range-clustered write => a range scan reads ONLY the files whose
+    manifest [min, max] overlaps the predicate (Iceberg stats skipping:
+    file-level pruning from metadata alone), and the result equals the
+    naive filtered read."""
+    lake = ManifestLake(spark, str(tmp_path))
+    df = (spark.range(1000).selectExpr("id", "id % 7 AS v")
+          .repartitionByRange(5, "id"))
+    lake.write_usage(df, "t", D, "T01")
+    entry = next(e for e in lake._latest("t")[1]["entries"]
+                 if e["keys"] == [D, "T01"])
+    assert len(entry["files"]) == 5
+    assert all("id" in s and "v" in s for s in entry["stats"].values())
+
+    kept = lake._prune_files(entry, "id", 100, 250)
+    assert 0 < len(kept) < 5  # actual file skipping, not a full read
+
+    got = {r["id"] for r in
+           lake.scan_usage("t", "id", 100, 250).select("id").collect()}
+    assert got == set(range(100, 251))
+
+
+def test_scan_without_stats_is_conservative(spark, tmp_path):
+    """A manifest entry written before stats existed (or with stats
+    stripped) must be read in full — stats are an optimization, never
+    a correctness gate."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(spark.range(100).selectExpr("id", "id AS v")
+                     .repartition(3), "t", D, "T01")
+    v, m = lake._latest("t")
+    for e in m["entries"]:
+        e.pop("stats", None)
+    mpath = os.path.join(lake._mdir("t"), f"v{v:08d}.json")
+    os.unlink(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    entry = m["entries"][0]
+    assert lake._prune_files(entry, "id", 0, 1) == entry["files"]
+    got = {r["id"] for r in
+           lake.scan_usage("t", "id", 0, 1).select("id").collect()}
+    assert got == {0, 1}
+
+
+def test_stats_survive_rollback_and_string_pruning(spark, tmp_path):
+    """Rollback aliases carry the source entry's stats, and string
+    min/max prune the same way numeric ones do."""
+    lake = ManifestLake(spark, str(tmp_path))
+    df = (spark.createDataFrame(
+        [(i, chr(97 + i % 26) * 3) for i in range(260)], "id long, v string")
+        .repartitionByRange(4, "v"))
+    lake.write_usage(df, "t", D, "T01")
+    lake.rollback("t", D, "T01", "T02")
+    entry = next(e for e in lake._latest("t")[1]["entries"]
+                 if e["keys"] == [D, "T02"])
+    assert entry["stats"]
+    kept = lake._prune_files(entry, "v", "aaa", "bbb")
+    assert 0 < len(kept) < len(entry["files"])
+    got = lake.scan_usage("t", "v", "aaa", "bbb", run_ts="T02")
+    assert {r["v"] for r in got.select("v").distinct().collect()} \
+        == {"aaa", "bbb"}
