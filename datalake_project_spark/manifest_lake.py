@@ -234,7 +234,8 @@ class ManifestLake(Lake):
                 continue
             files = self._prune_files(e, col, lo, hi)
             if files:
-                frames.append(self.spark.read.parquet(*files)
+                frames.append(self.spark.read.option("mergeSchema", "true")
+                              .parquet(*files)
                               .withColumn("ingest_date", F.lit(d))
                               .withColumn("run_ts", F.lit(ts)))
         if not frames:
@@ -242,7 +243,7 @@ class ManifestLake(Lake):
             return base
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         if lo is not None:
             out = out.where(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -298,14 +299,15 @@ class ManifestLake(Lake):
             if ingest_date is not None and e["keys"][0] != ingest_date:
                 continue
             if e["files"]:
-                frames.append(self.spark.read.parquet(*e["files"])
+                frames.append(self.spark.read.option("mergeSchema", "true")
+                              .parquet(*e["files"])
                               .withColumn("ingest_date",
                                           F.lit(e["keys"][0])))
         if not frames:
             raise FileNotFoundError(f"no formatted data for {table}")
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def read_usage(self, table: str, ingest_date: str | None = None,
@@ -333,7 +335,8 @@ class ManifestLake(Lake):
             if run_ts is not None and ts != run_ts:
                 continue
             if e["files"]:
-                frames.append(self.spark.read.parquet(*e["files"])
+                frames.append(self.spark.read.option("mergeSchema", "true")
+                              .parquet(*e["files"])
                               .withColumn("ingest_date", F.lit(d))
                               .withColumn("run_ts", F.lit(ts)))
         if not frames:
@@ -354,7 +357,7 @@ class ManifestLake(Lake):
                 f"({ingest_date}, {run_ts}, v={version})")
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def exists(self, table: str) -> bool:

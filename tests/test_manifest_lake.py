@@ -279,3 +279,41 @@ def test_stats_survive_rollback_and_string_pruning(spark, tmp_path):
     got = lake.scan_usage("t", "v", "aaa", "bbb", run_ts="T02")
     assert {r["v"] for r in got.select("v").distinct().collect()} \
         == {"aaa", "bbb"}
+
+
+# -- schema evolution ---------------------------------------------------------
+
+
+def test_add_column_evolution_across_runs(spark, tmp_path):
+    """Delta/Iceberg add-column semantics: a later run writes an extra
+    column; reading BOTH runs merges schemas with nulls for pre-
+    evolution rows, and the stats-pruned scan sees the merged schema
+    too. No rewrite of old files, no read failure."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "a"), (2, "b")]), "t", D, "T01")
+    lake.write_usage(
+        spark.createDataFrame([(3, "c", 30), (4, "d", 40)],
+                              "id long, v string, w long"),
+        "t", D, "T02")
+    got = lake.read_usage("t", D)
+    assert set(got.columns) == {"id", "v", "w", "ingest_date", "run_ts"}
+    rows = {r["id"]: r["w"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 30, 4: 40}
+    # evolved column visible and null-safe through the pruned scan path
+    scan = lake.scan_usage("t", "id", 2, 3)
+    assert {(r["id"], r["w"]) for r in scan.select("id", "w").collect()} \
+        == {(2, None), (3, 30)}
+
+
+def test_evolution_within_one_entry_merges_file_schemas(spark, tmp_path):
+    """Append-mode (write_formatted) accumulates files in ONE entry;
+    files written before and after an add-column must merge on read
+    (mergeSchema within the entry, not just across entries)."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_formatted(_df(spark, [(1, "a")]), "t", D)
+    lake.write_formatted(
+        spark.createDataFrame([(2, "b", 20)], "id long, v string, w long"),
+        "t", D)
+    got = lake.read_formatted("t", D)
+    assert {(r["id"], r["w"]) for r in got.select("id", "w").collect()} \
+        == {(1, None), (2, 20)}
