@@ -204,6 +204,8 @@ ADDITIONS = [
     "q_text_burstiness",
     "q_corpus_jsd_matrix",
     "q_manifest_stats_skipping",
+    "q_privacy_k_anonymity",
+    "q_stream_rolling_median",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -60,9 +60,10 @@ PRIORITY: tuple[str, ...] = (
     "q_snapshot_diff", "q_pipeline_end_to_end",
     "q_write_audit_publish", "q_snapshot_rollback",
     "q_tpch_refresh_stream", "q_retention_vacuum",
-    "q_incremental_agg_refresh",
+    "q_manifest_stats_skipping",
     # Round-5 lake features: manifest-commit ACID (MERGE parity, version
-    # time travel, version-pair CDC) and incremental join maintenance
+    # time travel, version-pair CDC, Iceberg-style file-stats skipping)
+    # and incremental join maintenance
     "q_manifest_merge_upsert", "q_manifest_timetravel",
     "q_manifest_version_diff", "q_incremental_join_maintenance",
     # Deduplication (end-to-end ladders + the clustered semantic twin)
@@ -99,7 +100,7 @@ PRIORITY: tuple[str, ...] = (
     # Structured Streaming (the append-mode/outer-join drains whose
     # watermark-withholding rules are stated verbatim in the oracles)
     "q_stream_outer_join", "q_stream_session_append",
-    "q_stream_merge_upsert",
+    "q_stream_rolling_median",
     # Multimodal + graph representatives
     "q_multimodal_shard_plan", "q_graph_label_propagation",
 )

@@ -905,3 +905,63 @@ def q_corpus_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("term") / F.lit(1000000000000.0), 6)
                  .alias("jsd"))
             .orderBy(F.desc("jsd"), "s1", "s2").limit(15))
+
+
+@register(
+    "q_privacy_k_anonymity",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey AS nation,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment AS sensitive
+        FROM customer),
+    g AS (
+        SELECT nation, bal_band, COUNT(*) AS grp_n,
+               COUNT(DISTINCT sensitive) AS l_div
+        FROM q GROUP BY nation, bal_band)
+    SELECT CAST(MIN(grp_n) AS BIGINT) AS k_min,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_below_k5,
+           ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)::DOUBLE
+                 / SUM(grp_n), 6) AS frac_rows_below_k5,
+           CAST(MIN(l_div) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_l_below_3
+    FROM g
+    """,
+    doc="k-anonymity / l-diversity release audit: group the table by "
+        "its quasi-identifiers (nation x account-balance band — the "
+        "attributes an attacker can link from outside), report the "
+        "minimum equivalence-class size (the k in k-anonymity), the "
+        "row mass in classes below k=5 (the re-identifiable fraction "
+        "a release gate would suppress or generalize), and the "
+        "minimum distinct-sensitive-value count per class (l-"
+        "diversity, guarding the homogeneity attack k-anonymity "
+        "misses) — the governance check that runs BEFORE "
+        "q_pseudonymize_join_integrity's tokenization and "
+        "q_dp_noisy_counts' noisy publication. Everything is one "
+        "grouped count plus an integer reduction: exact, "
+        "order-independent, one shuffle on the QI key at any scale "
+        "(the banding expression is FLOOR'd identically in both "
+        "engines).",
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    g = (c.select(F.col("c_nationkey").alias("nation"),
+                  F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+                  .alias("bal_band"),
+                  F.col("c_mktsegment").alias("sensitive"))
+         .groupBy("nation", "bal_band")
+         .agg(F.count(F.lit(1)).alias("grp_n"),
+              F.countDistinct("sensitive").alias("l_div")))
+    below = F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.min("grp_n").cast("long").alias("k_min"),
+        F.count(F.lit(1)).alias("n_groups"),
+        below.cast("long").alias("n_rows_below_k5"),
+        F.round(below.cast("double") / F.sum("grp_n"), 6)
+        .alias("frac_rows_below_k5"),
+        F.min("l_div").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0)).cast("long")
+        .alias("n_groups_l_below_3"))

@@ -487,3 +487,61 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sessionized_agg(events_stream(spark, sf_dir), "30 minutes",
                         watermark="2 hours"), "append")
+
+
+@register(
+    "q_stream_rolling_median",
+    oracle="""
+    WITH w5 AS (
+        SELECT event_type, value,
+               quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wn
+        FROM events WHERE value IS NOT NULL),
+    full5 AS (
+        SELECT event_type,
+               CAST(ROUND(med * 10000) AS BIGINT) AS med_ten_k,
+               CAST(ROUND(ABS(value - med) * 10000) AS BIGINT)
+                   AS dev_ten_k
+        FROM w5 WHERE wn = 5)
+    SELECT event_type, COUNT(*) AS n_windows,
+           ROUND(SUM(med_ten_k)::DOUBLE / (COUNT(*) * 10000.0), 4)
+               AS avg_rolling_med,
+           ROUND(SUM(dev_ten_k)::DOUBLE / (COUNT(*) * 10000.0), 4)
+               AS avg_abs_dev,
+           ROUND(MAX(dev_ten_k) / 10000.0, 4) AS max_abs_dev
+    FROM full5 GROUP BY event_type
+    """,
+    doc="Streaming trailing-5 rolling median per user as a CUSTOM "
+        "STATEFUL operator (applyInPandasWithState, O(1) 4-row state "
+        "per user at any stream length) drained via availableNow and "
+        "aggregated in batch — value-checked against the IDENTICAL "
+        "oracle as the batch window twin q_events_rolling_median, so "
+        "a pass proves the stateful streaming formulation reproduces "
+        "the batch window semantics EXACTLY: same full-window rule, "
+        "same order-statistic median (sorted[2] of 5 — no "
+        "interpolation anywhere), same half-away-from-zero integer "
+        "ten-thousandths emission. Beside q_stream_heavy_hitters "
+        "(bounded-sketch state) this is the second custom-stateful "
+        "surface: bounded PER-KEY buffer state, the per-entity "
+        "feature-engineering shape (trailing aggregates for fraud/"
+        "anomaly scoring) every production stream runs.",
+)
+def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.streaming.ops import rolling_median_stream
+
+    drained = run_available_now(
+        rolling_median_stream(events_stream(spark, sf_dir)), "append")
+    n = F.count(F.lit(1))
+    return (drained.groupBy("event_type")
+            .agg(n.alias("n_windows"),
+                 F.round(F.sum("med_ten_k").cast("double")
+                         / (n * F.lit(10000.0)), 4)
+                 .alias("avg_rolling_med"),
+                 F.round(F.sum("dev_ten_k").cast("double")
+                         / (n * F.lit(10000.0)), 4).alias("avg_abs_dev"),
+                 F.round(F.max("dev_ten_k") / F.lit(10000.0), 4)
+                 .alias("max_abs_dev")))

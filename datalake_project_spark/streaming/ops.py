@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 _query_seq = itertools.count()
@@ -233,4 +234,81 @@ def mg_candidate_stream(events: DataFrame, n_shards: int = 8,
     return sharded.groupBy("shard").applyInPandasWithState(
         _make_mg_update(k), _MG_OUT_SCHEMA, _MG_STATE_SCHEMA,
         "update", GroupStateTimeout.NoTimeout,
+    )
+
+
+_RM_OUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("med_ten_k", LongType()),
+    StructField("dev_ten_k", LongType()),
+])
+
+_RM_STATE_SCHEMA = StructType([
+    StructField("ts", ArrayType(LongType())),
+    StructField("eid", ArrayType(LongType())),
+    StructField("val", ArrayType(DoubleType())),
+])
+
+
+def _r10k(x: float) -> int:
+    """Round-half-away-from-zero to integer ten-thousandths — the same
+    decimal rounding Spark's round(x*10000, 0) (HALF_UP) and DuckDB's
+    ROUND apply to the identical double product, so streaming emissions
+    are bit-comparable with the batch twin."""
+    import math
+    y = x * 10000.0
+    return (int(math.floor(y + 0.5)) if y >= 0
+            else -int(math.floor(-y + 0.5)))
+
+
+def _rm_update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user trailing-5 rolling median: state is the last FOUR
+    (ts, event_id, value) triples — O(1) per key at any stream length.
+    Each arriving row closes a 5-row window; full windows emit the
+    exact order-statistic median (sorted[2] of 5) and the absolute
+    deviation, both as integer ten-thousandths. Rows within a batch
+    are sorted by (ts, event_id); cross-batch order relies on the
+    source's bounded-lateness delivery (the availableNow drain over
+    the staged fixture is a single ordered batch, and the batch twin
+    q_events_rolling_median is the oracle either way)."""
+    if state.exists:
+        ts_s, eid_s, val_s = state.get
+        buf = list(zip(ts_s, eid_s, val_s))
+    else:
+        buf = []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    out_et, out_med, out_dev = [], [], []
+    for ts, eid, v, et in zip(pdf["ts_us"], pdf["event_id"],
+                              pdf["value"], pdf["event_type"]):
+        window = buf + [(int(ts), int(eid), float(v))]
+        if len(window) == 5:
+            vals = sorted(w[2] for w in window)
+            med = vals[2]
+            out_et.append(et)
+            out_med.append(_r10k(med))
+            out_dev.append(_r10k(abs(float(v) - med)))
+        buf = window[-4:]
+    state.update((
+        [w[0] for w in buf], [w[1] for w in buf], [w[2] for w in buf]))
+    yield pd.DataFrame({"event_type": out_et,
+                        "med_ten_k": pd.Series(out_med, dtype="int64"),
+                        "dev_ten_k": pd.Series(out_dev, dtype="int64")})
+
+
+def rolling_median_stream(events: DataFrame) -> DataFrame:
+    """Streaming trailing-5-event rolling median per user via
+    ``applyInPandasWithState`` — the custom-stateful formulation of
+    queries/robust.q_events_rolling_median. State per user is the
+    4-row trailing buffer (bounded, unlike a grouped collect), keyed
+    shuffle on user_id exactly like the batch window's partitioning;
+    at 100 TB the state store holds 4 rows per active user per
+    executor shard."""
+    rows = (events
+            .where(F.col("value").isNotNull())
+            .select("user_id", "event_id", "event_type", "value",
+                    F.unix_micros(F.col("ts")).alias("ts_us")))
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _rm_update, _RM_OUT_SCHEMA, _RM_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout,
     )
