@@ -206,6 +206,8 @@ ADDITIONS = [
     "q_manifest_stats_skipping",
     "q_privacy_k_anonymity",
     "q_stream_rolling_median",
+    "q_sql_pipe_syntax",
+    "q_graph_kcore",
 ]
 
 HEADLINE = CORE + ADDITIONS

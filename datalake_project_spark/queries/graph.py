@@ -605,3 +605,82 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                             6).alias("jaccard"))
             .orderBy(F.desc("jaccard"), "s1", "s2")
             .limit(20))
+
+
+@register(
+    "q_graph_kcore",
+    oracle="""
+    WITH bip AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    pdeg AS (SELECT p, COUNT(*) AS np FROM bip GROUP BY p),
+    e0 AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM bip a
+        JOIN bip b ON a.p = b.p AND a.s <> b.s
+        JOIN pdeg ON pdeg.p = a.p
+        WHERE pdeg.np BETWEEN 2 AND 1000),
+    d1 AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+    k1 AS (SELECT u AS node FROM d1 WHERE d >= 3),
+    e1 AS (SELECT e0.u, e0.v FROM e0
+           JOIN k1 a ON a.node = e0.u JOIN k1 b ON b.node = e0.v),
+    d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY u),
+    k2 AS (SELECT u AS node FROM d2 WHERE d >= 3),
+    e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN k2 a ON a.node = e1.u JOIN k2 b ON b.node = e1.v),
+    d3 AS (SELECT u, COUNT(*) AS d FROM e2 GROUP BY u),
+    k3 AS (SELECT u AS node FROM d3 WHERE d >= 3)
+    SELECT 1 AS iteration, COUNT(*) AS n_nodes FROM k1
+    UNION ALL SELECT 2, COUNT(*) FROM k2
+    UNION ALL SELECT 3, COUNT(*) FROM k3
+    """,
+    doc="k-core decomposition (k=3, three peeling rounds) of the "
+        "supplier co-supply graph: iteratively drop nodes with degree "
+        "< k and re-induce the subgraph — the community-density "
+        "screen used to find the cohesive center of an entity graph "
+        "(and the standard preprocessing cut before expensive graph "
+        "ML). Same inverted-index edge derivation as "
+        "q_graph_neighbor_jaccard (part-degree valve in the operator "
+        "contract). Each peel is one grouped degree count + two "
+        "semi-joins on the survivor set — Pregel-shaped, composed as "
+        "a driver loop with a localCheckpoint per round (the "
+        "iterative-lineage discipline from BPE/PageRank: without it "
+        "round N's plan re-expands rounds 1..N-1), and the oracle "
+        "unrolls the identical three rounds as CTEs. Fixed-round "
+        "peeling is the scale formulation: convergence detection is a "
+        "driver-side count compare per round, and at 100 TB each "
+        "round is two shuffles regardless of graph size.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 3
+    li = Catalog(spark, sf_dir).table("lineitem")
+    bip = li.select(F.col("l_suppkey").alias("s"),
+                    F.col("l_partkey").alias("p")).distinct() \
+        .localCheckpoint(eager=False)
+    pdeg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
+    a = bip.select(F.col("s").alias("u"), "p")
+    b = bip.select(F.col("s").alias("v"), "p")
+    edges = (a.join(b, "p")
+             .where(F.col("u") != F.col("v"))
+             .join(pdeg.where(F.col("np").between(2, 1000)), "p")
+             .select("u", "v").distinct()
+             .localCheckpoint(eager=False))
+    counts = []
+    for i in range(1, 4):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = (deg.where(F.col("d") >= K)
+                .select(F.col("u").alias("node"))
+                .localCheckpoint(eager=False))
+        counts.append(keep.agg(
+            F.lit(i).alias("iteration"),
+            F.count(F.lit(1)).alias("n_nodes")))
+        edges = (edges
+                 .join(keep.select(F.col("node").alias("u")), "u",
+                       "left_semi")
+                 .join(keep.select(F.col("node").alias("v")), "v",
+                       "left_semi")
+                 .select("u", "v")
+                 .localCheckpoint(eager=False))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

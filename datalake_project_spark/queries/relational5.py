@@ -2155,3 +2155,41 @@ def q_linkage_sorted_neighborhood(spark: SparkSession,
             .orderBy(F.desc("s"), "left_key", "right_key")
             .limit(15)
             .drop("s"))
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 10
+    ORDER BY l_returnflag
+    """,
+    doc="SQL pipe syntax (Spark 4's |> operator chain — SQL:2023-style "
+        "piped dataflow, the fourth round-5 engine surface beside "
+        "LATERAL, SQL UDFs, and WITH RECURSIVE): the same "
+        "filter -> aggregate -> having -> order dataflow a warehouse "
+        "user writes top-down instead of inside-out. A pass proves the "
+        "pipe parser lowers to the IDENTICAL logical plan semantics as "
+        "the classic formulation the DuckDB oracle runs — Catalyst "
+        "sees one plan either way, so pipe syntax costs nothing at "
+        "execution and every optimization (pushdown, partial agg) "
+        "applies unchanged.",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n_items > 10
+        |> SELECT l_returnflag, n_items, revenue
+        |> ORDER BY l_returnflag
+    """)
