@@ -208,6 +208,7 @@ ADDITIONS = [
     "q_stream_rolling_median",
     "q_sql_pipe_syntax",
     "q_graph_kcore",
+    "q_embed_matryoshka_recall",
 ]
 
 HEADLINE = CORE + ADDITIONS

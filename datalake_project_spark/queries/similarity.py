@@ -318,3 +318,29 @@ def q_embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("ncs", 6) + F.lit(0.0)).alias("neg_sim"),
                     (F.round(F.col("pcs") - F.col("ncs"), 6) + F.lit(0.0))
                     .alias("margin")))
+
+
+@register(
+    "q_embed_matryoshka_recall",
+    oracle=_ANN_RECALL_ORACLE.format(floor="0.3"),
+    doc="Dimension-truncation recall floor (Matryoshka-style prefix "
+        "slice): exact top-5 over vectors cut to their first 48 of 64 "
+        "dims must keep recall@5 >= 0.3 vs the full-width exact top-5 "
+        "(measured 0.42-0.48 across fixtures). Truncation is the THIRD "
+        "compression rung beside int8 scalar quantization "
+        "(q_embed_quantize_recall, bytes-per-value) and PQ "
+        "(q_embed_pq_recall, codebook) — at 100 TB embedding bytes are "
+        "the scan/shuffle cost and dims multiply them directly; an "
+        "MRL-trained model front-loads information so prefix recall "
+        "runs far above this isotropic fixture's (where a 48/64 slice "
+        "is an unprivileged random subspace — the floor documents "
+        "exactly that regime). The slice is one F.slice projection; "
+        "everything downstream reuses the broadcast-query exact "
+        "top-k operator, so the plan shape is unchanged.",
+)
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    trunc = e.select("vec_id", F.slice("embedding", 1, 48).alias("embedding"),
+                     "label")
+    q = trunc.where(F.col("vec_id") < 10)
+    return _ann_recall(spark, sf_dir, cosine_topk(q, trunc, k=5), floor=0.3)
