@@ -209,6 +209,7 @@ ADDITIONS = [
     "q_sql_pipe_syntax",
     "q_graph_kcore",
     "q_embed_matryoshka_recall",
+    "q_classifier_lift_gains",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -1180,6 +1180,125 @@ def _install_auc_oracle() -> None:
 _install_auc_oracle()
 
 
+@register(
+    "q_classifier_lift_gains",
+    oracle=None,  # installed below — needs _stop_sql from queries.text
+    doc="",
+)
+def q_classifier_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_project_spark.functions import text as T
+
+    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    d = Catalog(spark, sf_dir).table("documents")
+    lab = d.select(
+        "doc_id",
+        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
+    j = scores.join(lab, "doc_id")
+    hist = (j.groupBy("prob")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.count(F.when(F.col("label"), 1)).alias("pos")))
+    # Prefix count in SCORE-DESC order without a global window: shard by
+    # inverted score decile (monotone desc), per-shard window + 11-row
+    # broadcast offsets — the histogram_auc discipline, opposite order.
+    hist = hist.withColumn(
+        "shard", (F.lit(10) - F.floor(F.col("prob") * 10)).cast("int"))
+    w = (Window.partitionBy("shard").orderBy(F.desc("prob"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    intra = hist.withColumn(
+        "cum_excl_intra", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    stot = hist.groupBy("shard").agg(F.sum("cnt").alias("s_cnt"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.s_cnt"), F.lit(0)).alias("off_cnt")))
+    tot = j.agg(F.count(F.lit(1)).alias("nn"),
+                F.count(F.when(F.col("label"), 1)).alias("pp"))
+    dd = (intra.join(F.broadcast(below), "shard")
+          .crossJoin(F.broadcast(tot))
+          .select((F.lit(1) + F.floor(
+              (F.col("off_cnt") + F.col("cum_excl_intra")) * 10
+              / F.col("nn"))).cast("long").alias("decile"),
+              "cnt", "pos"))
+    g = (dd.groupBy("decile")
+         .agg(F.sum("cnt").cast("long").alias("n_docs"),
+              F.sum("pos").cast("long").alias("n_pos")))
+    gb = g.select(F.col("decile").alias("d2"),
+                  F.col("n_docs").alias("nd2"), F.col("n_pos").alias("np2"))
+    cum = (g.join(F.broadcast(gb), F.col("d2") <= F.col("decile"))
+           .groupBy("decile", "n_docs", "n_pos")
+           .agg(F.sum("np2").cast("long").alias("cum_pos"),
+                F.sum("nd2").cast("long").alias("cum_docs")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("decile", "n_docs", "n_pos", "cum_pos",
+                    F.round(F.col("cum_pos").cast("double") / F.col("pp"), 6)
+                    .alias("gain"),
+                    F.round(F.col("cum_pos") * F.col("nn")
+                            / (F.col("cum_docs").cast("double")
+                               * F.col("pp")), 6).alias("lift"))
+            .orderBy("decile"))
+
+
+def _install_lift_oracle() -> None:
+    from datalake_project_spark.queries import REGISTRY, QuerySpec
+    from datalake_project_spark.queries.text import _stop_sql
+
+    oracle = f"""
+    WITH {_CLS_CTE},
+    lab AS (SELECT doc_id, ({_stop_sql("en")}) >= 0.08 AS label FROM tok),
+    j AS (SELECT c.prob, CASE WHEN l.label THEN 1 ELSE 0 END AS li
+          FROM cls c JOIN lab l USING (doc_id)),
+    tot AS (SELECT COUNT(*) AS nn, CAST(SUM(li) AS BIGINT) AS pp FROM j),
+    h AS (SELECT prob, COUNT(*) AS cnt, CAST(SUM(li) AS BIGINT) AS pos
+          FROM j GROUP BY prob),
+    r AS (SELECT prob, cnt, pos,
+                 COALESCE(SUM(cnt) OVER (
+                     ORDER BY prob DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_excl
+          FROM h),
+    dd AS (SELECT 1 + CAST(FLOOR(cum_excl * 10 / tot.nn) AS BIGINT)
+                   AS decile, cnt, pos
+           FROM r CROSS JOIN tot),
+    g AS (SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM dd GROUP BY decile),
+    c AS (SELECT a.decile, a.n_docs, a.n_pos,
+                 CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos,
+                 CAST(SUM(b.n_docs) AS BIGINT) AS cum_docs
+          FROM g a JOIN g b ON b.decile <= a.decile
+          GROUP BY a.decile, a.n_docs, a.n_pos)
+    SELECT decile, n_docs, n_pos, cum_pos,
+           ROUND(cum_pos::DOUBLE / tot.pp, 6) AS gain,
+           ROUND(cum_pos * tot.nn / (cum_docs::DOUBLE * tot.pp), 6) AS lift
+    FROM c CROSS JOIN tot
+    ORDER BY decile
+    """
+    doc = (
+        "Decile lift/gains table for the linear quality classifier — "
+        "the scoring deliverable next to ROC-AUC (q_classifier_auc) "
+        "and the calibration curve: rank docs by score descending, cut "
+        "the POPULATION into tenths (score ties assigned whole to the "
+        "decile of their first doc via the exclusive prefix count — "
+        "deterministic in both engines), report per-decile positives, "
+        "cumulative gain (share of all positives captured) and lift "
+        "(capture rate vs random). The engine never globally ranks "
+        "the corpus: scores collapse to the bounded 4-dp histogram, "
+        "the score-desc prefix count runs decile-sharded (per-shard "
+        "windows + broadcast offsets), and the 10-row cumulative is a "
+        "bounded broadcast self-join. All quantities are exact "
+        "integer ratios rounded once."
+    )
+    spec = REGISTRY["q_classifier_lift_gains"]
+    REGISTRY["q_classifier_lift_gains"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=doc)
+
+
+_install_lift_oracle()
+
+
 # --------------------------------------------------------------------------
 # multinomial Naive Bayes language classifier
 # --------------------------------------------------------------------------
