@@ -250,3 +250,37 @@ def test_kaplan_meier_estimator_invariants(spark):
         if prev_risk is not None:
             assert r["at_risk"] <= prev_risk
         prev_s, prev_risk = r["survival"], r["at_risk"]
+
+
+@given(
+    files=st.lists(
+        st.lists(st.integers(min_value=-1000, max_value=1000),
+                 min_size=0, max_size=8),
+        min_size=1, max_size=10),
+    lo=st.one_of(st.none(), st.integers(min_value=-1100, max_value=1100)),
+    hi=st.one_of(st.none(), st.integers(min_value=-1100, max_value=1100)),
+    drop_stats=st.lists(st.booleans(), min_size=10, max_size=10),
+)
+@settings(max_examples=300, deadline=None)
+def test_manifest_prune_never_drops_a_matching_file(files, lo, hi,
+                                                    drop_stats):
+    """Safety property of Iceberg-style stats skipping: for ANY file
+    contents, ANY [lo, hi] predicate, and ANY subset of files missing
+    stats, every file holding at least one in-range row survives
+    _prune_files — pruning can only remove files that provably match
+    nothing. (Completeness is separate and intentional: stats-less
+    files are always kept.)"""
+    from datalake_project_spark.manifest_lake import ManifestLake
+
+    entry = {"files": [f"f{i}" for i in range(len(files))], "stats": {}}
+    for i, rows_ in enumerate(files):
+        if drop_stats[i % len(drop_stats)]:
+            continue  # simulate a legacy entry without stats
+        entry["stats"][f"f{i}"] = {
+            "c": [min(rows_), max(rows_)] if rows_ else [None, None]}
+    kept = set(ManifestLake._prune_files(entry, "c", lo, hi))
+    for i, rows_ in enumerate(files):
+        matches = any((lo is None or r >= lo) and (hi is None or r <= hi)
+                      for r in rows_)
+        if matches:
+            assert f"f{i}" in kept, (i, rows_, lo, hi)
