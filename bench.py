@@ -210,6 +210,9 @@ ADDITIONS = [
     "q_graph_kcore",
     "q_embed_matryoshka_recall",
     "q_classifier_lift_gains",
+    "q_events_funnel_by_variant",
+    "q_sql_group_order_by_all",
+    "q_corpus_tokenizer_fertility",
 ]
 
 HEADLINE = CORE + ADDITIONS

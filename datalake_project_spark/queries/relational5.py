@@ -2193,3 +2193,38 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, n_items, revenue
         |> ORDER BY l_returnflag
     """)
+
+
+@register(
+    "q_sql_group_order_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="GROUP BY ALL + ORDER BY ALL (the Spark-4 / modern-SQL "
+        "shorthand that infers the grouping set as every non-aggregate "
+        "select item and the sort key as the full output column list) "
+        "proven against the explicit classic formulation the DuckDB "
+        "oracle runs — the resolver-sugar surface beside pipe syntax "
+        "(q_sql_pipe_syntax): the analyzer expands ALL before "
+        "optimization, so the plan and every optimization are "
+        "identical to the explicit form. Grouped rows form a unique "
+        "key, so ORDER BY ALL is a total order and the row order is "
+        "deterministic in both engines.",
+)
+def q_sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.sql("""
+        SELECT o_orderpriority,
+               EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

@@ -965,3 +965,129 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_div").cast("long").alias("l_min"),
         F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0)).cast("long")
         .alias("n_groups_l_below_3"))
+
+
+@register(
+    "q_events_funnel_by_variant",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, user_id % 2 AS arm, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        GROUP BY e.user_id),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        GROUP BY e.user_id)
+    SELECT s.arm,
+           COUNT(*) AS n_signup,
+           COUNT(c.user_id) AS n_click_after,
+           COUNT(p.user_id) AS n_purchase_after,
+           ROUND(COUNT(p.user_id)::DOUBLE / COUNT(*), 6)
+               AS conversion_rate
+    FROM s LEFT JOIN c ON c.user_id = s.user_id
+           LEFT JOIN p ON p.user_id = s.user_id
+    GROUP BY s.arm
+    """,
+    doc="Experiment-split ordered funnel — the readout that joins the "
+        "A/B guardrail arc (q_events_ab_srm validity, "
+        "q_events_ab_uplift_ci magnitude) to the product funnel "
+        "(q_events_funnel): per arm (user_id parity, the assignment "
+        "hash stand-in), users surviving signup -> first click at-or-"
+        "after signup -> first purchase at-or-after that click, plus "
+        "end-to-end conversion per arm. Same single-scan formulation "
+        "as the plain funnel (one per-user conditional aggregate; the "
+        "arm is a pure function of the group key, so it rides the "
+        "same shuffle), and the conversion rate is one exact integer "
+        "ratio rounded once.",
+)
+def q_events_funnel_by_variant(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+             .alias("s_ts"),
+             F.collect_list(
+                 F.when(F.col("event_type") == "click", F.col("ts")))
+             .alias("click_ts"),
+             F.collect_list(
+                 F.when(F.col("event_type") == "purchase", F.col("ts")))
+             .alias("purchase_ts")))
+    staged = (
+        per_user
+        .where(F.col("s_ts").isNotNull())
+        .withColumn("arm", F.col("user_id") % 2)
+        .withColumn("c_ts", F.array_min(F.filter(
+            "click_ts", lambda t: t >= F.col("s_ts"))))
+        .withColumn("p_ts", F.array_min(F.filter(
+            "purchase_ts", lambda t: t >= F.col("c_ts")))))
+    return (staged.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n_signup"),
+                 F.count("c_ts").alias("n_click_after"),
+                 F.count("p_ts").alias("n_purchase_after"),
+                 F.round(F.count("p_ts").cast("double")
+                         / F.count(F.lit(1)), 6).alias("conversion_rate")))
+
+
+@register(
+    "q_corpus_tokenizer_fertility",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, {_SQL_TOKS} AS toks,
+               len(regexp_extract_all(lower(text),
+                   '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                   AS n_pieces
+        FROM documents),
+    m AS (
+        SELECT lang, n_pieces, len(toks) AS n_words,
+               COALESCE(list_sum(list_transform(
+                   toks, t -> CAST(CEIL(len(t) / 4.0) AS BIGINT))), 0)
+                   AS n_subwords
+        FROM tok)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(n_pieces)::DOUBLE / SUM(n_words), 4) AS fertility,
+           ROUND(SUM(n_subwords)::DOUBLE / SUM(n_words), 4)
+               AS subwords_per_word
+    FROM m WHERE n_words > 0
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language: pre-tokenizer pieces per "
+        "word (GPT-2-style regex, RE2-compatible so the oracle runs "
+        "the IDENTICAL pattern) and estimated subwords per word "
+        "(ceil(len/4)) aggregated per document language — THE metric "
+        "tokenizer evaluations report per language (fertility >> 1 "
+        "for a language means its text costs proportionally more "
+        "context tokens, the signal that drives vocab re-balancing). "
+        "Builds on q_text_bpe_tokens' per-doc counts; one stateless "
+        "scan, one map-side-combinable aggregate on the bounded lang "
+        "key, exact integer ratios rounded once.",
+)
+def q_corpus_tokenizer_fertility(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = T.tokens("text")
+    m = d.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        T.bpe_pieces("text").alias("n_pieces"),
+        T.subword_count(toks).alias("n_subwords"))
+    return (m.where(F.col("n_words") > 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces"),
+                 F.round(F.sum("n_pieces").cast("double")
+                         / F.sum("n_words"), 4).alias("fertility"),
+                 F.round(F.sum("n_subwords").cast("double")
+                         / F.sum("n_words"), 4)
+                 .alias("subwords_per_word")))
