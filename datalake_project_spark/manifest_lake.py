@@ -471,6 +471,50 @@ class ManifestLake(Lake):
                 pass
         return expired
 
+    def vacuum_orphans(self, table: str,
+                       min_age_seconds: float = 3600.0) -> list[str]:
+        """Iceberg-style remove-orphan-files: delete data files under
+        this table's stage area that NO manifest version (current or
+        historical) references — the leftovers of writers that died
+        after staging but before commit. Age-gated (mtime older than
+        ``min_age_seconds``) so a concurrent writer's freshly staged,
+        not-yet-committed files are never swept — the same guard
+        Iceberg's removeOrphanFiles(olderThan) applies. Returns the
+        deleted paths. Metadata-only decision: referenced-file sets
+        come from the manifests, no data file is opened."""
+        import shutil
+
+        referenced: set[str] = set()
+        for v in self._versions(table):
+            m = self._load(table, v)
+            for e in m.get("entries", []):
+                referenced.update(e["files"])
+        ddir = self._data_dir(table)
+        if not os.path.isdir(ddir):
+            return []
+        now = time.time()
+        deleted = []
+        for sdir in sorted(os.listdir(ddir)):
+            full = os.path.join(ddir, sdir)
+            if not os.path.isdir(full):
+                continue
+            files = [os.path.join(dp, f)
+                     for dp, _, fs in os.walk(full) for f in fs]
+            data = [f for f in files if f.endswith(".parquet")
+                    and not os.path.basename(f).startswith(("_", "."))]
+            if any(f in referenced for f in data):
+                continue
+            try:
+                age = now - max((os.path.getmtime(f) for f in files),
+                                default=now)
+            except OSError:
+                continue
+            if age < min_age_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.extend(data)
+        return deleted
+
     def compact(self, table: str, ingest_date: str, run_ts: str,
                 target_files: int = 1) -> int:
         """Rewrite one partition's file set into ``target_files`` files —

@@ -317,3 +317,30 @@ def test_evolution_within_one_entry_merges_file_schemas(spark, tmp_path):
     got = lake.read_formatted("t", D)
     assert {(r["id"], r["w"]) for r in got.select("id", "w").collect()} \
         == {(1, None), (2, 20)}
+
+
+# -- orphan-file vacuum -------------------------------------------------------
+
+
+def test_vacuum_orphans_sweeps_torn_stage_only(spark, tmp_path):
+    """A writer that died after staging leaves an uncommitted stage dir;
+    vacuum_orphans removes it while every manifest-referenced file
+    (current AND historical versions) survives, and a fresh stage
+    inside the age window is protected."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "a")]), "t", D, "T01")
+    lake.write_usage(_df(spark, [(1, "b")]), "t", D, "T01")  # v2 supersedes
+    torn = lake._stage(_df(spark, [(99, "zz")]), "t")
+    assert all(os.path.exists(f) for f in torn)
+
+    # inside the age gate: nothing is swept (concurrent-writer guard)
+    assert lake.vacuum_orphans("t", min_age_seconds=3600) == []
+    assert all(os.path.exists(f) for f in torn)
+
+    deleted = lake.vacuum_orphans("t", min_age_seconds=0)
+    assert set(deleted) == set(torn)
+    assert not any(os.path.exists(f) for f in torn)
+    # current read unaffected; historical version still time-travels
+    assert _state(lake, "T01") == {(1, "b")}
+    old = lake.read_usage_at("t", 1, D, "T01")
+    assert {(r["id"], r["v"]) for r in old.collect()} == {(1, "a")}
