@@ -213,6 +213,8 @@ ADDITIONS = [
     "q_events_funnel_by_variant",
     "q_sql_group_order_by_all",
     "q_corpus_tokenizer_fertility",
+    "q_basket_rules",
+    "q_events_user_entropy",
 ]
 
 HEADLINE = CORE + ADDITIONS

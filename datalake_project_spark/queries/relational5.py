@@ -2228,3 +2228,86 @@ def q_sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    isup AS (SELECT l_partkey, COUNT(*) AS s FROM items
+             GROUP BY l_partkey),
+    psup AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, sab,
+               sa.s AS s_ant, sb.s AS s_con
+        FROM psup JOIN isup sa ON sa.l_partkey = pa
+                  JOIN isup sb ON sb.l_partkey = pb
+        UNION ALL
+        SELECT pb, pa, sab, sb.s, sa.s
+        FROM psup JOIN isup sa ON sa.l_partkey = pa
+                  JOIN isup sb ON sb.l_partkey = pb)
+    SELECT antecedent, consequent, sab AS support,
+           ROUND(sab::DOUBLE / s_ant, 6) AS confidence,
+           ROUND(sab::DOUBLE * n.n_baskets / (s_ant::DOUBLE * s_con), 6)
+               AS lift
+    FROM rules CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    doc="Association rules over the market baskets — the "
+        "confidence/lift layer on q_basket_pairs' co-occurrence "
+        "counts: for each frequent pair, BOTH directed rules A -> B "
+        "with confidence = s(A,B)/s(A) and lift = N*s(A,B)/(s(A)*s(B)) "
+        "(lift is direction-symmetric; confidence is not — emitting "
+        "both directions is what a recommender consumes). Same "
+        "basket-keyed self-join cost model (Sigma basket^2, never "
+        "|parts|^2, mega-basket cap valve at scale); item supports "
+        "and the basket count join back as broadcast-sized tables; "
+        "every measure is an exact integer ratio rounded once; top-20 "
+        "by lift via TakeOrderedAndProject with a total order.",
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct() \
+        .localCheckpoint(eager=False)
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    psup = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("pa"),
+                     F.col("b.l_partkey").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("sab"))
+            .where(F.col("sab") >= 2))
+    sa = isup.select(F.col("l_partkey").alias("pa"),
+                     F.col("s").alias("s_a"))
+    sb = isup.select(F.col("l_partkey").alias("pb"),
+                     F.col("s").alias("s_b"))
+    joined = (psup.join(F.broadcast(sa), "pa")
+              .join(F.broadcast(sb), "pb"))
+    fwd = joined.select(F.col("pa").alias("antecedent"),
+                        F.col("pb").alias("consequent"),
+                        "sab", F.col("s_a").alias("s_ant"),
+                        F.col("s_b").alias("s_con"))
+    rev = joined.select(F.col("pb").alias("antecedent"),
+                        F.col("pa").alias("consequent"),
+                        "sab", F.col("s_b").alias("s_ant"),
+                        F.col("s_a").alias("s_con"))
+    return (fwd.unionByName(rev)
+            .crossJoin(F.broadcast(n))
+            .select("antecedent", "consequent",
+                    F.col("sab").alias("support"),
+                    F.round(F.col("sab").cast("double") / F.col("s_ant"), 6)
+                    .alias("confidence"),
+                    F.round(F.col("sab").cast("double") * F.col("n_baskets")
+                            / (F.col("s_ant").cast("double")
+                               * F.col("s_con")), 6).alias("lift"))
+            .orderBy(F.desc("lift"), "antecedent", "consequent")
+            .limit(20))

@@ -1091,3 +1091,67 @@ def q_corpus_tokenizer_fertility(spark: SparkSession,
                  F.round(F.sum("n_subwords").cast("double")
                          / F.sum("n_words"), 4)
                  .alias("subwords_per_word")))
+
+
+@register(
+    "q_events_user_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t FROM c
+          GROUP BY user_id),
+    terms AS (
+        SELECT c.user_id,
+               CAST(ROUND(-(c.c::DOUBLE / t.t)
+                          * LN(c.c::DOUBLE / t.t)
+                          * 1000000000000) AS BIGINT) AS term
+        FROM c JOIN t USING (user_id)),
+    h AS (SELECT user_id, CAST(SUM(term) AS BIGINT) AS h_pico
+          FROM terms GROUP BY user_id),
+    b AS (SELECT user_id, h_pico,
+                 CAST(FLOOR(h_pico * 2 / 1000000000000.0) AS BIGINT)
+                     AS bucket
+          FROM h)
+    SELECT bucket,
+           COUNT(*) AS n_users,
+           ROUND(SUM(h_pico) / (COUNT(*) * 1000000000000.0), 4)
+               AS avg_entropy
+    FROM b GROUP BY bucket
+    """,
+    doc="Behavioral-diversity profile: per-user Shannon entropy of the "
+        "event-type distribution (a bot emitting one event type scores "
+        "0; a diverse human scores near ln(n_types)), bucketed in "
+        "half-nat bands — the behavioral-width signal that "
+        "complements q_events_bot_detection's rate heuristics and "
+        "feeds cohorting. Probabilities are exact integer ratios; "
+        "every -p ln p term is snapped to integer picounits before "
+        "the per-user sum (order-independent; a 1-ulp libm LN "
+        "divergence is 4 orders below the snap), so the per-user "
+        "entropy, its half-nat bucket (pure integer: h*2 / 1e12), "
+        "and the bucket means are all bit-comparable across engines. "
+        "Two grouped aggregates on (user, type) then user — state "
+        "bounded by the type alphabet per user.",
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    c = (e.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("c")))
+    t = c.groupBy("user_id").agg(F.sum("c").cast("long").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    terms = (c.join(t, "user_id")
+             .select("user_id",
+                     F.round((-p * F.log(p)) * F.lit(1000000000000), 0)
+                     .cast("long").alias("term")))
+    h = terms.groupBy("user_id").agg(
+        F.sum("term").cast("long").alias("h_pico"))
+    # FLOOR explicitly on both sides: Spark's double->long CAST
+    # truncates while DuckDB's rounds (the verify-skill cast rule).
+    b = h.select("user_id", "h_pico",
+                 F.floor(F.col("h_pico") * 2 / F.lit(1000000000000.0))
+                 .cast("long").alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.sum("h_pico")
+                         / (F.count(F.lit(1)) * F.lit(1000000000000.0)), 4)
+                 .alias("avg_entropy")))
