@@ -112,7 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational, relational2, relational3, relational4, cdc, events,
         relational5, text, quality, dedup, similarity, streaming,
         multimodal, formats, corpus, substrings, audit, graph,
-        retrieval, ml, robust,
+        retrieval, ml, robust, inference,
     )
     ordered: dict[str, QuerySpec] = {}
     for name in PRIORITY:

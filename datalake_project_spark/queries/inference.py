@@ -1,0 +1,542 @@
+"""Causal / sequential inference and robust estimation.
+
+The experimentation layer a production analytics platform runs beside
+its A/B dashboards: difference-in-differences (the workhorse causal
+estimator when randomization is imperfect), the CLOSED-FORM Bayesian
+A/B posterior Pr(B beats A) (Evan Miller's exact Beta-Binomial sum —
+no Monte Carlo, so it is fully value-checkable against an oracle),
+jackknife standard errors for a ratio estimator (the delta-method-free
+SE for nonlinear statistics), Theil-Sen robust trend (median-of-slopes
+regression that one outlier month cannot move), and Wald's SPRT
+(sequential testing with early stopping — the reason modern experiment
+platforms peek without p-hacking).
+
+Scale notes (100 TB): every operator here reduces to grouped
+aggregates plus a tiny broadcast of per-group statistics back onto the
+rows — no global sorts except SPRT's per-arm cumulative scan, which is
+windowed BY ARM (bounded cardinality, never a single global partition).
+The Bayesian closed form materializes one row per posterior-sum term
+(O(successes), thousands at most) with all log-Beta values computed
+JVM-side via ``aggregate(sequence(...))`` — zero Python, zero shuffle.
+
+Cross-engine exactness: log-factorials are Sigma ln(k) on the Spark
+side and lgamma() on the DuckDB side — identical to ~1e-13 relative,
+so every float aggregate is rounded (4-6 dp) on BOTH sides before the
+value hash, per the registry-wide discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from datalake_project_spark.catalog import Catalog
+from datalake_project_spark.queries import register
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END AS grp,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                    THEN 'pre' ELSE 'post' END AS period,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS mean_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN grp='treat' AND period='pre' THEN mean_value END) AS t_pre,
+            MAX(CASE WHEN grp='treat' AND period='post' THEN mean_value END) AS t_post,
+            MAX(CASE WHEN grp='control' AND period='pre' THEN mean_value END) AS c_pre,
+            MAX(CASE WHEN grp='control' AND period='post' THEN mean_value END) AS c_post,
+            CAST(SUM(n) AS BIGINT) AS n_obs
+        FROM cells)
+    SELECT t_pre, t_post, c_pre, c_post, n_obs,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate
+    FROM wide
+    """,
+    doc="Difference-in-differences: deterministic treatment assignment "
+        "(user_id parity), pre/post split at the observation-window "
+        "midpoint (Jan 16), cell means of event value, and the DiD "
+        "estimate (treat post-pre delta minus control post-pre delta) "
+        "— the standard parallel-trends causal readout when a feature "
+        "launched to half the users mid-window. ONE conditional-"
+        "aggregate scan into a 4-cell pivot; at 100 TB this is a "
+        "single map-side-combined groupBy on 4 keys. Cell means are "
+        "rounded to 4 dp on both engines before differencing.",
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select(
+             F.when(F.col("user_id") % 2 == 1, "treat")
+             .otherwise("control").alias("grp"),
+             F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"),
+                    "pre").otherwise("post").alias("period"),
+             "value"))
+    cells = e.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"))
+
+    def cell(g: str, p: str):
+        return F.max(F.when((F.col("grp") == g) & (F.col("period") == p),
+                            F.col("mean_value")))
+
+    wide = cells.agg(
+        cell("treat", "pre").alias("t_pre"),
+        cell("treat", "post").alias("t_post"),
+        cell("control", "pre").alias("c_pre"),
+        cell("control", "post").alias("c_post"),
+        F.sum("n").cast("long").alias("n_obs"))
+    return wide.select(
+        "t_pre", "t_post", "c_pre", "c_post", "n_obs",
+        F.round((F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre")), 4)
+        .alias("did_estimate"))
+
+
+# --------------------------------------------------------------------------
+# Closed-form Bayesian A/B (Beta-Binomial, Evan Miller's exact sum)
+# --------------------------------------------------------------------------
+
+# Success criterion: a user is a "heavy buyer" if they logged >= 15
+# purchase events in the window (the observed per-user purchase count
+# is ~13 on the synthetic fixture, so this lands mid-range rather than
+# at a degenerate 0%/100% conversion).
+_HEAVY = 15
+
+@register(
+    "q_events_bayesian_ab",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS variant,
+               CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+                         >= {_HEAVY} THEN 1 ELSE 0 END AS success
+        FROM events GROUP BY user_id),
+    counts AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE variant='A') AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN variant='A' THEN success ELSE 0 END)
+                 AS BIGINT) AS s_a,
+            CAST(COUNT(*) FILTER (WHERE variant='B') AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN variant='B' THEN success ELSE 0 END)
+                 AS BIGINT) AS s_b
+        FROM conv),
+    -- posteriors: A ~ Beta(aa, ba), B ~ Beta(ab, bb) with +1 priors
+    post AS (
+        SELECT n_a, s_a, n_b, s_b,
+               s_a + 1 AS aa, n_a - s_a + 1 AS ba,
+               s_b + 1 AS ab, n_b - s_b + 1 AS bb
+        FROM counts),
+    expanded AS (
+        SELECT p.*, unnest(range(0, p.ab)) AS i FROM post p),
+    terms AS (
+        SELECT p.*,
+               EXP(  (lgamma(p.aa + p.i) + lgamma(p.ba + p.bb)
+                      - lgamma(p.aa + p.i + p.ba + p.bb))
+                   - LN(p.bb + p.i)
+                   - (lgamma(1 + p.i) + lgamma(p.bb)
+                      - lgamma(1 + p.i + p.bb))
+                   - (lgamma(p.aa) + lgamma(p.ba)
+                      - lgamma(p.aa + p.ba))) AS term
+        FROM expanded p)
+    SELECT MAX(n_a) AS n_a, MAX(s_a) AS s_a,
+           MAX(n_b) AS n_b, MAX(s_b) AS s_b,
+           ROUND(SUM(term), 5) AS p_b_beats_a
+    FROM terms
+    """,
+    doc="Closed-form Bayesian A/B: per-user conversion (heavy-buyer "
+        "flag), Beta(1,1)-prior posteriors per variant, and the EXACT "
+        "Pr(p_B > p_A) via Evan Miller's finite sum "
+        "Sigma_i exp(lnB(aA+i, bA+bB) - ln(bB+i) - lnB(1+i, bB) "
+        "- lnB(aA, bA)) — no sampling, so the whole posterior "
+        "probability is value-checked. Spark computes each log-Beta "
+        "with JVM-side aggregate(sequence(1, n), ln) log-factorials "
+        "(exactly Sigma ln k; the oracle uses lgamma — identical to "
+        "~1e-13, rounded at 5 dp). Plan: one groupBy(user) scan, a "
+        "1-row broadcast of the four counts, then O(s_B) term rows "
+        "from an exploded sequence — work is bounded by the SUCCESS "
+        "COUNT, not the corpus, so 100 TB of raw events still yields "
+        "a few thousand term rows.",
+)
+def q_events_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    conv = (e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("purchases"))
+        .select(
+            F.when(F.col("user_id") % 2 == 1, "B").otherwise("A")
+            .alias("variant"),
+            F.when(F.col("purchases") >= _HEAVY, 1).otherwise(0)
+            .alias("success")))
+    counts = conv.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("success"))
+              .otherwise(0)).cast("long").alias("s_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("success"))
+              .otherwise(0)).cast("long").alias("s_b"))
+    post = counts.select(
+        "n_a", "s_a", "n_b", "s_b",
+        (F.col("s_a") + 1).alias("aa"), (F.col("n_a") - F.col("s_a") + 1).alias("ba"),
+        (F.col("s_b") + 1).alias("ab"), (F.col("n_b") - F.col("s_b") + 1).alias("bb"))
+    # lfact(n) = ln((n-1)!) = Sigma_{k=1}^{n-1} ln k, i.e. lgamma(n),
+    # computed JVM-side per expression — no spine table, no shuffle.
+    # lgamma(n) = Sigma_{k=2}^{n-1} ln k; sequence() must be guarded for
+    # n <= 2 because Spark's sequence(2, m) DESCENDS when m < 2.
+    lfact = ("(CASE WHEN ({n}) <= 2 THEN 0.0D ELSE "
+             "aggregate(sequence(2, CAST({n} AS INT) - 1), 0.0D, "
+             "(acc, x) -> acc + ln(CAST(x AS DOUBLE))) END)")
+    lbeta = (f"({lfact.format(n='{x}')} + {lfact.format(n='{y}')}"
+             f" - {lfact.format(n='({x}) + ({y})')})")
+    terms = post.select(
+        "n_a", "s_a", "n_b", "s_b", "aa", "ba", "ab", "bb",
+        F.explode(F.expr("sequence(0, CAST(ab - 1 AS INT))")).alias("i"))
+    term_expr = ("exp(" + lbeta.format(x="aa + i", y="ba + bb")
+                 + " - ln(CAST(bb + i AS DOUBLE)) - "
+                 + lbeta.format(x="1 + i", y="bb") + " - "
+                 + lbeta.format(x="aa", y="ba") + ")")
+    return terms.agg(
+        F.max("n_a").alias("n_a"), F.max("s_a").alias("s_a"),
+        F.max("n_b").alias("n_b"), F.max("s_b").alias("s_b"),
+        F.round(F.sum(F.expr(term_expr)), 5).alias("p_b_beats_a"))
+
+
+# --------------------------------------------------------------------------
+# Jackknife SE for a ratio estimator
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_jackknife_ratio",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_returnflag AS flag,
+               l_extendedprice * (1 - l_discount) AS x, l_quantity AS y
+        FROM lineitem),
+    tot AS (
+        SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+        FROM rows_ GROUP BY flag),
+    loo AS (
+        SELECT r.flag, t.n, t.sx, t.sy,
+               (t.sx - r.x) / (t.sy - r.y) AS theta_i
+        FROM rows_ r JOIN tot t USING (flag)),
+    jk AS (
+        SELECT flag, MAX(n) AS n,
+               ROUND(MAX(sx) / MAX(sy), 6) AS theta_hat,
+               AVG(theta_i) AS tbar,
+               SUM(theta_i * theta_i) AS ss
+        FROM loo GROUP BY flag)
+    SELECT flag, CAST(n AS BIGINT) AS n, theta_hat,
+           ROUND(SQRT((n - 1.0) / n * (ss - n * tbar * tbar)), 6)
+               AS jackknife_se
+    FROM jk ORDER BY flag
+    """,
+    doc="Jackknife standard error for the revenue-per-unit ratio "
+        "estimator Sigma(price*(1-disc)) / Sigma(qty) per returnflag — "
+        "the resampling SE for a NONLINEAR statistic where the naive "
+        "sd/sqrt(n) is wrong. Leave-one-out replicates are CLOSED "
+        "FORM from the group totals ((S_x - x_i)/(S_y - y_i)), so the "
+        "whole thing is two grouped scans with a tiny per-group stats "
+        "broadcast back — no resampling shuffle, no n^2; at 100 TB "
+        "each pass is one map-side-combined shuffle on the 3-key "
+        "group. Variance uses the one-pass form (ss - n*mean^2), "
+        "identical on both engines, rounded at 6 dp.",
+)
+def q_stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (Catalog(spark, sf_dir).table("lineitem")
+          .select(F.col("l_returnflag").alias("flag"),
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("x"),
+                  F.col("l_quantity").alias("y")))
+    tot = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"))
+    loo = (li.join(F.broadcast(tot), "flag")
+           .withColumn("theta_i",
+                       (F.col("sx") - F.col("x"))
+                       / (F.col("sy") - F.col("y"))))
+    jk = loo.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("sx") / F.max("sy"), 6).alias("theta_hat"),
+        F.avg("theta_i").alias("tbar"),
+        F.sum(F.col("theta_i") * F.col("theta_i")).alias("ss"))
+    return (jk.select(
+        "flag", F.col("n").cast("long").alias("n"), "theta_hat",
+        F.round(F.sqrt((F.col("n") - F.lit(1.0)) / F.col("n")
+                       * (F.col("ss")
+                          - F.col("n") * F.col("tbar") * F.col("tbar"))), 6)
+        .alias("jackknife_se"))
+        .orderBy("flag"))
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend
+# --------------------------------------------------------------------------
+
+@register(
+    "q_orders_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+               + EXTRACT(MONTH FROM o_orderdate) - 1 AS m,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1),
+    pairs AS (
+        SELECT (b.rev - a.rev) / (b.m - a.m) AS slope
+        FROM monthly a JOIN monthly b ON b.m > a.m),
+    sl AS (SELECT ROUND(quantile_cont(slope, 0.5), 4) AS slope FROM pairs),
+    ic AS (
+        SELECT ROUND(quantile_cont(rev - sl.slope * m, 0.5), 4) AS intercept
+        FROM monthly, sl GROUP BY ALL)
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+           sl.slope, ic.intercept
+    FROM sl, ic
+    """,
+    doc="Theil-Sen robust trend of monthly order revenue: median of "
+        "all pairwise slopes (b.rev-a.rev)/(b.m-a.m) over month pairs, "
+        "intercept = median(rev - slope*m) — the trend line a single "
+        "anomalous month cannot move, unlike the OLS twin "
+        "(q_price_trend_regression). The quadratic pair join runs on "
+        "the AGGREGATED monthly series (84 points -> ~3.5k pairs), "
+        "never the raw rows, so at 100 TB the pair stage is constant-"
+        "size: one groupBy(month) shuffle then a broadcast self-join "
+        "of a 84-row table. Monthly revenue is rounded to 2 dp before "
+        "pairing so both engines difference identical inputs; slope/"
+        "intercept are exact interpolated medians rounded at 4 dp.",
+)
+def q_orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    monthly = (o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .alias("m"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    pairs = (a.join(F.broadcast(b), F.col("mb") > F.col("ma"))
+             .select(((F.col("rb") - F.col("ra"))
+                      / (F.col("mb") - F.col("ma"))).alias("slope")))
+    sl = pairs.agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    ic = (monthly.crossJoin(F.broadcast(sl))
+          .agg(F.max("n_pairs").alias("n_pairs"),
+               F.max("slope").alias("slope"),
+               F.count(F.lit(1)).cast("long").alias("n_months"),
+               F.round(F.expr("percentile(rev - slope * m, 0.5)"), 4)
+               .alias("intercept")))
+    return ic.select("n_months", "n_pairs", "slope", "intercept")
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT — sequential testing with early stopping
+# --------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22   # null / alternative purchase rates
+_SPRT_BOUND = 2.9444389791664403  # ln(19): alpha = beta = 0.05
+
+@register(
+    "q_events_sprt",
+    oracle=f"""
+    WITH trials AS (
+        SELECT user_id % 4 AS arm, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events),
+    walk AS (
+        SELECT arm, ts, event_id,
+               ROUND(SUM(x * LN({_SPRT_P1} / {_SPRT_P0})
+                         + (1 - x) * LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})))
+                     OVER (PARTITION BY arm ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING), 6) AS llr,
+               ROW_NUMBER() OVER (PARTITION BY arm ORDER BY ts, event_id)
+                   AS n
+        FROM trials),
+    crossings AS (
+        SELECT arm, n, llr,
+               CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1'
+                    WHEN llr <= -{_SPRT_BOUND} THEN 'accept_h0' END AS hit
+        FROM walk),
+    first_hit AS (
+        SELECT arm, MIN(n) AS n_decided FROM crossings
+        WHERE hit IS NOT NULL GROUP BY arm),
+    final AS (
+        SELECT arm, MAX(n) AS n_total,
+               MAX(CASE WHEN rn = 1 THEN llr END) AS llr_final
+        FROM (SELECT arm, n, llr,
+                     ROW_NUMBER() OVER (PARTITION BY arm ORDER BY n DESC)
+                         AS rn
+              FROM crossings) GROUP BY arm)
+    SELECT f.arm, CAST(f.n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(fh.n_decided, 0) AS BIGINT) AS n_decided,
+           COALESCE((SELECT c.hit FROM crossings c
+                     WHERE c.arm = f.arm AND c.n = fh.n_decided),
+                    'continue') AS decision,
+           f.llr_final
+    FROM final f LEFT JOIN first_hit fh USING (arm)
+    ORDER BY f.arm
+    """,
+    doc="Wald's SPRT per experiment arm: Bernoulli trials (purchase "
+        "vs. not) in event order, cumulative log-likelihood ratio for "
+        "H1: p=0.22 vs H0: p=0.18, stop at the first crossing of "
+        "+-ln(19) (alpha=beta=0.05) — the sequential test that makes "
+        "continuous experiment peeking statistically valid. The "
+        "cumulative walk is windowed PER ARM (partition user_id%4, "
+        "order ts,event_id) — bounded partitions, never a global "
+        "sort; at 100 TB with thousands of arms the scan is one "
+        "shuffle on arm. The LLR is rounded to 6 dp on both engines "
+        "BEFORE the boundary compare so the crossing decision is the "
+        "same IEEE comparison on identical inputs.",
+)
+def q_events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    import math
+    w_hit = math.log(_SPRT_P1 / _SPRT_P0)
+    w_miss = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    trials = e.select(
+        (F.col("user_id") % 4).alias("arm"), "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"))
+    w = Window.partitionBy("arm").orderBy("ts", "event_id")
+    walk = trials.select(
+        "arm",
+        F.round(F.sum(F.col("x") * F.lit(w_hit)
+                      + (1 - F.col("x")) * F.lit(w_miss))
+                .over(w.rowsBetween(Window.unboundedPreceding, 0)), 6)
+        .alias("llr"),
+        F.row_number().over(w).alias("n"))
+    crossings = walk.withColumn(
+        "hit",
+        F.when(F.col("llr") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("llr") <= -_SPRT_BOUND, "accept_h0"))
+    first_hit = (crossings.where(F.col("hit").isNotNull())
+                 .groupBy("arm").agg(F.min("n").alias("n_decided")))
+    decided = (crossings.join(first_hit, "arm")
+               .where(F.col("n") == F.col("n_decided"))
+               .select("arm", "n_decided", F.col("hit").alias("decision")))
+    final = (crossings
+             .groupBy("arm")
+             .agg(F.max("n").cast("long").alias("n_total"),
+                  F.max_by("llr", "n").alias("llr_final")))
+    return (final.join(F.broadcast(decided), "arm", "left")
+            .select("arm", "n_total",
+                    F.coalesce(F.col("n_decided"), F.lit(0)).cast("long")
+                    .alias("n_decided"),
+                    F.coalesce(F.col("decision"), F.lit("continue"))
+                    .alias("decision"),
+                    "llr_final")
+            .orderBy("arm"))
+
+
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# --------------------------------------------------------------------------
+
+_RAKE_STOP = ("the", "a", "an", "of", "and", "or", "in", "on", "to", "is",
+              "are", "was", "were", "for", "with", "as", "by", "at", "it",
+              "its", "this", "that", "be", "from", "not", "but", "have",
+              "has", "had", "which", "their", "they", "we", "you", "i")
+
+def _stop_sql() -> str:
+    return ", ".join(f"'{s}'" for s in _RAKE_STOP)
+
+@register(
+    "q_text_keyphrase_rake",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    posx AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM tok),
+    pos AS (
+        SELECT doc_id, pos, ws[pos] AS w,
+               CASE WHEN ws[pos] IN ({_stop_sql()}) THEN 1 ELSE 0 END
+                   AS is_stop
+        FROM posx),
+    seg AS (
+        SELECT doc_id, pos, w, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM pos),
+    phrases AS (
+        SELECT doc_id, seg_id,
+               array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+               COUNT(*) AS plen
+        FROM seg WHERE is_stop = 0
+        GROUP BY doc_id, seg_id
+        HAVING COUNT(*) BETWEEN 2 AND 4),
+    members AS (
+        SELECT p.doc_id, p.seg_id, p.phrase, p.plen, u.w
+        FROM phrases p, unnest(string_split(p.phrase, ' ')) AS u(w)),
+    word_scores AS (
+        SELECT w, SUM(plen) AS degree, COUNT(*) AS freq,
+               SUM(plen)::DOUBLE / COUNT(*) AS score
+        FROM members GROUP BY w),
+    phrase_scores AS (
+        SELECT m.phrase,
+               ROUND(SUM(ws.score), 4) AS rake_score,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM (SELECT DISTINCT doc_id, seg_id, phrase, w FROM members) m
+        JOIN word_scores ws USING (w)
+        GROUP BY m.phrase, m.doc_id, m.seg_id),
+    agg AS (
+        SELECT phrase, MAX(rake_score) AS rake_score,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrase_scores GROUP BY phrase)
+    SELECT phrase, rake_score, n_occurrences
+    FROM agg
+    ORDER BY rake_score DESC, phrase
+    LIMIT 20
+    """,
+    doc="RAKE keyphrase extraction: candidate phrases are maximal runs "
+        "of non-stopword tokens (2-4 words), word score = degree/freq "
+        "over all candidate phrases (degree = Sigma of lengths of "
+        "phrases containing the word), phrase score = Sigma member "
+        "word scores; top-20 corpus-wide. The co-occurrence "
+        "statistics are plain grouped aggregates on exploded tokens — "
+        "one shuffle on word, one on phrase; the per-doc segment walk "
+        "is windowed BY DOCUMENT (never global). Top-20 via "
+        "TakeOrderedAndProject with a full (score, phrase) "
+        "deterministic tie-break. At 100 TB: token explosion is the "
+        "only superlinear term and it is bounded by corpus token "
+        "count, the same cost class as TF-IDF/BM25 already in the "
+        "registry.",
+)
+def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pos = (d.select(
+        "doc_id",
+        F.posexplode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("pos", "w"))
+        .withColumn("is_stop",
+                    F.col("w").isin(*_RAKE_STOP).cast("int")))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    seg = pos.withColumn("seg_id", F.sum("is_stop").over(wdoc))
+    phrases = (seg.where(F.col("is_stop") == 0)
+               .groupBy("doc_id", "seg_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                       lambda s: s["w"]), " ").alias("phrase"),
+                    F.count(F.lit(1)).alias("plen"))
+               .where(F.col("plen").between(2, 4)))
+    members = phrases.select(
+        "doc_id", "seg_id", "phrase", "plen",
+        F.explode(F.split("phrase", " ")).alias("w"))
+    word_scores = members.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1))).alias("score"))
+    phrase_scores = (members.dropDuplicates(["doc_id", "seg_id", "phrase", "w"])
+                     .join(word_scores, "w")
+                     .groupBy("phrase", "doc_id", "seg_id")
+                     .agg(F.round(F.sum("score"), 4).alias("rake_score")))
+    agg = phrase_scores.groupBy("phrase").agg(
+        F.max("rake_score").alias("rake_score"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    return (agg.orderBy(F.desc("rake_score"), "phrase")
+            .limit(20))
