@@ -459,3 +459,118 @@ def q_pseudonymize_join_integrity(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price"),
                  F.countDistinct("o_tok").alias("n_customers")))
+
+
+T_CLOSE = 0.2  # max earth-mover's distance from the global distribution
+
+
+@register(
+    "q_privacy_t_closeness",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT c_nationkey, c_mktsegment,
+               LEAST(9, GREATEST(0,
+                   CAST(FLOOR((c_acctbal + 1000.0) / 1100.0) AS INT)))
+                   AS bucket
+        FROM customer),
+    buckets AS (SELECT unnest(range(0, 10)) AS bucket),
+    gdist AS (
+        SELECT b.bucket, COUNT(r.bucket) AS n
+        FROM buckets b LEFT JOIN rows_ r USING (bucket) GROUP BY b.bucket),
+    gdist_cum AS (
+        SELECT g.bucket,
+               SUM(g2.n) AS cum,
+               (SELECT SUM(n) FROM gdist) AS total
+        FROM gdist g JOIN gdist g2 ON g2.bucket <= g.bucket
+        GROUP BY g.bucket),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS ng
+        FROM rows_ GROUP BY 1, 2),
+    grp_b AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.ng, b.bucket,
+               (SELECT COUNT(*) FROM rows_ r
+                WHERE r.c_nationkey = g.c_nationkey
+                  AND r.c_mktsegment = g.c_mktsegment
+                  AND r.bucket = b.bucket) AS n
+        FROM grp g CROSS JOIN buckets b),
+    grp_cum AS (
+        SELECT gb.c_nationkey, gb.c_mktsegment, gb.ng, gb.bucket,
+               SUM(gb2.n) AS cum
+        FROM grp_b gb JOIN grp_b gb2
+          ON gb2.c_nationkey = gb.c_nationkey
+         AND gb2.c_mktsegment = gb.c_mktsegment
+         AND gb2.bucket <= gb.bucket
+        GROUP BY 1, 2, 3, 4),
+    emd AS (
+        SELECT gc.c_nationkey, gc.c_mktsegment, MAX(gc.ng) AS n,
+               ROUND(SUM(ABS(gc.cum::DOUBLE / gc.ng
+                             - gl.cum::DOUBLE / gl.total)) / 9.0, 6)
+                   AS emd
+        FROM grp_cum gc JOIN gdist_cum gl USING (bucket)
+        WHERE gc.bucket < 9
+        GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n, emd,
+           (emd <= {T_CLOSE}) AS t_close
+    FROM emd
+    ORDER BY emd DESC, c_nationkey, c_mktsegment
+    LIMIT 25
+    """,
+    doc=f"t-closeness audit (t={T_CLOSE}) completing the privacy triad "
+        "beside q_k_anonymity and q_l_diversity: per quasi-identifier "
+        "group (nation, market segment), the earth-mover's distance "
+        "between the group's account-balance decile distribution and "
+        "the global one — ordered-categorical EMD = mean |cumulative "
+        "difference|. Buckets are INTEGER-exact fixed ranges (no "
+        "ntile/global window); cumulative sums are bucket-triangle "
+        "self-joins over the 10-row bucket spine, so every per-group "
+        "number is a single integer/integer division — identical IEEE "
+        "doubles on both engines, rounded at 6 dp. At 100 TB: one "
+        "groupBy(QI, bucket) shuffle, then all spine joins broadcast; "
+        "top-25 riskiest groups via TakeOrderedAndProject with a full "
+        "deterministic tie-break.",
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    rows = c.select(
+        "c_nationkey", "c_mktsegment",
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor(
+            (F.col("c_acctbal") + 1000.0) / 1100.0).cast("int")))
+        .alias("bucket"))
+    buckets = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    glob = (buckets.join(rows.groupBy("bucket")
+                         .agg(F.count(F.lit(1)).alias("n")),
+                         "bucket", "left")
+            .select("bucket", F.coalesce("n", F.lit(0)).alias("n")))
+    g2 = glob.select(F.col("bucket").alias("b2"), F.col("n").alias("n2"))
+    glob_cum = (glob.join(F.broadcast(g2), F.col("b2") <= F.col("bucket"))
+                .groupBy("bucket").agg(F.sum("n2").alias("cum")))
+    total = glob.agg(F.sum("n").alias("total"))
+    glob_cum = glob_cum.crossJoin(F.broadcast(total))
+    grp = (rows.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("ng")))
+    gb_counts = (rows.groupBy("c_nationkey", "c_mktsegment", "bucket")
+                 .agg(F.count(F.lit(1)).alias("n")))
+    grp_b = (grp.crossJoin(F.broadcast(buckets))
+             .join(gb_counts, ["c_nationkey", "c_mktsegment", "bucket"],
+                   "left")
+             .select("c_nationkey", "c_mktsegment", "ng", "bucket",
+                     F.coalesce("n", F.lit(0)).alias("n")))
+    gb2 = grp_b.select("c_nationkey", "c_mktsegment",
+                       F.col("bucket").alias("b2"), F.col("n").alias("n2"))
+    grp_cum = (grp_b.join(gb2, ["c_nationkey", "c_mktsegment"])
+               .where(F.col("b2") <= F.col("bucket"))
+               .groupBy("c_nationkey", "c_mktsegment", "ng", "bucket")
+               .agg(F.sum("n2").alias("cum")))
+    emd = (grp_cum.where(F.col("bucket") < 9)
+           .join(F.broadcast(glob_cum.withColumnRenamed("cum", "gcum")),
+                 "bucket")
+           .groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.max("ng").cast("long").alias("n"),
+                F.round(F.sum(F.abs(
+                    F.col("cum").cast("double") / F.col("ng")
+                    - F.col("gcum").cast("double") / F.col("total")))
+                    / 9.0, 6).alias("emd")))
+    return (emd.select("c_nationkey", "c_mktsegment", "n", "emd",
+                       (F.col("emd") <= T_CLOSE).alias("t_close"))
+            .orderBy(F.desc("emd"), "c_nationkey", "c_mktsegment")
+            .limit(25))

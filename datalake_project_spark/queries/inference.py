@@ -540,3 +540,236 @@ def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     return (agg.orderBy(F.desc("rake_score"), "phrase")
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (exact PAV via the minimax formula)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_classifier_isotonic",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    vocab AS (SELECT DISTINCT t, ((len(t) % 7) - 3) * 0.05::DOUBLE AS w
+              FROM ex),
+    cls AS (SELECT ex.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-AVG(vocab.w))), 4) AS prob
+            FROM ex JOIN vocab USING (t) GROUP BY ex.doc_id),
+    lab AS (SELECT doc_id, CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END
+                       AS y
+            FROM documents),
+    bins AS (
+        SELECT LEAST(19, CAST(FLOOR(c.prob * 20) AS INT)) AS bin,
+               COUNT(*) AS n, SUM(l.y) AS sy,
+               ROUND(AVG(c.prob), 4) AS mean_prob
+        FROM cls c JOIN lab l USING (doc_id) GROUP BY 1),
+    pref AS (
+        SELECT b.bin, b.n, b.sy, b.mean_prob,
+               SUM(b2.n) AS cn, SUM(b2.sy) AS cy
+        FROM bins b JOIN bins b2 ON b2.bin <= b.bin
+        GROUP BY b.bin, b.n, b.sy, b.mean_prob),
+    pairs AS (
+        SELECT pj.bin AS j, pk.bin AS k,
+               (pk.cy - pj.cy + pj.sy)::DOUBLE
+               / (pk.cn - pj.cn + pj.n) AS avg_jk
+        FROM pref pj JOIN pref pk ON pj.bin <= pk.bin),
+    mm AS (
+        SELECT p.j, b.bin AS i, MIN(p.avg_jk) AS min_k
+        FROM pairs p JOIN bins b ON p.k >= b.bin AND p.j <= b.bin
+        GROUP BY p.j, b.bin),
+    iso AS (SELECT i AS bin, MAX(min_k) AS iso_raw FROM mm GROUP BY i)
+    SELECT b.bin, CAST(b.n AS BIGINT) AS n, b.mean_prob,
+           ROUND(b.sy::DOUBLE / b.n, 6) AS frac_pos,
+           ROUND(i.iso_raw, 6) AS iso_calibrated
+    FROM bins b JOIN iso i USING (bin)
+    ORDER BY b.bin
+    """,
+    doc="Isotonic calibration of classifier scores by EXACT pool-"
+        "adjacent-violators, computed via the closed-form minimax "
+        "identity iso(i) = max_{j<=i} min_{k>=i} wavg(y, j..k) — no "
+        "iteration, so the whole monotone fit is value-checked. Scores "
+        "are ventile-binned; every range average is ONE division of "
+        "two integers (prefix-sum counts), so both engines compare "
+        "bit-identical doubles inside the min/max — hash-exact before "
+        "the final 6 dp rounding. The bin table is a fixed-size "
+        "aggregate (<=20 rows), so the triangle joins are broadcast "
+        "trivia at any corpus size; the only data-scale shuffle is "
+        "the score groupBy. Completes the calibration arc beside "
+        "q_classifier_calibration (reliability bins) and "
+        "q_classifier_conformal (coverage).",
+)
+def q_classifier_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    ex = (d.select("doc_id", T.tokens("text").alias("toks"))
+          .where(F.size("toks") > 0)
+          .select("doc_id", F.explode("toks").alias("t")))
+    vocab = (ex.select("t").distinct()
+             .select("t", (((F.length("t") % 7) - 3)
+                           * F.lit(0.05)).cast("double").alias("w")))
+    cls = (ex.join(F.broadcast(vocab), "t")
+           .groupBy("doc_id")
+           .agg(F.round(1.0 / (1.0 + F.exp(-F.avg("w"))), 4).alias("prob")))
+    lab = d.select(
+        "doc_id",
+        F.when(F.length("text") >= 500, 1).otherwise(0).alias("y"))
+    bins = (cls.join(lab, "doc_id")
+            .groupBy(F.least(F.lit(19), F.floor(F.col("prob") * 20)
+                             .cast("int")).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                 F.round(F.avg("prob"), 4).alias("mean_prob")))
+    b2 = bins.select(F.col("bin").alias("b2"), F.col("n").alias("n2"),
+                     F.col("sy").alias("sy2"))
+    pref = (bins.join(F.broadcast(b2), F.col("b2") <= F.col("bin"))
+            .groupBy("bin", "n", "sy", "mean_prob")
+            .agg(F.sum("n2").alias("cn"), F.sum("sy2").alias("cy")))
+    pj = pref.select(F.col("bin").alias("j"), F.col("n").alias("nj"),
+                     F.col("sy").alias("syj"), F.col("cn").alias("cnj"),
+                     F.col("cy").alias("cyj"))
+    pk = pref.select(F.col("bin").alias("k"), F.col("cn").alias("cnk"),
+                     F.col("cy").alias("cyk"))
+    pairs = (pj.join(F.broadcast(pk), F.col("j") <= F.col("k"))
+             .select("j", "k",
+                     ((F.col("cyk") - F.col("cyj") + F.col("syj"))
+                      .cast("double")
+                      / (F.col("cnk") - F.col("cnj") + F.col("nj")))
+                     .alias("avg_jk")))
+    igrid = bins.select(F.col("bin").alias("i"))
+    mm = (pairs.join(F.broadcast(igrid),
+                     (F.col("k") >= F.col("i")) & (F.col("j") <= F.col("i")))
+          .groupBy("j", "i").agg(F.min("avg_jk").alias("min_k")))
+    iso = mm.groupBy("i").agg(F.max("min_k").alias("iso_raw"))
+    return (bins.join(F.broadcast(iso), bins["bin"] == iso["i"])
+            .select("bin", F.col("n").cast("long").alias("n"), "mean_prob",
+                    F.round(F.col("sy").cast("double") / F.col("n"), 6)
+                    .alias("frac_pos"),
+                    F.round("iso_raw", 6).alias("iso_calibrated"))
+            .orderBy("bin"))
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit
+# --------------------------------------------------------------------------
+
+_JL_OUT = 16   # target dimensionality (64 -> 16)
+_JL_SAMPLE = 200  # vectors audited (pairs = n*(n-1)/2)
+
+@register(
+    "q_embed_jl_distortion",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {_JL_SAMPLE}),
+    dims AS (
+        SELECT vec_id, embedding,
+               unnest(range(0, len(embedding))) AS j
+        FROM base),
+    dimx AS (
+        SELECT vec_id, j, embedding[j + 1]::DOUBLE AS x FROM dims),
+    signs AS (
+        SELECT d.j, k.k,
+               1 - 2 * CAST(
+                   ((1103515245 * ((d.j * {_JL_OUT} + k.k) % 2147483648)
+                     + 12345) % 2147483648) >> 16 & 1 AS INT) AS s
+        FROM (SELECT unnest(range(0, 64)) AS j) d
+        CROSS JOIN (SELECT unnest(range(0, {_JL_OUT})) AS k) k),
+    proj AS (
+        SELECT dx.vec_id, sg.k,
+               ROUND(0.25 * SUM(sg.s * dx.x), 6) AS y
+        FROM dimx dx JOIN signs sg ON sg.j = dx.j
+        GROUP BY dx.vec_id, sg.k),
+    parr AS (
+        SELECT vec_id, list(y ORDER BY k) AS yv FROM proj GROUP BY vec_id),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_sum(list_transform(range(1, 65),
+                   i -> (ea.embedding[i]::DOUBLE - eb.embedding[i]::DOUBLE)
+                        * (ea.embedding[i]::DOUBLE - eb.embedding[i]::DOUBLE)))
+                   AS d64,
+               list_sum(list_transform(range(1, {_JL_OUT} + 1),
+                   i -> (a.yv[i] - b.yv[i]) * (a.yv[i] - b.yv[i]))) AS d16
+        FROM parr a JOIN parr b ON a.vec_id < b.vec_id
+        JOIN base ea ON ea.vec_id = a.vec_id
+        JOIN base eb ON eb.vec_id = b.vec_id),
+    ratios AS (
+        SELECT ROUND(CASE WHEN d64 > 0 THEN ({64.0 / _JL_OUT}) * d16 / d64
+                          ELSE 1.0 END, 6) AS ratio
+        FROM pairs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ratio), 4) AS mean_ratio,
+           ROUND(MIN(ratio), 4) AS min_ratio,
+           ROUND(MAX(ratio), 4) AS max_ratio,
+           ROUND(quantile_cont(ratio, 0.05), 4) AS p05_ratio,
+           ROUND(quantile_cont(ratio, 0.95), 4) AS p95_ratio,
+           ROUND(COUNT(CASE WHEN ratio BETWEEN 0.5 AND 1.5 THEN 1 END)::DOUBLE
+                 / COUNT(*), 4) AS frac_within_50pct
+    FROM ratios
+    """,
+    doc="Johnson-Lindenstrauss distortion audit for 64->16 random "
+        "sign projection (the compression every 100 TB ANN pipeline "
+        "applies before indexing): project with a DETERMINISTIC "
+        "Rademacher matrix (31-bit LCG on (dim, out-dim), bit 16 as "
+        "the sign — identical BIGINT arithmetic on both engines), "
+        "then measure the squared-distance ratio (d/t)*|Px-Py|^2 / "
+        "|x-y|^2 over all sample pairs; JL says it concentrates "
+        "near 1. Projected coordinates are rounded at 6 dp so every "
+        "downstream distance is bit-identical across engines. Plan: "
+        "explode dims -> broadcast-join the 1024-entry sign matrix -> "
+        "one groupBy(vec, out-dim) shuffle, then pairwise distances "
+        "on the SAMPLE only (the audit is O(sample^2), the projection "
+        "itself is linear and is the piece that runs on the full "
+        "corpus).",
+)
+def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .where(F.col("vec_id") < _JL_SAMPLE)
+         .select("vec_id", "embedding"))
+    dimx = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "xf")) \
+        .select("vec_id", "j", F.col("xf").cast("double").alias("x"))
+    signs = (spark.range(64).select(F.col("id").cast("int").alias("j"))
+             .select("j", F.explode(F.expr(
+                 f"sequence(0, {_JL_OUT - 1})")).alias("k"))
+             .select("j", "k", F.expr(
+                 f"1 - 2 * CAST(shiftright((1103515245 * ((j * {_JL_OUT} + k)"
+                 " % 2147483648) + 12345) % 2147483648, 16) & 1 AS INT)")
+                 .alias("s")))
+    proj = (dimx.join(F.broadcast(signs), "j")
+            .groupBy("vec_id", "k")
+            .agg(F.round(0.25 * F.sum(F.col("s") * F.col("x")), 6)
+                 .alias("y")))
+    parr = (proj.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "y"))),
+                lambda st: st["y"]).alias("yv")))
+    withe = parr.join(e, "vec_id")
+    a = withe.select(F.col("vec_id").alias("ia"),
+                     F.col("yv").alias("ya"), F.col("embedding").alias("ea"))
+    b = withe.select(F.col("vec_id").alias("ib"),
+                     F.col("yv").alias("yb"), F.col("embedding").alias("eb"))
+    sqdist = ("aggregate(zip_with({u}, {v}, (p, q) -> "
+              "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) * "
+              "(CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), 0.0D, "
+              "(acc, z) -> acc + z)")
+    pairs = (a.join(b, F.col("ia") < F.col("ib"))
+             .select(F.expr(sqdist.format(u="ea", v="eb")).alias("d64"),
+                     F.expr(sqdist.format(u="ya", v="yb")).alias("d16")))
+    ratios = pairs.select(
+        F.round(F.when(F.col("d64") > 0,
+                       F.lit(64.0 / _JL_OUT) * F.col("d16") / F.col("d64"))
+                .otherwise(1.0), 6).alias("ratio"))
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        F.round(F.expr("percentile(ratio, 0.05)"), 4).alias("p05_ratio"),
+        F.round(F.expr("percentile(ratio, 0.95)"), 4).alias("p95_ratio"),
+        F.round(F.count(F.when(F.col("ratio").between(0.5, 1.5), 1))
+                .cast("double") / F.count(F.lit(1)), 4)
+        .alias("frac_within_50pct"))
