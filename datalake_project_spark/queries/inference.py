@@ -773,3 +773,215 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.when(F.col("ratio").between(0.5, 1.5), 1))
                 .cast("double") / F.count(F.lit(1)), 4)
         .alias("frac_within_50pct"))
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (exact subset enumeration)
+# --------------------------------------------------------------------------
+
+_CHANNELS = ("click", "view", "signup", "error")  # bit i = _CHANNELS[i]
+
+@register(
+    "q_events_shapley_attribution",
+    oracle="""
+    WITH firstp AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id),
+    touched AS (
+        SELECT f.user_id,
+               COALESCE(bit_or(CASE e.event_type
+                   WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                   WHEN 'signup' THEN 4 WHEN 'error' THEN 8 END), 0) AS mask
+        FROM firstp f LEFT JOIN events e
+          ON e.user_id = f.user_id AND e.ts < f.p_ts
+         AND e.event_type IN ('click', 'view', 'signup', 'error')
+        GROUP BY f.user_id),
+    nmask AS (SELECT mask, COUNT(*) AS n FROM touched GROUP BY mask),
+    spine AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+        SELECT sp.s, COALESCE(SUM(nm.n), 0) AS v
+        FROM spine sp LEFT JOIN nmask nm ON (nm.mask & sp.s) = nm.mask
+        GROUP BY sp.s),
+    chan AS (SELECT unnest(range(0, 4)) AS c),
+    contrib AS (
+        SELECT ch.c, sv.s,
+               (CASE bit_count(CAST(sv.s AS BIGINT))
+                    WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12
+                    WHEN 2 THEN 1.0/12 WHEN 3 THEN 0.25 END)
+               * (vi.v - sv.v) AS phi_part
+        FROM chan ch
+        JOIN v sv ON (sv.s & (1 << ch.c)) = 0
+        JOIN v vi ON vi.s = (sv.s | (1 << ch.c))),
+    phi AS (
+        SELECT c, ROUND(SUM(phi_part), 6) AS shapley_conversions
+        FROM contrib GROUP BY c)
+    SELECT CASE p.c WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                    WHEN 2 THEN 'signup' WHEN 3 THEN 'error' END AS channel,
+           p.shapley_conversions,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM nmask
+                 WHERE (mask & (1 << p.c)) <> 0) AS BIGINT)
+               AS n_touched_converters
+    FROM phi p
+    ORDER BY channel
+    """,
+    doc="EXACT Shapley-value attribution over marketing channels: for "
+        "each converted user (first purchase), the set of channels "
+        "touched beforehand becomes a 4-bit mask; the coalition value "
+        "v(S) = #converters whose touched-set is within S, and each "
+        "channel's Shapley share is the weighted sum of marginal "
+        "contributions over all 2^4 coalitions — the game-theoretic "
+        "attribution that last-touch (q_events_attribution) "
+        "approximates. Everything is INTEGER until the final rational "
+        "weights (|S|!(m-|S|-1)!/m! with m=4), so both engines "
+        "compare identical doubles. Plan: one groupBy(user) mask "
+        "aggregation (bit_or), a 16-row coalition spine joined "
+        "broadcast — subset enumeration cost is 2^m * m, independent "
+        "of corpus size; at 100 TB only the user-mask groupBy "
+        "shuffles.",
+)
+def q_events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    firstp = (e.where(F.col("event_type") == "purchase")
+              .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    bit = (F.when(F.col("event_type") == "click", 1)
+           .when(F.col("event_type") == "view", 2)
+           .when(F.col("event_type") == "signup", 4)
+           .when(F.col("event_type") == "error", 8))
+    touched = (firstp.join(
+        e.where(F.col("event_type").isin(*_CHANNELS))
+        .select("user_id", "ts", bit.alias("bit")),
+        "user_id", "left")
+        .where(F.col("ts").isNull() | (F.col("ts") < F.col("p_ts")))
+        .groupBy("user_id")
+        .agg(F.coalesce(F.expr("bit_or(bit)"), F.lit(0)).alias("mask")))
+    # left join keeps converters with no prior touches only when the
+    # join found no row at all; replicate the oracle's LEFT JOIN + ts
+    # filter semantics exactly: users whose every touch is post-purchase
+    # must still appear with mask 0.
+    no_touch = (firstp.join(touched, "user_id", "left_anti")
+                .select("user_id", F.lit(0).alias("mask")))
+    touched = touched.unionByName(no_touch)
+    nmask = touched.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (spine.join(F.broadcast(nmask),
+                    (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+                    "left")
+         .groupBy("s").agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v")))
+    chan = spark.range(4).select(F.col("id").cast("int").alias("c"))
+    sv = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    weight = (F.when(F.bit_count(F.col("s0").cast("long")) == 0, 0.25)
+              .when(F.bit_count(F.col("s0").cast("long")) == 1, 1.0 / 12)
+              .when(F.bit_count(F.col("s0").cast("long")) == 2, 1.0 / 12)
+              .otherwise(0.25))
+    contrib = (chan.join(F.broadcast(sv),
+                         F.col("s0").bitwiseAND(F.expr("shiftleft(1, c)"))
+                         == 0)
+               .join(F.broadcast(vi),
+                     F.col("s1") == F.col("s0")
+                     .bitwiseOR(F.expr("shiftleft(1, c)")))
+               .select("c", (weight * (F.col("v1") - F.col("v0")))
+                       .alias("phi_part")))
+    phi = contrib.groupBy("c").agg(
+        F.round(F.sum("phi_part"), 6).alias("shapley_conversions"))
+    touch_tot = (nmask.crossJoin(F.broadcast(chan))
+                 .where(F.col("mask").bitwiseAND(F.expr("shiftleft(1, c)"))
+                        != 0)
+                 .groupBy("c")
+                 .agg(F.sum("n").alias("nt")))
+    chname = (F.when(F.col("c") == 0, "click").when(F.col("c") == 1, "view")
+              .when(F.col("c") == 2, "signup").otherwise("error"))
+    return (phi.join(F.broadcast(touch_tot), "c", "left")
+            .select(chname.alias("channel"), "shapley_conversions",
+                    F.coalesce(F.col("nt"), F.lit(0)).cast("long")
+                    .alias("n_touched_converters"))
+            .orderBy("channel"))
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (value-checked iterative stateful operator)
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+@register(
+    "q_events_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(*)::DOUBLE AS y
+        FROM events GROUP BY 1, 2),
+    idx AS (
+        SELECT event_type, day, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                   AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily),
+    rec AS (
+        SELECT event_type, t, n, y,
+               y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS sse
+        FROM idx WHERE t = 1
+        UNION ALL
+        SELECT i.event_type, i.t, i.n, i.y,
+               {_HOLT_ALPHA} * i.y
+                   + (1 - {_HOLT_ALPHA}) * (r.l + r.b) AS l,
+               {_HOLT_BETA} * (({_HOLT_ALPHA} * i.y
+                   + (1 - {_HOLT_ALPHA}) * (r.l + r.b)) - r.l)
+                   + (1 - {_HOLT_BETA}) * r.b AS b,
+               r.sse + (i.y - (r.l + r.b)) * (i.y - (r.l + r.b)) AS sse
+        FROM idx i JOIN rec r
+          ON i.event_type = r.event_type AND i.t = r.t + 1)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           ROUND(MAX(CASE WHEN t = n THEN l END), 6) AS level,
+           ROUND(MAX(CASE WHEN t = n THEN b END), 6) AS trend,
+           ROUND(MAX(CASE WHEN t = n THEN l + 7 * b END), 6)
+               AS forecast_7d,
+           ROUND(MAX(CASE WHEN t = n THEN sse END), 4) AS sse
+    FROM rec GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Holt linear-trend exponential smoothing per event type over "
+        "the daily count series (alpha=0.5, beta=0.3): level/trend "
+        "recursions, one-step-ahead SSE, and the 7-day-ahead forecast "
+        "— an intrinsically ITERATIVE stateful operator, implemented "
+        "as applyInPandas per key (Arrow batch, state bounded by "
+        "series length) and value-checked against a DuckDB RECURSIVE "
+        "CTE running the identical recurrence — both engines execute "
+        "the same double-precision operation sequence, so the check "
+        "is exact to the 6 dp rounding. At 100 TB the grouping key "
+        "(series id) carries thousands of independent series; each "
+        "fits one Arrow batch (days, not events), and the only "
+        "data-scale shuffle is the daily-count groupBy.",
+)
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("y")))
+
+    def holt(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = pdf["y"].tolist()
+        lvl, tr, sse = ys[0], 0.0, 0.0
+        for yv in ys[1:]:
+            pred = lvl + tr
+            sse = sse + (yv - pred) * (yv - pred)
+            new_l = _HOLT_ALPHA * yv + (1 - _HOLT_ALPHA) * (lvl + tr)
+            tr = _HOLT_BETA * (new_l - lvl) + (1 - _HOLT_BETA) * tr
+            lvl = new_l
+        import pandas as _pd
+        return _pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(ys)],
+            "level": [round(lvl, 6)],
+            "trend": [round(tr, 6)],
+            "forecast_7d": [round(lvl + 7 * tr, 6)],
+            "sse": [round(sse, 4)],
+        })
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt,
+        schema="event_type string, n_days long, level double, "
+               "trend double, forecast_7d double, sse double")
+    return out.orderBy("event_type")
