@@ -985,3 +985,340 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_days long, level double, "
                "trend double, forecast_7d double, sse double")
     return out.orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the per-metric A/B battery
+# --------------------------------------------------------------------------
+
+_BH_Q = 0.1
+
+# Abramowitz-Stegun 7.1.26 erf approximation — pure arithmetic, so both
+# engines evaluate the identical double-precision expression.
+_AS_ERF = ("(1.0 - (0.254829592 * {t} - 0.284496736 * pow({t}, 2)"
+           " + 1.421413741 * pow({t}, 3) - 1.453152027 * pow({t}, 4)"
+           " + 1.061405429 * pow({t}, 5)) * exp(-({x}) * ({x})))")
+
+def _p_two_sided(zcol: str) -> str:
+    """2 * (1 - Phi(|z|)) with Phi via the A-S erf approximation."""
+    x = f"(abs({zcol}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    erf = _AS_ERF.format(t=t, x=x)
+    return f"round(1.0 - {erf}, 6)"
+
+@register(
+    "q_events_bh_fdr",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 1 THEN 't' ELSE 'c' END AS grp,
+               COUNT(*) AS n, AVG(value) AS m,
+               (AVG(value * value) - AVG(value) * AVG(value))
+                   * COUNT(*) / (COUNT(*) - 1) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    z AS (
+        SELECT t.event_type,
+               ROUND((t.m - c.m) / SQRT(t.v / t.n + c.v / c.n), 4) AS z
+        FROM g t JOIN g c ON t.event_type = c.event_type
+        WHERE t.grp = 't' AND c.grp = 'c'),
+    p AS (
+        SELECT event_type, z, {_p_two_sided('z')} AS p_value FROM z),
+    ranked AS (
+        SELECT p.event_type, p.z, p.p_value,
+               (SELECT COUNT(*) FROM p p2
+                WHERE p2.p_value < p.p_value
+                   OR (p2.p_value = p.p_value
+                       AND p2.event_type <= p.event_type)) AS rnk,
+               (SELECT COUNT(*) FROM p) AS k
+        FROM p),
+    cutoff AS (
+        SELECT COALESCE(MAX(rnk), 0) AS rstar FROM ranked
+        WHERE p_value <= {_BH_Q} * rnk / k)
+    SELECT r.event_type, r.z, r.p_value, CAST(r.rnk AS BIGINT) AS rnk,
+           (r.rnk <= c.rstar) AS significant
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY r.rnk
+    """,
+    doc=f"Benjamini-Hochberg FDR correction (q={_BH_Q}) over the "
+        "per-metric A/B battery: one Welch z per event type "
+        "(treatment = user parity), two-sided p via the Abramowitz-"
+        "Stegun 7.1.26 erf polynomial — pure arithmetic, so both "
+        "engines produce bit-identical p-values (rounded 6 dp) — then "
+        "the BH step-up rule (largest rank r with p_(r) <= q*r/K; "
+        "everything below is significant). The guardrail that stops "
+        "an experiment platform shipping 1-in-20 false metric wins. "
+        "Rank and cutoff are computed by tiny self-joins on the "
+        "K-row metric table (K = #metrics, never data-scale) — no "
+        "global window; the only data shuffle is the per-(metric, "
+        "arm) aggregate with a deterministic (p, name) total order.",
+)
+def q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    n = F.count(F.lit(1))
+    g = (e.groupBy("event_type",
+                   F.when(F.col("user_id") % 2 == 1, "t").otherwise("c")
+                   .alias("grp"))
+         .agg(n.alias("n"), F.avg("value").alias("m"),
+              ((F.avg(F.col("value") * F.col("value"))
+                - F.avg("value") * F.avg("value")) * n / (n - 1)).alias("v")))
+    t = g.where(F.col("grp") == "t").select(
+        "event_type", F.col("n").alias("nt"), F.col("m").alias("mt"),
+        F.col("v").alias("vt"))
+    c = g.where(F.col("grp") == "c").select(
+        "event_type", F.col("n").alias("nc"), F.col("m").alias("mc"),
+        F.col("v").alias("vc"))
+    z = (t.join(c, "event_type")
+         .select("event_type",
+                 F.round((F.col("mt") - F.col("mc"))
+                         / F.sqrt(F.col("vt") / F.col("nt")
+                                  + F.col("vc") / F.col("nc")), 4)
+                 .alias("z")))
+    p = z.select("event_type", "z", F.expr(_p_two_sided("z")).alias("p_value"))
+    p2 = p.select(F.col("event_type").alias("et2"),
+                  F.col("p_value").alias("pv2"))
+    ranked = (p.join(F.broadcast(p2),
+                     (F.col("pv2") < F.col("p_value"))
+                     | ((F.col("pv2") == F.col("p_value"))
+                        & (F.col("et2") <= F.col("event_type"))))
+              .groupBy("event_type", "z", "p_value")
+              .agg(F.count(F.lit(1)).alias("rnk")))
+    k = p.agg(F.count(F.lit(1)).alias("k"))
+    ranked = ranked.crossJoin(F.broadcast(k))
+    cutoff = (ranked
+              .where(F.col("p_value") <= _BH_Q * F.col("rnk") / F.col("k"))
+              .agg(F.coalesce(F.max("rnk"), F.lit(0)).alias("rstar")))
+    return (ranked.crossJoin(F.broadcast(cutoff))
+            .select("event_type", "z", "p_value",
+                    F.col("rnk").cast("long").alias("rnk"),
+                    (F.col("rnk") <= F.col("rstar")).alias("significant"))
+            .orderBy("rnk"))
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median confidence interval (order statistics)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_median_ci",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL),
+    ks AS (
+        SELECT DISTINCT event_type, n,
+               GREATEST(1, CAST(FLOOR((n - 1.959964 * SQRT(n)) / 2.0)
+                                AS BIGINT)) AS k_lo,
+               LEAST(n, CAST(CEIL(1 + (n + 1.959964 * SQRT(n)) / 2.0)
+                             AS BIGINT)) AS k_hi
+        FROM v),
+    med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS median
+        FROM v GROUP BY event_type)
+    SELECT k.event_type, CAST(k.n AS BIGINT) AS n, m.median,
+           MAX(CASE WHEN v.rk = k.k_lo THEN v.value END) AS ci_lo,
+           MAX(CASE WHEN v.rk = k.k_hi THEN v.value END) AS ci_hi
+    FROM ks k JOIN med m USING (event_type)
+    JOIN v ON v.event_type = k.event_type AND v.rk IN (k.k_lo, k.k_hi)
+    GROUP BY k.event_type, k.n, m.median
+    ORDER BY k.event_type
+    """,
+    doc="Distribution-free 95% confidence interval for the median via "
+        "binomial order statistics: within each event type the CI is "
+        "[x_(k_lo), x_(k_hi)] with k = (n -+ 1.96 sqrt(n))/2 — no "
+        "normality assumption, exact for any continuous distribution. "
+        "Order statistics are selected by a per-group ranking window "
+        "(partitioned by event type with a (value, event_id) total "
+        "order — never a global sort); the CI endpoints are RAW data "
+        "values, so the only rounding is the 4 dp median. At 100 TB "
+        "an approx-percentile pre-pass would bracket the ranks and "
+        "this exact form audits the bracket.",
+)
+def q_stats_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select("event_type", "event_id", "value"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    v = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("n"))
+    ks = (v.groupBy("event_type")
+          .agg(F.max("n").alias("n"))
+          .select("event_type", "n",
+                  F.greatest(F.lit(1), F.floor(
+                      (F.col("n") - 1.959964 * F.sqrt(F.col("n"))) / 2.0)
+                      .cast("long")).alias("k_lo"),
+                  F.least(F.col("n"), F.ceil(
+                      1 + (F.col("n") + 1.959964 * F.sqrt(F.col("n"))) / 2.0)
+                      .cast("long")).alias("k_hi")))
+    med = (e.groupBy("event_type")
+           .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("median")))
+    picked = (v.join(F.broadcast(ks), "event_type")
+              .where((F.col("rk") == F.col("k_lo"))
+                     | (F.col("rk") == F.col("k_hi")))
+              .groupBy("event_type")
+              .agg(F.max(F.when(F.col("rk") == F.col("k_lo"),
+                                F.col("value"))).alias("ci_lo"),
+                   F.max(F.when(F.col("rk") == F.col("k_hi"),
+                                F.col("value"))).alias("ci_hi")))
+    return (ks.join(F.broadcast(med), "event_type")
+            .join(F.broadcast(picked), "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    "median", "ci_lo", "ci_hi")
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index drift
+# --------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 50.0  # value in [0, 500); bucket = min(9, floor(v / 50))
+
+@register(
+    "q_events_psi_drift",
+    oracle=f"""
+    WITH windows AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-07' THEN 'base'
+                    WHEN CAST(ts AS DATE) >= DATE '2024-01-22' THEN 'cur'
+               END AS win,
+               LEAST({_PSI_BUCKETS - 1},
+                     CAST(FLOOR(value / {_PSI_WIDTH}) AS INT)) AS bucket
+        FROM events WHERE value IS NOT NULL),
+    counts AS (
+        SELECT w.event_type, w.win, b.bucket,
+               (SELECT COUNT(*) FROM windows w2
+                WHERE w2.event_type = w.event_type AND w2.win = w.win
+                  AND w2.bucket = b.bucket) AS n
+        FROM (SELECT DISTINCT event_type, win FROM windows
+              WHERE win IS NOT NULL) w
+        CROSS JOIN (SELECT unnest(range(0, {_PSI_BUCKETS})) AS bucket) b),
+    tot AS (
+        SELECT event_type, win, SUM(n) AS nt FROM counts GROUP BY 1, 2),
+    sm AS (
+        SELECT c.event_type, c.bucket,
+               MAX(CASE WHEN c.win = 'base'
+                   THEN (c.n + 0.5) / (t.nt + {_PSI_BUCKETS} * 0.5) END)
+                   AS pb,
+               MAX(CASE WHEN c.win = 'cur'
+                   THEN (c.n + 0.5) / (t.nt + {_PSI_BUCKETS} * 0.5) END)
+                   AS pc
+        FROM counts c JOIN tot t ON t.event_type = c.event_type
+                                AND t.win = c.win
+        GROUP BY c.event_type, c.bucket)
+    SELECT event_type,
+           ROUND(SUM((pc - pb) * LN(pc / pb)), 6) AS psi,
+           (SUM((pc - pb) * LN(pc / pb)) >= 0.2) AS drifted
+    FROM sm GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Population Stability Index per event type: value distribution "
+        "over 10 fixed-width buckets, first week vs last week, "
+        "PSI = Sigma (p_cur - p_base) ln(p_cur / p_base) with +0.5 "
+        "Laplace smoothing on every bucket count (so empty buckets "
+        "never divide by zero, identically on both engines) — the "
+        "industry-standard drift gate (0.2 = action threshold) beside "
+        "the KS (q_text_length_ks_drift) and JSD (q_corpus_jsd_matrix) "
+        "drift twins. Bucketing is integer arithmetic on fixed ranges; "
+        "proportions are integer-ratio doubles — bit-identical until "
+        "the 6 dp rounding. One groupBy(type, window, bucket) shuffle "
+        "plus spine joins on the 10-bucket grid.",
+)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    win = (F.when(F.to_date("ts") <= F.lit("2024-01-07").cast("date"), "base")
+           .when(F.to_date("ts") >= F.lit("2024-01-22").cast("date"), "cur"))
+    rows = (e.select("event_type", win.alias("win"),
+                     F.least(F.lit(_PSI_BUCKETS - 1),
+                             F.floor(F.col("value") / _PSI_WIDTH).cast("int"))
+                     .alias("bucket"))
+            .where(F.col("win").isNotNull()))
+    counts = rows.groupBy("event_type", "win", "bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+    spine = (rows.select("event_type", "win").distinct()
+             .crossJoin(F.broadcast(
+                 spark.range(_PSI_BUCKETS)
+                 .select(F.col("id").cast("int").alias("bucket")))))
+    full = (spine.join(counts, ["event_type", "win", "bucket"], "left")
+            .select("event_type", "win", "bucket",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+    tot = full.groupBy("event_type", "win").agg(F.sum("n").alias("nt"))
+    sm = (full.join(F.broadcast(tot), ["event_type", "win"])
+          .withColumn("p", (F.col("n") + 0.5)
+                      / (F.col("nt") + _PSI_BUCKETS * 0.5))
+          .groupBy("event_type", "bucket")
+          .agg(F.max(F.when(F.col("win") == "base", F.col("p"))).alias("pb"),
+               F.max(F.when(F.col("win") == "cur", F.col("p"))).alias("pc")))
+    psi = F.sum((F.col("pc") - F.col("pb"))
+                * F.log(F.col("pc") / F.col("pb")))
+    return (sm.groupBy("event_type")
+            .agg(F.round(psi, 6).alias("psi"),
+                 (psi >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient / spend concentration per nation
+# --------------------------------------------------------------------------
+
+@register(
+    "q_customer_gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               COALESCE(SUM(o.o_totalprice), 0) AS x
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT c_nationkey, x,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY x, c_custkey) AS i,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM spend)
+    SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(SUM(x), 2) AS total_spend,
+           ROUND((2.0 * SUM(i * x) - (MAX(n) + 1.0) * SUM(x))
+                 / (MAX(n) * SUM(x)), 6) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    HAVING SUM(x) > 0
+    ORDER BY c_nationkey
+    """,
+    doc="Gini coefficient of customer spend per nation (Lorenz "
+        "concentration): rank customers by total order spend within "
+        "nation ((x, custkey) total order), G = (2 Sigma i*x_i - "
+        "(n+1) Sigma x_i) / (n Sigma x_i) — the inequality readout "
+        "beside the HHI market-concentration twin "
+        "(q_market_concentration_hhi). Spend sums are DECIMAL-exact; "
+        "the rank-weighted sums stay exact until the single final "
+        "division, rounded 6 dp. Ranking windows are partitioned by "
+        "nation — 25 bounded partitions, no global sort; the join is "
+        "the standard customer-orders co-partition.",
+)
+def q_customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    o = Catalog(spark, sf_dir).table("orders")
+    spend = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+             .groupBy("c_nationkey", "c_custkey")
+             .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0)).alias("x")))
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    ranked = spend.select(
+        "c_nationkey", "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("c_nationkey")).alias("n"))
+    return (ranked.groupBy("c_nationkey")
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.round(F.sum("x"), 2).alias("total_spend"),
+                 F.round((2.0 * F.sum(F.col("i") * F.col("x"))
+                          - (F.max("n") + 1.0) * F.sum("x"))
+                         / (F.max("n") * F.sum("x")), 6).alias("gini"))
+            .where(F.col("total_spend") > 0)
+            .orderBy("c_nationkey"))
