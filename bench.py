@@ -215,6 +215,23 @@ ADDITIONS = [
     "q_corpus_tokenizer_fertility",
     "q_basket_rules",
     "q_events_user_entropy",
+    # round-5 continuation-2: causal/sequential inference, privacy
+    # triad completion, calibration, drift, and concentration
+    "q_events_diff_in_diff",
+    "q_events_bayesian_ab",
+    "q_stats_jackknife_ratio",
+    "q_orders_theil_sen_trend",
+    "q_events_sprt",
+    "q_text_keyphrase_rake",
+    "q_privacy_t_closeness",
+    "q_classifier_isotonic",
+    "q_embed_jl_distortion",
+    "q_events_shapley_attribution",
+    "q_events_holt_forecast",
+    "q_events_bh_fdr",
+    "q_stats_median_ci",
+    "q_events_psi_drift",
+    "q_customer_gini_spend",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -563,7 +563,8 @@ def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS y
             FROM documents),
     bins AS (
-        SELECT LEAST(19, CAST(FLOOR(c.prob * 20) AS INT)) AS bin,
+        SELECT LEAST(19, GREATEST(0,
+                   CAST(FLOOR((c.prob - 0.505) * 800) AS INT))) AS bin,
                COUNT(*) AS n, SUM(l.y) AS sy,
                ROUND(AVG(c.prob), 4) AS mean_prob
         FROM cls c JOIN lab l USING (doc_id) GROUP BY 1),
@@ -592,7 +593,8 @@ def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adjacent-violators, computed via the closed-form minimax "
         "identity iso(i) = max_{j<=i} min_{k>=i} wavg(y, j..k) — no "
         "iteration, so the whole monotone fit is value-checked. Scores "
-        "are ventile-binned; every range average is ONE division of "
+        "are binned into 20 fixed-width bins over the observed score "
+        "range [0.505, 0.53); every range average is ONE division of "
         "two integers (prefix-sum counts), so both engines compare "
         "bit-identical doubles inside the min/max — hash-exact before "
         "the final 6 dp rounding. The bin table is a fixed-size "
@@ -619,8 +621,8 @@ def q_classifier_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.length("text") >= 500, 1).otherwise(0).alias("y"))
     bins = (cls.join(lab, "doc_id")
-            .groupBy(F.least(F.lit(19), F.floor(F.col("prob") * 20)
-                             .cast("int")).alias("bin"))
+            .groupBy(F.least(F.lit(19), F.greatest(F.lit(0), F.floor(
+                (F.col("prob") - 0.505) * 800).cast("int"))).alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
                  F.round(F.avg("prob"), 4).alias("mean_prob")))
     b2 = bins.select(F.col("bin").alias("b2"), F.col("n").alias("n2"),
@@ -673,9 +675,9 @@ _JL_SAMPLE = 200  # vectors audited (pairs = n*(n-1)/2)
         SELECT vec_id, j, embedding[j + 1]::DOUBLE AS x FROM dims),
     signs AS (
         SELECT d.j, k.k,
-               1 - 2 * CAST(
-                   ((1103515245 * ((d.j * {_JL_OUT} + k.k) % 2147483648)
-                     + 12345) % 2147483648) >> 16 & 1 AS INT) AS s
+               1 - 2 * CAST(bit_count(
+                   (1103515245 * (CAST(d.j AS BIGINT) * {_JL_OUT} + k.k)
+                    + 12345) % 2147483648) % 2 AS INT) AS s
         FROM (SELECT unnest(range(0, 64)) AS j) d
         CROSS JOIN (SELECT unnest(range(0, {_JL_OUT})) AS k) k),
     proj AS (
@@ -697,7 +699,7 @@ _JL_SAMPLE = 200  # vectors audited (pairs = n*(n-1)/2)
         JOIN base ea ON ea.vec_id = a.vec_id
         JOIN base eb ON eb.vec_id = b.vec_id),
     ratios AS (
-        SELECT ROUND(CASE WHEN d64 > 0 THEN ({64.0 / _JL_OUT}) * d16 / d64
+        SELECT ROUND(CASE WHEN d64 > 0 THEN d16 / d64
                           ELSE 1.0 END, 6) AS ratio
         FROM pairs)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -715,7 +717,7 @@ _JL_SAMPLE = 200  # vectors audited (pairs = n*(n-1)/2)
         "applies before indexing): project with a DETERMINISTIC "
         "Rademacher matrix (31-bit LCG on (dim, out-dim), bit 16 as "
         "the sign — identical BIGINT arithmetic on both engines), "
-        "then measure the squared-distance ratio (d/t)*|Px-Py|^2 / "
+        "then measure the squared-distance ratio |Px-Py|^2 / "
         "|x-y|^2 over all sample pairs; JL says it concentrates "
         "near 1. Projected coordinates are rounded at 6 dp so every "
         "downstream distance is bit-identical across engines. Plan: "
@@ -736,8 +738,8 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("j", F.explode(F.expr(
                  f"sequence(0, {_JL_OUT - 1})")).alias("k"))
              .select("j", "k", F.expr(
-                 f"1 - 2 * CAST(shiftright((1103515245 * ((j * {_JL_OUT} + k)"
-                 " % 2147483648) + 12345) % 2147483648, 16) & 1 AS INT)")
+                 f"1 - 2 * CAST(bit_count((1103515245 * (CAST(j AS BIGINT)"
+                 f" * {_JL_OUT} + k) + 12345) % 2147483648) % 2 AS INT)")
                  .alias("s")))
     proj = (dimx.join(F.broadcast(signs), "j")
             .groupBy("vec_id", "k")
@@ -761,7 +763,7 @@ def q_embed_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr(sqdist.format(u="ya", v="yb")).alias("d16")))
     ratios = pairs.select(
         F.round(F.when(F.col("d64") > 0,
-                       F.lit(64.0 / _JL_OUT) * F.col("d16") / F.col("d64"))
+                       F.col("d16") / F.col("d64"))
                 .otherwise(1.0), 6).alias("ratio"))
     return ratios.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
