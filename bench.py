@@ -232,6 +232,10 @@ ADDITIONS = [
     "q_stats_median_ci",
     "q_events_psi_drift",
     "q_customer_gini_spend",
+    # round-5 continuation-3: graph algorithms beyond PageRank
+    "q_graph_hits",
+    "q_graph_personalized_pagerank",
+    "q_graph_modularity",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -328,7 +328,8 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-def _labelprop_oracle(n_iter: int) -> str:
+def _labelprop_cte(n_iter: int) -> str:
+    """Shared label-propagation CTE chain (no final SELECT)."""
     parts = ["    WITH" + _EDGES_SQL + """,
     sym AS (
         SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
@@ -350,7 +351,11 @@ def _labelprop_oracle(n_iter: int) -> str:
     l{i} AS (
         SELECT n.name AS node, COALESCE(b{i}.lab, n.name) AS lab
         FROM nodes n LEFT JOIN b{i} ON b{i}.node = n.name)""")
-    return "".join(parts) + f"""
+    return "".join(parts)
+
+
+def _labelprop_oracle(n_iter: int) -> str:
+    return _labelprop_cte(n_iter) + f"""
     SELECT node AS nation, lab AS community FROM l{n_iter}"""
 
 
@@ -684,3 +689,308 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities
+# --------------------------------------------------------------------------
+
+N_HITS = 2
+
+
+def _hits_oracle(n_iter: int) -> str:
+    parts = ["    WITH" + _EDGES_SQL + """,
+    h0 AS (SELECT name, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    araw{i} AS (
+        SELECT n.name, COALESCE(SUM(p.h * e.w), 0) AS a
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.name
+        LEFT JOIN h{i-1} p ON p.name = e.src
+        GROUP BY n.name),
+    a{i} AS (
+        SELECT name, ROUND(a / (SELECT SUM(a) FROM araw{i}), 8) AS a
+        FROM araw{i}),
+    hraw{i} AS (
+        SELECT n.name, COALESCE(SUM(q.a * e.w), 0) AS h
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.name
+        LEFT JOIN a{i} q ON q.name = e.dst
+        GROUP BY n.name),
+    h{i} AS (
+        SELECT name, ROUND(h / (SELECT SUM(h) FROM hraw{i}), 8) AS h
+        FROM hraw{i})""")
+    return "".join(parts) + f"""
+    SELECT h{n_iter}.name AS nation,
+           ROUND(h{n_iter}.h, 6) + 0.0 AS hub,
+           ROUND(a{n_iter}.a, 6) + 0.0 AS authority
+    FROM h{n_iter} JOIN a{n_iter} USING (name)"""
+
+
+@register(
+    "q_graph_hits",
+    oracle=_hits_oracle(N_HITS),
+    doc=f"HITS hubs-and-authorities ({N_HITS} fixed iterations, L1 "
+        "normalization) over the weighted nation trade graph: authority "
+        "= weighted sum of in-neighbor hub scores, hub = weighted sum "
+        "of out-neighbor authorities — the bipartite-reinforcement twin "
+        "of PageRank (a nation is a strong hub if it buys from strong "
+        "supplier-authorities). Scores are L1-normalized and rounded "
+        "to 8 dp after EVERY half-step on both engines, so the "
+        "iteration trajectory is identical and the final hash exact at "
+        "6 dp. Same Pregel realization as q_graph_pagerank: per half-"
+        "step one join of scores onto edges plus one aggregate on the "
+        "other endpoint; fixed iterations => one lazy DAG, no driver "
+        "actions; the normalizing sum is a broadcast 1-row aggregate.",
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .localCheckpoint(eager=False))
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    h = (nodes.crossJoin(F.broadcast(nn))
+         .select("name", (F.lit(1.0) / F.col("n")).alias("h")))
+    a = None
+    for _ in range(N_HITS):
+        araw = (nodes.join(edges.select(F.col("dst").alias("name"),
+                                        "src", "w"), "name", "left")
+                .join(h.select(F.col("name").alias("src"),
+                               F.col("h").alias("hs")), "src", "left")
+                .groupBy("name")
+                .agg(F.coalesce(F.sum(F.col("hs") * F.col("w")), F.lit(0.0))
+                     .alias("a")))
+        asum = araw.agg(F.sum("a").alias("s"))
+        a = (araw.crossJoin(F.broadcast(asum))
+             .select("name", F.round(F.col("a") / F.col("s"), 8).alias("a")))
+        hraw = (nodes.join(edges.select(F.col("src").alias("name"),
+                                        "dst", "w"), "name", "left")
+                .join(a.select(F.col("name").alias("dst"),
+                               F.col("a").alias("ad")), "dst", "left")
+                .groupBy("name")
+                .agg(F.coalesce(F.sum(F.col("ad") * F.col("w")), F.lit(0.0))
+                     .alias("h")))
+        hsum = hraw.agg(F.sum("h").alias("s"))
+        h = (hraw.crossJoin(F.broadcast(hsum))
+             .select("name", F.round(F.col("h") / F.col("s"), 8).alias("h")))
+    return (h.join(a, "name")
+            .select(F.col("name").alias("nation"),
+                    (F.round("h", 6) + F.lit(0.0)).alias("hub"),
+                    (F.round("a", 6) + F.lit(0.0)).alias("authority")))
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart)
+# --------------------------------------------------------------------------
+
+PPR_SEED = "FRANCE"
+
+
+def _ppr_oracle(n_iter: int) -> str:
+    parts = ["    WITH" + _EDGES_SQL + f""",
+    r0 AS (SELECT name,
+                  CASE WHEN name = '{PPR_SEED}' THEN 1.0 ELSE 0.0 END AS r
+           FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    r{i} AS (
+        SELECT n.name,
+               (1.0 - {DAMPING})
+                   * (CASE WHEN n.name = '{PPR_SEED}' THEN 1.0 ELSE 0.0 END)
+               + {DAMPING} * COALESCE(SUM(p.r * e.w / o.wout), 0) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.name
+        LEFT JOIN r{i-1} p ON p.name = e.src
+        LEFT JOIN outs o ON o.src = e.src
+        GROUP BY n.name)""")
+    return "".join(parts) + f"""
+    SELECT name AS nation, ROUND(r, 6) + 0.0 AS ppr FROM r{n_iter}
+    ORDER BY ppr DESC, nation LIMIT 10"""
+
+
+@register(
+    "q_graph_personalized_pagerank",
+    oracle=_ppr_oracle(N_ITER),
+    doc=f"Personalized PageRank / random walk with restart ({N_ITER} "
+        f"iterations, damping {DAMPING}, restart mass pinned to "
+        f"'{PPR_SEED}'): the teleport vector concentrates on the seed "
+        "nation, so scores rank trade partners by multi-hop proximity "
+        "TO THE SEED — the recommendation-graph workhorse (who is in "
+        "FRANCE's trade neighborhood), vs. the global centrality of "
+        "q_graph_pagerank. Identical Pregel plan shape (score join on "
+        "src, aggregate on dst per iteration, one lazy DAG, fixed "
+        "iterations); top-10 via TakeOrderedAndProject with a "
+        "deterministic (score, name) tie-break.",
+)
+def q_graph_personalized_pagerank(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .localCheckpoint(eager=False))
+    outs = edges.groupBy("src").agg(F.sum("w").cast("long").alias("wout"))
+    nodes = (edges.select(F.col("src").alias("name"))
+             .union(edges.select(F.col("dst").alias("name"))).distinct())
+    seed = F.when(F.col("name") == PPR_SEED, 1.0).otherwise(0.0)
+    ranks = nodes.select("name", seed.alias("r"))
+    contrib_edges = (edges.join(outs, "src")
+                     .select("src", "dst",
+                             (F.col("w") / F.col("wout")).alias("frac")))
+    for _ in range(N_ITER):
+        contribs = (contrib_edges
+                    .join(ranks.select(F.col("name").alias("src"),
+                                       F.col("r").alias("pr")), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("pr") * F.col("frac")).alias("mass")))
+        ranks = (nodes.join(contribs, nodes.name == contribs.dst, "left")
+                 .select("name",
+                         ((1.0 - DAMPING) * seed
+                          + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0)))
+                         .alias("r")))
+    return (ranks.select(F.col("name").alias("nation"),
+                         (F.round(F.col("r"), 6) + F.lit(0.0)).alias("ppr"))
+            .orderBy(F.desc("ppr"), "nation").limit(10))
+
+
+# --------------------------------------------------------------------------
+# Modularity of the label-propagation communities
+# --------------------------------------------------------------------------
+
+def _modularity_oracle(n_iter: int) -> str:
+    return _labelprop_cte(n_iter) + f""",
+    comm AS (SELECT node, lab FROM l{n_iter}),
+    m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM edges
+          WHERE src <> dst),
+    ec AS (
+        SELECT cs.lab, CAST(SUM(e.w) AS BIGINT) AS intra_w
+        FROM edges e
+        JOIN comm cs ON cs.node = e.src
+        JOIN comm cd ON cd.node = e.dst AND cd.lab = cs.lab
+        WHERE e.src <> e.dst
+        GROUP BY cs.lab),
+    douts AS (
+        SELECT c2.lab, CAST(SUM(e.w) AS BIGINT) AS dout
+        FROM edges e JOIN comm c2 ON c2.node = e.src
+        WHERE e.src <> e.dst GROUP BY c2.lab),
+    dins AS (
+        SELECT c2.lab, CAST(SUM(e.w) AS BIGINT) AS din
+        FROM edges e JOIN comm c2 ON c2.node = e.dst
+        WHERE e.src <> e.dst GROUP BY c2.lab),
+    per AS (
+        SELECT d.lab,
+               COALESCE(ec.intra_w, 0) AS intra_w, d.dout, i.din,
+               COALESCE(ec.intra_w, 0)::DOUBLE / m.m
+               - (d.dout::DOUBLE / m.m) * (i.din::DOUBLE / m.m)
+                   AS contribution
+        FROM douts d JOIN dins i USING (lab)
+        LEFT JOIN ec USING (lab) CROSS JOIN m)
+    SELECT CAST((SELECT COUNT(DISTINCT lab) FROM comm) AS BIGINT)
+               AS n_communities,
+           (SELECT m FROM m) AS m_total,
+           ROUND(SUM(contribution), 6) AS modularity
+    FROM per"""
+
+
+@register(
+    "q_graph_modularity",
+    oracle=_modularity_oracle(2),
+    doc="Directed modularity of the label-propagation communities: "
+        "Q = Sigma_c [ e_c/m - (dout_c/m)(din_c/m) ] over the weighted "
+        "nation trade graph with self-loops excluded — the quality "
+        "score that tells you whether the communities "
+        "q_graph_label_propagation found are denser than chance, "
+        "closing the detect->evaluate loop. Reuses the exact 2-round "
+        "deterministic LP trajectory (same tie-breaks), then three "
+        "integer edge aggregates keyed by community; every term is an "
+        "integer ratio, so both engines divide identical BIGINTs — "
+        "exact until the final 6 dp rounding. One extra shuffle on "
+        "community beyond LP itself.",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier", "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("dst"))
+    from pyspark.sql import Window
+
+    edges_all = (o.join(c, o.o_custkey == c.c_custkey)
+                 .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+                 .join(li, F.col("l_orderkey") == o.o_orderkey)
+                 .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+                 .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+                 .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+                 .localCheckpoint(eager=False))
+    edges = edges_all.where(F.col("src") != F.col("dst"))
+    sym = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+           .unionAll(edges.select(F.col("dst").alias("u"),
+                                  F.col("src").alias("v"), "w"))
+           .groupBy("u", "v").agg(F.sum("w").cast("long").alias("w")))
+    nodes = (edges_all.select(F.col("src").alias("name"))
+             .union(edges_all.select(F.col("dst").alias("name"))).distinct())
+    labels = nodes.select(F.col("name").alias("node"),
+                          F.col("name").alias("lab"))
+    win = Window.partitionBy("node").orderBy(F.col("sw").desc(), F.col("lab"))
+    for _ in range(2):
+        votes = (sym.join(labels.select(F.col("node").alias("v"),
+                                        F.col("lab")), "v")
+                 .groupBy(F.col("u").alias("node"), "lab")
+                 .agg(F.sum("w").cast("long").alias("sw")))
+        best = (votes.withColumn("rn", F.row_number().over(win))
+                .where(F.col("rn") == 1).select("node", "lab"))
+        labels = (nodes.join(best, nodes.name == best.node, "left")
+                  .select(F.col("name").alias("node"),
+                          F.coalesce("lab", F.col("name")).alias("lab")))
+    comm = labels
+    m = edges.agg(F.sum("w").cast("long").alias("m"))
+    cs = comm.select(F.col("node").alias("src"), F.col("lab").alias("slab"))
+    cd = comm.select(F.col("node").alias("dst"), F.col("lab").alias("dlab"))
+    ej = edges.join(F.broadcast(cs), "src").join(F.broadcast(cd), "dst")
+    ec = (ej.where(F.col("slab") == F.col("dlab"))
+          .groupBy(F.col("slab").alias("lab"))
+          .agg(F.sum("w").cast("long").alias("intra_w")))
+    douts = (ej.groupBy(F.col("slab").alias("lab"))
+             .agg(F.sum("w").cast("long").alias("dout")))
+    dins = (ej.groupBy(F.col("dlab").alias("lab"))
+            .agg(F.sum("w").cast("long").alias("din")))
+    per = (douts.join(dins, "lab")
+           .join(ec, "lab", "left")
+           .select("lab", F.coalesce("intra_w", F.lit(0)).alias("intra_w"),
+                   "dout", "din")
+           .crossJoin(F.broadcast(m))
+           .select((F.col("intra_w").cast("double") / F.col("m")
+                    - (F.col("dout").cast("double") / F.col("m"))
+                    * (F.col("din").cast("double") / F.col("m")))
+                   .alias("contribution")))
+    ncomm = comm.agg(F.countDistinct("lab").cast("long")
+                     .alias("n_communities"))
+    return (per.agg(F.round(F.sum("contribution"), 6).alias("modularity"))
+            .crossJoin(F.broadcast(ncomm))
+            .crossJoin(F.broadcast(m))
+            .select("n_communities", F.col("m").alias("m_total"),
+                    "modularity"))
