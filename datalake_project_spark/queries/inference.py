@@ -1324,3 +1324,122 @@ def q_customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.max("n") * F.sum("x")), 6).alias("gini"))
             .where(F.col("total_spend") > 0)
             .orderBy("c_nationkey"))
+
+
+# --------------------------------------------------------------------------
+# Dynamic time warping between event-type time series
+# --------------------------------------------------------------------------
+
+_DTW_N = 10  # series length: Jan days bucketed into 3-day windows
+
+
+def _dtw_oracle(n: int) -> str:
+    """DTW DP unrolled by anti-diagonal (the repo's iterative-oracle
+    pattern: PageRank/Bellman-Ford/Markov unroll rounds; DTW unrolls
+    the 2(n-1) wavefront diagonals, each CTE reading the previous
+    two)."""
+    head = f"""
+    WITH daily AS (
+        SELECT event_type,
+               LEAST({n - 1}, (EXTRACT(DAY FROM ts) - 1) // 3) AS b,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS t
+            FROM daily GROUP BY 1),
+    ser AS (
+        SELECT d.event_type,
+               list(d.cnt::DOUBLE / t.t ORDER BY d.b) AS ys
+        FROM daily d JOIN tot t USING (event_type)
+        GROUP BY d.event_type),
+    pairs AS MATERIALIZED (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               a.ys AS ya, b.ys AS yb
+        FROM ser a JOIN ser b ON a.event_type < b.event_type),
+    d2 AS MATERIALIZED (
+        SELECT ta, tb, 1 AS i, 1 AS j, ABS(ya[1] - yb[1]) AS dp
+        FROM pairs)"""
+    blocks = [head]
+    for k in range(3, 2 * n + 1):
+        lo, hi = max(1, k - n), min(n, k - 1)
+        m3 = (f"LEFT JOIN d{k-2} m3 ON m3.ta = p.ta AND m3.tb = p.tb "
+              f"AND m3.i = g.i - 1 AND m3.j = {k} - g.i - 1"
+              if k > 3 else "")
+        m3dp = "COALESCE(m3.dp, 1e18)" if k > 3 else "1e18"
+        blocks.append(f""",
+    d{k} AS MATERIALIZED (
+        SELECT p.ta, p.tb, g.i, {k} - g.i AS j,
+               ABS(p.ya[g.i] - p.yb[{k} - g.i])
+               + LEAST(COALESCE(m1.dp, 1e18), COALESCE(m2.dp, 1e18),
+                       {m3dp}) AS dp
+        FROM pairs p
+        CROSS JOIN (SELECT unnest(range({lo}, {hi + 1})) AS i) g
+        LEFT JOIN d{k-1} m1 ON m1.ta = p.ta AND m1.tb = p.tb
+             AND m1.i = g.i - 1 AND m1.j = {k} - g.i
+        LEFT JOIN d{k-1} m2 ON m2.ta = p.ta AND m2.tb = p.tb
+             AND m2.i = g.i AND m2.j = {k} - g.i - 1
+        {m3})""")
+    blocks.append(f"""
+    SELECT ta, tb, ROUND(dp, 6) AS dtw_distance
+    FROM d{2 * n} ORDER BY ta, tb""")
+    return "".join(blocks)
+
+
+@register(
+    "q_events_dtw_similarity",
+    oracle=_dtw_oracle(_DTW_N),
+    doc="Dynamic-time-warping distance between every pair of event-"
+        "type activity series (10-point 3-day-bucket counts, "
+        "normalized to per-type share so shapes compare, not "
+        "volumes): the elastic-alignment similarity that matches "
+        "shifted/stretched patterns where Euclidean distance "
+        "misfires. Spark runs the O(n^2) DP per pair in applyInPandas "
+        "(state = one DP row, Arrow-batched, each pair independent — "
+        "at 100 TB thousands of series pairs parallelize across "
+        "executors; n stays the SERIES length, never the event "
+        "count); the oracle unrolls the identical DP by anti-diagonal "
+        "(2n-1 generated CTEs), so the full alignment cost is "
+        "value-checked. Series shares are integer ratios and the DP "
+        "adds them in the same order on both engines — exact to the "
+        "6 dp rounding.",
+)
+def q_events_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy(
+        "event_type",
+        F.least(F.lit(_DTW_N - 1),
+                ((F.dayofmonth("ts") - 1) / 3).cast("int")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = daily.groupBy("event_type").agg(F.sum("cnt").alias("t"))
+    ser = (daily.join(F.broadcast(tot), "event_type")
+           .groupBy("event_type")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct(
+                   "b", (F.col("cnt").cast("double") / F.col("t"))
+                   .alias("y")))),
+               lambda s: s["y"]).alias("ys")))
+    a = ser.select(F.col("event_type").alias("ta"), F.col("ys").alias("ya"))
+    b = ser.select(F.col("event_type").alias("tb"), F.col("ys").alias("yb"))
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+
+    def dtw(pdf):
+        import pandas as _pd
+        out = []
+        for _, row in pdf.iterrows():
+            ya, yb = list(row["ya"]), list(row["yb"])
+            n, m = len(ya), len(yb)
+            big = 1e18
+            prev = [big] * (m + 1)
+            prev[0] = 0.0
+            for i in range(1, n + 1):
+                cur = [big] * (m + 1)
+                for j in range(1, m + 1):
+                    c = abs(ya[i - 1] - yb[j - 1])
+                    best = min(prev[j], cur[j - 1], prev[j - 1])
+                    cur[j] = c + best
+                prev = cur
+            out.append((row["ta"], row["tb"], round(prev[m], 6)))
+        return _pd.DataFrame(out, columns=["ta", "tb", "dtw_distance"])
+
+    res = pairs.groupBy("ta", "tb").applyInPandas(
+        dtw, schema="ta string, tb string, dtw_distance double")
+    return res.orderBy("ta", "tb")
