@@ -1443,3 +1443,159 @@ def q_events_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pairs.groupBy("ta", "tb").applyInPandas(
         dtw, schema="ta string, tb string, dtw_distance double")
     return res.orderBy("ta", "tb")
+
+
+# --------------------------------------------------------------------------
+# WordPiece merge scoring (likelihood-ratio, vs BPE's raw frequency)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_wordpiece_merge_scores",
+    oracle="""
+    WITH wc AS (
+        SELECT u.w AS word, COUNT(*) AS wn
+        FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents) t,
+             unnest(t.toks) AS u(w)
+        GROUP BY u.w),
+    syms AS (
+        SELECT word[i] AS sym, wn
+        FROM wc, unnest(range(1, length(word) + 1)) AS r(i)),
+    sc AS (SELECT sym, CAST(SUM(wn) AS BIGINT) AS c FROM syms GROUP BY sym),
+    pairs AS (
+        SELECT word[i] AS p1, word[i+1] AS p2, wn
+        FROM wc, unnest(range(1, length(word))) AS r(i)
+        WHERE length(word) >= 2),
+    pc AS (
+        SELECT p1, p2, CAST(SUM(wn) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY p1, p2),
+    scored AS (
+        SELECT pc.p1 || pc.p2 AS pair, pc.n_pair,
+               ROUND(pc.n_pair::DOUBLE / (s1.c * s2.c), 8) AS wp_score
+        FROM pc JOIN sc s1 ON s1.sym = pc.p1
+                JOIN sc s2 ON s2.sym = pc.p2)
+    SELECT pair, n_pair, wp_score
+    FROM scored
+    ORDER BY wp_score DESC, pair LIMIT 20
+    """,
+    doc="First WordPiece merge round: adjacent symbol pairs scored by "
+        "the LIKELIHOOD ratio count(ab) / (count(a) * count(b)) "
+        "instead of BPE's raw frequency - the scoring rule that makes "
+        "WordPiece prefer merges that are surprising given their "
+        "parts (BERT's tokenizer) where BPE (q_text_bpe_merge_counts, "
+        "same machinery) prefers merely common ones. Same "
+        "vocabulary-sized plan: the corpus aggregates to word counts "
+        "FIRST, so each merge evaluation is a job over the vocab, not "
+        "the corpus - the property that keeps tokenizer training "
+        "feasible at 100 TB. Scores are single divisions of exact "
+        "BIGINT products rounded at 8 dp; top-20 via "
+        "TakeOrderedAndProject with the (score, pair) total order.",
+)
+def q_text_wordpiece_merge_scores(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    wc = (d.select(F.explode(T.tokens("text")).alias("word"))
+          .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    syms = wc.select(F.explode(chars).alias("sym"), "wn")
+    sc = syms.groupBy("sym").agg(F.sum("wn").cast("long").alias("c"))
+    n = F.size(chars)
+    pair_arr = F.zip_with(
+        F.slice(chars, 1, n - 1), F.slice(chars, 2, n - 1),
+        lambda a, b: F.concat_ws("", a, b))
+    pc = (wc.where(F.length("word") >= 2)
+          .select(F.explode(pair_arr).alias("pq"), "wn")
+          .select(F.split("pq", "")[0].alias("p1"),
+                  F.split("pq", "")[1].alias("p2"), "wn")
+          .groupBy("p1", "p2").agg(F.sum("wn").cast("long").alias("n_pair")))
+    s1 = sc.select(F.col("sym").alias("p1"), F.col("c").alias("c1"))
+    s2 = sc.select(F.col("sym").alias("p2"), F.col("c").alias("c2"))
+    scored = (pc.join(F.broadcast(s1), "p1").join(F.broadcast(s2), "p2")
+              .select(F.concat("p1", "p2").alias("pair"), "n_pair",
+                      F.round(F.col("n_pair").cast("double")
+                              / (F.col("c1") * F.col("c2")), 8)
+                      .alias("wp_score")))
+    return scored.orderBy(F.desc("wp_score"), "pair").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Exact-matching ATT estimator (stratified on activity buckets)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_matched_att",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+               LEAST(9, CAST(COUNT(*) // 20 AS INT)) AS stratum,
+               ROUND(AVG(value), 4) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    cells AS (
+        SELECT stratum, treated, COUNT(*) AS n, ROUND(AVG(y), 4) AS ybar
+        FROM users GROUP BY 1, 2),
+    matched AS (
+        SELECT t.stratum, t.n AS nt, t.ybar AS yt, c.ybar AS yc
+        FROM cells t JOIN cells c
+          ON c.stratum = t.stratum AND c.treated = 0
+        WHERE t.treated = 1),
+    tot AS (SELECT SUM(nt) AS m FROM matched)
+    SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT)
+               AS n_matched_strata,
+           CAST(tot.m AS BIGINT) AS n_matched_treated,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM cells
+                 WHERE treated = 1) - tot.m AS BIGINT)
+               AS n_unmatched_treated,
+           ROUND(SUM((yt - yc) * nt / tot.m), 4) AS att
+    FROM matched, tot
+    GROUP BY tot.m
+    """,
+    doc="Average treatment effect on the treated by EXACT stratified "
+        "matching: users bucketed into activity strata (event-count "
+        "// 20, capped), treated (odd user_id) strata matched to "
+        "control strata, ATT = treated-weighted mean of per-stratum "
+        "outcome differences - the covariate-adjustment causal "
+        "estimator beside the unadjusted DiD "
+        "(q_events_diff_in_diff); unmatched treated users (no control "
+        "in stratum) are counted, not silently dropped. Cell means "
+        "round at 4 dp on both engines before differencing; stratum "
+        "weights are integer ratios. One groupBy(user) scan, one "
+        "groupBy(stratum, arm) aggregate on the user table, then "
+        "arithmetic on a <=20-row cell table.",
+)
+def q_events_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    users = (e.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_ev"),
+                  F.round(F.avg("value"), 4).alias("y"))
+             .select(
+                 F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+                 .alias("treated"),
+                 F.least(F.lit(9), F.floor(F.col("n_ev") / 20).cast("int"))
+                 .alias("stratum"),
+                 "y"))
+    cells = users.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("y"), 4).alias("ybar"))
+    t = (cells.where(F.col("treated") == 1)
+         .select("stratum", F.col("n").alias("nt"),
+                 F.col("ybar").alias("yt")))
+    c = (cells.where(F.col("treated") == 0)
+         .select("stratum", F.col("ybar").alias("yc")))
+    matched = t.join(F.broadcast(c), "stratum")
+    tot = matched.agg(F.sum("nt").alias("m"))
+    all_treated = (cells.where(F.col("treated") == 1)
+                   .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("nt_all")))
+    return (matched.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(all_treated))
+            .groupBy("m", "nt_all")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matched_strata"),
+                 F.round(F.sum((F.col("yt") - F.col("yc"))
+                               * F.col("nt") / F.col("m")), 4).alias("att"))
+            .select("n_matched_strata",
+                    F.col("m").cast("long").alias("n_matched_treated"),
+                    (F.col("nt_all") - F.col("m")).cast("long")
+                    .alias("n_unmatched_treated"),
+                    "att"))
