@@ -1599,3 +1599,206 @@ def q_events_matched_att(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("nt_all") - F.col("m")).cast("long")
                     .alias("n_unmatched_treated"),
                     "att"))
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (leakage-safe categorical feature)
+# --------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # prior weight (pseudo-observations of the global mean)
+
+@register(
+    "q_feature_target_encoding",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT o_custkey, o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(SUM(y) AS BIGINT) AS s_all FROM rows_),
+    c AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS s
+          FROM rows_ GROUP BY cat),
+    enc AS (
+        SELECT r.cat, r.y,
+               ROUND((c.s - r.y + {_TE_SMOOTH} * (g.s_all::DOUBLE / g.n_all))
+                     / (c.n - 1 + {_TE_SMOOTH}), 6) AS te
+        FROM rows_ r JOIN c USING (cat) CROSS JOIN g)
+    SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(y), 6) AS naive_rate,
+           ROUND(AVG(te), 6) AS mean_loo_encoding,
+           ROUND(MIN(te), 6) AS min_encoding,
+           ROUND(MAX(te), 6) AS max_encoding
+    FROM enc GROUP BY cat
+    ORDER BY cat
+    """,
+    doc="Leave-one-out target encoding of order priority against the "
+        "'order filled' target, with additive smoothing toward the "
+        "global rate: te_i = (S_cat - y_i + m*p_global) / "
+        "(n_cat - 1 + m) - the leakage-safe categorical encoding "
+        "(each row's own label is EXCLUDED from its encoding, the "
+        "mistake naive target encoding makes). Closed form from group "
+        "totals broadcast back onto rows - the same zero-resampling "
+        "trick as the jackknife (q_stats_jackknife_ratio), so the "
+        "whole encoding is two grouped scans at any corpus size. "
+        "Encodings are integer-ratio doubles rounded at 6 dp; the "
+        "report aggregates min/mean/max per category so the leakage "
+        "spread (row-level variation within a category) is visible.",
+)
+def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    rows = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    g = rows.agg(F.count(F.lit(1)).cast("long").alias("n_all"),
+                 F.sum("y").cast("long").alias("s_all"))
+    c = rows.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"))
+    enc = (rows.join(F.broadcast(c), "cat").crossJoin(F.broadcast(g))
+           .withColumn(
+               "te",
+               F.round((F.col("s") - F.col("y")
+                        + _TE_SMOOTH * (F.col("s_all").cast("double")
+                                        / F.col("n_all")))
+                       / (F.col("n") - 1 + _TE_SMOOTH), 6)))
+    return (enc.groupBy("cat")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("y"), 6).alias("naive_rate"),
+                 F.round(F.avg("te"), 6).alias("mean_loo_encoding"),
+                 F.round(F.min("te"), 6).alias("min_encoding"),
+                 F.round(F.max("te"), 6).alias("max_encoding"))
+            .orderBy("cat"))
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit allocation
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_ucb_allocation",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 4 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS pulls,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                    AS BIGINT) AS wins
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(pulls) AS BIGINT) AS n FROM arms),
+    scored AS (
+        SELECT a.arm, a.pulls, a.wins,
+               ROUND(a.wins::DOUBLE / a.pulls, 6) AS mean_reward,
+               ROUND(a.wins::DOUBLE / a.pulls
+                     + SQRT(2.0 * LN(t.n::DOUBLE) / a.pulls), 6) AS ucb
+        FROM arms a CROSS JOIN tot t),
+    best AS (
+        SELECT arm AS next_arm FROM scored
+        ORDER BY ucb DESC, arm LIMIT 1),
+    bestmean AS (SELECT MAX(mean_reward) AS mu_star FROM scored)
+    SELECT s.arm, s.pulls, s.wins, s.mean_reward, s.ucb,
+           (s.arm = b.next_arm) AS pull_next,
+           ROUND((m.mu_star - s.mean_reward) * s.pulls, 4) AS regret_incurred
+    FROM scored s CROSS JOIN best b CROSS JOIN bestmean m
+    ORDER BY s.arm
+    """,
+    doc="UCB1 bandit readout over four experiment arms (reward = "
+        "purchase event): per-arm empirical mean + the "
+        "sqrt(2 ln N / n) exploration bonus, the arm the policy pulls "
+        "next (argmax UCB, deterministic tie-break), and the realized "
+        "regret vs the best arm - the decision layer that turns the "
+        "A/B battery (t-test / SPRT / Bayesian posterior, same module) "
+        "into an allocation policy. Everything derives from ONE "
+        "groupBy(arm) conditional aggregate plus arithmetic on the "
+        "4-row arm table; means are integer ratios, bonuses identical "
+        "IEEE expressions, all rounded at 6 dp before compare.",
+)
+def q_events_ucb_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    arms = (e.groupBy((F.col("user_id") % 4).alias("arm"))
+            .agg(F.count(F.lit(1)).cast("long").alias("pulls"),
+                 F.count(F.when(F.col("event_type") == "purchase", 1))
+                 .cast("long").alias("wins")))
+    tot = arms.agg(F.sum("pulls").cast("long").alias("n"))
+    scored = (arms.crossJoin(F.broadcast(tot))
+              .select("arm", "pulls", "wins",
+                      F.round(F.col("wins").cast("double")
+                              / F.col("pulls"), 6).alias("mean_reward"),
+                      F.round(F.col("wins").cast("double") / F.col("pulls")
+                              + F.sqrt(2.0 * F.log(F.col("n").cast("double"))
+                                       / F.col("pulls")), 6).alias("ucb")))
+    best = (scored.orderBy(F.desc("ucb"), "arm").limit(1)
+            .select(F.col("arm").alias("next_arm")))
+    bestmean = scored.agg(F.max("mean_reward").alias("mu_star"))
+    return (scored.crossJoin(F.broadcast(best))
+            .crossJoin(F.broadcast(bestmean))
+            .select("arm", "pulls", "wins", "mean_reward", "ucb",
+                    (F.col("arm") == F.col("next_arm")).alias("pull_next"),
+                    F.round((F.col("mu_star") - F.col("mean_reward"))
+                            * F.col("pulls"), 4).alias("regret_incurred"))
+            .orderBy("arm"))
+
+
+# --------------------------------------------------------------------------
+# K-fold cross-validation of a closed-form predictor
+# --------------------------------------------------------------------------
+
+_KFOLD = 5
+
+@register(
+    "q_split_kfold_cv",
+    oracle=f"""
+    WITH rows_ AS (
+        SELECT o_orderkey % {_KFOLD} AS fold, o_custkey % 25 AS seg,
+               o_totalprice AS y
+        FROM orders),
+    train AS (
+        SELECT f.holdout, r.seg,
+               CAST(COUNT(*) AS BIGINT) AS n_train,
+               ROUND(AVG(r.y), 4) AS pred
+        FROM (SELECT unnest(range(0, {_KFOLD})) AS holdout) f
+        JOIN rows_ r ON r.fold <> f.holdout
+        GROUP BY f.holdout, r.seg),
+    eval_ AS (
+        SELECT r.fold, r.seg, r.y, t.pred
+        FROM rows_ r JOIN train t
+          ON t.holdout = r.fold AND t.seg = r.seg)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG((y - pred) * (y - pred)), 2) AS mse,
+           ROUND(AVG(ABS(y - pred)), 4) AS mae
+    FROM eval_ GROUP BY fold
+    ORDER BY fold
+    """,
+    doc=f"{_KFOLD}-fold cross-validation of the closed-form "
+        "segment-mean predictor (customer segment = custkey % 25, "
+        "prediction = training-folds' mean order value per segment): "
+        "per-fold test MSE/MAE - the model-selection harness every "
+        "training pipeline needs, expressed WITHOUT k separate "
+        "jobs: the fold spine cross-joins the segment aggregates so "
+        "all train/test splits evaluate in ONE pass over the data "
+        "(train stats per (holdout, segment) via an anti-fold join, "
+        "then a broadcast join back onto rows). Deterministic integer "
+        "fold assignment (orderkey modulus); predictions round at "
+        "4 dp before residuals on both engines.",
+)
+def q_split_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    rows = o.select((F.col("o_orderkey") % _KFOLD).alias("fold"),
+                    (F.col("o_custkey") % 25).alias("seg"),
+                    F.col("o_totalprice").alias("y"))
+    folds = spark.range(_KFOLD).select(
+        F.col("id").cast("long").alias("holdout"))
+    train = (folds.join(rows, rows["fold"] != folds["holdout"])
+             .groupBy("holdout", "seg")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_train"),
+                  F.round(F.avg("y"), 4).alias("pred")))
+    ev = rows.join(F.broadcast(train),
+                   (rows["fold"] == train["holdout"])
+                   & (rows["seg"] == train["seg"]))
+    return (ev.groupBy("fold")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
+                 F.round(F.avg((F.col("y") - F.col("pred"))
+                               * (F.col("y") - F.col("pred"))), 2)
+                 .alias("mse"),
+                 F.round(F.avg(F.abs(F.col("y") - F.col("pred"))), 4)
+                 .alias("mae"))
+            .orderBy("fold"))
