@@ -1802,3 +1802,201 @@ def q_split_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg(F.abs(F.col("y") - F.col("pred"))), 4)
                  .alias("mae"))
             .orderBy("fold"))
+
+
+# --------------------------------------------------------------------------
+# Mutual-information feature ranking
+# --------------------------------------------------------------------------
+
+@register(
+    "q_feature_mutual_information",
+    oracle="""
+    WITH rows_ AS (
+        SELECT o_orderpriority AS f_priority,
+               CAST(o_custkey % 25 AS VARCHAR) AS f_segment,
+               CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 6
+                    THEN 'H1' ELSE 'H2' END AS f_half,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+    melted AS (
+        SELECT 'priority' AS feature, f_priority AS v, y FROM rows_
+        UNION ALL
+        SELECT 'segment', f_segment, y FROM rows_
+        UNION ALL
+        SELECT 'half', f_half, y FROM rows_),
+    joint AS (
+        SELECT feature, v, y, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM melted GROUP BY 1, 2, 3),
+    margx AS (
+        SELECT feature, v, CAST(SUM(nxy) AS BIGINT) AS nx
+        FROM joint GROUP BY 1, 2),
+    margy AS (
+        SELECT feature, y, CAST(SUM(nxy) AS BIGINT) AS ny
+        FROM joint GROUP BY 1, 2),
+    tot AS (
+        SELECT feature, CAST(SUM(nxy) AS BIGINT) AS n
+        FROM joint GROUP BY 1),
+    mi AS (
+        SELECT j.feature,
+               SUM((j.nxy::DOUBLE / t.n)
+                   * LN((j.nxy::DOUBLE * t.n) / (x.nx::DOUBLE * y.ny)))
+                   AS mi_nats,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM joint j
+        JOIN margx x USING (feature, v)
+        JOIN margy y ON y.feature = j.feature AND y.y = j.y
+        JOIN tot t ON t.feature = j.feature
+        GROUP BY j.feature)
+    SELECT feature, n_cells, ROUND(mi_nats, 6) AS mi_nats
+    FROM mi ORDER BY mi_nats DESC, feature
+    """,
+    doc="Mutual information between three candidate categorical "
+        "features (order priority, customer segment, order half-year) "
+        "and the 'order filled' target, ranked - the model-free "
+        "feature-selection screen beside the chi-squared test "
+        "(q_events_chi_squared): MI = Sigma p(x,y) ln(p(x,y)/"
+        "(p(x)p(y))), every probability an integer-count ratio so "
+        "both engines evaluate identical doubles, rounded 6 dp. The "
+        "three features melt into one (feature, value, target) "
+        "contingency pass - ONE groupBy shuffle however many features "
+        "are screened, the form that scales to hundreds of candidate "
+        "features at 100 TB (cells are bounded by cardinality, not "
+        "rows).",
+)
+def q_feature_mutual_information(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    rows = o.select(
+        F.col("o_orderpriority").alias("f_priority"),
+        (F.col("o_custkey") % 25).cast("string").alias("f_segment"),
+        F.when(F.month("o_orderdate") <= 6, "H1").otherwise("H2")
+        .alias("f_half"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"))
+    melted = (rows.select(F.lit("priority").alias("feature"),
+                          F.col("f_priority").alias("v"), "y")
+              .unionByName(rows.select(F.lit("segment").alias("feature"),
+                                       F.col("f_segment").alias("v"), "y"))
+              .unionByName(rows.select(F.lit("half").alias("feature"),
+                                       F.col("f_half").alias("v"), "y")))
+    joint = melted.groupBy("feature", "v", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("nxy"))
+    margx = joint.groupBy("feature", "v").agg(
+        F.sum("nxy").cast("long").alias("nx"))
+    margy = joint.groupBy("feature", "y").agg(
+        F.sum("nxy").cast("long").alias("ny"))
+    tot = joint.groupBy("feature").agg(
+        F.sum("nxy").cast("long").alias("n"))
+    mi = (joint.join(F.broadcast(margx), ["feature", "v"])
+          .join(F.broadcast(margy), ["feature", "y"])
+          .join(F.broadcast(tot), "feature")
+          .groupBy("feature")
+          .agg(F.sum((F.col("nxy").cast("double") / F.col("n"))
+                     * F.log((F.col("nxy").cast("double") * F.col("n"))
+                             / (F.col("nx").cast("double") * F.col("ny"))))
+               .alias("mi_nats"),
+               F.count(F.lit(1)).cast("long").alias("n_cells")))
+    return (mi.select("feature", "n_cells",
+                      F.round("mi_nats", 6).alias("mi_nats"))
+            .orderBy(F.desc("mi_nats"), "feature"))
+
+
+# --------------------------------------------------------------------------
+# Brier score Murphy decomposition
+# --------------------------------------------------------------------------
+
+@register(
+    "q_classifier_brier_decomposition",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0),
+    vocab AS (SELECT DISTINCT t, ((len(t) % 7) - 3) * 0.05::DOUBLE AS w
+              FROM ex),
+    cls AS (SELECT ex.doc_id,
+                   ROUND(1.0 / (1.0 + exp(-AVG(vocab.w))), 4) AS prob
+            FROM ex JOIN vocab USING (t) GROUP BY ex.doc_id),
+    lab AS (SELECT doc_id, CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END
+                       AS y
+            FROM documents),
+    scored AS (
+        SELECT LEAST(19, GREATEST(0,
+                   CAST(FLOOR((c.prob - 0.505) * 800) AS INT))) AS bin,
+               c.prob, l.y
+        FROM cls c JOIN lab l USING (doc_id)),
+    bins AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+               AVG(prob) AS fbar, AVG(y::DOUBLE) AS obar
+        FROM scored GROUP BY bin),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(y::DOUBLE) AS obar_all,
+                 AVG((prob - y) * (prob - y)) AS brier
+          FROM scored)
+    SELECT g.n AS n_docs,
+           ROUND(g.brier, 6) AS brier,
+           ROUND(SUM(b.nk * (b.fbar - b.obar) * (b.fbar - b.obar)) / g.n, 6)
+               AS reliability,
+           ROUND(SUM(b.nk * (b.obar - g.obar_all) * (b.obar - g.obar_all))
+                 / g.n, 6) AS resolution,
+           ROUND(g.obar_all * (1 - g.obar_all), 6) AS uncertainty
+    FROM bins b CROSS JOIN g
+    GROUP BY g.n, g.brier, g.obar_all
+    """,
+    doc="Murphy decomposition of the Brier score for the quality "
+        "classifier: Brier = reliability - resolution + uncertainty "
+        "(up to within-bin variance), computed over the same 20 "
+        "fixed-width score bins as the isotonic fit "
+        "(q_classifier_isotonic) - reliability punishes "
+        "mis-calibration, resolution rewards discrimination, "
+        "uncertainty is the target's irreducible variance. One "
+        "groupBy(bin) aggregate plus a 1-row global broadcast; every "
+        "term is built from per-bin means of 4 dp-rounded "
+        "probabilities and integer labels, so both engines evaluate "
+        "identical arithmetic, rounded 6 dp. Completes the scoring-"
+        "rule arc: calibration bins, isotonic recalibration, "
+        "conformal coverage, lift/gains, AUC, and now the proper-"
+        "score decomposition.",
+)
+def q_classifier_brier_decomposition(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    ex = (d.select("doc_id", T.tokens("text").alias("toks"))
+          .where(F.size("toks") > 0)
+          .select("doc_id", F.explode("toks").alias("t")))
+    vocab = (ex.select("t").distinct()
+             .select("t", (((F.length("t") % 7) - 3)
+                           * F.lit(0.05)).cast("double").alias("w")))
+    cls = (ex.join(F.broadcast(vocab), "t")
+           .groupBy("doc_id")
+           .agg(F.round(1.0 / (1.0 + F.exp(-F.avg("w"))), 4).alias("prob")))
+    lab = d.select(
+        "doc_id",
+        F.when(F.length("text") >= 500, 1).otherwise(0).alias("y"))
+    scored = (cls.join(lab, "doc_id")
+              .select(F.least(F.lit(19), F.greatest(F.lit(0), F.floor(
+                  (F.col("prob") - 0.505) * 800).cast("int"))).alias("bin"),
+                  "prob", F.col("y").cast("double").alias("y")))
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.avg("prob").alias("fbar"), F.avg("y").alias("obar"))
+    g = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("obar_all"),
+        F.avg((F.col("prob") - F.col("y")) * (F.col("prob") - F.col("y")))
+        .alias("brier"))
+    return (bins.crossJoin(F.broadcast(g))
+            .groupBy("n", "brier", "obar_all")
+            .agg(F.round(F.sum(F.col("nk") * (F.col("fbar") - F.col("obar"))
+                               * (F.col("fbar") - F.col("obar")))
+                         / F.max("n"), 6).alias("reliability"),
+                 F.round(F.sum(F.col("nk")
+                               * (F.col("obar") - F.col("obar_all"))
+                               * (F.col("obar") - F.col("obar_all")))
+                         / F.max("n"), 6).alias("resolution"))
+            .select(F.col("n").alias("n_docs"),
+                    F.round("brier", 6).alias("brier"),
+                    "reliability", "resolution",
+                    F.round(F.col("obar_all") * (1 - F.col("obar_all")), 6)
+                    .alias("uncertainty")))
