@@ -545,3 +545,97 @@ def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (n * F.lit(10000.0)), 4).alias("avg_abs_dev"),
                  F.round(F.max("dev_ten_k") / F.lit(10000.0), 4)
                  .alias("max_abs_dev")))
+
+
+@register(
+    "q_stream_psi_monitor",
+    oracle="""
+    WITH windows AS (
+        SELECT event_type,
+               CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-07' THEN 'base'
+                    WHEN CAST(ts AS DATE) >= DATE '2024-01-22' THEN 'cur'
+               END AS win,
+               LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS bucket
+        FROM events WHERE value IS NOT NULL),
+    counts AS (
+        SELECT w.event_type, w.win, b.bucket,
+               (SELECT COUNT(*) FROM windows w2
+                WHERE w2.event_type = w.event_type AND w2.win = w.win
+                  AND w2.bucket = b.bucket) AS n
+        FROM (SELECT DISTINCT event_type, win FROM windows
+              WHERE win IS NOT NULL) w
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b),
+    tot AS (
+        SELECT event_type, win, SUM(n) AS nt FROM counts GROUP BY 1, 2),
+    sm AS (
+        SELECT c.event_type, c.bucket,
+               MAX(CASE WHEN c.win = 'base'
+                   THEN (c.n + 0.5) / (t.nt + 5.0) END) AS pb,
+               MAX(CASE WHEN c.win = 'cur'
+                   THEN (c.n + 0.5) / (t.nt + 5.0) END) AS pc
+        FROM counts c JOIN tot t ON t.event_type = c.event_type
+                                AND t.win = c.win
+        GROUP BY c.event_type, c.bucket)
+    SELECT event_type,
+           ROUND(SUM((pc - pb) * LN(pc / pb)), 6) AS psi,
+           (SUM((pc - pb) * LN(pc / pb)) >= 0.2) AS drifted
+    FROM sm GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="STREAMING drift monitor: the live value-bucket histogram is "
+        "maintained by a streaming groupBy(type, bucket) aggregation "
+        "over the current window (complete-mode availableNow drain - "
+        "in production this state updates per micro-batch), then the "
+        "PSI against the static first-week baseline is a <=100-row "
+        "batch epilogue on the drained counts - the deploy-time twin "
+        "of q_events_psi_drift (identical oracle semantics, same "
+        "Laplace smoothing). The expensive part (bucket counting over "
+        "the event firehose) is the part that streams; the PSI "
+        "arithmetic never touches row-scale data. At 100 TB/day the "
+        "streaming state is (types x 10 buckets) counters - constant "
+        "memory however large the stream.",
+)
+def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.catalog import Catalog
+
+    cur_stream = (events_stream(spark, sf_dir)
+                  .where(F.col("value").isNotNull()
+                         & (F.to_date("ts")
+                            >= F.lit("2024-01-22").cast("date")))
+                  .groupBy("event_type",
+                           F.least(F.lit(9),
+                                   F.floor(F.col("value") / 50.0)
+                                   .cast("int")).alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+    cur = run_available_now(cur_stream, "complete") \
+        .withColumn("win", F.lit("cur"))
+    base = (Catalog(spark, sf_dir).table("events")
+            .where(F.col("value").isNotNull()
+                   & (F.to_date("ts") <= F.lit("2024-01-07").cast("date")))
+            .groupBy("event_type",
+                     F.least(F.lit(9), F.floor(F.col("value") / 50.0)
+                             .cast("int")).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("win", F.lit("base")))
+    # tiny (types x buckets x 2) table, consumed twice (spine + join):
+    # break the shared lineage so the self-referencing join resolves
+    counts = cur.unionByName(base).localCheckpoint(eager=False)
+    spine = (counts.select("event_type", "win").distinct()
+             .crossJoin(F.broadcast(
+                 spark.range(10).select(F.col("id").cast("int")
+                                        .alias("bucket")))))
+    full = (spine.join(counts, ["event_type", "win", "bucket"], "left")
+            .select("event_type", "win", "bucket",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+    tot = full.groupBy("event_type", "win").agg(F.sum("n").alias("nt"))
+    sm = (full.join(F.broadcast(tot), ["event_type", "win"])
+          .withColumn("p", (F.col("n") + 0.5) / (F.col("nt") + 5.0))
+          .groupBy("event_type", "bucket")
+          .agg(F.max(F.when(F.col("win") == "base", F.col("p"))).alias("pb"),
+               F.max(F.when(F.col("win") == "cur", F.col("p"))).alias("pc")))
+    psi = F.sum((F.col("pc") - F.col("pb"))
+                * F.log(F.col("pc") / F.col("pb")))
+    return (sm.groupBy("event_type")
+            .agg(F.round(psi, 6).alias("psi"),
+                 (psi >= 0.2).alias("drifted"))
+            .orderBy("event_type"))
