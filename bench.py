@@ -236,6 +236,17 @@ ADDITIONS = [
     "q_graph_hits",
     "q_graph_personalized_pagerank",
     "q_graph_modularity",
+    # round-5 continuation-4: sequence alignment, feature engineering,
+    # decision layer, scoring-rule decomposition, streaming drift
+    "q_events_dtw_similarity",
+    "q_text_wordpiece_merge_scores",
+    "q_events_matched_att",
+    "q_feature_target_encoding",
+    "q_events_ucb_allocation",
+    "q_split_kfold_cv",
+    "q_feature_mutual_information",
+    "q_classifier_brier_decomposition",
+    "q_stream_psi_monitor",
 ]
 
 HEADLINE = CORE + ADDITIONS

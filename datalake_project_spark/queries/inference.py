@@ -2000,3 +2000,158 @@ def q_classifier_brier_decomposition(spark: SparkSession,
                     "reliability", "resolution",
                     F.round(F.col("obar_all") * (1 - F.col("obar_all")), 6)
                     .alias("uncertainty")))
+
+
+# --------------------------------------------------------------------------
+# Optimizer statistics: equi-depth histogram
+# --------------------------------------------------------------------------
+
+_EQD_BUCKETS = 10
+
+@register(
+    "q_stats_equidepth_histogram",
+    oracle=f"""
+    WITH qs AS (
+        SELECT quantile_cont(o_totalprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q FROM orders),
+    bounds AS (
+        SELECT r.i + 1 AS i, ROUND(qs.q[r.i + 1], 2) AS hi
+        FROM qs, unnest(range(0, {_EQD_BUCKETS - 1})) AS r(i)),
+    edges AS (
+        SELECT i, hi,
+               COALESCE(LAG(hi) OVER (ORDER BY i), -1e18) AS lo
+        FROM bounds
+        UNION ALL
+        SELECT {_EQD_BUCKETS}, 1e18,
+               (SELECT hi FROM bounds WHERE i = {_EQD_BUCKETS - 1})),
+    assigned AS (
+        SELECT e.i AS bucket, o.o_totalprice AS v, o.o_custkey
+        FROM orders o JOIN edges e
+          ON o.o_totalprice > e.lo AND o.o_totalprice <= e.hi)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+           ROUND(MIN(v), 2) AS lo_value,
+           ROUND(MAX(v), 2) AS hi_value
+    FROM assigned GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc=f"Equi-depth histogram construction over order totals "
+        f"({_EQD_BUCKETS} buckets) - the ANALYZE TABLE statistic a "
+        "cost-based optimizer consumes for selectivity estimation: "
+        "bucket boundaries at exact interpolated percentiles (rounded "
+        "2 dp so both engines cut at identical values; boundary rows "
+        "go LEFT via the (lo, hi] rule), per-bucket row count, NDV, "
+        "and min/max. Equi-depth (not equi-width) is what survives "
+        "skew - every bucket carries ~1/k of the rows, so range "
+        "selectivities interpolate accurately even on heavy-tailed "
+        "columns. Plan: one percentile aggregate (at 100 TB: "
+        "approx_percentile first, this exact pass as the audit), then "
+        "one broadcast range join of the 10-row edge table.",
+)
+def q_stats_equidepth_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    pcts = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
+    bounds = o.agg(*[
+        F.round(F.expr(f"percentile(o_totalprice, {p})"), 2)
+        .alias(f"q{i}") for i, p in enumerate(pcts, start=1)])
+    edges_rows = bounds.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("bucket"),
+                 (F.col(f"q{i-1}") if i > 1 else F.lit(-1e18)).alias("lo"),
+                 (F.col(f"q{i}") if i < _EQD_BUCKETS else F.lit(1e18))
+                 .alias("hi"))
+        for i in range(1, _EQD_BUCKETS + 1)])).alias("e")).select("e.*")
+    assigned = o.join(
+        F.broadcast(edges_rows),
+        (F.col("o_totalprice") > F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi")))
+    return (assigned.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("o_totalprice").cast("long").alias("ndv"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo_value"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi_value"))
+            .orderBy("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Optimizer statistics: join cardinality estimation audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_join_cardinality_audit",
+    oracle="""
+    WITH stats AS (
+        SELECT 'orders_x_customer' AS join_name,
+               (SELECT COUNT(*) FROM orders) AS n_left,
+               (SELECT COUNT(*) FROM customer) AS n_right,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_left,
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_right,
+               (SELECT COUNT(*) FROM orders JOIN customer
+                ON o_custkey = c_custkey) AS actual
+        UNION ALL
+        SELECT 'lineitem_x_part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM part),
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+               (SELECT COUNT(DISTINCT p_partkey) FROM part),
+               (SELECT COUNT(*) FROM lineitem JOIN part
+                ON l_partkey = p_partkey)
+        UNION ALL
+        SELECT 'lineitem_x_orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+               (SELECT COUNT(*) FROM lineitem JOIN orders
+                ON l_orderkey = o_orderkey))
+    SELECT join_name,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(GREATEST(ndv_left, ndv_right) AS BIGINT) AS ndv_max,
+           CAST(n_left * n_right // GREATEST(ndv_left, ndv_right) AS BIGINT)
+               AS estimated_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           ROUND((n_left * n_right / GREATEST(ndv_left, ndv_right))::DOUBLE
+                 / actual, 4) AS q_error
+    FROM stats
+    ORDER BY join_name
+    """,
+    doc="Join cardinality estimation audit for three core joins: the "
+        "textbook CBO estimate |A JOIN B| = |A|*|B| / max(ndv_a, "
+        "ndv_b) (uniform-frequency, containment assumption) against "
+        "the ACTUAL join count, with the q-error ratio - the "
+        "statistic that decides whether the optimizer's join "
+        "ordering/strategy choices can be trusted, and the audit a "
+        "platform runs when plans go wrong. All integers (counts, "
+        "NDVs, actuals) with one final ratio; at 100 TB the NDVs "
+        "would come from HLL sketches (q_hll_mergeable_distinct) with "
+        "this exact form as the validation pass.",
+)
+def q_stats_join_cardinality_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, p = (cat.table(t) for t in
+                   ("orders", "customer", "lineitem", "part"))
+
+    def stats_row(name, left, right, lkey, rkey):
+        n_l = left.count()
+        n_r = right.count()
+        ndv_l = left.select(lkey).distinct().count()
+        ndv_r = right.select(rkey).distinct().count()
+        actual = left.join(right, left[lkey] == right[rkey]).count()
+        return (name, n_l, n_r, max(ndv_l, ndv_r),
+                n_l * n_r // max(ndv_l, ndv_r), actual,
+                round((n_l * n_r / max(ndv_l, ndv_r)) / actual, 4))
+
+    # three bounded join-count actions (the audit IS a measurement —
+    # each count is a distributed job; only the 3-row summary lands
+    # on the driver)
+    rows = [
+        stats_row("orders_x_customer", o, c, "o_custkey", "c_custkey"),
+        stats_row("lineitem_x_part", li, p, "l_partkey", "p_partkey"),
+        stats_row("lineitem_x_orders", li, o, "l_orderkey", "o_orderkey"),
+    ]
+    return (spark.createDataFrame(
+        rows, "join_name string, n_left long, n_right long, ndv_max long, "
+              "estimated_rows long, actual_rows long, q_error double")
+        .orderBy("join_name"))
