@@ -2155,3 +2155,70 @@ def q_stats_join_cardinality_audit(spark: SparkSession,
         rows, "join_name string, n_left long, n_right long, ndv_max long, "
               "estimated_rows long, actual_rows long, q_error double")
         .orderBy("join_name"))
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL scripting (BEGIN ... END procedural blocks)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sql_scripting_loop",
+    oracle="""
+    WITH monthly AS (
+        SELECT DATE_TRUNC('quarter', o_orderdate) AS mth,
+               SUM(o_totalprice) AS rev
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995 GROUP BY 1),
+    half AS (SELECT SUM(rev) / 2 AS h FROM monthly),
+    cum AS (
+        SELECT mth, rev,
+               SUM(rev) OVER (ORDER BY mth
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               ROW_NUMBER() OVER (ORDER BY mth) AS m
+        FROM monthly)
+    SELECT CAST(MIN(m) AS BIGINT) AS quarters_to_half,
+           ROUND(MIN(c), 2) AS cum_at_cross
+    FROM cum, half WHERE c >= half.h
+    """,
+    doc="Spark 4 SQL SCRIPTING surface (BEGIN...END with DECLARE / "
+        "FOR-cursor / IF): a procedural block walks the 1995 "
+        "quarterly revenue series in order, accumulating until "
+        "crossing half of the year's total revenue, and returns the "
+        "crossing quarter index and cumulative - the imperative-SQL "
+        "entry point (stored-procedure shape) Spark 4 added beside "
+        "variables, pipes and recursive CTEs (all registered next "
+        "door). The oracle is the DECLARATIVE twin: a cumulative "
+        "window + first-crossing filter, proving the procedural and "
+        "relational forms agree. Quarterly sums are DECIMAL-exact and "
+        "accumulate in quarter order on both engines; each scripting "
+        "statement pays a full query-compile round-trip, which is why "
+        "the cursor walks a 4-row QUARTER aggregate (constant rows at "
+        "any SF) - scripting orchestrates, relational operators do "
+        "the work.",
+)
+def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.sql("SELECT 1").collect()  # ensure views are registered
+    return spark.sql("""
+    BEGIN
+      DECLARE half DOUBLE;
+      DECLARE cum DOUBLE DEFAULT 0.0;
+      DECLARE m BIGINT DEFAULT 0;
+      DECLARE done BOOLEAN DEFAULT false;
+      SET half = (SELECT CAST(SUM(o_totalprice) / 2 AS DOUBLE)
+                  FROM orders WHERE year(o_orderdate) = 1995);
+      FOR r AS SELECT date_trunc('quarter', o_orderdate) AS mth,
+                      CAST(SUM(o_totalprice) AS DOUBLE) AS rev
+               FROM orders WHERE year(o_orderdate) = 1995
+               GROUP BY 1 ORDER BY 1 DO
+        IF NOT done THEN
+          SET cum = cum + r.rev;
+          SET m = m + 1;
+          IF cum >= half THEN
+            SET done = true;
+          END IF;
+        END IF;
+      END FOR;
+      SELECT m AS quarters_to_half, ROUND(cum, 2) AS cum_at_cross;
+    END
+    """)
