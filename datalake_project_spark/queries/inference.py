@@ -2222,3 +2222,149 @@ def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m AS quarters_to_half, ROUND(cum, 2) AS cum_at_cross;
     END
     """)
+
+
+# --------------------------------------------------------------------------
+# Missing-value imputation audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_feature_imputation_audit",
+    oracle="""
+    WITH masked AS (
+        SELECT event_type, value,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+        FROM events WHERE value IS NOT NULL),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_missing,
+               ROUND(AVG(v), 4) AS mean_obs,
+               ROUND((AVG(v * v) - AVG(v) * AVG(v)), 4) AS var_obs
+        FROM masked GROUP BY event_type),
+    imputed AS (
+        SELECT m.event_type, COALESCE(m.v, s.mean_obs) AS vi
+        FROM masked m JOIN stats s USING (event_type))
+    SELECT s.event_type, s.n, s.n_missing, s.mean_obs, s.var_obs,
+           ROUND(AVG(i.vi), 4) AS mean_imputed,
+           ROUND(AVG(i.vi * i.vi) - AVG(i.vi) * AVG(i.vi), 4)
+               AS var_imputed
+    FROM stats s JOIN imputed i USING (event_type)
+    GROUP BY s.event_type, s.n, s.n_missing, s.mean_obs, s.var_obs
+    ORDER BY s.event_type
+    """,
+    doc="Mean-imputation audit under a simulated MCAR mask (every "
+        "10th event's value dropped): per event type, missing count, "
+        "observed mean/variance, and the post-imputation mean/variance "
+        "- making the textbook pathology VISIBLE (mean is preserved, "
+        "variance shrinks by the missing fraction), which is exactly "
+        "what a feature-quality gate must alert on before training "
+        "consumes imputed columns. The imputation itself is the "
+        "standard broadcast-stats-back-onto-rows plan (one "
+        "groupBy(type) + one broadcast join); population variance via "
+        "the one-pass identity, means rounded 4 dp before COALESCE on "
+        "both engines.",
+)
+def q_feature_imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    masked = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, None)
+        .otherwise(F.col("value")).alias("v"))
+    stats = masked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_missing"),
+        F.round(F.avg("v"), 4).alias("mean_obs"),
+        F.round(F.avg(F.col("v") * F.col("v"))
+                - F.avg("v") * F.avg("v"), 4).alias("var_obs"))
+    imputed = (masked.join(F.broadcast(stats), "event_type")
+               .select("event_type",
+                       F.coalesce("v", F.col("mean_obs")).alias("vi")))
+    post = imputed.groupBy("event_type").agg(
+        F.round(F.avg("vi"), 4).alias("mean_imputed"),
+        F.round(F.avg(F.col("vi") * F.col("vi"))
+                - F.avg("vi") * F.avg("vi"), 4).alias("var_imputed"))
+    return (stats.join(F.broadcast(post), "event_type")
+            .select("event_type", "n", "n_missing", "mean_obs", "var_obs",
+                    "mean_imputed", "var_imputed")
+            .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Recommendation novelty / popularity-bias audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_recs_novelty",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM items GROUP BY 1),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM items),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n12
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+    sym AS (
+        SELECT pa AS p, pb AS q, n12 FROM pairs
+        UNION ALL
+        SELECT pb AS p, pa AS q, n12 FROM pairs),
+    sim AS (
+        SELECT s.p, s.q, s.n12 / sqrt(dp.n::DOUBLE * dq.n::DOUBLE) AS c
+        FROM sym s
+        JOIN deg dp ON dp.p = s.p
+        JOIN deg dq ON dq.p = s.q),
+    recs AS (
+        SELECT p, q FROM sim
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY c DESC, q) <= 3),
+    pop AS (
+        SELECT r.p, r.q, d.n::DOUBLE / t.total AS share
+        FROM recs r JOIN deg d ON d.p = r.q CROSS JOIN n_orders t),
+    base AS (
+        SELECT AVG(d.n::DOUBLE / t.total) AS avg_share_all
+        FROM deg d CROSS JOIN n_orders t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+           ROUND(AVG(-LN(pop.share) / LN(2)), 4) AS avg_novelty_bits,
+           ROUND(AVG(pop.share), 6) AS avg_rec_popularity,
+           ROUND(AVG(pop.share) / MAX(base.avg_share_all), 4)
+               AS popularity_lift
+    FROM pop CROSS JOIN base
+    """,
+    doc="Novelty / popularity-bias audit of the item-item "
+        "recommendations (composes ON the q_recs_item_knn output "
+        "plan): per recommended neighbor, self-information "
+        "-log2(popularity share); the report gives mean novelty bits, "
+        "mean recommended-item popularity, and the lift over the "
+        "catalog-average popularity - the standard beyond-accuracy "
+        "eval that catches collaborative filters recommending only "
+        "blockbusters (lift >> 1). All shares are integer-count "
+        "ratios; one extra broadcast join and one 1-row aggregate on "
+        "top of the knn plan. Completes the recs eval arc beside "
+        "q_recs_coverage.",
+)
+def q_recs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.queries.relational5 import q_recs_item_knn
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy(F.col("l_partkey").alias("q")).agg(
+        F.count(F.lit(1)).alias("nq"))
+    total = items.agg(F.countDistinct("l_orderkey").alias("total"))
+    recs = q_recs_item_knn(spark, sf_dir).select(
+        "part", F.col("neighbor").alias("q"))
+    pop = (recs.join(deg, "q").crossJoin(F.broadcast(total))
+           .select((F.col("nq").cast("double") / F.col("total"))
+                   .alias("share")))
+    base = (deg.crossJoin(F.broadcast(total))
+            .agg(F.avg(F.col("nq").cast("double") / F.col("total"))
+                 .alias("avg_share_all")))
+    return (pop.crossJoin(F.broadcast(base))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_recs"),
+                 F.round(F.avg(-F.log2("share")), 4)
+                 .alias("avg_novelty_bits"),
+                 F.round(F.avg("share"), 6).alias("avg_rec_popularity"),
+                 F.round(F.avg("share") / F.max("avg_share_all"), 4)
+                 .alias("popularity_lift")))
