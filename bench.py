@@ -247,6 +247,13 @@ ADDITIONS = [
     "q_feature_mutual_information",
     "q_classifier_brier_decomposition",
     "q_stream_psi_monitor",
+    # round-5 continuation-5: optimizer statistics, SQL scripting,
+    # imputation pathology, recs novelty
+    "q_stats_equidepth_histogram",
+    "q_stats_join_cardinality_audit",
+    "q_sql_scripting_loop",
+    "q_feature_imputation_audit",
+    "q_recs_novelty",
 ]
 
 HEADLINE = CORE + ADDITIONS
