@@ -2532,3 +2532,146 @@ def q_stats_wasserstein_years(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("max_quantile_gap"),
                  F.round(F.avg(F.col("qb") - F.col("qa")), 4)
                  .alias("mean_shift")))
+
+
+# --------------------------------------------------------------------------
+# Linear CKA between embedding halves (representation similarity)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_cka_halves",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    dims AS (
+        SELECT vec_id, r.i AS i, embedding[r.i + 1]::DOUBLE AS x
+        FROM base, unnest(range(0, 64)) AS r(i)),
+    n_ AS (SELECT COUNT(*) AS n FROM base),
+    means AS (SELECT i, AVG(x) AS mu FROM dims GROUP BY i),
+    cent AS (
+        SELECT d.vec_id, d.i, d.x - m.mu AS x
+        FROM dims d JOIN means m USING (i)),
+    xh AS (SELECT vec_id, i, x FROM cent WHERE i < 32),
+    yh AS (SELECT vec_id, i - 32 AS j, x AS y FROM cent WHERE i >= 32),
+    cxy AS (
+        SELECT x.i, y.j, SUM(x.x * y.y) AS c
+        FROM xh x JOIN yh y USING (vec_id) GROUP BY x.i, y.j),
+    cxx AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS c
+        FROM xh a JOIN xh b USING (vec_id) GROUP BY a.i, b.i),
+    cyy AS (
+        SELECT a.j AS i, b.j AS j, SUM(a.y * b.y) AS c
+        FROM yh a JOIN yh b USING (vec_id) GROUP BY a.j, b.j),
+    fro AS (
+        SELECT (SELECT SUM(c * c) FROM cxy) AS f_xy,
+               (SELECT SUM(c * c) FROM cxx) AS f_xx,
+               (SELECT SUM(c * c) FROM cyy) AS f_yy)
+    SELECT (SELECT CAST(n AS BIGINT) FROM n_) AS n_vectors,
+           ROUND(f_xy / SQRT(f_xx * f_yy), 4) AS linear_cka
+    FROM fro
+    """,
+    doc="Linear CKA (centered kernel alignment) between the first and "
+        "last 32 embedding dimensions: ||Xc'Yc||_F^2 normalized by "
+        "the self-alignments - the standard representation-similarity "
+        "metric (do two halves of the embedding encode the same "
+        "geometry?), used to compare checkpoints/layers before "
+        "committing to a truncation like the Matryoshka cut next door "
+        "(q_embed_matryoshka_recall). Cross-covariances via one "
+        "explode + three co-grouped aggregates over (dim_i, dim_j) "
+        "cells - cost is n*d^2 products with d FIXED (64), linear in "
+        "corpus size, shuffled on the 1024-cell dim-pair key. Rounded "
+        "4 dp (covariance summation order is the only cross-engine "
+        "difference, ~1e-12 relative).",
+)
+def q_embed_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .where(F.col("vec_id") < 300).select("vec_id", "embedding"))
+    dims = (e.select("vec_id", F.posexplode("embedding").alias("i", "xf"))
+            .select("vec_id", "i", F.col("xf").cast("double").alias("x")))
+    nv = e.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    means = dims.groupBy("i").agg(F.avg("x").alias("mu"))
+    cent = (dims.join(F.broadcast(means), "i")
+            .select("vec_id", "i", (F.col("x") - F.col("mu")).alias("x")))
+    xh = cent.where(F.col("i") < 32).select(
+        "vec_id", "i", "x")
+    yh = cent.where(F.col("i") >= 32).select(
+        "vec_id", (F.col("i") - 32).alias("j"), F.col("x").alias("y"))
+    cxy = (xh.join(yh, "vec_id").groupBy("i", "j")
+           .agg(F.sum(F.col("x") * F.col("y")).alias("c")))
+    xh2 = xh.select("vec_id", F.col("i").alias("j"), F.col("x").alias("y"))
+    cxx = (xh.join(xh2, "vec_id").groupBy("i", "j")
+           .agg(F.sum(F.col("x") * F.col("y")).alias("c")))
+    yh2 = yh.select("vec_id", F.col("j").alias("i"), F.col("y").alias("x"))
+    cyy = (yh2.join(yh.select("vec_id", "j", "y"), "vec_id")
+           .groupBy("i", "j")
+           .agg(F.sum(F.col("x") * F.col("y")).alias("c")))
+    f_xy = cxy.agg(F.sum(F.col("c") * F.col("c")).alias("f_xy"))
+    f_xx = cxx.agg(F.sum(F.col("c") * F.col("c")).alias("f_xx"))
+    f_yy = cyy.agg(F.sum(F.col("c") * F.col("c")).alias("f_yy"))
+    return (nv.crossJoin(F.broadcast(f_xy))
+            .crossJoin(F.broadcast(f_xx))
+            .crossJoin(F.broadcast(f_yy))
+            .select("n_vectors",
+                    F.round(F.col("f_xy")
+                            / F.sqrt(F.col("f_xx") * F.col("f_yy")), 4)
+                    .alias("linear_cka")))
+
+
+# --------------------------------------------------------------------------
+# Embedding anisotropy (closed-form mean pairwise cosine)
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_anisotropy",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    unit AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_sum(
+                   list_transform(v, y -> y * y)))) AS u
+        FROM base),
+    n_ AS (SELECT COUNT(*) AS n FROM unit),
+    sums AS (
+        SELECT r.i + 1 AS i, SUM(u[r.i + 1]) AS s
+        FROM unit, unnest(range(0, 64)) AS r(i)
+        GROUP BY 1),
+    norm2 AS (SELECT SUM(s * s) AS ss FROM sums)
+    SELECT CAST(n_.n AS BIGINT) AS n_vectors,
+           ROUND((norm2.ss - n_.n) / (n_.n * (n_.n - 1.0)), 6)
+               AS mean_pairwise_cosine,
+           (ROUND((norm2.ss - n_.n) / (n_.n * (n_.n - 1.0)), 6) > 0.5)
+               AS anisotropic
+    FROM n_ CROSS JOIN norm2
+    """,
+    doc="Embedding anisotropy: the mean pairwise cosine over ALL "
+        "vector pairs in CLOSED FORM - mean cos = (||Sigma u||^2 - n) "
+        "/ (n(n-1)) for unit vectors u, so the n^2 pairwise computation "
+        "collapses to one vector sum + one norm: O(n*d), no pair join "
+        "at all. High mean cosine is the 'narrow cone' representation "
+        "pathology (embeddings bunched in one direction) that degrades "
+        "cosine retrieval - the audit to run before shipping an "
+        "embedding column to the ANN index family next door. "
+        "Normalization and the dim-wise sums are identical IEEE "
+        "arithmetic; result rounded 6 dp. The exact plan a 100 TB "
+        "corpus needs: one map-side normalize, one 64-cell aggregate.",
+)
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    norm = ("sqrt(aggregate(embedding, 0.0D, "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+    unit = e.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) / {norm})")
+        .alias("u"))
+    dims = unit.select(F.posexplode("u").alias("i", "x"))
+    sums = dims.groupBy("i").agg(F.sum("x").alias("s"))
+    ss = sums.agg(F.sum(F.col("s") * F.col("s")).alias("ss"))
+    n = unit.agg(F.count(F.lit(1)).alias("n"))
+    mc = (F.col("ss") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    return (n.crossJoin(F.broadcast(ss))
+            .select(F.col("n").cast("long").alias("n_vectors"),
+                    F.round(mc, 6).alias("mean_pairwise_cosine"),
+                    (F.round(mc, 6) > 0.5).alias("anisotropic")))
