@@ -32,6 +32,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A dict write would silently shadow an earlier registration (this
+        # bit once: two modules both registered q5_local_supplier_volume
+        # and only the later import survived) — fail loudly instead.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
     return deco

@@ -238,7 +238,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q5_local_supplier_volume",
+    "q_star_schema_revenue",
     oracle="""
     SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer
@@ -252,10 +252,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1997-01-01'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5 shape: six-way star join; all dims broadcast, single "
-        "shuffle for the final group-by.",
+    doc="Plain star-schema revenue rollup (Q5 minus the same-nation "
+        "customer/supplier residual — the faithful TPC-H Q5 is "
+        "q5_local_supplier_volume in relational5.py): six-way star "
+        "join; all dims broadcast, single shuffle for the final "
+        "group-by. Note: this name once collided with the true Q5 "
+        "registration and was silently shadowed; register() now "
+        "raises on duplicates.",
 )
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_star_schema_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     c, o, li = cat.table("customer"), cat.table("orders"), cat.table("lineitem")
     s, n, r = cat.table("supplier"), cat.table("nation"), cat.table("region")

@@ -22,6 +22,20 @@ def test_registry_nonempty_and_unique():
         assert spec.oracle is None or "SELECT" in spec.oracle.upper()
 
 
+def test_duplicate_registration_raises():
+    """register() must fail loudly on a name collision: a dict write
+    would silently shadow the earlier registration (this bit once —
+    two modules both registered q5_local_supplier_volume and only the
+    later import survived the registry)."""
+    import pytest
+    from datalake_project_spark.queries import REGISTRY, register
+
+    load_all()
+    existing = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register(existing, oracle=None)(lambda spark, sf_dir: None)
+
+
 def test_entry_contract(spark):
     if not os.path.isdir(SF_SMOKE):
         import pytest
