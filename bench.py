@@ -254,6 +254,24 @@ ADDITIONS = [
     "q_sql_scripting_loop",
     "q_feature_imputation_audit",
     "q_recs_novelty",
+    # round-5 continuation-6: runtime-filter/sketch auditing, clustering
+    # evaluation, candidate-pruning theorems, randomization inference
+    "q_join_bloom_prune",
+    "q_sketch_countmin",
+    "q_sketch_quantile_histogram",
+    "q_dedup_bcubed",
+    "q_dedup_prefix_filter",
+    "q_stats_permutation_test",
+    "q_stats_moments",
+    "q_stats_eb_shrinkage",
+    "q_events_cross_correlation",
+    "q_events_time_weighted_avg",
+    "q_recs_als_halfstep",
+    "q_embed_farthest_point_init",
+    "q_privacy_randomized_response",
+    "q_feature_woe_iv",
+    "q_text_chao1_vocab",
+    "q_text_good_turing",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -574,3 +574,161 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("emd") <= T_CLOSE).alias("t_close"))
             .orderBy(F.desc("emd"), "c_nationkey", "c_mktsegment")
             .limit(25))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning — the runtime-filter audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+    WITH hp(j, a, b) AS (VALUES (0, 1103515245, 12345),
+                                (1, 69069, 362437),
+                                (2, 1664525, 1013904223)),
+    dim AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+            WHERE s_nationkey < 5),
+    bits AS (SELECT DISTINCT hp.j,
+                    ((hp.a * dim.k + hp.b) % 2147483647) % 128 AS h
+             FROM dim CROSS JOIN hp),
+    fk AS (SELECT l_suppkey AS k, COUNT(*) AS nrows
+           FROM lineitem GROUP BY l_suppkey),
+    cand AS (
+        SELECT fk.k, fk.nrows
+        FROM fk CROSS JOIN hp
+        JOIN bits ON bits.j = hp.j
+                 AND bits.h = ((hp.a * fk.k + hp.b) % 2147483647) % 128
+        GROUP BY fk.k, fk.nrows
+        HAVING COUNT(*) = 3),
+    ex AS (SELECT fk.k, fk.nrows FROM fk JOIN dim ON fk.k = dim.k)
+    SELECT (SELECT COUNT(*) FROM dim)::BIGINT AS n_dim_keys,
+           (SELECT COUNT(*) FROM ex)::BIGINT AS n_exact_keys,
+           (SELECT COUNT(*) FROM cand)::BIGINT AS n_bloom_keys,
+           ((SELECT COUNT(*) FROM cand)
+            - (SELECT COUNT(*) FROM ex))::BIGINT AS n_false_positive_keys,
+           (SELECT COALESCE(SUM(nrows), 0) FROM ex)::BIGINT AS n_exact_rows,
+           (SELECT COALESCE(SUM(nrows), 0) FROM cand)::BIGINT AS n_bloom_rows,
+           (SELECT COUNT(*) FROM ex
+            WHERE k NOT IN (SELECT k FROM cand)) = 0 AS zero_false_negatives
+    """,
+    doc="Bloom-filter join pruning audit — the runtime-filter pattern "
+        "(Spark's own InjectRuntimeFilter / Iceberg Bloom pushdown) made "
+        "explicit and value-checked. A 3-hash x 128-bit Bloom filter is "
+        "built from the dim-side join keys (suppliers in nations 0-4) as "
+        "a ~45-row (hash_fn, bit) table, broadcast, and applied to the "
+        "fact side BEFORE the join: a fact key survives iff all 3 of its "
+        "hash bits are set. The audit proves the two properties that make "
+        "the technique sound at 100 TB: ZERO false negatives (every truly "
+        "matching key survives — Bloom filters only over-approximate) and "
+        "a measured false-positive key count (the wasted-shuffle cost of "
+        "m=128 at this fill factor). At scale the filter replaces "
+        "shuffling the full fact table into a join: rows are dropped at "
+        "the scan with a broadcast bitset, and only FP keys pay the "
+        "shuffle. Hashes are integer LCGs mod a prime mod m — bit-exact "
+        "on both engines, no float anywhere.",
+)
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    P, M = 2147483647, 128
+    hp = spark.createDataFrame(
+        [(0, 1103515245, 12345), (1, 69069, 362437), (2, 1664525, 1013904223)],
+        "j int, a long, b long")
+    dim = (c.table("supplier").where(F.col("s_nationkey") < 5)
+           .select(F.col("s_suppkey").alias("k")).distinct())
+    hb = ((F.col("a") * F.col("k") + F.col("b")) % P) % M
+    bits = (dim.crossJoin(F.broadcast(hp))
+            .select("j", hb.alias("h")).distinct())
+    fk = (c.table("lineitem").groupBy(F.col("l_suppkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("nrows")))
+    cand = (fk.crossJoin(F.broadcast(hp))
+            .withColumn("h", hb)
+            .join(F.broadcast(bits), ["j", "h"])
+            .groupBy("k", "nrows").agg(F.count(F.lit(1)).alias("nh"))
+            .where(F.col("nh") == 3).select("k", "nrows"))
+    ex = fk.join(F.broadcast(dim), "k")
+    missed = ex.join(cand, "k", "left_anti")
+    agg = lambda df, cn, rn: df.agg(
+        F.count(F.lit(1)).cast("long").alias(cn),
+        F.coalesce(F.sum("nrows"), F.lit(0)).cast("long").alias(rn))
+    return (dim.agg(F.count(F.lit(1)).cast("long").alias("n_dim_keys"))
+            .crossJoin(F.broadcast(agg(ex, "n_exact_keys", "n_exact_rows")))
+            .crossJoin(F.broadcast(agg(cand, "n_bloom_keys", "n_bloom_rows")))
+            .crossJoin(F.broadcast(
+                missed.agg(F.count(F.lit(1)).alias("n_missed"))))
+            .select("n_dim_keys", "n_exact_keys", "n_bloom_keys",
+                    (F.col("n_bloom_keys") - F.col("n_exact_keys"))
+                    .alias("n_false_positive_keys"),
+                    "n_exact_rows", "n_bloom_rows",
+                    (F.col("n_missed") == 0).alias("zero_false_negatives")))
+
+
+# --------------------------------------------------------------------------
+# Randomized response — local differential privacy, debiased and audited
+# --------------------------------------------------------------------------
+
+@register(
+    "q_privacy_randomized_response",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_orderpriority = '1-URGENT' AS s,
+               (1103515245 * o_orderkey + 12345) % 2147483648
+                   < 1610612736 AS truthful
+        FROM orders),
+    rep AS (
+        SELECT s, CASE WHEN truthful THEN s ELSE NOT s END AS reported
+        FROM base),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN s THEN 1 ELSE 0 END) AS n_true,
+               SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS n_rep
+        FROM rep)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_true AS BIGINT) AS n_true_sensitive,
+           CAST(n_rep AS BIGINT) AS n_reported_true,
+           ROUND(CAST(n_true AS DOUBLE) / n, 6) AS true_rate,
+           ROUND((CAST(n_rep AS DOUBLE) / n - 0.25) / 0.5, 6)
+               AS estimated_rate,
+           ROUND(ABS((CAST(n_rep AS DOUBLE) / n - 0.25) / 0.5
+                     - CAST(n_true AS DOUBLE) / n), 6) AS abs_error,
+           ROUND(LN(3.0), 6) AS epsilon_ldp
+    FROM agg
+    """,
+    doc="Warner randomized response — the local-differential-privacy "
+        "mechanism (each row lies with probability 1-p before anything "
+        "is collected) plus the debiased population estimator "
+        "pi_hat = (observed_rate + p - 1)/(2p - 1), audited against "
+        "the true sensitive rate it is never allowed to see row-wise. "
+        "p = 3/4 gives epsilon = ln(p/(1-p)) = ln 3 per-row LDP. The "
+        "truth coin is the registry's deterministic cross-engine "
+        "randomness: 31-bit LCG per o_orderkey compared against the "
+        "EXACT integer threshold floor(0.75 * 2^31) = 1610612736 — no "
+        "float sampling, so both engines flip identical coins and "
+        "every count is hash-exact. Scale shape: one scan, one "
+        "aggregate; the mechanism is embarrassingly parallel (per-row "
+        "perturbation) and the estimator needs only two counters — "
+        "this is why RR-style collection works at telemetry scale "
+        "(RAPPOR et al.) where central DP aggregation cannot.",
+)
+def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    s = (F.col("o_orderpriority") == "1-URGENT")
+    truthful = ((F.lit(1103515245) * F.col("o_orderkey") + 12345)
+                % F.lit(2147483648) < 1610612736)
+    rep = o.select(s.alias("s"),
+                   F.when(truthful, s).otherwise(~s).alias("reported"))
+    agg = rep.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("reported"), 1).otherwise(0)).alias("n_rep"))
+    n = F.col("n").cast("double")
+    true_rate = F.col("n_true").cast("double") / n
+    est = (F.col("n_rep").cast("double") / n - 0.25) / 0.5
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_true").cast("long").alias("n_true_sensitive"),
+        F.col("n_rep").cast("long").alias("n_reported_true"),
+        F.round(true_rate, 6).alias("true_rate"),
+        F.round(est, 6).alias("estimated_rate"),
+        F.round(F.abs(est - true_rate), 6).alias("abs_error"),
+        F.round(F.log(F.lit(3.0)), 6).alias("epsilon_ldp"))

@@ -2125,3 +2125,363 @@ def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        suffix="_s", tolerance_seconds=1800.0)
     return joined.select("event_id", "user_id",
                          F.col("signup_event_id_s").alias("signup_event_id"))
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — fixed-memory frequency estimation, audited vs exact
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sketch_countmin",
+    oracle="""
+    WITH hp(j, a, b) AS (VALUES (0, 1103515245, 12345),
+                                (1, 69069, 362437),
+                                (2, 1664525, 1013904223)),
+    ex AS (SELECT user_id, COUNT(*) AS exact_n FROM events
+           GROUP BY user_id),
+    counters AS (
+        SELECT hp.j,
+               ((hp.a * e.user_id + hp.b) % 2147483647) % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM events e CROSS JOIN hp
+        GROUP BY hp.j, bucket),
+    top20 AS (
+        SELECT user_id, exact_n FROM ex
+        ORDER BY exact_n DESC, user_id LIMIT 20),
+    est AS (
+        SELECT t.user_id, t.exact_n, MIN(c.cnt) AS cm_estimate
+        FROM top20 t CROSS JOIN hp
+        JOIN counters c
+          ON c.j = hp.j
+         AND c.bucket = ((hp.a * t.user_id + hp.b) % 2147483647) % 64
+        GROUP BY t.user_id, t.exact_n)
+    SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - exact_n AS BIGINT) AS overcount,
+           cm_estimate >= exact_n AS never_undercounts
+    FROM est
+    ORDER BY exact_n DESC, user_id
+    """,
+    doc="Count-Min sketch frequency estimation, audited against exact "
+        "counts. The sketch is d=3 rows x w=64 counters (three LCG "
+        "hashes mod prime mod w); building it is ONE group-by over "
+        "(hash_fn, bucket) — 192 cells of fixed memory no matter how "
+        "many rows flow through, and the cells are sums, so partial "
+        "sketches merge associatively across partitions/days exactly "
+        "like the rollup cascade. Point estimate = min over the d "
+        "counters (Cormode-Muthukrishnan); the audit pins the two CM "
+        "guarantees on the 20 heaviest users: estimates NEVER "
+        "undercount (one-sided error, proven per-row) and the "
+        "overcount column measures collision noise at w=64 against "
+        "150 distinct keys — the deliberate under-provisioning that "
+        "makes the error visible and value-checked. Complements the "
+        "Misra-Gries heavy-hitter sketch (q_events_heavy_hitters): MG "
+        "answers 'who is frequent', CM answers 'how frequent is X' "
+        "for ANY x with eps*N additive error in O(d*w) memory. All "
+        "integer arithmetic — hash-exact across engines.",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    P, W = 2147483647, 64
+    hp = spark.createDataFrame(
+        [(0, 1103515245, 12345), (1, 69069, 362437), (2, 1664525, 1013904223)],
+        "j int, a long, b long")
+    bucket = ((F.col("a") * F.col("user_id") + F.col("b")) % P) % W
+    counters = (e.select("user_id").crossJoin(F.broadcast(hp))
+                .groupBy("j", bucket.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    ex = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top20 = ex.orderBy(F.desc("exact_n"), "user_id").limit(20)
+    est = (top20.crossJoin(F.broadcast(hp))
+           .withColumn("bucket", bucket)
+           .join(F.broadcast(counters), ["j", "bucket"])
+           .groupBy("user_id", "exact_n")
+           .agg(F.min("cnt").alias("cm_estimate")))
+    return (est.select(
+                "user_id",
+                F.col("exact_n").cast("long").alias("exact_n"),
+                F.col("cm_estimate").cast("long").alias("cm_estimate"),
+                (F.col("cm_estimate") - F.col("exact_n")).cast("long")
+                .alias("overcount"),
+                (F.col("cm_estimate") >= F.col("exact_n"))
+                .alias("never_undercounts"))
+            .orderBy(F.desc("exact_n"), "user_id"))
+
+
+# --------------------------------------------------------------------------
+# Lagged cross-correlation between two event-type series
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_cross_correlation",
+    oracle="""
+    WITH he AS (
+        SELECT epoch_us(ts) // 3600000000 AS he, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')),
+    bounds AS (SELECT MIN(he) AS lo, MAX(he) AS hi FROM he),
+    spine AS (SELECT UNNEST(range(lo, hi + 1)) AS he FROM bounds),
+    hs AS (
+        SELECT s.he,
+               COALESCE(SUM(CASE WHEN e.event_type = 'click'
+                                 THEN 1 END), 0) AS x,
+               COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN 1 END), 0) AS y
+        FROM spine s LEFT JOIN he e USING (he) GROUP BY s.he),
+    lags AS (SELECT UNNEST(range(0, 7)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM lags l
+        JOIN hs a ON TRUE
+        JOIN hs b ON b.he = a.he + l.lag),
+    sums AS (
+        SELECT lag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE ROUND((n * sxy - sx * sy) /
+                           SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r
+    FROM sums ORDER BY lag
+    """,
+    doc="Lagged cross-correlation between the hourly click series and "
+        "the hourly purchase series (does click volume LEAD purchase "
+        "volume, and by how many hours?) — the signal behind "
+        "conversion-latency dashboards and Granger-style lead/lag "
+        "screens. A dense hour spine (integer epoch-hours via "
+        "``sequence``, zero-filled left join) makes gaps explicit "
+        "zeros rather than silently skipped rows; for each lag "
+        "L in 0..6 the Pearson r between x(t) and y(t+L) is computed "
+        "from BIGINT power sums (n, Sx, Sy, Sxy, Sxx, Syy) so every "
+        "aggregate is integer-exact and order-independent — the one "
+        "float op is the final normalization, identical on both "
+        "engines. Scale shape: the series table is hours-sized (tiny "
+        "next to the event table), so the lag fan-out self-join is a "
+        "broadcast over an already-aggregated relation; the heavy "
+        "input scan happens exactly once. Zero-variance windows yield "
+        "NULL (guarded identically on both sides).",
+)
+def q_events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("event_type").isin("click", "purchase"))
+         .select(F.expr("unix_micros(ts) div 3600000000").alias("he"),
+                 "event_type"))
+    counts = e.groupBy("he").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1)).alias("cx"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)).alias("cy"))
+    bounds = e.agg(F.min("he").alias("lo"), F.max("he").alias("hi"))
+    spine = (bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("he")))
+    hs = (spine.join(counts, "he", "left")
+          .select("he",
+                  F.coalesce("cx", F.lit(0)).alias("x"),
+                  F.coalesce("cy", F.lit(0)).alias("y"))
+          .localCheckpoint(eager=False))
+    lags = spark.range(7).select(F.col("id").cast("int").alias("lag"))
+    a = hs.select(F.col("he").alias("a_he"), F.col("x"))
+    b = hs.select(F.col("he").alias("b_he"), F.col("y"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(F.broadcast(b),
+                   F.col("b_he") == F.col("a_he") + F.col("lag")))
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(vx * vy == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(cov / F.sqrt(vx.cast("double")
+                                         * vy.cast("double")), 6))
+         .alias("r"))
+        .orderBy("lag"))
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — irregular-sampling aggregation done right
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_time_weighted_avg",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+    seg AS (
+        SELECT user_id, cents,
+               (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000
+                   AS dur_s
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, cents)),
+    agg AS (
+        SELECT user_id,
+               COUNT(*) AS n_segments,
+               SUM(cents * dur_s) AS wsum,
+               SUM(dur_s) AS wtot
+        FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
+        GROUP BY user_id)
+    SELECT user_id, CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(wtot AS BIGINT) AS held_seconds,
+           ROUND(wsum / (wtot * 100.0), 4) AS twa_value
+    FROM agg
+    ORDER BY twa_value DESC, user_id
+    LIMIT 20
+    """,
+    doc="Time-weighted average of an irregularly sampled value per user "
+        "— the correct aggregation for last-observation-carried-forward "
+        "signals (account balance, price, sensor level) where a plain "
+        "AVG over-weights bursts of rapid updates. Each observation "
+        "holds until the user's next one (LEAD over the per-user "
+        "time-ordered window — partitioned, never global); its weight "
+        "is the hold duration in whole seconds. Weighted sums "
+        "accumulate as BIGINT cents*seconds so the aggregate is "
+        "integer-exact and summation-order-free; the single float "
+        "division happens once per user at the end. The final ranked "
+        "top-20 is a TakeOrderedAndProject, not a global sort. The "
+        "tie-break inside the window (ts, then cents) is a total "
+        "order, so LEAD pairs identically on both engines even with "
+        "duplicate timestamps.",
+)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select("user_id", "ts",
+                 F.round(F.col("value") * 100).cast("long").alias("cents")))
+    w = Window.partitionBy("user_id").orderBy("ts", "cents")
+    seg = (v.withColumn("lead_ts", F.lead("ts").over(w))
+           .select("user_id", "cents",
+                   ((F.unix_micros("lead_ts") - F.unix_micros("ts"))
+                    / 1000000).cast("long").alias("dur_s")))
+    agg = (seg.where(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum(F.col("cents") * F.col("dur_s")).alias("wsum"),
+                F.sum("dur_s").cast("long").alias("held_seconds")))
+    return (agg.select(
+        "user_id", "n_segments", "held_seconds",
+        F.round(F.col("wsum") / (F.col("held_seconds") * 100.0), 4)
+         .alias("twa_value"))
+        .orderBy(F.desc("twa_value"), "user_id").limit(20))
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram sketch — quantile estimation with a rank-error proof
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sketch_quantile_histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+    bounds AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM v),
+    binned AS (
+        -- // (integer floor division): CAST(double AS BIGINT) ROUNDS in
+        -- DuckDB while Spark's cast truncates — never mix the two.
+        SELECT ((v.c - b.lo) * 32) // (b.hi - b.lo + 1) AS bucket,
+               COUNT(*) AS cnt
+        FROM v CROSS JOIN bounds b GROUP BY 1),
+    cum AS (
+        SELECT bucket, cnt,
+               SUM(cnt) OVER (ORDER BY bucket) AS cum_n
+        FROM binned),
+    targets AS (SELECT UNNEST([50, 90, 99]) AS pct),
+    est AS (
+        SELECT t.pct,
+               CAST(CEIL(t.pct * b.n / 100.0) AS BIGINT) AS target_rank,
+               MIN(c.bucket) AS est_bucket
+        FROM targets t CROSS JOIN bounds b
+        JOIN cum c ON c.cum_n >= CEIL(t.pct * b.n / 100.0)
+        GROUP BY t.pct, b.n),
+    audit AS (
+        SELECT e.pct, e.target_rank, e.est_bucket,
+               b.lo + (e.est_bucket * (b.hi - b.lo + 1)) // 32
+                   AS est_lo_cents,
+               (SELECT COALESCE(SUM(cnt), 0) FROM cum
+                WHERE bucket < e.est_bucket) AS rank_below,
+               (SELECT cnt FROM cum WHERE bucket = e.est_bucket)
+                   AS bucket_n
+        FROM est e CROSS JOIN bounds b)
+    SELECT CAST(pct AS INT) AS pct,
+           CAST(target_rank AS BIGINT) AS target_rank,
+           CAST(est_bucket AS INT) AS est_bucket,
+           CAST(est_lo_cents AS BIGINT) AS est_lo_cents,
+           CAST(rank_below AS BIGINT) AS rank_below,
+           CAST(bucket_n AS BIGINT) AS bucket_n,
+           rank_below < target_rank
+               AND target_rank <= rank_below + bucket_n AS rank_bounded
+    FROM audit ORDER BY pct
+    """,
+    doc="Equi-width histogram quantile sketch with a per-target "
+        "rank-error PROOF — the fixed-memory quantile path (32 integer "
+        "counters, mergeable across partitions/days by plain addition, "
+        "like the Count-Min and Misra-Gries companions). Values enter "
+        "as integer cents; bucket id is pure BIGINT arithmetic "
+        "((c-lo)*32/(hi-lo+1)), so binning is bit-identical on both "
+        "engines. For each target percentile (P50/P90/P99) the sketch "
+        "answers with the first bucket whose cumulative count reaches "
+        "ceil(q*n); the audit then proves the guarantee the sketch "
+        "ships with: the true target rank lies strictly inside the "
+        "returned bucket (rank_below < k <= rank_below + bucket_n), "
+        "i.e. the estimate is off by at most one bucket width — the "
+        "eps=1/32 rank bound, value-checked rather than asserted. The "
+        "cumulative window runs over 32 rows (bounded by sketch width, "
+        "not data), so the single-partition sort is constant-size.",
+)
+def q_sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = 32
+    v = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select(F.round(F.col("value") * 100).cast("long").alias("c")))
+    bounds = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
+                   F.count(F.lit(1)).alias("n"))
+    width = F.col("hi") - F.col("lo") + 1
+    binned = (v.crossJoin(F.broadcast(bounds))
+              .groupBy(((F.col("c") - F.col("lo")) * B / width)
+                       .cast("long").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=False))
+    # Cumulative counts via a bounded broadcast self-join (32x32 cells),
+    # NOT a global window — an un-partitioned Window would force an
+    # Exchange SinglePartition even though the sketch is 32 rows.
+    prior = binned.select(F.col("bucket").alias("pb"),
+                          F.col("cnt").alias("pcnt"))
+    cum = (binned.join(F.broadcast(prior), F.col("pb") <= F.col("bucket"))
+           .groupBy("bucket", "cnt").agg(F.sum("pcnt").alias("cum_n")))
+    targets = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    k = F.ceil(F.col("pct") * F.col("n") / 100.0).cast("long")
+    est = (targets.crossJoin(F.broadcast(bounds))
+           .join(F.broadcast(cum), F.col("cum_n") >= k)
+           .groupBy("pct", "n", "lo", "hi")
+           .agg(F.min("bucket").alias("est_bucket"))
+           .withColumn("target_rank", k))
+    below = (est.join(F.broadcast(cum.select(F.col("bucket").alias("bb"),
+                                             F.col("cnt").alias("bcnt"))),
+                      F.col("bb") < F.col("est_bucket"), "left")
+             .groupBy("pct", "target_rank", "est_bucket", "lo", "hi")
+             .agg(F.coalesce(F.sum("bcnt"), F.lit(0)).alias("rank_below")))
+    withn = below.join(
+        F.broadcast(cum.select(F.col("bucket").alias("est_bucket"),
+                               F.col("cnt").alias("bucket_n"))),
+        "est_bucket")
+    return (withn.select(
+        "pct",
+        F.col("target_rank").cast("long").alias("target_rank"),
+        F.col("est_bucket").cast("int").alias("est_bucket"),
+        (F.col("lo") + F.floor(F.col("est_bucket")
+                               * (F.col("hi") - F.col("lo") + 1) / B))
+        .cast("long").alias("est_lo_cents"),
+        F.col("rank_below").cast("long").alias("rank_below"),
+        F.col("bucket_n").cast("long").alias("bucket_n"),
+        ((F.col("rank_below") < F.col("target_rank"))
+         & (F.col("target_rank") <= F.col("rank_below") + F.col("bucket_n")))
+        .alias("rank_bounded"))
+        .orderBy("pct"))

@@ -2675,3 +2675,364 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("n").cast("long").alias("n_vectors"),
                     F.round(mc, 6).alias("mean_pairwise_cosine"),
                     (F.round(mc, 6) > 0.5).alias("anisotropic")))
+
+
+# --------------------------------------------------------------------------
+# Permutation test — exact-integer randomization inference
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_permutation_test",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               event_type = 'click' AS is_a
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+    sizes AS (
+        SELECT COUNT(*) FILTER (WHERE is_a) AS na,
+               COUNT(*) FILTER (WHERE NOT is_a) AS nb,
+               SUM(cents) AS s,
+               SUM(cents) FILTER (WHERE is_a) AS sa
+        FROM base),
+    obs AS (
+        SELECT na, nb,
+               sa * nb - (s - sa) * na AS d_obs
+        FROM sizes),
+    reps AS (
+        SELECT b.event_id, b.cents, r.r,
+               (1103515245 * (b.event_id * 64 + r.r) + 12345)
+                   % 2147483648 AS h
+        FROM base b CROSS JOIN (SELECT unnest(range(0, 64)) AS r) r),
+    ranked AS (
+        SELECT r, cents,
+               ROW_NUMBER() OVER (PARTITION BY r ORDER BY h, event_id)
+                   AS rn
+        FROM reps),
+    perm AS (
+        SELECT ranked.r,
+               SUM(cents) FILTER (WHERE rn <= sizes.na) AS sar
+        FROM ranked CROSS JOIN sizes
+        GROUP BY ranked.r),
+    stat AS (
+        SELECT p.r,
+               p.sar * o.nb - ((SELECT s FROM sizes) - p.sar) * o.na AS dr
+        FROM perm p CROSS JOIN obs o)
+    SELECT CAST(o.na AS BIGINT) AS n_a,
+           CAST(o.nb AS BIGINT) AS n_b,
+           CAST(o.d_obs AS BIGINT) AS d_obs_scaled,
+           CAST((SELECT COUNT(*) FROM stat
+                 WHERE ABS(dr) >= ABS(o.d_obs)) AS BIGINT) AS n_extreme,
+           ROUND((1 + (SELECT COUNT(*) FROM stat
+                       WHERE ABS(dr) >= ABS(o.d_obs))) / 65.0, 4)
+               AS p_value
+    FROM obs o
+    """,
+    doc="Two-sample permutation test (click vs purchase mean value) with "
+        "EXACT integer arithmetic end to end — the distribution-free "
+        "significance test that needs no normality assumption. Values "
+        "enter as integer cents; the test statistic is the cross-"
+        "multiplied mean difference d = s_a*n_b - s_b*n_a (common "
+        "denominator n_a*n_b, so comparisons are BIGINT-exact, never "
+        "float). 64 label permutations are generated deterministically: "
+        "replicate r ranks rows by the 31-bit LCG h(event_id*64+r) and "
+        "takes the first n_a ranks as pseudo-group A — both engines "
+        "agree bit-for-bit (the [[deterministic cross-engine randomness]] "
+        "discipline), so n_extreme is hash-exact, not approximately "
+        "equal. p = (1+n_extreme)/(R+1), the add-one Monte-Carlo "
+        "estimator. Scale shape: replicate x row fan-out is R*n rows "
+        "shuffled once on the replicate key (R independent rank "
+        "partitions, no global sort); R is fixed, so cost is linear in "
+        "the table.",
+)
+def q_stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = 64
+    base = (Catalog(spark, sf_dir).table("events")
+            .where(F.col("event_type").isin("click", "purchase")
+                   & F.col("value").isNotNull())
+            .select("event_id",
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                    (F.col("event_type") == "click").alias("is_a")))
+    sizes = base.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        F.sum("cents").alias("s"),
+        F.sum(F.when(F.col("is_a"), F.col("cents"))).alias("sa"))
+    obs = sizes.select(
+        "na", "nb", "s",
+        (F.col("sa") * F.col("nb")
+         - (F.col("s") - F.col("sa")) * F.col("na")).alias("d_obs"))
+    reps = (base.select("event_id", "cents")
+            .crossJoin(F.broadcast(
+                spark.range(R).select(F.col("id").cast("int").alias("r"))))
+            .withColumn("h", (F.lit(1103515245)
+                              * (F.col("event_id") * R + F.col("r"))
+                              + 12345) % F.lit(2147483648)))
+    w = Window.partitionBy("r").orderBy("h", "event_id")
+    ranked = reps.select("r", "cents", F.row_number().over(w).alias("rn"))
+    perm = (ranked.crossJoin(F.broadcast(obs))
+            .groupBy("r", "na", "nb", "s", "d_obs")
+            .agg(F.sum(F.when(F.col("rn") <= F.col("na"),
+                              F.col("cents"))).alias("sar")))
+    stat = perm.select(
+        "d_obs",
+        (F.col("sar") * F.col("nb")
+         - (F.col("s") - F.col("sar")) * F.col("na")).alias("dr"))
+    ext = (stat.agg(F.sum(F.when(F.abs(F.col("dr"))
+                                 >= F.abs(F.col("d_obs")), 1)
+                          .otherwise(0)).cast("long").alias("n_extreme")))
+    return (obs.crossJoin(F.broadcast(ext))
+            .select(F.col("na").cast("long").alias("n_a"),
+                    F.col("nb").cast("long").alias("n_b"),
+                    F.col("d_obs").cast("long").alias("d_obs_scaled"),
+                    "n_extreme",
+                    F.round((1 + F.col("n_extreme")) / (R + 1.0), 4)
+                    .alias("p_value")))
+
+
+# --------------------------------------------------------------------------
+# Higher central moments — skewness / kurtosis from integer power sums
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH v AS (
+        SELECT c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS HUGEINT) AS c
+        FROM customer),
+    s AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               SUM(c) AS s1, SUM(c * c) AS s2,
+               SUM(c * c * c) AS s3, SUM(c * c * c * c) AS s4
+        FROM v GROUP BY c_mktsegment),
+    m AS (
+        SELECT c_mktsegment, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM s),
+    cm AS (
+        SELECT c_mktsegment, n, mu,
+               r2 - mu * mu AS m2,
+               r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+               r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu AS m4
+        FROM m)
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           ROUND(mu / 100, 2) AS mean_balance,
+           ROUND(SQRT(m2) / 100, 2) AS sd_balance,
+           ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+    FROM cm ORDER BY c_mktsegment
+    """,
+    doc="Per-segment skewness and excess kurtosis of customer balances "
+        "from raw integer power sums — the one-pass, merge-associative "
+        "formulation of higher moments (the map-side-combinable shape a "
+        "100 TB profiler needs; Welford-style streaming updates don't "
+        "distribute, power sums do). Balances enter as integer cents; "
+        "S1..S4 accumulate as 128-bit integers (Spark DECIMAL(38,0), "
+        "DuckDB HUGEINT — cents^4 ~ 1e24 overflows BIGINT, the classic "
+        "silent-overflow trap in naive moment pipelines), so every "
+        "aggregate is exact and summation-order-free. Central moments "
+        "and the standardized ratios are then derived per group with an "
+        "IDENTICAL double expression tree on both engines (exact "
+        "integer-sum inputs round to the same doubles), and outputs are "
+        "rounded per the registry discipline. Skewness/kurtosis are "
+        "scale-invariant, so the cents scaling cancels without any "
+        "unit conversion.",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (Catalog(spark, sf_dir).table("customer")
+         .select("c_mktsegment",
+                 F.round(F.col("c_acctbal") * 100)
+                  .cast("decimal(38,0)").alias("c")))
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"))
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m = s.select("c_mktsegment", F.col("n").cast("long").alias("n_customers"),
+                 mu.alias("mu"), (r2 - mu * mu).alias("m2"),
+                 (r3 - 3 * mu * r2 + 2 * mu * mu * mu).alias("m3"),
+                 (r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu).alias("m4"))
+    return (m.select(
+        "c_mktsegment", "n_customers",
+        F.round(F.col("mu") / 100, 2).alias("mean_balance"),
+        F.round(F.sqrt("m2") / 100, 2).alias("sd_balance"),
+        F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 6)
+         .alias("kurtosis_excess"))
+        .orderBy("c_mktsegment"))
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage — beta-binomial partial pooling of group rates
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_eb_shrinkage",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS k
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey),
+    rates AS (SELECT c_nationkey, n, k,
+                     CAST(k AS DOUBLE) / n AS raw FROM g),
+    mom AS (
+        SELECT AVG(raw) AS m,
+               SUM((raw - (SELECT AVG(raw) FROM rates))
+                   * (raw - (SELECT AVG(raw) FROM rates)))
+                   / COUNT(*) AS v
+        FROM rates),
+    prior AS (
+        SELECT m, v, m * (1 - m) / v - 1 AS s FROM mom)
+    SELECT r.c_nationkey, CAST(r.n AS BIGINT) AS n_orders,
+           CAST(r.k AS BIGINT) AS n_urgent,
+           ROUND(r.raw, 6) AS raw_rate,
+           ROUND((r.k + p.m * p.s) / (r.n + p.s), 6) AS shrunk_rate,
+           ROUND(r.n / (r.n + p.s), 6) AS shrink_weight,
+           ROUND(p.m, 6) AS prior_mean
+    FROM rates r CROSS JOIN prior p
+    ORDER BY r.c_nationkey
+    """,
+    doc="Empirical-Bayes (beta-binomial) shrinkage of per-nation urgent-"
+        "order rates — James-Stein-style partial pooling, the estimator "
+        "every multi-segment dashboard should use instead of raw "
+        "per-group rates (small groups get pulled toward the prior "
+        "mean, large groups keep their data; the shrink_weight column "
+        "n/(n+s) makes the pooling explicit). Prior (alpha, beta) fit "
+        "by method of moments on the group-rate distribution: "
+        "s = alpha+beta = m(1-m)/v - 1 from the mean/variance of raw "
+        "rates, shrunk_i = (k_i + m*s)/(n_i + s). All counts integer-"
+        "exact; the double derivation is the same expression tree on "
+        "both engines and rounds at 6 dp. Scale shape: one grouped "
+        "aggregate over the fact join, one 25-row moment pass, one "
+        "broadcast back — the prior fit costs O(groups), not O(rows).",
+)
+def q_stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    g = (c.table("orders")
+         .join(F.broadcast(c.table("customer")
+                           .select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                    .otherwise(0)).alias("k")))
+    rates = (g.select("c_nationkey", "n", "k",
+                      (F.col("k").cast("double") / F.col("n")).alias("raw"))
+             .localCheckpoint(eager=False))
+    m_df = rates.agg(F.avg("raw").alias("m"))
+    mom = (rates.crossJoin(F.broadcast(m_df))
+           .agg(F.first("m").alias("m"),
+                (F.sum((F.col("raw") - F.col("m"))
+                       * (F.col("raw") - F.col("m")))
+                 / F.count(F.lit(1))).alias("v")))
+    prior = mom.select(
+        "m", (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("s"))
+    return (rates.crossJoin(F.broadcast(prior))
+            .select("c_nationkey",
+                    F.col("n").cast("long").alias("n_orders"),
+                    F.col("k").cast("long").alias("n_urgent"),
+                    F.round("raw", 6).alias("raw_rate"),
+                    F.round((F.col("k") + F.col("m") * F.col("s"))
+                            / (F.col("n") + F.col("s")), 6)
+                    .alias("shrunk_rate"),
+                    F.round(F.col("n") / (F.col("n") + F.col("s")), 6)
+                    .alias("shrink_weight"),
+                    F.round("m", 6).alias("prior_mean"))
+            .orderBy("c_nationkey"))
+
+
+# --------------------------------------------------------------------------
+# Weight of Evidence / Information Value — the credit-scoring feature audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_feature_woe_iv",
+    oracle="""
+    WITH base AS (
+        SELECT LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     // 5000000, 9) AS bin,
+               o_orderstatus = 'F' AS bad
+        FROM orders),
+    cells AS (
+        SELECT bin,
+               SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS g,
+               SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS b
+        FROM base GROUP BY bin),
+    tot AS (SELECT SUM(g) AS gt, SUM(b) AS bt FROM cells),
+    woe AS (
+        SELECT c.bin, c.g, c.b,
+               (c.g + 0.5) / t.gt AS gs,
+               (c.b + 0.5) / t.bt AS bs
+        FROM cells c CROSS JOIN tot t)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(g AS BIGINT) AS n_good,
+           CAST(b AS BIGINT) AS n_bad,
+           ROUND(LN(gs / bs), 6) AS woe,
+           ROUND((gs - bs) * LN(gs / bs), 6) AS iv_contribution,
+           ROUND((SELECT SUM((gs2 - bs2) * LN(gs2 / bs2))
+                  FROM (SELECT (g + 0.5) / (SELECT gt FROM tot) AS gs2,
+                               (b + 0.5) / (SELECT bt FROM tot) AS bs2
+                        FROM cells)), 6) AS iv_total
+    FROM woe ORDER BY bin
+    """,
+    doc="Weight of Evidence / Information Value — the standard "
+        "scorecard audit of how much a binned feature separates a "
+        "binary outcome (IV < 0.02 useless, 0.1-0.3 medium, > 0.5 "
+        "suspicious/leaky — the thresholds risk teams actually apply "
+        "before a feature ships). Feature = order price in fixed $50k "
+        "bins (BIGINT cents // width, bit-exact binning on both "
+        "engines — no quantile binning, which would need a global "
+        "sort); outcome = finished status. Counts are integers; the "
+        "0.5 Laplace guard is a dyadic literal, so the share ratios "
+        "are identical doubles and LN rounds at 6 dp. Scale shape: "
+        "one scan -> 10-cell aggregate -> broadcast totals; IV is a "
+        "fold over the 10 cells. Complements q_feature_mutual_"
+        "information (MI is symmetric/model-free; WoE/IV is the "
+        "logistic-regression-aligned, sign-carrying version).",
+)
+def q_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cells = (o.select(
+        F.least(F.floor(cents / 5000000), F.lit(9)).cast("long").alias("bin"),
+        (F.col("o_orderstatus") == "F").alias("bad"))
+        .groupBy("bin")
+        .agg(F.sum(F.when(F.col("bad"), 0).otherwise(1)).alias("g"),
+             F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("b"))
+        .localCheckpoint(eager=False))
+    tot = cells.agg(F.sum("g").alias("gt"), F.sum("b").alias("bt"))
+    woe = (cells.crossJoin(F.broadcast(tot))
+           .select("bin", "g", "b",
+                   ((F.col("g") + 0.5) / F.col("gt")).alias("gs"),
+                   ((F.col("b") + 0.5) / F.col("bt")).alias("bs")))
+    iv_tot = (woe.agg(F.round(F.sum((F.col("gs") - F.col("bs"))
+                              * F.log(F.col("gs") / F.col("bs"))), 6)
+                      .alias("iv_total")))
+    return (woe.crossJoin(F.broadcast(iv_tot))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    F.col("g").cast("long").alias("n_good"),
+                    F.col("b").cast("long").alias("n_bad"),
+                    F.round(F.log(F.col("gs") / F.col("bs")), 6)
+                     .alias("woe"),
+                    F.round((F.col("gs") - F.col("bs"))
+                            * F.log(F.col("gs") / F.col("bs")), 6)
+                     .alias("iv_contribution"),
+                    "iv_total")
+            .orderBy("bin"))

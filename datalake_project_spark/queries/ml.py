@@ -1648,3 +1648,102 @@ def q_classifier_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("coverage",
                         F.round(F.col("n_covered").cast("double")
                                 / F.col("n_test"), 4) + F.lit(0.0)))
+
+
+# --------------------------------------------------------------------------
+# ALS half-step — closed-form ridge user-factor solve, improvement proven
+# --------------------------------------------------------------------------
+
+@register(
+    "q_recs_als_halfstep",
+    oracle="""
+    WITH qf(item, q1, q2) AS (VALUES
+        ('click',    0.5,   0.25),
+        ('view',     0.25, -0.5),
+        ('purchase', 0.75,  0.5),
+        ('signup',  -0.25,  0.625),
+        ('error',   -0.5,  -0.375)),
+    r AS (
+        SELECT user_id, event_type AS item, COUNT(*) AS rating
+        FROM events GROUP BY user_id, event_type),
+    g AS (
+        SELECT r.user_id,
+               COUNT(*) AS n_items,
+               SUM(q.q1 * q.q1) AS a11, SUM(q.q1 * q.q2) AS a12,
+               SUM(q.q2 * q.q2) AS a22,
+               SUM(r.rating * q.q1) AS b1, SUM(r.rating * q.q2) AS b2,
+               SUM(r.rating * r.rating) AS sse0
+        FROM r JOIN qf q USING (item)
+        GROUP BY r.user_id),
+    x AS (
+        SELECT user_id, n_items, a11, a12, a22, b1, b2, sse0,
+               ((a22 + 0.5) * b1 - a12 * b2)
+                   / ((a11 + 0.5) * (a22 + 0.5) - a12 * a12) AS x1,
+               ((a11 + 0.5) * b2 - a12 * b1)
+                   / ((a11 + 0.5) * (a22 + 0.5) - a12 * a12) AS x2
+        FROM g)
+    SELECT user_id, CAST(n_items AS INT) AS n_items,
+           ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2,
+           CAST(sse0 AS BIGINT) AS sse_before,
+           ROUND(sse0 - 2 * (x1 * b1 + x2 * b2)
+                 + (x1 * x1 * a11 + 2 * x1 * x2 * a12 + x2 * x2 * a22),
+                 4) AS sse_after,
+           ROUND(sse0 - (sse0 - 2 * (x1 * b1 + x2 * b2)
+                 + (x1 * x1 * a11 + 2 * x1 * x2 * a12 + x2 * x2 * a22)),
+                 4) >= 0 AS improved
+    FROM x
+    ORDER BY sse_before DESC, user_id
+    LIMIT 20
+    """,
+    doc="One ALS half-step (Koren/Hu-style alternating least squares, "
+        "the workhorse of collaborative filtering): item factors held "
+        "fixed (k=2, DYADIC literals — 0.5/0.25/0.625... are exact in "
+        "binary floating point, so with integer ratings every Gram "
+        "aggregate is bit-exact and summation-order-free), each user's "
+        "factor vector solved in closed form from the 2x2 ridge normal "
+        "equations (A + lambda*I) x = b with lambda = 0.5. This is the "
+        "distributed shape ALS actually runs at scale: per-user normal "
+        "equations are ONE grouped aggregate over the ratings (Gram "
+        "entries a11/a12/a22, right-hand sides b1/b2), the solve is "
+        "per-row arithmetic, and the improvement audit needs NO second "
+        "pass — sse_after = sse0 - 2 x.b + x'Ax from the same "
+        "aggregates. Ridge optimality guarantees sse_after + "
+        "lambda*|x|^2 <= sse_before, so the per-user `improved` flag "
+        "value-checks the math. Ratings = per-(user,item) event "
+        "counts; sse_before is a pure integer (exactly hashable).",
+)
+def q_recs_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    LAM = 0.5
+    qf = spark.createDataFrame(
+        [("click", 0.5, 0.25), ("view", 0.25, -0.5),
+         ("purchase", 0.75, 0.5), ("signup", -0.25, 0.625),
+         ("error", -0.5, -0.375)],
+        "item string, q1 double, q2 double")
+    r = (Catalog(spark, sf_dir).table("events")
+         .groupBy("user_id", F.col("event_type").alias("item"))
+         .agg(F.count(F.lit(1)).alias("rating")))
+    g = (r.join(F.broadcast(qf), "item")
+         .groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_items"),
+              F.sum(F.col("q1") * F.col("q1")).alias("a11"),
+              F.sum(F.col("q1") * F.col("q2")).alias("a12"),
+              F.sum(F.col("q2") * F.col("q2")).alias("a22"),
+              F.sum(F.col("rating") * F.col("q1")).alias("b1"),
+              F.sum(F.col("rating") * F.col("q2")).alias("b2"),
+              F.sum(F.col("rating") * F.col("rating")).alias("sse0")))
+    det = ((F.col("a11") + LAM) * (F.col("a22") + LAM)
+           - F.col("a12") * F.col("a12"))
+    x1 = ((F.col("a22") + LAM) * F.col("b1")
+          - F.col("a12") * F.col("b2")) / det
+    x2 = ((F.col("a11") + LAM) * F.col("b2")
+          - F.col("a12") * F.col("b1")) / det
+    sse_after = (F.col("sse0") - 2 * (x1 * F.col("b1") + x2 * F.col("b2"))
+                 + (x1 * x1 * F.col("a11") + 2 * x1 * x2 * F.col("a12")
+                    + x2 * x2 * F.col("a22")))
+    return (g.select(
+        "user_id", F.col("n_items").cast("int").alias("n_items"),
+        F.round(x1, 6).alias("x1"), F.round(x2, 6).alias("x2"),
+        F.col("sse0").cast("long").alias("sse_before"),
+        F.round(sse_after, 4).alias("sse_after"),
+        (F.round(F.col("sse0") - sse_after, 4) >= 0).alias("improved"))
+        .orderBy(F.desc("sse_before"), "user_id").limit(20))

@@ -344,3 +344,102 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "label")
     q = trunc.where(F.col("vec_id") < 10)
     return _ann_recall(spark, sf_dir, cosine_topk(q, trunc, k=5), floor=0.3)
+
+
+# --------------------------------------------------------------------------
+# Farthest-point (Gonzalez k-center) seeding — deterministic k-means init
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_farthest_point_init",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seed AS (SELECT MIN(vec_id) AS vec_id FROM e),
+    ch1(rnk, vec_id, d) AS (
+        SELECT 1, vec_id, CAST(NULL AS DOUBLE) FROM seed),
+    dm1 AS (
+        SELECT x.vec_id,
+               MIN(ROUND(1 - list_cosine_similarity(x.v, c.v), 6)) AS d
+        FROM e x JOIN e c ON c.vec_id IN (SELECT vec_id FROM ch1)
+        WHERE x.vec_id NOT IN (SELECT vec_id FROM ch1)
+        GROUP BY x.vec_id),
+    p2 AS (SELECT vec_id, d FROM dm1 ORDER BY d DESC, vec_id LIMIT 1),
+    ch2 AS (SELECT * FROM ch1 UNION ALL SELECT 2, vec_id, d FROM p2),
+    dm2 AS (
+        SELECT x.vec_id,
+               MIN(ROUND(1 - list_cosine_similarity(x.v, c.v), 6)) AS d
+        FROM e x JOIN e c ON c.vec_id IN (SELECT vec_id FROM ch2)
+        WHERE x.vec_id NOT IN (SELECT vec_id FROM ch2)
+        GROUP BY x.vec_id),
+    p3 AS (SELECT vec_id, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1),
+    ch3 AS (SELECT * FROM ch2 UNION ALL SELECT 3, vec_id, d FROM p3),
+    dm3 AS (
+        SELECT x.vec_id,
+               MIN(ROUND(1 - list_cosine_similarity(x.v, c.v), 6)) AS d
+        FROM e x JOIN e c ON c.vec_id IN (SELECT vec_id FROM ch3)
+        WHERE x.vec_id NOT IN (SELECT vec_id FROM ch3)
+        GROUP BY x.vec_id),
+    p4 AS (SELECT vec_id, d FROM dm3 ORDER BY d DESC, vec_id LIMIT 1),
+    ch4 AS (SELECT * FROM ch3 UNION ALL SELECT 4, vec_id, d FROM p4),
+    cov AS (
+        SELECT MAX(dmin) AS radius FROM (
+            SELECT MIN(ROUND(1 - list_cosine_similarity(x.v, c.v), 6))
+                       AS dmin
+            FROM e x JOIN e c ON c.vec_id IN (SELECT vec_id FROM ch4)
+            WHERE x.vec_id NOT IN (SELECT vec_id FROM ch4)
+            GROUP BY x.vec_id))
+    SELECT CAST(ch4.rnk AS INT) AS center_rank, ch4.vec_id,
+           ch4.d AS dist_at_selection,
+           (SELECT ROUND(radius, 6) FROM cov) AS coverage_radius
+    FROM ch4 ORDER BY center_rank
+    """,
+    doc="Farthest-point traversal (Gonzalez '85) — the deterministic "
+        "k-center seeding that replaces k-means++'s random D^2 sampling "
+        "when reproducibility matters, with a 2-approximation guarantee "
+        "on the k-center objective. Seed = lowest vec_id; each of the "
+        "next 3 rounds picks the vector MAXIMIZING its min cosine "
+        "distance to the chosen set (distances rounded to 6 dp BEFORE "
+        "the argmax with a vec_id tie-break, so both engines select "
+        "identical centers — the ulp-safe argmax discipline). The audit "
+        "also reports the k-center objective itself: coverage_radius = "
+        "max over all points of the distance to the nearest chosen "
+        "center. Scale shape: each round is one broadcast of <=k "
+        "chosen vectors against the embedding scan + one "
+        "TakeOrderedAndProject — k bounded scans total, no pairwise "
+        "matrix, no shuffle of the big side; the driver holds only the "
+        "k selected ids (the bounded driver-boundary state pattern, "
+        "like the MMR pool).",
+)
+def q_embed_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.vectors import cosine
+    K = 4
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", "embedding").localCheckpoint(eager=False))
+    seed = e.orderBy("vec_id").limit(1).select("vec_id").collect()[0][0]
+    chosen: list[tuple[int, int, float]] = [(1, int(seed), None)]
+
+    def dmin_to(ids: list[int]) -> DataFrame:
+        c = (e.where(F.col("vec_id").isin(ids))
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("cv")))
+        return (e.where(~F.col("vec_id").isin(ids))
+                .crossJoin(F.broadcast(c))
+                .groupBy("vec_id")
+                .agg(F.min(F.round(1 - cosine(F.col("embedding"),
+                                              F.col("cv")), 6))
+                     .alias("dmin")))
+
+    for rnk in range(2, K + 1):
+        ids = [v for _, v, _ in chosen]
+        row = (dmin_to(ids)
+               .orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0])
+        chosen.append((rnk, int(row["vec_id"]), float(row["dmin"])))
+
+    radius = (dmin_to([v for _, v, _ in chosen])
+              .agg(F.round(F.max("dmin"), 6).alias("radius")))
+    out = spark.createDataFrame(
+        chosen, "center_rank int, vec_id long, dist_at_selection double")
+    return (out.crossJoin(F.broadcast(radius))
+            .select("center_rank", "vec_id", "dist_at_selection",
+                    F.col("radius").alias("coverage_radius"))
+            .orderBy("center_rank"))

@@ -907,3 +907,161 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.count(F.when(F.col("_in").isNull(), 1))
                           .cast("double") / F.count(F.lit(1)), 6)
                   + F.lit(0.0)).alias("oov_rate")))
+
+
+# --------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimate — how many words we HAVEN'T seen
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_chao1_vocab",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    toks AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+        FROM words, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3),
+    tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    s AS (
+        SELECT COUNT(*) AS v,
+               SUM(c) AS n_tokens,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM tf)
+    SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab_observed,
+           CAST(f1 AS BIGINT) AS hapax_f1,
+           CAST(f2 AS BIGINT) AS dis_f2,
+           ROUND(v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)), 2)
+               AS chao1_estimate,
+           ROUND(CAST(v AS DOUBLE)
+                 / (v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1))), 6)
+               AS coverage_of_estimate
+    FROM s
+    """,
+    doc="Chao1 species-richness estimate applied to vocabulary — the "
+        "nonparametric lower bound on TOTAL vocabulary size (seen + "
+        "unseen) from just the hapax/dis-legomena counts: "
+        "chao1 = V + f1(f1-1)/(2(f2+1)) (bias-corrected form, defined "
+        "even when f2 = 0). This is the corpus-growth planning number: "
+        "coverage_of_estimate tells you what fraction of the reachable "
+        "vocabulary the current crawl has captured, i.e. whether more "
+        "of the same source will keep yielding new types (cf. the "
+        "Zipf-fit and vocab-coverage companions). Species = word "
+        "TRIGRAMS: the fixture's unigram vocabulary is tiny and "
+        "saturated (f1 = f2 = 0 — Chao1 degenerates), while the "
+        "trigram space has the long rare tail the estimator exists "
+        "for; at corpus scale the same holds for any n-gram LM's "
+        "context inventory. Everything is integer counts until the "
+        "single closed-form division — hash-exact across engines. "
+        "Scale shape: one explode + one term group-by + one "
+        "4-counter fold; the count-of-counts profile is O(vocab), "
+        "not O(corpus).",
+)
+def q_text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tri = (d.select(T.tokens("text").alias("ws"))
+           .where(F.size("ws") >= 3)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(ws) - 3), "
+               "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+               .alias("term")))
+    tf = tri.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    s = tf.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"))
+    chao1 = (F.col("v") + F.col("f1").cast("double") * (F.col("f1") - 1)
+             / (2 * (F.col("f2") + 1)))
+    return s.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab_observed"),
+        F.col("f1").cast("long").alias("hapax_f1"),
+        F.col("f2").cast("long").alias("dis_f2"),
+        F.round(chao1, 2).alias("chao1_estimate"),
+        F.round(F.col("v").cast("double") / chao1, 6)
+         .alias("coverage_of_estimate"))
+
+
+# --------------------------------------------------------------------------
+# Good-Turing frequency smoothing — the count-of-counts re-estimator
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_good_turing",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    toks AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+        FROM words, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3),
+    tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    coc AS (SELECT c AS r, COUNT(*) AS nr FROM tf GROUP BY c),
+    n_ AS (SELECT SUM(c) AS n FROM tf)
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.nr AS BIGINT) AS n_r,
+           CAST(COALESCE(b.nr, 0) AS BIGINT) AS n_r_plus_1,
+           CASE WHEN b.nr IS NULL THEN NULL
+                ELSE ROUND((a.r + 1) * CAST(b.nr AS DOUBLE) / a.nr, 6)
+           END AS r_star,
+           ROUND((SELECT CAST(nr AS DOUBLE) FROM coc WHERE r = 1)
+                 / (SELECT n FROM n_), 8) AS p_unseen_mass
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+    doc="Good-Turing re-estimation from the count-of-counts profile — "
+        "the classical answer to 'how much probability mass belongs to "
+        "words we never saw': p0 = N1/N, and every observed count r is "
+        "discounted to r* = (r+1) N_{r+1} / N_r. Complements the "
+        "engine's add-one, interpolated, and Kneser-Ney LMs with the "
+        "estimator they all descend from, and pairs with q_text_chao1_"
+        "vocab (Chao1 bounds unseen TYPES, Good-Turing prices unseen "
+        "MASS). Events = word TRIGRAMS — the fixture's unigram vocab "
+        "has no r <= 10 counts at all (count-of-counts is empty "
+        "there), while trigrams carry the hapax-heavy tail GT was "
+        "built for, exactly like n-gram LM contexts at corpus scale. "
+        "The count-of-counts table is O(distinct counts) — tiny — so "
+        "the shifted self-join (N_{r+1} lookup) is a broadcast over "
+        "an already double-aggregated relation; integer counts "
+        "end-to-end with one rounded division per row.",
+)
+def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tri = (d.select(T.tokens("text").alias("ws"))
+           .where(F.size("ws") >= 3)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(ws) - 3), "
+               "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+               .alias("term")))
+    tf = tri.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    coc = (tf.groupBy(F.col("c").alias("r"))
+           .agg(F.count(F.lit(1)).alias("nr"))
+           .localCheckpoint(eager=False))
+    n_ = tf.agg(F.sum("c").alias("n"))
+    p0 = (coc.where(F.col("r") == 1)
+          .crossJoin(F.broadcast(n_))
+          .select(F.round(F.col("nr").cast("double") / F.col("n"), 8)
+                  .alias("p_unseen_mass")))
+    nxt = coc.select((F.col("r") - 1).alias("r"),
+                     F.col("nr").alias("nr1"))
+    return (coc.where(F.col("r") <= 10)
+            .join(F.broadcast(nxt), "r", "left")
+            .crossJoin(F.broadcast(p0))
+            .select(F.col("r").cast("long").alias("r"),
+                    F.col("nr").cast("long").alias("n_r"),
+                    F.coalesce("nr1", F.lit(0)).cast("long")
+                     .alias("n_r_plus_1"),
+                    F.when(F.col("nr1").isNull(),
+                           F.lit(None).cast("double"))
+                     .otherwise(F.round((F.col("r") + 1)
+                                        * F.col("nr1").cast("double")
+                                        / F.col("nr"), 6))
+                     .alias("r_star"),
+                    "p_unseen_mass")
+            .orderBy("r"))
