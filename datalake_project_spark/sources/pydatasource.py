@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -244,6 +245,62 @@ class PagedJsonWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class PagedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half — ``writeStream.format("paged_json")``.
+
+    Exactly-once by micro-batch idempotence: tasks write temp files,
+    and the driver-side ``commit(messages, batchId)`` renames them to
+    ``page_b{batchId:010d}_{i:04d}.json``. Batch ids are monotone, so
+    the name sequence stays in the lexicographic order the batch and
+    stream READERS rely on. A replayed micro-batch (restart between
+    sink commit and checkpoint write — the classic at-least-once
+    window) is detected by its already-present ``page_b{batchId}_``
+    prefix and skipped, making the sink effectively exactly-once
+    without a transaction log — the same dedup-on-replay contract a
+    foreachBatch MERGE gives, expressed at the sink layer."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("paged_json requires a 'path' option")
+
+    def write(self, iterator) -> PageCommit:
+        import uuid
+
+        records = [row.asDict() for row in iterator]
+        if not records:
+            return PageCommit(None)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(records, fh)
+        return PageCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        prefix = f"page_b{batchId:010d}_"
+        done = [m.tmp_path for m in messages
+                if m is not None and m.tmp_path is not None]
+        already = any(f.startswith(prefix) for f in os.listdir(self.root))
+        if already:
+            for tmp in done:  # replayed batch: drop the duplicate payload
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+        else:
+            for i, tmp in enumerate(done):
+                os.rename(tmp, os.path.join(self.root,
+                                            f"{prefix}{i:04d}.json"))
+        for f in os.listdir(self.root):  # sweep failed-attempt orphans
+            if f.startswith("_tmp_"):
+                os.remove(os.path.join(self.root, f))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path is not None and \
+                    os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class PagedJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -260,6 +317,10 @@ class PagedJsonDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> PagedJsonWriter:
         return PagedJsonWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> PagedJsonStreamWriter:
+        return PagedJsonStreamWriter(dict(self.options))
 
 
 def register_paged_json(spark) -> None:

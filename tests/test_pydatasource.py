@@ -197,3 +197,61 @@ def test_writer_feeds_stream_reader(spark, tmp_path):
     assert drain() == {"alice"}
     write([("bob", "Bob B")], "append")
     assert drain() == {"alice", "bob"}  # only the new page re-ingested
+
+
+def test_stream_writer_end_to_end_and_replay_idempotence(spark, page_dir,
+                                                         tmp_path):
+    """writeStream.format('paged_json'): micro-batches land as
+    batch-id-prefixed page files readable by the source's own batch
+    reader (the full streaming lifecycle in one format: streamReader ->
+    streamWriter). A replayed micro-batch commit (the restart-between-
+    sink-commit-and-checkpoint window) is detected by its batch prefix
+    and dropped — effectively exactly-once."""
+    import os
+
+    out = str(tmp_path / "stream_pages")
+    ckpt = str(tmp_path / "ckpt")
+    register_paged_json(spark)
+
+    q = (spark.readStream.format("paged_json").option("path", page_dir)
+         .load()
+         .writeStream.format("paged_json").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files and all(f.startswith("page_b") for f in files)
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    back = {(r.username, r.full_name)
+            for r in spark.read.format("paged_json")
+            .option("path", out).load().collect()}
+    assert back == {("alice", "Alice A"), ("bob", None),
+                    ("carol", "Carol C"), ("dave", "Dave D")}
+
+    # Replay the same batch id directly against the sink: the commit
+    # must detect the existing prefix and drop the duplicate payload.
+    from datalake_project_spark.sources.pydatasource import (
+        PageCommit, PagedJsonStreamWriter,
+    )
+    w = PagedJsonStreamWriter({"path": out})
+    batch_ids = sorted({int(f.split("_")[1][1:]) for f in files})
+    dup = os.path.join(out, "_tmp_replay")
+    with open(dup, "w") as fh:
+        json.dump([{"username": "evil", "full_name": "Dup"}], fh)
+    w.commit([PageCommit(dup)], batch_ids[0])
+    after = {(r.username, r.full_name)
+             for r in spark.read.format("paged_json")
+             .option("path", out).load().collect()}
+    assert after == back  # no duplicate row, no orphan temp
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+
+    # A NEW batch id commits normally.
+    new = os.path.join(out, "_tmp_new")
+    with open(new, "w") as fh:
+        json.dump([{"username": "erin", "full_name": "Erin E"}], fh)
+    w.commit([PageCommit(new)], max(batch_ids) + 1)
+    final = {r.username
+             for r in spark.read.format("paged_json")
+             .option("path", out).load().collect()}
+    assert final == {"alice", "bob", "carol", "dave", "erin"}
