@@ -272,6 +272,13 @@ ADDITIONS = [
     "q_feature_woe_iv",
     "q_text_chao1_vocab",
     "q_text_good_turing",
+    # round-5 continuation-7: classifier eval completions, window-family
+    # completion, sequence-randomness screen, bigram channel entropy
+    "q_classifier_mcc",
+    "q_classifier_pr_auc",
+    "q_window_ntile_deciles",
+    "q_stats_runs_test",
+    "q_text_conditional_entropy",
 ]
 
 HEADLINE = CORE + ADDITIONS

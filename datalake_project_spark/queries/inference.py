@@ -3036,3 +3036,84 @@ def q_feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("iv_contribution"),
                     "iv_total")
             .orderBy("bin"))
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — randomness of a binary sequence per group
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_runs_test",
+    oracle="""
+    WITH seq AS (
+        SELECT c.c_nationkey,
+               (o.o_orderpriority = '1-URGENT') AS flag,
+               CASE WHEN (o.o_orderpriority = '1-URGENT')
+                    <> (LAG(o.o_orderpriority = '1-URGENT') OVER w)
+                    THEN 1 ELSE 0 END AS brk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey < 8
+        WINDOW w AS (PARTITION BY c.c_nationkey
+                     ORDER BY o.o_orderdate, o.o_orderkey)),
+    g AS (
+        SELECT c_nationkey,
+               SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN flag THEN 0 ELSE 1 END) AS n2,
+               1 + SUM(COALESCE(brk, 0)) AS runs
+        FROM seq GROUP BY c_nationkey),
+    z AS (
+        SELECT c_nationkey, n1, n2, runs,
+               1 + 2.0 * n1 * n2 / (n1 + n2) AS mu,
+               2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                   / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) AS var
+        FROM g)
+    SELECT c_nationkey, CAST(n1 AS BIGINT) AS n_urgent,
+           CAST(n2 AS BIGINT) AS n_other, CAST(runs AS BIGINT) AS runs,
+           ROUND(mu, 4) AS expected_runs,
+           ROUND((runs - mu) / SQRT(var), 4) AS z,
+           ABS((runs - mu) / SQRT(var)) < 1.96 AS looks_random
+    FROM z ORDER BY c_nationkey
+    """,
+    doc="Wald-Wolfowitz runs test per nation: is the date-ordered "
+        "sequence of urgent-order flags serially random, or does "
+        "urgency cluster in time (batching, campaign effects, feed "
+        "replays)? The data-quality screen that catches ORDERING "
+        "pathologies aggregate rates cannot see. Runs = 1 + number of "
+        "flag changes along the (orderdate, orderkey)-ordered per-"
+        "nation sequence — a LAG over a PARTITIONED window (bounded "
+        "groups, no global sort). n1/n2/runs are exact integers; the "
+        "normal approximation mu/sigma is the same closed-form double "
+        "expression on both engines, rounded at 4 dp. |z| < 1.96 "
+        "accepts randomness at the 5% level.",
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    j = (c.table("orders")
+         .join(F.broadcast(c.table("customer")
+                           .where(F.col("c_nationkey") < 8)
+                           .select("c_custkey", "c_nationkey")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    w = Window.partitionBy("c_nationkey").orderBy("o_orderdate",
+                                                  "o_orderkey")
+    flag = (F.col("o_orderpriority") == "1-URGENT")
+    seq = j.select(
+        "c_nationkey", flag.alias("flag"),
+        F.when(flag != F.lag(flag).over(w), 1).otherwise(0).alias("brk"))
+    g = (seq.groupBy("c_nationkey")
+         .agg(F.sum(F.when(F.col("flag"), 1).otherwise(0)).alias("n1"),
+              F.sum(F.when(F.col("flag"), 0).otherwise(1)).alias("n2"),
+              (1 + F.sum(F.coalesce(F.col("brk"), F.lit(0))))
+              .alias("runs")))
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+    z = (runs - mu) / F.sqrt(var)
+    return (g.select("c_nationkey",
+                     n1.cast("long").alias("n_urgent"),
+                     n2.cast("long").alias("n_other"),
+                     runs.cast("long").alias("runs"),
+                     F.round(mu, 4).alias("expected_runs"),
+                     F.round(z, 4).alias("z"),
+                     (F.abs(z) < 1.96).alias("looks_random"))
+            .orderBy("c_nationkey"))

@@ -1747,3 +1747,192 @@ def q_recs_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sse_after, 4).alias("sse_after"),
         (F.round(F.col("sse0") - sse_after, 4) >= 0).alias("improved"))
         .orderBy(F.desc("sse_before"), "user_id").limit(20))
+
+
+# --------------------------------------------------------------------------
+# Confusion-matrix scalar metrics — MCC at a fixed operating point
+# --------------------------------------------------------------------------
+
+@register(
+    "q_classifier_mcc",
+    oracle=None,  # installed below — needs _stop_sql from queries.text
+    doc="",
+)
+def q_classifier_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    d = Catalog(spark, sf_dir).table("documents")
+    lab = d.select(
+        "doc_id",
+        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
+    j = scores.join(lab, "doc_id").select(
+        (F.col("prob") >= 0.5).alias("pred"), "label")
+    m = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("label"), 1).otherwise(0))
+         .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("label"), 1).otherwise(0))
+         .alias("fp"),
+        F.sum(F.when(~F.col("pred") & ~F.col("label"), 1).otherwise(0))
+         .alias("tn"),
+        F.sum(F.when(~F.col("pred") & F.col("label"), 1).otherwise(0))
+         .alias("fn"))
+    tp, fp = F.col("tp"), F.col("fp")
+    tn, fn = F.col("tn"), F.col("fn")
+    den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)).cast("double")
+    mcc = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        F.round((tp * tn - fp * fn).cast("double") / F.sqrt(den), 6))
+    f1 = F.when((2 * tp + fp + fn) == 0, F.lit(None).cast("double")) \
+          .otherwise(F.round(2 * tp.cast("double")
+                             / (2 * tp + fp + fn), 6))
+    return m.select(
+        tp.cast("long").alias("tp"), fp.cast("long").alias("fp"),
+        tn.cast("long").alias("tn"), fn.cast("long").alias("fn"),
+        F.round((tp + tn).cast("double")
+                / (tp + fp + tn + fn), 6).alias("accuracy"),
+        f1.alias("f1"), mcc.alias("mcc"))
+
+
+def _install_mcc_oracle() -> None:
+    from datalake_project_spark.queries import REGISTRY, QuerySpec
+    from datalake_project_spark.queries.text import _stop_sql
+
+    oracle = f"""
+    WITH {_CLS_CTE},
+    lab AS (SELECT doc_id, ({_stop_sql('en')}) >= 0.08 AS label FROM tok),
+    j AS (SELECT c.prob >= 0.5 AS pred, l.label
+          FROM cls c JOIN lab l USING (doc_id)),
+    m AS (SELECT
+        SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn,
+        SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn
+        FROM j)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+           ROUND((tp + tn)::DOUBLE / (tp + fp + tn + fn), 6) AS accuracy,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE ROUND(2 * tp::DOUBLE / (2 * tp + fp + fn), 6)
+           END AS f1,
+           CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN NULL
+                ELSE ROUND((tp * tn - fp * fn)::DOUBLE
+                           / SQRT(((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn))
+                                  ::DOUBLE), 6)
+           END AS mcc
+    FROM m
+    """
+    doc = (
+        "Matthews correlation coefficient (plus accuracy/F1 and the raw "
+        "confusion matrix) for the quality classifier at the 0.5 "
+        "operating point, against the held-out stopword-ratio label. "
+        "MCC is the single scalar that stays honest under class "
+        "imbalance (it is the Pearson correlation of the binary "
+        "pred/label vectors; accuracy and even F1 can look good on a "
+        "skewed corpus-quality split, MCC cannot). All four cells are "
+        "exact integers from ONE scan-aggregate — no per-row metric "
+        "state — and the scalar derivations share the identical "
+        "closed-form expression on both engines. Zero-margin "
+        "denominators return NULL identically."
+    )
+    spec = REGISTRY["q_classifier_mcc"]
+    REGISTRY["q_classifier_mcc"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=doc)
+
+
+_install_mcc_oracle()
+
+
+# --------------------------------------------------------------------------
+# PR-AUC (average precision) over the score histogram
+# --------------------------------------------------------------------------
+
+@register(
+    "q_classifier_pr_auc",
+    oracle=None,  # installed below — needs _stop_sql from queries.text
+    doc="",
+)
+def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datalake_project_spark.functions import text as T
+
+    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    d = Catalog(spark, sf_dir).table("documents")
+    lab = d.select(
+        "doc_id",
+        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
+    j = scores.join(lab, "doc_id")
+    hist = (j.groupBy("prob")
+            .agg(F.count(F.when(F.col("label"), 1)).alias("pos"),
+                 F.count(F.when(~F.col("label"), 1)).alias("neg")))
+    # Descending-inclusive prefix sums, sharded exactly like
+    # histogram_auc (per-shard window + broadcast cross-shard offsets
+    # from HIGHER shards) — no single-partition WindowExec.
+    hist = hist.withColumn("shard", F.floor(F.col("prob") * 10).cast("int"))
+    w = (Window.partitionBy("shard").orderBy(F.desc("prob"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    intra = (hist
+             .withColumn("tp_intra", F.sum("pos").over(w))
+             .withColumn("fp_intra", F.sum("neg").over(w)))
+    tot = hist.groupBy("shard").agg(F.sum("pos").alias("spos"),
+                                    F.sum("neg").alias("sneg"))
+    above = (tot.alias("a")
+             .join(F.broadcast(tot.alias("b")),
+                   F.col("b.shard") > F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.spos"), F.lit(0)).alias("tp_shards"),
+                  F.coalesce(F.sum("b.sneg"), F.lit(0)).alias("fp_shards")))
+    e = (intra.join(F.broadcast(above), "shard")
+         .select("prob", "pos",
+                 (F.col("tp_shards") + F.col("tp_intra")).alias("ctp"),
+                 (F.col("fp_shards") + F.col("fp_intra")).alias("cfp")))
+    p_tot = e.agg(F.sum("pos").alias("p"))
+    return (e.crossJoin(F.broadcast(p_tot))
+            .agg(F.first("p").cast("long").alias("n_pos"),
+                 F.round(F.sum((F.col("pos") / F.col("p"))
+                               * (F.col("ctp")
+                                  / (F.col("ctp") + F.col("cfp")))), 6)
+                 .alias("pr_auc")))
+
+
+def _install_pr_auc_oracle() -> None:
+    from datalake_project_spark.queries import REGISTRY, QuerySpec
+    from datalake_project_spark.queries.text import _stop_sql
+
+    oracle = f"""
+    WITH {_CLS_CTE},
+    lab AS (SELECT doc_id, ({_stop_sql('en')}) >= 0.08 AS label FROM tok),
+    j AS (SELECT c.prob, l.label FROM cls c JOIN lab l USING (doc_id)),
+    hist AS (SELECT prob,
+                    COUNT(CASE WHEN label THEN 1 END) AS pos,
+                    COUNT(CASE WHEN NOT label THEN 1 END) AS neg
+             FROM j GROUP BY prob),
+    r AS (SELECT prob, pos,
+                 SUM(pos) OVER (ORDER BY prob DESC) AS ctp,
+                 SUM(neg) OVER (ORDER BY prob DESC) AS cfp
+          FROM hist),
+    p_ AS (SELECT SUM(pos) AS p FROM hist)
+    SELECT CAST(p AS BIGINT) AS n_pos,
+           ROUND(SUM((pos::DOUBLE / p) * (ctp::DOUBLE / (ctp + cfp))), 6)
+               AS pr_auc
+    FROM r CROSS JOIN p_
+    GROUP BY p
+    """
+    doc = (
+        "PR-AUC (average precision, step interpolation — scikit-learn's "
+        "average_precision_score definition: AP = sum_s dR(s) * P(s) "
+        "descending over score thresholds) for the quality classifier "
+        "against the stopword-ratio label. The right curve for rare-"
+        "positive regimes (corpus quality triage, dedup candidate "
+        "review) where ROC-AUC's false-positive axis saturates. Scores "
+        "collapse to the same bounded 4-dp histogram as q_classifier_"
+        "auc, and the descending cumulative TP/FP prefix uses the "
+        "identical decile-sharded window + broadcast-offset pattern — "
+        "no single-partition exchange; the corpus pays one scan."
+    )
+    spec = REGISTRY["q_classifier_pr_auc"]
+    REGISTRY["q_classifier_pr_auc"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=doc)
+
+
+_install_pr_auc_oracle()

@@ -2311,3 +2311,51 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * F.col("s_con")), 6).alias("lift"))
             .orderBy(F.desc("lift"), "antecedent", "consequent")
             .limit(20))
+
+
+# --------------------------------------------------------------------------
+# NTILE deciles — the partitioned quantile-bucket window
+# --------------------------------------------------------------------------
+
+@register(
+    "q_window_ntile_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT c_nationkey, c_acctbal,
+               NTILE(10) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+        WHERE c_nationkey < 5)
+    SELECT c_nationkey, CAST(decile AS INT) AS decile,
+           COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo_balance,
+           ROUND(MAX(c_acctbal), 2) AS hi_balance
+    FROM t GROUP BY c_nationkey, decile
+    ORDER BY c_nationkey, decile
+    """,
+    doc="NTILE(10) decile assignment per nation — the remaining member "
+        "of the rank-family window surface (rank/dense_rank/percent_"
+        "rank/row_number are covered by q_window_rank_family). NTILE's "
+        "bucket-size contract (earlier buckets get the remainder, "
+        "sizes differ by at most one) is identical in Spark and "
+        "DuckDB, and the (balance, custkey) tie-break makes the "
+        "ordering total so bucket boundaries are deterministic. The "
+        "window is PARTITIONED by nation — per-group quantile bucketing "
+        "is the shape that scales (a global NTILE would be an "
+        "Exchange SinglePartition; for global quantiles use the "
+        "histogram sketch instead, q_sketch_quantile_histogram).",
+)
+def q_window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = (Catalog(spark, sf_dir).table("customer")
+         .where(F.col("c_nationkey") < 5))
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    t = c.select("c_nationkey", "c_acctbal",
+                 F.ntile(10).over(w).alias("decile"))
+    return (t.groupBy("c_nationkey", "decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo_balance"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi_balance"))
+            .withColumn("decile", F.col("decile").cast("int"))
+            .orderBy("c_nationkey", "decile"))

@@ -1065,3 +1065,80 @@ def q_text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("r_star"),
                     "p_unseen_mass")
             .orderBy("r"))
+
+
+# --------------------------------------------------------------------------
+# Conditional entropy of the bigram channel — how predictable is the text?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_conditional_entropy",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    bi AS (
+        SELECT ws[i] AS x, ws[i+1] AS y
+        FROM words, unnest(range(1, len(ws))) AS u(i)
+        WHERE len(ws) >= 2),
+    cxy AS (SELECT x, y, COUNT(*) AS c FROM bi GROUP BY x, y),
+    cx AS (SELECT x, SUM(c) AS cx FROM cxy GROUP BY x),
+    cy AS (SELECT y, SUM(c) AS cy FROM cxy GROUP BY y),
+    n_ AS (SELECT SUM(c) AS n FROM cxy),
+    hcond AS (
+        SELECT SUM((c::DOUBLE / n) * LN(cx::DOUBLE / c) / LN(2.0)) AS h
+        FROM cxy JOIN cx USING (x) CROSS JOIN n_),
+    hy AS (
+        SELECT SUM((cy::DOUBLE / n) * LN(n::DOUBLE / cy) / LN(2.0)) AS h
+        FROM cy CROSS JOIN n_)
+    SELECT CAST(n AS BIGINT) AS n_bigrams,
+           (SELECT COUNT(*) FROM cxy)::BIGINT AS distinct_bigrams,
+           ROUND(hy.h, 4) AS h_next,
+           ROUND(hcond.h, 4) AS h_next_given_prev,
+           ROUND(hy.h - hcond.h, 4) AS information_gain_bits
+    FROM hcond, hy, n_
+    """,
+    doc="Conditional entropy H(next | prev) of the word-bigram channel "
+        "versus the unconditioned next-token entropy H(next) — the "
+        "information-theoretic redundancy measure (Shannon's printed-"
+        "English experiment, in SQL). information_gain_bits = mutual "
+        "information between adjacent tokens: how many bits the "
+        "previous word buys a language model, the quantity that "
+        "decides whether context length is worth its compute on a "
+        "corpus. Identities used: H(Y|X) = sum p(x,y) log2(c_x/c_xy) "
+        "and H(Y) from the bigram y-marginal, so everything derives "
+        "from ONE bigram count table (integer cells) + two marginals; "
+        "the log terms are rounded at 4 dp, absorbing summation-order "
+        "ulp noise per the registry float discipline. Scale: explode "
+        "-> one (x,y) group-by (map-side combinable) -> O(vocab^2)-"
+        "bounded aggregate state, independent of corpus rows.",
+)
+def q_text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    bi = (d.select(T.tokens("text").alias("ws"))
+          .where(F.size("ws") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(ws) - 2), "
+              "i -> struct(ws[i] AS x, ws[i+1] AS y))")).alias("b"))
+          .select("b.x", "b.y"))
+    cxy = (bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))
+    cx = cxy.groupBy("x").agg(F.sum("c").alias("cx"))
+    cy = cxy.groupBy("y").agg(F.sum("c").alias("cy"))
+    n_ = cxy.agg(F.sum("c").alias("n"),
+                 F.count(F.lit(1)).alias("nbi"))
+    hcond = (cxy.join(cx, "x").crossJoin(F.broadcast(n_))
+             .agg(F.sum((F.col("c").cast("double") / F.col("n"))
+                        * F.log(F.col("cx").cast("double") / F.col("c"))
+                        / F.log(F.lit(2.0))).alias("hc")))
+    hy = (cy.crossJoin(F.broadcast(n_))
+          .agg(F.sum((F.col("cy").cast("double") / F.col("n"))
+                     * F.log(F.col("n").cast("double") / F.col("cy"))
+                     / F.log(F.lit(2.0))).alias("hy")))
+    return (n_.crossJoin(F.broadcast(hcond)).crossJoin(F.broadcast(hy))
+            .select(F.col("n").cast("long").alias("n_bigrams"),
+                    F.col("nbi").cast("long").alias("distinct_bigrams"),
+                    F.round("hy", 4).alias("h_next"),
+                    F.round("hc", 4).alias("h_next_given_prev"),
+                    F.round(F.col("hy") - F.col("hc"), 4)
+                     .alias("information_gain_bits")))
