@@ -279,6 +279,13 @@ ADDITIONS = [
     "q_window_ntile_deciles",
     "q_stats_runs_test",
     "q_text_conditional_entropy",
+    # round-5 continuation-8: estimator-quality audits (portable-hash
+    # MinHash vs exact Jaccard, perceptual dHash), corpus diversity,
+    # centroid silhouette
+    "q_dedup_minhash_estimator",
+    "q_multimodal_dhash",
+    "q_text_distinct_n",
+    "q_embed_silhouette",
 ]
 
 HEADLINE = CORE + ADDITIONS

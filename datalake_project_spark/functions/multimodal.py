@@ -155,3 +155,44 @@ def frame_sample(media: DataFrame) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# --- perceptual fingerprint (dHash-style, codec-free) ----------------------
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("dhash", LongType()),
+])
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """63-bit difference hash over the raw byte stream: split the payload
+    into 64 equal byte blocks (width ceil(n/64), trailing blocks may be
+    empty = sum 0), bit k = [sum(block k) > sum(block k+1)]. The same
+    gradient-sign construction image dHash applies to pixel rows, applied
+    pre-decode so it needs no codec — and is therefore exactly
+    reproducible by the SQL oracle. Integer end to end."""
+    import numpy as np
+    for pdf in batches:
+        ids, ns, hs = [], [], []
+        for i, b in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            n = int(arr.size)
+            w = (n + 63) // 64
+            sums = [int(arr[k * w:min((k + 1) * w, n)].sum())
+                    for k in range(64)]
+            fp = 0
+            for k in range(63):
+                if sums[k] > sums[k + 1]:
+                    fp |= 1 << k
+            ids.append(i)
+            ns.append(n)
+            hs.append(fp)
+        yield pd.DataFrame({"doc_id": ids, "n_bytes": ns, "dhash": hs})
+
+
+def perceptual_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, dhash) via Arrow-batched ``mapInPandas``."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _dhash_batches, DHASH_SCHEMA)

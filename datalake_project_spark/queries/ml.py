@@ -146,10 +146,10 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.avg("dist"), 4) + F.lit(0.0)).alias("avg_dist")))
 
 
-def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cluster, dist) under the last centroid set — the
-    lazily composed Lloyd trajectory shared by q_embed_kmeans and the
-    cluster-purity eval."""
+def _kmeans_cents(spark: SparkSession,
+                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors e, final centroid set) after the Lloyd trajectory —
+    shared by the k-means query, the purity eval, and the silhouette."""
     e = (Catalog(spark, sf_dir).table("embeddings")
          .select("vec_id", F.transform(
              "embedding", lambda x: x.cast("double")).alias("v")))
@@ -168,6 +168,14 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = (cents.join(upd, "cluster", "left")
                  .select("cluster",
                          F.coalesce("ucvec", "cvec").alias("cvec")))
+    return e, cents
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster, dist) under the last centroid set — the
+    lazily composed Lloyd trajectory shared by q_embed_kmeans and the
+    cluster-purity eval."""
+    e, cents = _kmeans_cents(spark, sf_dir)
     return _assign(e, cents)
 
 
@@ -1936,3 +1944,63 @@ def _install_pr_auc_oracle() -> None:
 
 
 _install_pr_auc_oracle()
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette — internal clustering quality without pairwise cost
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_silhouette",
+    oracle=_kmeans_cte(K_CLUSTERS, N_ITER) + f""",
+    alld AS (
+        SELECT e.vec_id, c.cluster, list_distance(e.v, c.cvec) AS dist
+        FROM e CROSS JOIN c{N_ITER} c),
+    sil AS (
+        SELECT f.vec_id, f.cluster, f.dist AS a,
+               (SELECT MIN(d2.dist) FROM alld d2
+                WHERE d2.vec_id = f.vec_id
+                  AND d2.cluster <> f.cluster) AS b
+        FROM final f)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                          ELSE (b - a) / GREATEST(a, b) END), 4) + 0.0
+               AS mean_silhouette,
+           CAST(SUM(CASE WHEN b > a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_well_placed
+    FROM sil GROUP BY cluster ORDER BY cluster
+    """,
+    doc="Simplified silhouette (centroid-based: a = distance to own "
+        "centroid, b = distance to the nearest OTHER centroid, "
+        "s = (b-a)/max(a,b)) per k-means cluster — the internal "
+        "clustering-quality score that, unlike the classical pairwise "
+        "silhouette's O(n^2) distance matrix, costs one pass against k "
+        "broadcast centroids and is the form libraries actually run at "
+        "scale (e.g. Spark MLlib's ClusteringEvaluator). Shares the "
+        "exact Lloyd trajectory (same CTE prefix / same lazy plan) "
+        "with q_embed_kmeans and the purity eval, so the three metrics "
+        "describe ONE clustering. n_well_placed counts s > 0 (closer "
+        "to home than to any rival). Centroids are 6-dp-rounded each "
+        "update (the kmeans determinism discipline), distances match "
+        "to the 4-dp output rounding.",
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, cents = _kmeans_cents(spark, sf_dir)
+    alld = (e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cluster", _dist("v", "cvec").alias("dist")))
+    best = (alld.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("_m"))
+            .select("vec_id", F.col("_m.cluster").alias("own"),
+                    F.col("_m.dist").alias("a")))
+    b = (alld.join(best, "vec_id")
+         .where(F.col("cluster") != F.col("own"))
+         .groupBy("vec_id", "own", "a").agg(F.min("dist").alias("b")))
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)) \
+         .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    return (b.groupBy(F.col("own").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 (F.round(F.avg(s), 4) + F.lit(0.0))
+                 .alias("mean_silhouette"),
+                 F.sum(F.when(F.col("b") > F.col("a"), 1).otherwise(0))
+                 .cast("long").alias("n_well_placed"))
+            .orderBy("cluster"))

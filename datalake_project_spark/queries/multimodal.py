@@ -9,7 +9,7 @@ mapInPandas over bytes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.functions.multimodal import (
@@ -233,3 +233,62 @@ def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tagged.groupBy("shard_id")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("nb").cast("long").alias("shard_bytes")))
+
+
+@register(
+    "q_multimodal_dhash",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               (octet_length(encode(text)) + 63) // 64 AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, n, u.k,
+               COALESCE(list_sum(list_transform(
+                   [text[i] FOR i IN range(u.k * w + 1,
+                                           LEAST((u.k + 1) * w, n) + 1)],
+                   c -> unicode(c)::BIGINT)), 0) AS bs
+        FROM m, unnest(range(0, 64)) AS u(k)),
+    p AS (
+        SELECT doc_id, n, k, bs,
+               LEAD(bs) OVER (PARTITION BY doc_id ORDER BY k) AS bs1
+        FROM s),
+    h AS (
+        SELECT doc_id, MAX(n) AS n,
+               SUM(CASE WHEN bs > bs1 THEN 1::BIGINT << k
+                        ELSE 0 END) AS dhash
+        FROM p WHERE k < 63 GROUP BY doc_id),
+    grp AS (SELECT dhash, COUNT(*) AS n_same FROM h GROUP BY dhash)
+    SELECT h.doc_id, CAST(h.n AS BIGINT) AS n_bytes, h.dhash,
+           CAST(grp.n_same AS BIGINT) AS n_same_hash
+    FROM h JOIN grp USING (dhash)
+    ORDER BY h.doc_id
+    """,
+    doc="Perceptual difference hash (dHash) over raw media payloads — "
+        "the gradient-sign fingerprint image pipelines compute on "
+        "downscaled pixel rows, applied pre-decode to the byte stream "
+        "so it needs no codec and the oracle reproduces it EXACTLY "
+        "(the xxhash-based SimHash twin is rows-only; this one is "
+        "value-checked bit for bit). 64 equal byte blocks (width "
+        "ceil(n/64), empty trailing blocks sum to 0 on both engines), "
+        "bit k = [sum_k > sum_{k+1}], packed into one BIGINT. The "
+        "Spark side runs the REAL multimodal path — Arrow-batched "
+        "mapInPandas over the binary column (numpy block sums, the "
+        "decode seam) — while the oracle recomputes the same integers "
+        "from codepoints (fixture payloads are ASCII, codepoint == "
+        "byte). n_same_hash groups perceptual duplicates: fingerprint "
+        "equality is the exact-match rung; hamming<=d bucketing reuses "
+        "the SimHash pigeonhole machinery at scale. One Arrow pass + "
+        "one 8-byte-key group-join; payloads never shuffle.",
+)
+def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.multimodal import (
+        as_media, perceptual_dhash,
+    )
+    docs = Catalog(spark, sf_dir).table("documents")
+    f = perceptual_dhash(as_media(docs)).localCheckpoint(eager=False)
+    g = f.groupBy("dhash").agg(F.count(F.lit(1)).alias("n_same_hash"))
+    return (f.join(g, "dhash")
+            .select("doc_id", "n_bytes", "dhash", "n_same_hash")
+            .orderBy("doc_id"))

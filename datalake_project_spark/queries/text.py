@@ -1142,3 +1142,70 @@ def q_text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("hc", 4).alias("h_next_given_prev"),
                     F.round(F.col("hy") - F.col("hc"), 4)
                      .alias("information_gain_bits")))
+
+
+# --------------------------------------------------------------------------
+# Distinct-n diversity — the repetition health metric for corpora
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_distinct_n",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    u AS (SELECT unnest(ws) AS g FROM words),
+    b AS (SELECT ws[i] || ' ' || ws[i+1] AS g
+          FROM words, unnest(range(1, len(ws))) AS v(i)
+          WHERE len(ws) >= 2),
+    t AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM words, unnest(range(1, len(ws) - 1)) AS v(i)
+          WHERE len(ws) >= 3),
+    m AS (
+        SELECT 1 AS n, COUNT(*) AS total, COUNT(DISTINCT g) AS uniq FROM u
+        UNION ALL
+        SELECT 2, COUNT(*), COUNT(DISTINCT g) FROM b
+        UNION ALL
+        SELECT 3, COUNT(*), COUNT(DISTINCT g) FROM t)
+    SELECT CAST(n AS INT) AS n,
+           CAST(total AS BIGINT) AS n_ngrams,
+           CAST(uniq AS BIGINT) AS n_distinct,
+           ROUND(uniq::DOUBLE / total, 6) AS distinct_ratio
+    FROM m ORDER BY n
+    """,
+    doc="Distinct-1/2/3 — the corpus diversity ratios (Li et al. '16) "
+        "that flag degenerate repetition in generated or crawled text "
+        "before it poisons a training mix: distinct n-grams / total "
+        "n-grams for n = 1..3. Complements per-doc q_text_repetition "
+        "(local loops) and q_text_ttr_hapax (type-token richness) with "
+        "the corpus-level sequence-diversity view; a fall in "
+        "distinct-3 with stable distinct-1 is the signature of "
+        "template spam. Pure integer counts -> one rounded ratio; "
+        "each n-gram order is one explode + count-distinct (map-side "
+        "partial aggregation; at 100 TB use the HLL twin "
+        "q_hll_mergeable_distinct for the distinct counts).",
+)
+def q_text_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    ws = d.select(T.tokens("text").alias("ws"))
+
+    def grams(n: int):
+        if n == 1:
+            g = ws.select(F.explode("ws").alias("g"))
+        else:
+            expr = " , ' ', ".join(f"ws[i+{k}]" for k in range(n))
+            g = (ws.where(F.size("ws") >= n)
+                 .select(F.explode(F.expr(
+                     f"transform(sequence(0, size(ws) - {n}), "
+                     f"i -> concat({expr}))")).alias("g")))
+        return g.agg(F.lit(n).alias("n"),
+                     F.count(F.lit(1)).alias("total"),
+                     F.countDistinct("g").alias("uniq"))
+
+    m = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    return (m.select(F.col("n").cast("int").alias("n"),
+                     F.col("total").cast("long").alias("n_ngrams"),
+                     F.col("uniq").cast("long").alias("n_distinct"),
+                     F.round(F.col("uniq").cast("double") / F.col("total"),
+                             6).alias("distinct_ratio"))
+            .orderBy("n"))
