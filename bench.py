@@ -286,6 +286,11 @@ ADDITIONS = [
     "q_multimodal_dhash",
     "q_text_distinct_n",
     "q_embed_silhouette",
+    # round-5 continuation-9: agreement/effect-size statistics and
+    # vocabulary-growth law
+    "q_stats_cohens_kappa",
+    "q_stats_cramers_v",
+    "q_text_heaps_law",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -3117,3 +3117,75 @@ def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(z, 4).alias("z"),
                      (F.abs(z) < 1.96).alias("looks_random"))
             .orderBy("c_nationkey"))
+
+
+# --------------------------------------------------------------------------
+# Cramér's V — effect size for categorical association
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY seg, pri),
+    rs AS (SELECT seg, SUM(o) AS r FROM cell GROUP BY seg),
+    cs AS (SELECT pri, SUM(o) AS c FROM cell GROUP BY pri),
+    n_ AS (SELECT SUM(o) AS n FROM cell),
+    chi AS (
+        SELECT SUM((cell.o - rs.r * cs.c * 1.0 / n_.n)
+                   * (cell.o - rs.r * cs.c * 1.0 / n_.n)
+                   / (rs.r * cs.c * 1.0 / n_.n)) AS chi2
+        FROM cell JOIN rs USING (seg) JOIN cs USING (pri)
+        CROSS JOIN n_),
+    dims AS (SELECT (SELECT COUNT(*) FROM rs) AS r,
+                    (SELECT COUNT(*) FROM cs) AS c)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi, dims, n_
+    """,
+    doc="Cramér's V for the market-segment x order-priority "
+        "contingency table — the normalized effect size the chi-square "
+        "family needs at scale: chi2 grows with n (q_events_chi_squared "
+        "will reject ANY association on a 100 TB table), while "
+        "V = sqrt(chi2 / (n * min(r-1, c-1))) stays in [0,1] and "
+        "answers whether the association MATTERS. Cell/marginal counts "
+        "are exact integers from one join-aggregate; expected counts "
+        "and the ratio are the identical closed-form double tree on "
+        "both engines. One shuffle on (seg, pri) — the contingency "
+        "table is r*c cells of aggregate state regardless of row "
+        "count.",
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    j = (c.table("orders")
+         .join(F.broadcast(c.table("customer")
+                           .select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    cell = (j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+            .localCheckpoint(eager=False))
+    rs = cell.groupBy("seg").agg(F.sum("o").alias("r"))
+    cs = cell.groupBy("pri").agg(F.sum("o").alias("c"))
+    n_ = cell.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    chi = (cell.join(F.broadcast(rs), "seg").join(F.broadcast(cs), "pri")
+           .crossJoin(F.broadcast(n_))
+           .agg(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp)
+                .alias("chi2")))
+    dims = (rs.agg(F.count(F.lit(1)).alias("nr"))
+            .crossJoin(F.broadcast(cs.agg(F.count(F.lit(1)).alias("nc")))))
+    return (chi.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(n_))
+            .select(F.col("n").cast("long").alias("n"),
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
+                     .alias("dof"),
+                    F.round("chi2", 4).alias("chi2"),
+                    F.round(F.sqrt(F.col("chi2")
+                                   / (F.col("n")
+                                      * F.least(F.col("nr") - 1,
+                                                F.col("nc") - 1))), 6)
+                     .alias("cramers_v")))

@@ -2004,3 +2004,87 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("b") > F.col("a"), 1).otherwise(0))
                  .cast("long").alias("n_well_placed"))
             .orderBy("cluster"))
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two cheap labelers
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_cohens_kappa",
+    oracle=f"""
+    WITH {_CLS_CTE},
+    qual AS ({_QUAL_SQL}),
+    j AS (SELECT (c.prob >= 0.5) AS r1, (q.quality >= 0.5) AS r2
+          FROM cls c JOIN qual q USING (doc_id)),
+    m AS (SELECT
+        COUNT(*) AS n,
+        SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS a,
+        SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS b,
+        SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS c,
+        SUM(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS d
+        FROM j),
+    k AS (SELECT n, a, b, c, d,
+                 (a + d)::DOUBLE / n AS po,
+                 ((a + b)::DOUBLE * (a + c) + (c + d)::DOUBLE * (b + d))
+                     / (n::DOUBLE * n) AS pe
+          FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(a AS BIGINT) AS both_keep,
+           CAST(b AS BIGINT) AS only_classifier,
+           CAST(c AS BIGINT) AS only_heuristic,
+           CAST(d AS BIGINT) AS both_drop,
+           ROUND(po, 6) AS observed_agreement,
+           ROUND(pe, 6) AS chance_agreement,
+           CASE WHEN pe = 1 THEN NULL
+                ELSE ROUND((po - pe) / (1 - pe), 6) END AS kappa
+    FROM k
+    """,
+    doc="Cohen's kappa between the engine's two cheap document labelers "
+        "— the trained quality classifier (prob >= 0.5) and the "
+        "closed-form quality heuristic (score >= 0.5) — the chance-"
+        "corrected agreement statistic every label-quality audit runs "
+        "before trusting weak supervision (raw agreement is inflated "
+        "whenever both raters share a base rate; kappa subtracts the "
+        "agreement two INDEPENDENT raters with these marginals would "
+        "get for free). The 2x2 table is exact integers from one "
+        "join-aggregate; po/pe/kappa share the identical closed-form "
+        "double expression on both engines. Landis-Koch reading: "
+        "kappa in [0.4, 0.6] = moderate — enough to cross-check, not "
+        "enough to substitute one labeler for the other.",
+)
+def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    cls = _classifier_scores(spark, sf_dir).select(
+        "doc_id", (F.col("prob") >= 0.5).alias("r1"))
+    qual = d.select(
+        "doc_id",
+        (F.round(T.quality_score(F.col("text"), T.tokens("text")), 4)
+         >= 0.5).alias("r2"))
+    m = (cls.join(qual, "doc_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("r1") & F.col("r2"), 1).otherwise(0))
+               .alias("a"),
+              F.sum(F.when(F.col("r1") & ~F.col("r2"), 1).otherwise(0))
+               .alias("b"),
+              F.sum(F.when(~F.col("r1") & F.col("r2"), 1).otherwise(0))
+               .alias("c"),
+              F.sum(F.when(~F.col("r1") & ~F.col("r2"), 1).otherwise(0))
+               .alias("d")))
+    n = F.col("n").cast("double")
+    po = (F.col("a") + F.col("d")) / n
+    pe = ((F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c"))
+          + (F.col("c") + F.col("d")).cast("double")
+          * (F.col("b") + F.col("d"))) / (n * n)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("both_keep"),
+        F.col("b").cast("long").alias("only_classifier"),
+        F.col("c").cast("long").alias("only_heuristic"),
+        F.col("d").cast("long").alias("both_drop"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.when(pe == 1, F.lit(None).cast("double"))
+         .otherwise(F.round((po - pe) / (1 - pe), 6)).alias("kappa"))

@@ -1209,3 +1209,96 @@ def q_text_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("uniq").cast("double") / F.col("total"),
                              6).alias("distinct_ratio"))
             .orderBy("n"))
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit — vocabulary growth exponent from first occurrences
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_heaps_law",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 10 AS bucket,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+    firstb AS (SELECT term, MIN(bucket) AS fb FROM toks GROUP BY term),
+    tokb AS (SELECT bucket, COUNT(*) AS toks_in FROM toks GROUP BY bucket),
+    newb AS (SELECT fb AS bucket, COUNT(*) AS new_terms
+             FROM firstb GROUP BY fb),
+    cum AS (
+        SELECT b.bucket,
+               (SELECT SUM(t2.toks_in) FROM tokb t2
+                WHERE t2.bucket <= b.bucket) AS n_k,
+               (SELECT COALESCE(SUM(n2.new_terms), 0) FROM newb n2
+                WHERE n2.bucket <= b.bucket) AS v_k
+        FROM tokb b),
+    pts AS (SELECT bucket, n_k, v_k,
+                   LN(n_k::DOUBLE) AS x, LN(v_k::DOUBLE) AS y
+            FROM cum),
+    fit AS (
+        SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts)
+    SELECT CAST(p.bucket AS INT) AS bucket,
+           CAST(p.n_k AS BIGINT) AS cum_tokens,
+           CAST(p.v_k AS BIGINT) AS cum_vocab,
+           ROUND((f.m * f.sxy - f.sx * f.sy)
+                 / (f.m * f.sxx - f.sx * f.sx), 6) AS heaps_beta,
+           ROUND(EXP((f.sy - (f.m * f.sxy - f.sx * f.sy)
+                      / (f.m * f.sxx - f.sx * f.sx) * f.sx) / f.m), 4)
+               AS heaps_k
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.bucket
+    """,
+    doc="Heaps' law fit V(N) = K * N^beta — the vocabulary-growth "
+        "exponent that says how fast new types keep arriving as the "
+        "corpus scales (the planning constant behind tokenizer vocab "
+        "sizing and the Chao1 companion: beta near 1 = vocabulary "
+        "still exploding, near 0 = saturated; this fixture's tiny "
+        "unigram vocab fits beta ~ 0). The growth curve needs NO "
+        "global ordering pass: bucket docs by doc_id % 10, then "
+        "V(k) = # terms whose FIRST-occurrence bucket <= k — one "
+        "min-aggregate over terms plus a 10-row cumulative (broadcast "
+        "subquery, no window); cumulative token counts come from the "
+        "same bucket histogram. Log-log OLS over the 10 (ln N_k, "
+        "ln V_k) points is closed-form from five sums. Everything up "
+        "to the final regression is exact integers.",
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select((F.col("doc_id") % 10).alias("bucket"),
+                    F.explode(T.tokens("text")).alias("term"))
+    firstb = toks.groupBy("term").agg(F.min("bucket").alias("fb"))
+    tokb = (toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("toks_in"))
+            .localCheckpoint(eager=False))
+    newb = firstb.groupBy(F.col("fb").alias("bucket")) \
+                 .agg(F.count(F.lit(1)).alias("new_terms"))
+    t2 = tokb.select(F.col("bucket").alias("b2"),
+                     F.col("toks_in").alias("t2"))
+    n2 = newb.select(F.col("bucket").alias("b3"),
+                     F.col("new_terms").alias("v2"))
+    cum = (tokb.join(F.broadcast(t2), F.col("b2") <= F.col("bucket"))
+           .groupBy("bucket").agg(F.sum("t2").alias("n_k"))
+           .join(tokb.join(F.broadcast(n2),
+                           F.col("b3") <= F.col("bucket"), "left")
+                 .groupBy("bucket")
+                 .agg(F.coalesce(F.sum("v2"), F.lit(0)).alias("v_k")),
+                 "bucket"))
+    pts = cum.select("bucket", "n_k", "v_k",
+                     F.log(F.col("n_k").cast("double")).alias("x"),
+                     F.log(F.col("v_k").cast("double")).alias("y"))
+    fit = pts.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    beta = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return (pts.crossJoin(F.broadcast(fit))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    F.col("n_k").cast("long").alias("cum_tokens"),
+                    F.col("v_k").cast("long").alias("cum_vocab"),
+                    F.round(beta, 6).alias("heaps_beta"),
+                    F.round(F.exp((F.col("sy") - beta * F.col("sx"))
+                                  / F.col("m")), 4).alias("heaps_k"))
+            .orderBy("bucket"))
