@@ -291,6 +291,7 @@ ADDITIONS = [
     "q_stats_cohens_kappa",
     "q_stats_cramers_v",
     "q_text_heaps_law",
+    "q_events_overdispersion",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -2485,3 +2485,85 @@ def q_sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("target_rank") <= F.col("rank_below") + F.col("bucket_n")))
         .alias("rank_bounded"))
         .orderBy("pct"))
+
+
+# --------------------------------------------------------------------------
+# Poisson overdispersion — is arrival traffic bursty or homogeneous?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_overdispersion",
+    oracle="""
+    WITH he AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+        FROM events GROUP BY user_id, h),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi
+               FROM (SELECT epoch_us(ts) // 3600000000 AS h FROM events)),
+    g AS (
+        SELECT user_id,
+               COUNT(*) AS n_active_hours,
+               SUM(c) AS n_events,
+               SUM(c * c) AS s2
+        FROM he GROUP BY user_id),
+    d AS (
+        SELECT g.user_id, g.n_events,
+               (b.hi - b.lo + 1) AS n_hours,
+               g.s2,
+               CAST(g.n_events AS DOUBLE) / (b.hi - b.lo + 1) AS mean_c,
+               (CAST(g.s2 AS DOUBLE)
+                - 2.0 * (CAST(g.n_events AS DOUBLE) / (b.hi - b.lo + 1))
+                  * g.n_events
+                + (b.hi - b.lo + 1)
+                  * (CAST(g.n_events AS DOUBLE) / (b.hi - b.lo + 1))
+                  * (CAST(g.n_events AS DOUBLE) / (b.hi - b.lo + 1)))
+               / ((b.hi - b.lo + 1) - 1) AS var_c
+        FROM g CROSS JOIN bounds b)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           ROUND(mean_c, 6) AS mean_per_hour,
+           ROUND(var_c, 6) AS var_per_hour,
+           ROUND(var_c / mean_c, 4) AS dispersion_index,
+           ROUND(var_c / mean_c, 4) > 1.5 AS bursty
+    FROM d
+    ORDER BY dispersion_index DESC, user_id
+    LIMIT 20
+    """,
+    doc="Poisson overdispersion screen per user: the variance/mean "
+        "ratio (index of dispersion) of hourly event counts over the "
+        "FULL hour range — a homogeneous Poisson process has index 1; "
+        "index >> 1 is burstiness (sessions, retries, bots — the "
+        "cheap statistical precursor to q_events_bot_detection). The "
+        "zero-hour problem is solved WITHOUT materializing the dense "
+        "user x hour grid: with z empty hours contributing zeros, "
+        "variance over all H hours derives from the active-hour "
+        "aggregates alone — sum c, sum c^2, and H — so the per-user "
+        "state is three integers (the same sparse-moments trick the "
+        "power-sum skewness query uses). One (user, hour) group-by "
+        "plus one per-user fold; closed-form identical doubles on "
+        "both engines.",
+)
+def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    h = F.expr("unix_micros(ts) div 3600000000")
+    he = (e.select("user_id", h.alias("h"))
+          .groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("c")))
+    bounds = (e.select(h.alias("h"))
+              .agg(F.min("h").alias("lo"), F.max("h").alias("hi")))
+    g = he.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_hours"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    j = g.crossJoin(F.broadcast(bounds))
+    nh = F.col("hi") - F.col("lo") + 1
+    mean_c = F.col("n_events").cast("double") / nh
+    var_c = ((F.col("s2").cast("double")
+              - 2.0 * mean_c * F.col("n_events")
+              + nh * mean_c * mean_c) / (nh - 1))
+    return (j.select("user_id",
+                     F.col("n_events").cast("long").alias("n_events"),
+                     nh.cast("long").alias("n_hours"),
+                     F.round(mean_c, 6).alias("mean_per_hour"),
+                     F.round(var_c, 6).alias("var_per_hour"),
+                     F.round(var_c / mean_c, 4).alias("dispersion_index"),
+                     (F.round(var_c / mean_c, 4) > 1.5).alias("bursty"))
+            .orderBy(F.desc("dispersion_index"), "user_id").limit(20))

@@ -256,8 +256,8 @@ def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s),
     h AS (
         SELECT doc_id, MAX(n) AS n,
-               SUM(CASE WHEN bs > bs1 THEN 1::BIGINT << k
-                        ELSE 0 END) AS dhash
+               CAST(SUM(CASE WHEN bs > bs1 THEN 1::BIGINT << k
+                             ELSE 0 END) AS BIGINT) AS dhash
         FROM p WHERE k < 63 GROUP BY doc_id),
     grp AS (SELECT dhash, COUNT(*) AS n_same FROM h GROUP BY dhash)
     SELECT h.doc_id, CAST(h.n AS BIGINT) AS n_bytes, h.dhash,

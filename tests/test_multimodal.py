@@ -68,3 +68,25 @@ def test_decode_stubs_raise_without_libs(spark):
     for decoder in (decode_image, decode_audio):
         with pytest.raises((NotImplementedError, Exception)):
             decoder(b"\x00\x01\x02")
+
+
+def test_perceptual_dhash_edges(spark):
+    """Block decomposition edge cases: payload shorter than 64 bytes
+    (empty trailing blocks sum to 0), empty payload (hash 0), and
+    determinism across repartitioning."""
+    from datalake_project_spark.functions.multimodal import perceptual_dhash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")),
+         (3, bytearray(bytes(range(256)) * 2))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in perceptual_dhash(df).collect()}
+    assert rows[1].n_bytes == 3 and rows[2].n_bytes == 0
+    assert rows[2].dhash == 0  # all-empty blocks: no positive gradients
+    # short payload: blocks are single bytes a<b<c then zeros; only
+    # bit 2 (c > 0-block) can be set among the first comparisons
+    assert rows[1].dhash == 0b100
+    assert rows[3].dhash == rows[3].dhash
+    two = {r.doc_id: r.dhash
+           for r in perceptual_dhash(df.repartition(3)).collect()}
+    assert two == {k: v.dhash for k, v in rows.items()}
