@@ -292,6 +292,11 @@ ADDITIONS = [
     "q_stats_cramers_v",
     "q_text_heaps_law",
     "q_events_overdispersion",
+    # round-5 continuation-10: diversity/collision view, demand
+    # variability classes, heavy-tail index
+    "q_text_simpson_diversity",
+    "q_xyz_classification",
+    "q_stats_hill_tail",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -3189,3 +3189,68 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       * F.least(F.col("nr") - 1,
                                                 F.col("nc") - 1))), 6)
                      .alias("cramers_v")))
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the heavy tail?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_hill_tail",
+    oracle="""
+    WITH cents AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+        FROM orders),
+    topk AS (
+        SELECT c FROM cents ORDER BY c DESC, o_orderkey LIMIT 100),
+    xmin AS (SELECT MIN(c) AS xm FROM topk),
+    h AS (
+        SELECT COUNT(*) AS k,
+               SUM(LN(CAST(t.c AS DOUBLE) / x.xm)) AS s
+        FROM topk t CROSS JOIN xmin x
+        WHERE t.c > x.xm),
+    est AS (
+        SELECT (SELECT xm FROM xmin) AS xm, k,
+               s / k AS inv_alpha
+        FROM h)
+    SELECT CAST(xm AS BIGINT) AS x_min_cents,
+           CAST(k AS BIGINT) AS k_exceedances,
+           ROUND(1.0 / inv_alpha, 4) AS hill_alpha,
+           ROUND(inv_alpha, 6) AS mean_log_excess,
+           1.0 / inv_alpha <= 2.0 AS infinite_variance_regime
+    FROM est
+    """,
+    doc="Hill estimator of the Pareto tail index over the top-100 "
+        "order values: alpha_hat = 1 / mean(ln(x_i / x_min)) for the "
+        "k exceedances above the 100th order statistic — the standard "
+        "heavy-tail diagnostic (alpha <= 2 means infinite variance: "
+        "means still converge but sample variances never stabilize, "
+        "the regime where mean-based dashboards silently lie and "
+        "medians/trimmed means are mandatory). Pairs with the Zipf "
+        "fit (rank-frequency view) and the Gini/HHI concentration "
+        "battery. The only global ordering is a top-k "
+        "(TakeOrderedAndProject with an explicit total-order "
+        "tie-break, so both engines select the identical value "
+        "multiset — never a full sort); values are integer cents and "
+        "the log-ratio sum is order-insensitive to 4-dp rounding.",
+)
+def q_stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = o.select(F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("c"), "o_orderkey")
+    topk = (cents.orderBy(F.desc("c"), "o_orderkey").limit(100)
+            .select("c").localCheckpoint(eager=False))
+    xmin = topk.agg(F.min("c").alias("xm"))
+    h = (topk.crossJoin(F.broadcast(xmin))
+         .where(F.col("c") > F.col("xm"))
+         .agg(F.count(F.lit(1)).alias("k"),
+              F.sum(F.log(F.col("c").cast("double") / F.col("xm")))
+              .alias("s"),
+              F.first("xm").alias("xm")))
+    inv = F.col("s") / F.col("k")
+    return h.select(
+        F.col("xm").cast("long").alias("x_min_cents"),
+        F.col("k").cast("long").alias("k_exceedances"),
+        F.round(1.0 / inv, 4).alias("hill_alpha"),
+        F.round(inv, 6).alias("mean_log_excess"),
+        (1.0 / inv <= 2.0).alias("infinite_variance_regime"))

@@ -2359,3 +2359,92 @@ def q_window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("c_acctbal"), 2).alias("hi_balance"))
             .withColumn("decile", F.col("decile").cast("int"))
             .orderBy("c_nationkey", "decile"))
+
+
+# --------------------------------------------------------------------------
+# XYZ demand-variability classification — the ABC companion
+# --------------------------------------------------------------------------
+
+@register(
+    "q_xyz_classification",
+    oracle="""
+    WITH mo AS (
+        SELECT l_partkey,
+               (EXTRACT(YEAR FROM l_shipdate) * 12
+                + EXTRACT(MONTH FROM l_shipdate) - 1) AS m,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY l_partkey, m),
+    bounds AS (
+        SELECT MIN((EXTRACT(YEAR FROM l_shipdate) * 12
+                    + EXTRACT(MONTH FROM l_shipdate) - 1)) AS lo,
+               MAX((EXTRACT(YEAR FROM l_shipdate) * 12
+                    + EXTRACT(MONTH FROM l_shipdate) - 1)) AS hi
+        FROM lineitem),
+    g AS (
+        SELECT l_partkey, SUM(q) AS s1, SUM(q * q) AS s2
+        FROM mo GROUP BY l_partkey),
+    cv AS (
+        SELECT g.l_partkey,
+               CAST(g.s1 AS DOUBLE) / (b.hi - b.lo + 1) AS mu,
+               SQRT((CAST(g.s2 AS DOUBLE)
+                     - 2.0 * (CAST(g.s1 AS DOUBLE) / (b.hi - b.lo + 1))
+                       * g.s1
+                     + (b.hi - b.lo + 1)
+                       * (CAST(g.s1 AS DOUBLE) / (b.hi - b.lo + 1))
+                       * (CAST(g.s1 AS DOUBLE) / (b.hi - b.lo + 1)))
+                    / (b.hi - b.lo + 1))
+                   / (CAST(g.s1 AS DOUBLE) / (b.hi - b.lo + 1)) AS c
+        FROM g CROSS JOIN bounds b),
+    cls AS (
+        SELECT l_partkey,
+               CASE WHEN c < 1.75 THEN 'X'
+                    WHEN c < 2.10 THEN 'Y' ELSE 'Z' END AS xyz, c
+        FROM cv)
+    SELECT xyz, COUNT(*) AS n_parts,
+           ROUND(AVG(c), 4) AS avg_cv,
+           ROUND(MIN(c), 4) AS min_cv,
+           ROUND(MAX(c), 4) AS max_cv
+    FROM cls GROUP BY xyz ORDER BY xyz
+    """,
+    doc="XYZ demand-variability classification — the companion to ABC "
+        "value classification (q_abc_classification) that inventory "
+        "and capacity planning cross-tabulate: per part, the "
+        "coefficient of variation of MONTHLY demand over the full "
+        "month range (zero-demand months included WITHOUT a dense "
+        "part x month grid — population variance over H months "
+        "derives from the active-month aggregates sum q, sum q^2 and "
+        "H alone, the sparse-moments trick). Class cuts are "
+        "CONFIGURATION, set here to the fixture's CV scale (1.75 / "
+        "2.10 — sparse per-part monthly demand makes every CV > 1; "
+        "the textbook 0.5/1.0 cuts apply to dense aggregated SKUs "
+        "and would put the whole catalog in Z). X = steadiest, "
+        "Y = variable, Z = erratic. Quantities "
+        "are integer; month index is integer year*12+month arithmetic "
+        "(no date formatting divergence); one (part, month) group-by "
+        "plus one per-part fold.",
+)
+def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    m = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+    mo = (li.select("l_partkey", m.alias("m"),
+                    F.col("l_quantity").cast("long").alias("qv"))
+          .groupBy("l_partkey", "m").agg(F.sum("qv").alias("q")))
+    bounds = li.agg(F.min(m).alias("lo"), F.max(m).alias("hi"))
+    g = mo.groupBy("l_partkey").agg(F.sum("q").alias("s1"),
+                                    F.sum(F.col("q") * F.col("q"))
+                                    .alias("s2"))
+    j = g.crossJoin(F.broadcast(bounds))
+    hh = F.col("hi") - F.col("lo") + 1
+    mu = F.col("s1").cast("double") / hh
+    var = ((F.col("s2").cast("double") - 2.0 * mu * F.col("s1")
+            + hh * mu * mu) / hh)
+    c = F.sqrt(var) / mu
+    cls = j.select(
+        F.when(c < 1.75, "X").when(c < 2.10, "Y").otherwise("Z").alias("xyz"),
+        c.alias("c"))
+    return (cls.groupBy("xyz")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.avg("c"), 4).alias("avg_cv"),
+                 F.round(F.min("c"), 4).alias("min_cv"),
+                 F.round(F.max("c"), 4).alias("max_cv"))
+            .orderBy("xyz"))

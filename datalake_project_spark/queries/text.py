@@ -1302,3 +1302,77 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.exp((F.col("sy") - beta * F.col("sx"))
                                   / F.col("m")), 4).alias("heaps_k"))
             .orderBy("bucket"))
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity / effective vocabulary — the collision view of diversity
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_simpson_diversity",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    u AS (SELECT unnest(ws) AS g FROM words),
+    t AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          FROM words, unnest(range(1, len(ws) - 1)) AS v(i)
+          WHERE len(ws) >= 3),
+    m AS (
+        SELECT 1 AS n, SUM(c) AS nn, COUNT(*) AS v, SUM(c * c) AS s2
+        FROM (SELECT g, COUNT(*) AS c FROM u GROUP BY g)
+        UNION ALL
+        SELECT 3, SUM(c), COUNT(*), SUM(c * c)
+        FROM (SELECT g, COUNT(*) AS c FROM t GROUP BY g))
+    SELECT CAST(n AS INT) AS n,
+           CAST(nn AS BIGINT) AS n_ngrams,
+           CAST(v AS BIGINT) AS n_types,
+           ROUND(CAST(s2 AS DOUBLE) / (CAST(nn AS DOUBLE) * nn), 6)
+               AS simpson_lambda,
+           ROUND(1 - CAST(s2 AS DOUBLE) / (CAST(nn AS DOUBLE) * nn), 6)
+               AS gini_simpson,
+           ROUND((CAST(nn AS DOUBLE) * nn) / s2, 2) AS effective_types
+    FROM m ORDER BY n
+    """,
+    doc="Simpson diversity of the unigram and trigram distributions: "
+        "lambda = sum p_i^2 is the COLLISION probability (two random "
+        "tokens agree), 1 - lambda the Gini-Simpson index, and "
+        "N^2 / sum c_i^2 the EFFECTIVE number of types — the "
+        "order-2 Hill number that, unlike raw type counts (distinct-n) "
+        "or Shannon entropy, is dominated by the head of the "
+        "distribution and so measures what a model actually sees at "
+        "training time. All three derive from two BIGINT sums (N, "
+        "sum c^2) per order — integer-exact until one final division, "
+        "mergeable across shards by plain addition (the same "
+        "power-sum shape as the moments/overdispersion queries).",
+)
+def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    ws = d.select(T.tokens("text").alias("ws"))
+
+    def order(n: int):
+        if n == 1:
+            g = ws.select(F.explode("ws").alias("g"))
+        else:
+            expr = " , ' ', ".join(f"ws[i+{k}]" for k in range(n))
+            g = (ws.where(F.size("ws") >= n)
+                 .select(F.explode(F.expr(
+                     f"transform(sequence(0, size(ws) - {n}), "
+                     f"i -> concat({expr}))")).alias("g")))
+        return (g.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.lit(n).alias("n"),
+                     F.sum("c").alias("nn"),
+                     F.count(F.lit(1)).alias("v"),
+                     F.sum(F.col("c") * F.col("c")).alias("s2")))
+
+    m = order(1).unionByName(order(3))
+    nn = F.col("nn").cast("double")
+    lam = F.col("s2").cast("double") / (nn * nn)
+    return (m.select(F.col("n").cast("int").alias("n"),
+                     F.col("nn").cast("long").alias("n_ngrams"),
+                     F.col("v").cast("long").alias("n_types"),
+                     F.round(lam, 6).alias("simpson_lambda"),
+                     F.round(1 - lam, 6).alias("gini_simpson"),
+                     F.round((nn * nn) / F.col("s2"), 2)
+                      .alias("effective_types"))
+            .orderBy("n"))
