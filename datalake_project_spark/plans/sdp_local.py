@@ -70,13 +70,15 @@ class LocalGraphRegistry(GraphElementRegistry):
         self.outputs[output.name] = output
 
     def register_flow(self, flow: Flow) -> None:
-        if any(f.target == flow.target for f in self.flows):
-            # The managed runner supports multi-flow (append_flow) targets
-            # for streaming tables; the local batch interpreter keeps the
-            # one-flow-per-target subset and fails loudly beyond it.
+        if any(f.target == flow.target for f in self.flows) and \
+                not isinstance(self.outputs.get(flow.target),
+                               StreamingTable):
+            # Multi-flow (append_flow) targets are a STREAMING-table
+            # feature in SDP; for batch datasets a second flow is a
+            # definition bug — fail loudly.
             raise NotImplementedError(
-                f"multiple flows target {flow.target!r}; the local "
-                "interpreter supports one flow per dataset")
+                f"multiple flows target batch dataset {flow.target!r}; "
+                "append_flow requires a create_streaming_table target")
         self.flows.append(flow)
 
     def register_sql(self, sql_text: str, file_path: Path) -> None:
@@ -110,6 +112,16 @@ def run_pipeline(spark: SparkSession, registry: LocalGraphRegistry,
     pending = list(registry.flows)
     results: dict[str, DataFrame] = {}
     os.makedirs(storage, exist_ok=True)
+    # A stale temp view from a previous run would let a downstream flow
+    # resolve BEFORE this run recomputes its upstream — drop them so
+    # the analysis-retry ordering starts from a clean namespace.
+    for flow in pending:
+        spark.catalog.dropTempView(flow.target)
+    # append_flow fan-in: a streaming table becomes visible only after
+    # its LAST flow drains, so consumers never see a partial union.
+    remaining: dict[str, int] = {}
+    for flow in pending:
+        remaining[flow.target] = remaining.get(flow.target, 0) + 1
 
     while pending:
         progressed = False
@@ -129,8 +141,35 @@ def run_pipeline(spark: SparkSession, registry: LocalGraphRegistry,
                  .mode("overwrite").save())
                 results[flow.target] = df
             elif isinstance(out, StreamingTable):
-                raise NotImplementedError(
-                    "streaming tables need the spark-pipelines runner")
+                # One availableNow drain per flow (SDP's triggered-
+                # execution mode): each flow appends its micro-batches
+                # to the shared table path under its OWN checkpoint, so
+                # append_flow fan-in works and a re-run resumes
+                # incrementally from the checkpointed offsets instead
+                # of re-ingesting.
+                if not df.isStreaming:
+                    raise TypeError(
+                        f"flow {flow.name!r} targets streaming table "
+                        f"{flow.target!r} but returned a batch DataFrame")
+                # Each flow drains into its OWN subdirectory: Spark's
+                # parquet file sink owns a _spark_metadata commit log in
+                # its output dir, and two sinks sharing one dir corrupt
+                # each other's logs (fan-in rows silently vanish).
+                path = os.path.join(storage, flow.target, flow.name)
+                ckpt = os.path.join(storage,
+                                    f"_ckpt_{flow.target}_{flow.name}")
+                q = (df.writeStream.format("parquet")
+                     .option("path", path)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+                if remaining[flow.target] == 1:  # last fan-in flow
+                    dirs = [os.path.join(storage, flow.target, f.name)
+                            for f in registry.flows
+                            if f.target == flow.target]
+                    materialized = spark.read.parquet(*dirs)
+                    materialized.createOrReplaceTempView(flow.target)
+                    results[flow.target] = materialized
             else:  # MaterializedView / Table — materialize to storage
                 path = os.path.join(storage, flow.target)
                 writer = df.write.mode("overwrite")
@@ -140,6 +179,7 @@ def run_pipeline(spark: SparkSession, registry: LocalGraphRegistry,
                 materialized = spark.read.parquet(path)
                 materialized.createOrReplaceTempView(flow.target)
                 results[flow.target] = materialized
+            remaining[flow.target] -= 1
             pending.remove(flow)
             progressed = True
         if not progressed:

@@ -132,3 +132,69 @@ def test_sdp_managed_runner_gated():
         pytest.skip("grpcio not installed: spark-pipelines (Spark "
                     "Connect) runner unavailable; local interpreter "
                     "covers the declaration semantics")
+
+
+def test_sdp_streaming_table_append_flows(spark, tmp_path):
+    """create_streaming_table + two append_flows: each flow drains its
+    source with availableNow under its own checkpoint into the shared
+    table; a downstream materialized view aggregates the union; a
+    SECOND run re-drains incrementally (checkpointed offsets — old rows
+    not re-ingested) and picks up newly arrived source files."""
+    import json as _json
+
+    from pyspark.pipelines import (
+        append_flow, create_streaming_table, materialized_view,
+    )
+
+    src_a = tmp_path / "src_a"
+    src_b = tmp_path / "src_b"
+    src_a.mkdir(), src_b.mkdir()
+    (src_a / "p0.json").write_text(_json.dumps({"k": "a", "v": 1}))
+    (src_b / "p0.json").write_text(_json.dumps({"k": "b", "v": 10}))
+
+    def define():
+        create_streaming_table(name="raw_rows", schema="k string, v long")
+
+        @append_flow(target="raw_rows", name="from_a")
+        def from_a():
+            return (spark.readStream.schema("k string, v long")
+                    .json(str(src_a)))
+
+        @append_flow(target="raw_rows", name="from_b")
+        def from_b():
+            return (spark.readStream.schema("k string, v long")
+                    .json(str(src_b)))
+
+        @materialized_view(name="totals")
+        def totals():
+            from pyspark.sql import functions as F
+            return (spark.table("raw_rows").groupBy("k")
+                    .agg(F.sum("v").alias("total")))
+
+    registry = build_graph(define)
+    storage = str(tmp_path / "sdp")
+    res = run_pipeline(spark, registry, storage)
+    assert {tuple(r) for r in res["totals"].collect()} == {("a", 1),
+                                                           ("b", 10)}
+
+    # Late arrivals: only the new files flow on the next run.
+    (src_a / "p1.json").write_text(_json.dumps({"k": "a", "v": 2}))
+    res2 = run_pipeline(spark, build_graph(define), storage)
+    assert {tuple(r) for r in res2["totals"].collect()} == {("a", 3),
+                                                            ("b", 10)}
+    for v in ("raw_rows", "totals"):
+        spark.catalog.dropTempView(v)
+
+
+def test_sdp_batch_flow_to_streaming_target_rejected(spark, tmp_path):
+    from pyspark.pipelines import append_flow, create_streaming_table
+
+    def define():
+        create_streaming_table(name="st", schema="x long")
+
+        @append_flow(target="st", name="oops")
+        def oops():
+            return spark.range(3).withColumnRenamed("id", "x")
+
+    with pytest.raises(TypeError, match="batch DataFrame"):
+        run_pipeline(spark, build_graph(define), str(tmp_path / "sdp"))
