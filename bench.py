@@ -297,6 +297,7 @@ ADDITIONS = [
     "q_text_simpson_diversity",
     "q_xyz_classification",
     "q_stats_hill_tail",
+    "q_stats_mann_kendall",
 ]
 
 HEADLINE = CORE + ADDITIONS

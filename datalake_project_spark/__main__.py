@@ -12,6 +12,8 @@ engine supports without writing a driver program.
                                              [--explain] [--json]
     python -m datalake_project_spark sql "SELECT ..." [--sf-dir D]
                                              [--limit N] [--json]
+    python -m datalake_project_spark sdp [--module M[:factory]]
+                                             [--sf-dir D] [--storage DIR]
 
 Output goes to stdout (``--json`` = one JSON object per row, the
 machine-readable mode); plans come from ``explain(formatted)``. The
@@ -84,6 +86,28 @@ def cmd_schedule(args) -> int:
                          retry_delay=args.retry_delay, force=args.force)
 
 
+def cmd_sdp(args) -> int:
+    """Run an SDP dataflow (default: the reference-shaped pipeline in
+    plans.sdp_reference) with the local interpreter."""
+    import importlib
+
+    from datalake_project_spark.plans.sdp_local import (
+        build_graph, run_pipeline,
+    )
+
+    spark = _spark("sdp")
+    mod_name, _, fn_name = args.module.partition(":")
+    mod = importlib.import_module(mod_name)
+    factory = getattr(mod, fn_name or "definitions")
+    registry = build_graph(factory(spark, args.sf_dir))
+    results = run_pipeline(spark, registry, args.storage)
+    for target in sorted(results):
+        df = results[target]
+        print(f"== {target} ({df.count()} rows) ==")
+        _emit(df, args.limit, args.json)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datalake_project_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +148,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="rerun even if this (query, run_ts) already "
                          "succeeded")
     pc.set_defaults(fn=cmd_schedule)
+
+    pd = sub.add_parser(
+        "sdp",
+        help="run a Spark Declarative Pipelines dataflow with the "
+             "local interpreter (no Spark Connect needed)")
+    pd.add_argument(
+        "--module",
+        default="datalake_project_spark.plans.sdp_reference:definitions",
+        help="module[:factory] returning SDP definitions; the factory "
+             "is called as factory(spark, sf_dir)")
+    pd.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pd.add_argument("--storage", default=".scratch/sdp",
+                    help="materialized-view storage root")
+    pd.add_argument("--limit", type=int, default=20)
+    pd.add_argument("--json", action="store_true")
+    pd.set_defaults(fn=cmd_sdp)
 
     args = p.parse_args(argv)
     return args.fn(args)

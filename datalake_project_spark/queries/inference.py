@@ -3254,3 +3254,86 @@ def q_stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / inv, 4).alias("hill_alpha"),
         F.round(inv, 6).alias("mean_log_excess"),
         (1.0 / inv <= 2.0).alias("infinite_variance_regime"))
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test — the significance companion to Theil–Sen
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_mann_kendall",
+    oracle="""
+    WITH mo AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS m,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, m),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+        FROM mo a JOIN mo b
+          ON a.event_type = b.event_type AND b.m > a.m),
+    g AS (
+        SELECT event_type,
+               SUM(sgn) AS s,
+               (SELECT COUNT(*) FROM mo m2
+                WHERE m2.event_type = pairs.event_type) AS n
+        FROM pairs GROUP BY event_type),
+    z AS (
+        SELECT event_type, s, n,
+               n * (n - 1.0) * (2.0 * n + 5.0) / 18.0 AS var
+        FROM g)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_statistic,
+           ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var)
+                      WHEN s < 0 THEN (s + 1) / SQRT(var)
+                      ELSE 0.0 END, 4) AS z,
+           ABS(CASE WHEN s > 0 THEN (s - 1) / SQRT(var)
+                    WHEN s < 0 THEN (s + 1) / SQRT(var)
+                    ELSE 0.0 END) >= 1.96 AS significant_trend
+    FROM z ORDER BY event_type
+    """,
+    doc="Mann-Kendall trend test per event type over the DAILY count "
+        "series — the distribution-free significance test that pairs "
+        "with Theil-Sen (q_orders_theil_sen_trend estimates the slope; "
+        "MK says whether a monotone trend exists at all, robust to "
+        "outliers and any monotone transform of the values). "
+        "S = sum of pairwise later-minus-earlier signs (exact integer "
+        "via the bounded per-series day x day self-join — the series "
+        "is days-long, so the quadratic pair count is ~30^2 per type, "
+        "nothing to do with event volume); "
+        "var(S) = n(n-1)(2n+5)/18 (no-ties form; counts here are "
+        "effectively tie-free), continuity-corrected z. Everything up "
+        "to the final z is integer-exact.",
+)
+def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    mo = (e.select("event_type",
+                   F.expr("unix_micros(ts) div 86400000000").alias("m"))
+          .groupBy("event_type", "m").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    b = mo.select(F.col("event_type").alias("et2"),
+                  F.col("m").alias("m2"), F.col("c").alias("c2"))
+    pairs = (mo.join(F.broadcast(b),
+                     (F.col("event_type") == F.col("et2"))
+                     & (F.col("m2") > F.col("m")))
+             .select("event_type",
+                     F.when(F.col("c2") > F.col("c"), 1)
+                      .when(F.col("c2") < F.col("c"), -1)
+                      .otherwise(0).alias("sgn")))
+    nper = mo.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    g = (pairs.groupBy("event_type").agg(F.sum("sgn").alias("s"))
+         .join(F.broadcast(nper), "event_type"))
+    var = (F.col("n") * (F.col("n") - 1.0)
+           * (2.0 * F.col("n") + 5.0) / 18.0)
+    z = (F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+          .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+          .otherwise(F.lit(0.0)))
+    return (g.select("event_type",
+                     F.col("n").cast("long").alias("n_days"),
+                     F.col("s").cast("long").alias("s_statistic"),
+                     F.round(z, 4).alias("z"),
+                     (F.abs(z) >= 1.96).alias("significant_trend"))
+            .orderBy("event_type"))

@@ -64,3 +64,17 @@ def test_cli_schedule_retries_then_fails(capsys, spark, monkeypatch,
                  "--retries", "1", "--retry-delay", "0.01"]) == 1
     out = capsys.readouterr().out
     assert "FAILED after 2 attempts" in out
+
+
+def test_cli_sdp_runs_reference_dataflow(capsys, spark, tmp_path):
+    """`python -m datalake_project_spark sdp`: the shipped SDP
+    reference dataflow runs under the local interpreter and prints
+    every target with its row count."""
+    assert main(["sdp", "--storage", str(tmp_path / "sdp"),
+                 "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    for target in ("filtered_orders", "enriched_orders",
+                   "nation_revenue"):
+        assert f"== {target} (" in out
+    for v in ("filtered_orders", "enriched_orders", "nation_revenue"):
+        spark.catalog.dropTempView(v)
