@@ -298,6 +298,8 @@ ADDITIONS = [
     "q_xyz_classification",
     "q_stats_hill_tail",
     "q_stats_mann_kendall",
+    "q_stats_kendall_tau",
+    "q_stats_tost_equivalence",
 ]
 
 HEADLINE = CORE + ADDITIONS

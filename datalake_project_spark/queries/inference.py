@@ -3337,3 +3337,176 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(z, 4).alias("z"),
                      (F.abs(z) >= 1.96).alias("significant_trend"))
             .orderBy("event_type"))
+
+
+# --------------------------------------------------------------------------
+# Kendall's tau — rank concordance between two daily series
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_kendall_tau",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY day),
+    p AS (
+        SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+                   AS con,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+                   AS dis
+        FROM d a JOIN d b ON b.day > a.day),
+    g AS (SELECT SUM(con) AS c, SUM(dis) AS dd, COUNT(*) AS np FROM p),
+    n_ AS (SELECT COUNT(*) AS n FROM d)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CAST(np - c - dd AS BIGINT) AS tied,
+           ROUND((c - dd)::DOUBLE / np, 6) AS kendall_tau_a,
+           ROUND((c - dd)::DOUBLE
+                 / SQRT(n * (n - 1.0) * (2 * n + 5.0) / 18.0), 4) AS z
+    FROM g, n_
+    """,
+    doc="Kendall's tau-a between the daily click and purchase count "
+        "series — the rank-concordance complement to the Pearson "
+        "cross-correlation (q_events_cross_correlation at lag 0): "
+        "tau sees any monotone co-movement and one outlier day cannot "
+        "move it. Concordant/discordant/tied pair counts are exact "
+        "integers from the bounded day x day self-join (quadratic in "
+        "DAYS — ~30^2 — independent of event volume, the Mann-Kendall "
+        "shape); tau-a = (C-D) / n(n-1)/2 and the normal z use the "
+        "same closed form on both engines. S = C-D shares its null "
+        "variance n(n-1)(2n+5)/18 with Mann-Kendall — MK is exactly "
+        "Kendall's tau of series vs time.",
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("event_type").isin("click", "purchase")))
+    d = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                  "event_type")
+         .groupBy("day")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("x"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("y"))
+         .localCheckpoint(eager=False))
+    b = d.select(F.col("day").alias("d2"), F.col("x").alias("x2"),
+                 F.col("y").alias("y2"))
+    prod = (F.col("x2") - F.col("x")) * (F.col("y2") - F.col("y"))
+    g = (d.join(F.broadcast(b), F.col("d2") > F.col("day"))
+         .agg(F.sum(F.when(prod > 0, 1).otherwise(0)).alias("c"),
+              F.sum(F.when(prod < 0, 1).otherwise(0)).alias("dd"),
+              F.count(F.lit(1)).alias("np")))
+    n_ = d.agg(F.count(F.lit(1)).alias("n"))
+    j = g.crossJoin(F.broadcast(n_))
+    s = (F.col("c") - F.col("dd")).cast("double")
+    var = (F.col("n") * (F.col("n") - 1.0)
+           * (2 * F.col("n") + 5.0) / 18.0)
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        (F.col("np") - F.col("c") - F.col("dd")).cast("long").alias("tied"),
+        F.round(s / F.col("np"), 6).alias("kendall_tau_a"),
+        F.round(s / F.sqrt(var), 4).alias("z"))
+
+
+# --------------------------------------------------------------------------
+# TOST equivalence test — proving "no meaningful difference"
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_tost_equivalence",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS arm,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL),
+    g AS (
+        SELECT arm, COUNT(*) AS n, SUM(cents) AS s1,
+               SUM(cents * cents) AS s2
+        FROM base GROUP BY arm),
+    w AS (
+        SELECT
+            MAX(CASE WHEN arm = 'a' THEN n END) AS na,
+            MAX(CASE WHEN arm = 'b' THEN n END) AS nb,
+            MAX(CASE WHEN arm = 'a' THEN CAST(s1 AS DOUBLE) / n END) AS ma,
+            MAX(CASE WHEN arm = 'b' THEN CAST(s1 AS DOUBLE) / n END) AS mb,
+            MAX(CASE WHEN arm = 'a' THEN
+                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1) END) AS va,
+            MAX(CASE WHEN arm = 'b' THEN
+                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1) END) AS vb
+        FROM g),
+    t AS (
+        SELECT na, nb, ma, mb,
+               (ma - mb) / 100.0 AS diff_dollars,
+               SQRT(va / na + vb / nb) / 100.0 AS se_dollars,
+               0.05 * ((ma + mb) / 2.0) / 100.0 AS margin_dollars
+        FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(diff_dollars, 4) AS diff,
+           ROUND(margin_dollars, 4) AS margin,
+           ROUND((diff_dollars + margin_dollars) / se_dollars, 4)
+               AS t_lower,
+           ROUND((diff_dollars - margin_dollars) / se_dollars, 4)
+               AS t_upper,
+           (diff_dollars + margin_dollars) / se_dollars >= 1.6449
+               AND (diff_dollars - margin_dollars) / se_dollars <= -1.6449
+               AS equivalent_at_5pct
+    FROM t
+    """,
+    doc="TOST (two one-sided tests) equivalence test on purchase value "
+        "between the deterministic A/B arms — the procedure that can "
+        "PROVE 'no meaningful difference', which a non-significant "
+        "t-test never does (absence of evidence != evidence of "
+        "absence; TOST is the FDA-bioequivalence standard and the "
+        "right readout for do-no-harm launches and infra migrations). "
+        "Equivalence margin = ±5% of the pooled mean; both one-sided "
+        "Welch statistics must clear z_0.95 = 1.6449. Per-arm moments "
+        "come from BIGINT cents power sums (order-free), the Welch SE "
+        "and both t's are one closed-form double tree. Complements "
+        "q_events_ab_ttest (difference testing) and q_events_ab_srm "
+        "(assignment integrity).",
+)
+def q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (Catalog(spark, sf_dir).table("events")
+            .where((F.col("event_type") == "purchase")
+                   & F.col("value").isNotNull())
+            .select(F.when(F.col("user_id") % 2 == 1, "a")
+                    .otherwise("b").alias("arm"),
+                    F.round(F.col("value") * 100).cast("long")
+                    .alias("cents")))
+    g = base.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+           / (F.col("n") - 1))
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "a", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "b", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "a", mean)).alias("ma"),
+        F.max(F.when(F.col("arm") == "b", mean)).alias("mb"),
+        F.max(F.when(F.col("arm") == "a", var)).alias("va"),
+        F.max(F.when(F.col("arm") == "b", var)).alias("vb"))
+    diff = (F.col("ma") - F.col("mb")) / 100.0
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")) / 100.0
+    margin = 0.05 * ((F.col("ma") + F.col("mb")) / 2.0) / 100.0
+    tl = (diff + margin) / se
+    tu = (diff - margin) / se
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(diff, 4).alias("diff"),
+        F.round(margin, 4).alias("margin"),
+        F.round(tl, 4).alias("t_lower"),
+        F.round(tu, 4).alias("t_upper"),
+        ((tl >= 1.6449) & (tu <= -1.6449)).alias("equivalent_at_5pct"))
