@@ -300,6 +300,7 @@ ADDITIONS = [
     "q_stats_mann_kendall",
     "q_stats_kendall_tau",
     "q_stats_tost_equivalence",
+    "q_events_session_gap_sweep",
 ]
 
 HEADLINE = CORE + ADDITIONS

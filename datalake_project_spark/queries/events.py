@@ -2567,3 +2567,70 @@ def q_events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(var_c / mean_c, 4).alias("dispersion_index"),
                      (F.round(var_c / mean_c, 4) > 1.5).alias("bursty"))
             .orderBy(F.desc("dispersion_index"), "user_id").limit(20))
+
+
+# --------------------------------------------------------------------------
+# Session-gap sensitivity sweep — choosing the inactivity threshold
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_session_gap_sweep",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000
+                   AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    th AS (SELECT UNNEST([900, 1800, 3600, 7200]) AS threshold_s),
+    m AS (
+        SELECT t.threshold_s,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+               SUM(CASE WHEN g.gap_s > t.threshold_s
+                        THEN 1 ELSE 0 END) AS n_breaks
+        FROM th t CROSS JOIN g
+        WHERE g.gap_s IS NOT NULL
+        GROUP BY t.threshold_s)
+    SELECT CAST(threshold_s AS INT) AS threshold_s,
+           CAST(n_users + n_breaks AS BIGINT) AS n_sessions,
+           CAST(n_breaks AS BIGINT) AS n_breaks,
+           ROUND((n_users + n_breaks)::DOUBLE / n_users, 4)
+               AS sessions_per_user
+    FROM m ORDER BY threshold_s
+    """,
+    doc="Inactivity-threshold sensitivity sweep for sessionization: "
+        "session counts at 15/30/60/120-minute gaps from ONE pass over "
+        "the per-user gap sequence (sessions(t) = users + #gaps > t — "
+        "no re-sessionization per threshold, just a conditional count "
+        "over the same LAG output). This is the analysis that picks "
+        "the gap the production sessionizer (q_events_sessionize, the "
+        "streaming session windows) then hardcodes: the elbow where "
+        "sessions_per_user stops falling is the natural inactivity "
+        "scale. Integer gaps (epoch-microsecond floor division), "
+        "per-user windows only, threshold fan-out over an already-"
+        "derived gap relation.",
+)
+def q_events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (e.withColumn("prev_ts", F.lag("ts").over(w))
+         .select(((F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                  / 1000000).cast("long").alias("gap_s"))
+         .where(F.col("gap_s").isNotNull())
+         .localCheckpoint(eager=False))
+    th = spark.createDataFrame([(900,), (1800,), (3600,), (7200,)],
+                               "threshold_s int")
+    nu = e.agg(F.countDistinct("user_id").alias("n_users"))
+    m = (g.crossJoin(F.broadcast(th))
+         .groupBy("threshold_s")
+         .agg(F.sum(F.when(F.col("gap_s") > F.col("threshold_s"), 1)
+                    .otherwise(0)).alias("n_breaks"))
+         .crossJoin(F.broadcast(nu)))
+    return (m.select("threshold_s",
+                     (F.col("n_users") + F.col("n_breaks")).cast("long")
+                      .alias("n_sessions"),
+                     F.col("n_breaks").cast("long").alias("n_breaks"),
+                     F.round((F.col("n_users") + F.col("n_breaks"))
+                             .cast("double") / F.col("n_users"), 4)
+                      .alias("sessions_per_user"))
+            .orderBy("threshold_s"))
