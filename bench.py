@@ -301,6 +301,9 @@ ADDITIONS = [
     "q_stats_kendall_tau",
     "q_stats_tost_equivalence",
     "q_events_session_gap_sweep",
+    "q_events_dau_mau",
+    "q_stats_mcnemar",
+    "q_stats_gumbel_maxima",
 ]
 
 HEADLINE = CORE + ADDITIONS

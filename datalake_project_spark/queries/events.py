@@ -2634,3 +2634,62 @@ def q_events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .cast("double") / F.col("n_users"), 4)
                       .alias("sessions_per_user"))
             .orderBy("threshold_s"))
+
+
+# --------------------------------------------------------------------------
+# DAU / MAU stickiness — the product-engagement ratio
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_dau_mau",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau
+            FROM d GROUP BY day),
+    mau AS (SELECT COUNT(DISTINCT user_id) AS mau FROM d),
+    wk AS (
+        SELECT day // 7 AS week, day, dau FROM dau)
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MIN(dau) AS BIGINT) AS min_dau,
+           CAST(MAX(dau) AS BIGINT) AS max_dau,
+           ROUND(AVG(dau), 2) AS avg_dau,
+           CAST((SELECT mau FROM mau) AS BIGINT) AS mau,
+           ROUND(AVG(dau) / (SELECT mau FROM mau), 4) AS stickiness
+    FROM wk GROUP BY week ORDER BY week
+    """,
+    doc="DAU/MAU stickiness per week — the canonical product-engagement "
+        "ratio (what fraction of the monthly audience shows up on an "
+        "average day; 0.2 is the folk 'good', 1.0 is a daily-habit "
+        "product). Daily actives are COUNT(DISTINCT user) per integer "
+        "epoch-day (at 100 TB swap in the mergeable HLL twin "
+        "q_hll_mergeable_distinct — the ratio tolerates approximate "
+        "cardinalities), the monthly base is one distinct over the "
+        "fixture's single-month span, and week = day // 7 keeps the "
+        "bucketing pure integer arithmetic. Counts exact; one rounded "
+        "ratio.",
+)
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    d = e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                 "user_id")
+    dau = (d.groupBy("day").agg(F.countDistinct("user_id").alias("dau")))
+    mau = d.agg(F.countDistinct("user_id").alias("mau"))
+    wk = dau.select(F.expr("day div 7").alias("week"), "dau")
+    return (wk.groupBy("week")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.min("dau").cast("long").alias("min_dau"),
+                 F.max("dau").cast("long").alias("max_dau"),
+                 F.avg("dau").alias("avg_raw"))
+            .crossJoin(F.broadcast(mau))
+            .select(F.col("week").cast("long").alias("week"),
+                    "n_days", "min_dau", "max_dau",
+                    F.round("avg_raw", 2).alias("avg_dau"),
+                    F.col("mau").cast("long").alias("mau"),
+                    # divide the UNROUNDED average (the oracle does) —
+                    # round-then-divide flips the 4th decimal
+                    F.round(F.col("avg_raw") / F.col("mau"), 4)
+                     .alias("stickiness"))
+            .orderBy("week"))

@@ -3510,3 +3510,82 @@ def q_stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tl, 4).alias("t_lower"),
         F.round(tu, 4).alias("t_upper"),
         ((tl >= 1.6449) & (tu <= -1.6449)).alias("equivalent_at_5pct"))
+
+
+# --------------------------------------------------------------------------
+# Gumbel block maxima — extreme-value sizing from daily peaks
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_gumbel_maxima",
+    oracle="""
+    WITH v AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+    mx AS (SELECT day, MAX(cents) AS m FROM v GROUP BY day),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(m) AS s1, SUM(m * m) AS s2 FROM mx),
+    fit AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                    / (n - 1)) AS sd
+        FROM s),
+    p AS (
+        SELECT n, mean, sd,
+               sd * SQRT(6.0) / PI() AS beta,
+               mean - 0.5772156649015329 * (sd * SQRT(6.0) / PI()) AS mu
+        FROM fit)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(mean / 100, 2) AS mean_daily_max,
+           ROUND(mu / 100, 4) AS gumbel_mu,
+           ROUND(beta / 100, 4) AS gumbel_beta,
+           ROUND((mu - beta * LN(-LN(1 - 1.0 / 30))) / 100, 2)
+               AS return_level_30d,
+           ROUND((mu - beta * LN(-LN(1 - 1.0 / 365))) / 100, 2)
+               AS return_level_365d
+    FROM p
+    """,
+    doc="Gumbel extreme-value fit on DAILY block maxima of event value "
+        "(method of moments: beta = sd*sqrt(6)/pi, mu = mean - "
+        "gamma*beta) with 30-day and 365-day return levels — the "
+        "capacity-planning number ('the largest value we should expect "
+        "in a year') that no mean/percentile dashboard provides; the "
+        "block-maxima complement to the Hill tail index (Hill: how "
+        "heavy is the tail; Gumbel: how big do PERIOD PEAKS get). "
+        "Block maxima and their power sums are exact integers (cents); "
+        "the fit and the return-level quantile mu - beta*ln(-ln(1-1/T)) "
+        "are one closed-form double tree on both engines. One "
+        "(day)-keyed max + one 3-counter fold — scale-free.",
+)
+def q_stats_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    mx = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents"))
+          .groupBy("day").agg(F.max("cents").alias("m")))
+    s = mx.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("m").alias("s1"),
+               F.sum(F.col("m") * F.col("m")).alias("s2"))
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1") / n)
+                / (n - 1))
+    beta = sd * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+
+    def rl(days: int):
+        return (mu - beta * F.log(-F.log(F.lit(1 - 1.0 / days)))) / 100
+
+    return s.select(
+        n.cast("long").alias("n_days"),
+        F.round(mean / 100, 2).alias("mean_daily_max"),
+        F.round(mu / 100, 4).alias("gumbel_mu"),
+        F.round(beta / 100, 4).alias("gumbel_beta"),
+        F.round(rl(30), 2).alias("return_level_30d"),
+        F.round(rl(365), 2).alias("return_level_365d"))

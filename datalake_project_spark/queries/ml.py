@@ -2088,3 +2088,66 @@ def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("chance_agreement"),
         F.when(pe == 1, F.lit(None).cast("double"))
          .otherwise(F.round((po - pe) / (1 - pe), 6)).alias("kappa"))
+
+
+# --------------------------------------------------------------------------
+# McNemar's test — do the two labelers disagree SYSTEMATICALLY?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_mcnemar",
+    oracle=f"""
+    WITH {_CLS_CTE},
+    qual AS ({_QUAL_SQL}),
+    j AS (SELECT (c.prob >= 0.5) AS r1, (q.quality >= 0.5) AS r2
+          FROM cls c JOIN qual q USING (doc_id)),
+    m AS (SELECT
+        SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS b,
+        SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS c
+        FROM j)
+    SELECT CAST(b AS BIGINT) AS only_classifier,
+           CAST(c AS BIGINT) AS only_heuristic,
+           CAST(b + c AS BIGINT) AS n_discordant,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND((ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)
+                           / (b + c), 4) END AS mcnemar_chi2,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE (ABS(b - c) - 1.0) * (ABS(b - c) - 1.0) / (b + c)
+                     >= 3.8415 END AS biased_at_5pct
+    FROM m
+    """,
+    doc="McNemar's test (continuity-corrected) on the two cheap "
+        "labelers' discordant cells — the PAIRED companion to Cohen's "
+        "kappa: kappa measures how much they agree, McNemar asks "
+        "whether their DISagreements lean one way (a systematically "
+        "stricter/looser labeler — marginal homogeneity), which is "
+        "what decides if swapping labelers shifts the kept-corpus "
+        "size. chi2 = (|b-c|-1)^2/(b+c) against the 3.84 critical "
+        "value; only the two discordant integer cells matter, "
+        "degenerate b+c = 0 yields NULL identically on both engines.",
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    cls = _classifier_scores(spark, sf_dir).select(
+        "doc_id", (F.col("prob") >= 0.5).alias("r1"))
+    qual = d.select(
+        "doc_id",
+        (F.round(T.quality_score(F.col("text"), T.tokens("text")), 4)
+         >= 0.5).alias("r2"))
+    m = (cls.join(qual, "doc_id")
+         .agg(F.sum(F.when(F.col("r1") & ~F.col("r2"), 1).otherwise(0))
+              .alias("b"),
+              F.sum(F.when(~F.col("r1") & F.col("r2"), 1).otherwise(0))
+              .alias("c")))
+    b, c = F.col("b"), F.col("c")
+    chi2 = (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c)
+    return m.select(
+        b.cast("long").alias("only_classifier"),
+        c.cast("long").alias("only_heuristic"),
+        (b + c).cast("long").alias("n_discordant"),
+        F.when(b + c == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(chi2, 4)).alias("mcnemar_chi2"),
+        F.when(b + c == 0, F.lit(None).cast("boolean"))
+         .otherwise(chi2 >= 3.8415).alias("biased_at_5pct"))
