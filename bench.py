@@ -304,6 +304,7 @@ ADDITIONS = [
     "q_events_dau_mau",
     "q_stats_mcnemar",
     "q_stats_gumbel_maxima",
+    "q_stats_fisher_exact",
 ]
 
 HEADLINE = CORE + ADDITIONS

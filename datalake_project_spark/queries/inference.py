@@ -3589,3 +3589,109 @@ def q_stats_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta / 100, 4).alias("gumbel_beta"),
         F.round(rl(30), 2).alias("return_level_30d"),
         F.round(rl(365), 2).alias("return_level_365d"))
+
+
+# --------------------------------------------------------------------------
+# Fisher's exact test — small-cell significance without asymptotics
+# --------------------------------------------------------------------------
+
+_LNF_SQL = ("COALESCE(list_sum(list_transform(range(2, CAST(({n})"
+            " + 1 AS BIGINT)), x -> ln(CAST(x AS DOUBLE)))), 0.0)")
+_LNF_SPARK = ("(CASE WHEN ({n}) < 2 THEN 0.0D ELSE "
+              "aggregate(sequence(2, CAST({n} AS INT)), 0.0D, "
+              "(acc, x) -> acc + ln(CAST(x AS DOUBLE))) END)")
+
+
+def _lnc(lnf: str, a: str, b: str) -> str:
+    return (f"({lnf.format(n=a)} - {lnf.format(n=b)}"
+            f" - {lnf.format(n=f'({a}) - ({b})')})")
+
+
+@register(
+    "q_stats_fisher_exact",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 1 THEN 'a' ELSE 'b' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS s
+        FROM events GROUP BY user_id),
+    c AS (
+        SELECT COUNT(*) AS nn,
+               SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS na,
+               SUM(s) AS kk,
+               SUM(CASE WHEN arm = 'a' THEN s ELSE 0 END) AS ka
+        FROM conv),
+    sup AS (
+        SELECT nn, na, kk, ka,
+               UNNEST(range(CAST(GREATEST(0, na - (nn - kk)) AS BIGINT),
+                            CAST(LEAST(na, kk) + 1 AS BIGINT))) AS k
+        FROM c),
+    lp AS (
+        SELECT nn, na, kk, ka, k,
+               {_lnc(_LNF_SQL, 'kk', 'k')}
+               + {_lnc(_LNF_SQL, 'nn - kk', 'na - k')}
+               - {_lnc(_LNF_SQL, 'nn', 'na')} AS lnp
+        FROM sup),
+    obs AS (SELECT lnp AS lnp_obs FROM lp WHERE k = ka)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nn - na) AS BIGINT) AS n_b,
+           CAST(MAX(ka) AS BIGINT) AS k_a,
+           CAST(MAX(kk - ka) AS BIGINT) AS k_b,
+           ROUND(SUM(CASE WHEN lnp <= (SELECT lnp_obs FROM obs) + 1e-9
+                          THEN EXP(lnp) ELSE 0.0 END), 6)
+               AS p_two_sided,
+           SUM(CASE WHEN lnp <= (SELECT lnp_obs FROM obs) + 1e-9
+                    THEN EXP(lnp) ELSE 0.0 END) < 0.05
+               AS significant_at_5pct
+    FROM lp
+    """,
+    doc="Fisher's EXACT test on the arm x converted 2x2 table (per-user "
+        "purchase conversion under the deterministic A/B split) — the "
+        "small-cell companion to the chi-square battery: no asymptotic "
+        "approximation, valid at any cell size, the test regulators "
+        "ask for when a variant has a handful of conversions. "
+        "Hypergeometric ln p(k) over the full support from "
+        "ln-factorials computed as the IDENTICAL sequential "
+        "Sigma ln k fold on both engines (Spark aggregate(sequence), "
+        "DuckDB list_sum(list_transform(range)) — same order, "
+        "bit-identical doubles, so the two-sided 'as extreme as "
+        "observed' comparison is exact, not epsilon-lucky). Work is "
+        "O(support * N) ln terms on ONE broadcast row of counts — "
+        "corpus scale only touches the per-user group-by.",
+)
+def q_stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    conv = (e.groupBy("user_id")
+            .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("s"))
+            .select(F.when(F.col("user_id") % 2 == 1, "a")
+                    .otherwise("b").alias("arm"), "s"))
+    c = conv.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.when(F.col("arm") == "a", 1).otherwise(0)).alias("na"),
+        F.sum("s").alias("kk"),
+        F.sum(F.when(F.col("arm") == "a", F.col("s")).otherwise(0))
+         .alias("ka"))
+    sup = c.select(
+        "nn", "na", "kk", "ka",
+        F.explode(F.expr(
+            "sequence(CAST(greatest(0, na - (nn - kk)) AS INT), "
+            "CAST(least(na, kk) AS INT))")).alias("k"))
+    lnp = F.expr(
+        _lnc(_LNF_SPARK, "kk", "k")
+        + " + " + _lnc(_LNF_SPARK, "nn - kk", "na - k")
+        + " - " + _lnc(_LNF_SPARK, "nn", "na"))
+    lp = sup.withColumn("lnp", lnp).localCheckpoint(eager=False)
+    obs = (lp.where(F.col("k") == F.col("ka"))
+           .select(F.col("lnp").alias("lnp_obs")))
+    p = (lp.crossJoin(F.broadcast(obs))
+         .agg(F.max("na").cast("long").alias("n_a"),
+              F.max(F.col("nn") - F.col("na")).cast("long").alias("n_b"),
+              F.max("ka").cast("long").alias("k_a"),
+              F.max(F.col("kk") - F.col("ka")).cast("long").alias("k_b"),
+              F.sum(F.when(F.col("lnp") <= F.col("lnp_obs") + 1e-9,
+                           F.exp("lnp")).otherwise(0.0)).alias("pv")))
+    return p.select("n_a", "n_b", "k_a", "k_b",
+                    F.round("pv", 6).alias("p_two_sided"),
+                    (F.col("pv") < 0.05).alias("significant_at_5pct"))
