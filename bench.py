@@ -305,6 +305,8 @@ ADDITIONS = [
     "q_stats_mcnemar",
     "q_stats_gumbel_maxima",
     "q_stats_fisher_exact",
+    "q_graph_local_clustering",
+    "q_stats_sign_test",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -994,3 +994,94 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(m))
             .select("n_communities", F.col("m").alias("m_total"),
                     "modularity"))
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient — per-node triangle density
+# --------------------------------------------------------------------------
+
+@register(
+    "q_graph_local_clustering",
+    oracle="WITH" + _EDGES_SQL + """,
+    ue AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+    adj AS (SELECT u AS node, v AS nbr FROM ue
+            UNION ALL SELECT v, u FROM ue),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ue e1 JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+                   JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pert AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+    SELECT d.node AS name,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d < 2 THEN NULL
+                ELSE ROUND(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 4)
+           END AS local_cc
+    FROM deg d LEFT JOIN pert p USING (node)
+    ORDER BY name
+    """,
+    doc="Per-node local clustering coefficient over the undirected "
+        "nation trade graph: cc(v) = 2 T(v) / (deg(v)(deg(v)-1)) — how "
+        "close each node's neighborhood is to a clique, the per-node "
+        "refinement of the global triangle count (q_graph_triangles, "
+        "same canonical a<b<c enumeration: each triangle explodes into "
+        "its three members, one group-by attributes it to every "
+        "corner). Degrees come from the symmetrized adjacency; "
+        "degree-<2 nodes have an undefined coefficient (NULL on both "
+        "engines). Scale shape: the wedge join shuffles on node keys "
+        "exactly like the triangle counter; the per-node attribution "
+        "adds one explode + group-by — no extra pass over the edge "
+        "derivation.",
+)
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier",
+                       "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .select("src", "dst").distinct())
+    ue = (edges.where(F.col("src") != F.col("dst"))
+          .select(F.least("src", "dst").alias("u"),
+                  F.greatest("src", "dst").alias("v"))
+          .distinct().localCheckpoint(eager=False))
+    adj = (ue.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(ue.select(F.col("v").alias("node"),
+                               F.col("u").alias("nbr"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2, e3 = ue.alias("e1"), ue.alias("e2"), ue.alias("e3")
+    tri = (e1.join(e2, (F.col("e2.u") == F.col("e1.u"))
+                   & (F.col("e2.v") > F.col("e1.v")))
+           .join(e3, (F.col("e3.u") == F.col("e1.v"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                   F.col("e2.v").alias("c")))
+    pert = (tri.select(F.col("a").alias("node"))
+            .unionAll(tri.select(F.col("b").alias("node")))
+            .unionAll(tri.select(F.col("c").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    return (deg.join(pert, "node", "left")
+            .select(F.col("node").alias("name"),
+                    F.col("d").cast("long").alias("degree"),
+                    F.coalesce("t", F.lit(0)).cast("long")
+                     .alias("n_triangles"),
+                    F.when(F.col("d") < 2, F.lit(None).cast("double"))
+                     .otherwise(F.round(2.0 * F.coalesce("t", F.lit(0))
+                                        / (F.col("d") * (F.col("d") - 1)),
+                                        4)).alias("local_cc"))
+            .orderBy("name"))

@@ -3695,3 +3695,90 @@ def q_stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("n_a", "n_b", "k_a", "k_b",
                     F.round("pv", 6).alias("p_two_sided"),
                     (F.col("pv") < 0.05).alias("significant_at_5pct"))
+
+
+# --------------------------------------------------------------------------
+# Exact sign test — paired comparison with zero distributional assumptions
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_sign_test",
+    oracle=f"""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY day),
+    s AS (
+        SELECT SUM(CASE WHEN x > y THEN 1 ELSE 0 END) AS plus,
+               SUM(CASE WHEN x < y THEN 1 ELSE 0 END) AS minus
+        FROM d),
+    kk AS (
+        SELECT plus, minus, plus + minus AS m,
+               LEAST(plus, minus) AS tail
+        FROM s),
+    terms AS (
+        SELECT plus, minus, m, tail,
+               UNNEST(range(0, CAST(tail + 1 AS BIGINT))) AS k
+        FROM kk),
+    p AS (
+        SELECT MAX(plus) AS plus, MAX(minus) AS minus, MAX(m) AS m,
+               SUM(EXP({_lnc(_LNF_SQL, 'm', 'k')}
+                       - m * LN(2.0))) AS one_tail
+        FROM terms)
+    SELECT CAST(plus AS BIGINT) AS days_clicks_win,
+           CAST(minus AS BIGINT) AS days_purchases_win,
+           CAST(m AS BIGINT) AS n_informative_days,
+           ROUND(LEAST(1.0, 2.0 * one_tail), 6) AS p_two_sided,
+           LEAST(1.0, 2.0 * one_tail) < 0.05 AS significant_at_5pct
+    FROM p
+    """,
+    doc="Exact sign test on the paired daily (click, purchase) counts — "
+        "the zero-assumption paired comparison (no symmetry, no "
+        "variance, no normality: just which side wins each day), the "
+        "test of last resort when even Wilcoxon's symmetry assumption "
+        "is suspect. Ties drop out; the two-sided p is the exact "
+        "binomial(m, 1/2) tail doubled, computed with the same "
+        "bit-identical sequential Sigma-ln-k factorial folds as "
+        "Fisher's exact test (Spark aggregate(sequence) == DuckDB "
+        "list_sum(range) term for term). Work: one day group-by, one "
+        "3-counter fold, then O(tail) closed-form terms on a "
+        "broadcast row.",
+)
+def q_stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("event_type").isin("click", "purchase")))
+    d = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                  "event_type")
+         .groupBy("day")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("x"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("y")))
+    s = d.agg(
+        F.sum(F.when(F.col("x") > F.col("y"), 1).otherwise(0))
+         .alias("plus"),
+        F.sum(F.when(F.col("x") < F.col("y"), 1).otherwise(0))
+         .alias("minus"))
+    kk = s.select("plus", "minus",
+                  (F.col("plus") + F.col("minus")).alias("m"),
+                  F.least("plus", "minus").alias("tail"))
+    terms = kk.select(
+        "plus", "minus", "m",
+        F.explode(F.expr("sequence(0, CAST(tail AS INT))")).alias("k"))
+    one_tail = F.sum(F.exp(
+        F.expr(_lnc(_LNF_SPARK, "m", "k"))
+        - F.col("m") * F.log(F.lit(2.0))))
+    p = terms.agg(F.max("plus").alias("plus"),
+                  F.max("minus").alias("minus"),
+                  F.max("m").alias("m"),
+                  one_tail.alias("one_tail"))
+    pv = F.least(F.lit(1.0), 2.0 * F.col("one_tail"))
+    return p.select(
+        F.col("plus").cast("long").alias("days_clicks_win"),
+        F.col("minus").cast("long").alias("days_purchases_win"),
+        F.col("m").cast("long").alias("n_informative_days"),
+        F.round(pv, 6).alias("p_two_sided"),
+        (pv < 0.05).alias("significant_at_5pct"))
