@@ -307,6 +307,7 @@ ADDITIONS = [
     "q_stats_fisher_exact",
     "q_graph_local_clustering",
     "q_stats_sign_test",
+    "q_stats_wilcoxon_signed_rank",
 ]
 
 HEADLINE = CORE + ADDITIONS

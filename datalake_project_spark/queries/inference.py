@@ -3782,3 +3782,95 @@ def q_stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("long").alias("n_informative_days"),
         F.round(pv, 6).alias("p_two_sided"),
         (pv < 0.05).alias("significant_at_5pct"))
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank — the paired test that uses magnitudes, not just signs
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY day),
+    nz AS (SELECT day, x - y AS diff, ABS(x - y) AS ad
+           FROM d WHERE x <> y),
+    rk AS (
+        SELECT a.day, a.diff,
+               (SELECT COUNT(*) FROM nz b WHERE b.ad < a.ad)
+               + ((SELECT COUNT(*) FROM nz b WHERE b.ad <= a.ad)
+                  - (SELECT COUNT(*) FROM nz b WHERE b.ad < a.ad)
+                  + 1) / 2.0 AS arank
+        FROM nz a),
+    s AS (
+        SELECT COUNT(*) AS m,
+               SUM(CASE WHEN diff > 0 THEN arank ELSE 0 END) AS wplus
+        FROM rk),
+    z AS (
+        SELECT m, wplus,
+               m * (m + 1) / 4.0 AS mu,
+               m * (m + 1.0) * (2 * m + 1.0) / 24.0 AS var
+        FROM s)
+    SELECT CAST(m AS BIGINT) AS n_informative_days,
+           ROUND(wplus, 1) AS w_plus,
+           ROUND(mu, 1) AS expected_w,
+           ROUND((wplus - mu) / SQRT(var), 4) AS z,
+           ABS((wplus - mu) / SQRT(var)) >= 1.96 AS significant_at_5pct
+    FROM z
+    """,
+    doc="Wilcoxon signed-rank test on the paired daily click/purchase "
+        "counts — between the sign test (signs only) and the t-test "
+        "(means, needs near-normality): it ranks the |differences| so "
+        "magnitude matters but outlier days cannot dominate. Average "
+        "ranks WITHOUT any window: rank(a) = #{|d| < |d_a|} + "
+        "(ties + 1)/2 via count-comparison against the day-sized "
+        "series (bounded ~30 rows — the Mann-Kendall/Kendall-tau "
+        "self-join shape, quadratic in DAYS and independent of event "
+        "volume); ranks are exact multiples of 1/2, so W+ is exact. "
+        "Normal approximation mu = m(m+1)/4, var = m(m+1)(2m+1)/24, "
+        "identical closed form both engines.",
+)
+def q_stats_wilcoxon_signed_rank(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("event_type").isin("click", "purchase")))
+    d = (e.select(F.expr("unix_micros(ts) div 86400000000").alias("day"),
+                  "event_type")
+         .groupBy("day")
+         .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                    .otherwise(0)).alias("x"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("y")))
+    nz = (d.where(F.col("x") != F.col("y"))
+          .select("day", (F.col("x") - F.col("y")).alias("diff"),
+                  F.abs(F.col("x") - F.col("y")).alias("ad"))
+          .localCheckpoint(eager=False))
+    b = nz.select(F.col("ad").alias("ad2"))
+    rk = (nz.join(F.broadcast(b), F.lit(True))
+          .groupBy("day", "diff", "ad")
+          .agg(F.sum(F.when(F.col("ad2") < F.col("ad"), 1).otherwise(0))
+               .alias("less"),
+               F.sum(F.when(F.col("ad2") <= F.col("ad"), 1).otherwise(0))
+               .alias("leq"))
+          .select("diff",
+                  (F.col("less")
+                   + (F.col("leq") - F.col("less") + 1) / 2.0)
+                  .alias("arank")))
+    s = rk.agg(F.count(F.lit(1)).alias("m"),
+               F.sum(F.when(F.col("diff") > 0, F.col("arank"))
+                     .otherwise(0.0)).alias("wplus"))
+    m = F.col("m")
+    mu = m * (m + 1) / 4.0
+    var = m * (m + 1.0) * (2 * m + 1.0) / 24.0
+    z = (F.col("wplus") - mu) / F.sqrt(var)
+    return s.select(
+        m.cast("long").alias("n_informative_days"),
+        F.round("wplus", 1).alias("w_plus"),
+        F.round(mu, 1).alias("expected_w"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= 1.96).alias("significant_at_5pct"))
