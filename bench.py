@@ -308,6 +308,8 @@ ADDITIONS = [
     "q_graph_local_clustering",
     "q_stats_sign_test",
     "q_stats_wilcoxon_signed_rank",
+    "q_events_periodogram",
+    "q_embed_intrinsic_dimension",
 ]
 
 HEADLINE = CORE + ADDITIONS

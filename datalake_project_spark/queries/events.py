@@ -2693,3 +2693,91 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("avg_raw") / F.col("mau"), 4)
                      .alias("stickiness"))
             .orderBy("week"))
+
+
+# --------------------------------------------------------------------------
+# Periodogram probe — is there a daily/weekly cycle in the traffic?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_periodogram",
+    oracle="""
+    WITH he AS (
+        SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+        FROM events GROUP BY h),
+    b AS (SELECT MIN(h) AS lo FROM he),
+    x AS (SELECT h - lo AS t, c FROM he CROSS JOIN b),
+    st AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM x),
+    periods AS (SELECT UNNEST([6, 12, 24, 168]) AS period_h),
+    dft AS (
+        SELECT p.period_h,
+               SUM((x.c - CAST(st.s AS DOUBLE) / st.n)
+                   * COS(2 * PI() * x.t / p.period_h)) AS re,
+               SUM((x.c - CAST(st.s AS DOUBLE) / st.n)
+                   * SIN(2 * PI() * x.t / p.period_h)) AS im,
+               MAX(st.n) AS n
+        FROM x CROSS JOIN periods p CROSS JOIN st
+        GROUP BY p.period_h),
+    pw AS (SELECT period_h, n,
+                  ROUND((re * re + im * im) / n, 2) AS power
+           FROM dft),
+    tot AS (SELECT SUM(power) AS tp, MAX(power) AS mx FROM pw)
+    SELECT CAST(period_h AS INT) AS period_h,
+           CAST(n AS BIGINT) AS n_hours,
+           power,
+           ROUND(power / tp, 4) AS power_share,
+           power = mx AS dominant
+    FROM pw, tot ORDER BY period_h
+    """,
+    doc="Periodogram probe of the hourly event-count series at the "
+        "periods that matter operationally (6 h, 12 h, 24 h, weekly): "
+        "P(f) = |sum (c_t - mean) e^{-2pi i t/T}|^2 / n, the discrete "
+        "Fourier power that makes seasonality a NUMBER instead of a "
+        "plot — the screen that says whether the seasonal-decompose / "
+        "seasonal-naive forecasters (q_events_seasonal_decompose, "
+        "q_forecast_seasonal_naive) have a cycle to model at all, and "
+        "at which period. Mean-centering kills the DC term; cos/sin "
+        "of integer t over literal periods are identical doubles on "
+        "both engines and each power is one rounded sum. Scale shape: "
+        "the heavy input collapses to the hour histogram first; the "
+        "DFT is 4 x hours fused multiply-adds in one aggregate pass "
+        "(frequency fan-out over an already-aggregated relation).",
+)
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = Catalog(spark, sf_dir).table("events")
+    he = (e.select(F.expr("unix_micros(ts) div 3600000000").alias("h"))
+          .groupBy("h").agg(F.count(F.lit(1)).alias("c")))
+    b = he.agg(F.min("h").alias("lo"))
+    x = (he.crossJoin(F.broadcast(b))
+         .select((F.col("h") - F.col("lo")).alias("t"), "c")
+         .localCheckpoint(eager=False))
+    st = x.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    periods = spark.createDataFrame([(6,), (12,), (24,), (168,)],
+                                    "period_h int")
+    ang = 2 * math.pi * F.col("t") / F.col("period_h")
+    dev = F.col("c") - F.col("s").cast("double") / F.col("n")
+    dft = (x.crossJoin(F.broadcast(periods)).crossJoin(F.broadcast(st))
+           .groupBy("period_h")
+           .agg(F.sum(dev * F.cos(ang)).alias("re"),
+                F.sum(dev * F.sin(ang)).alias("im"),
+                F.max("n").alias("n")))
+    # Powers are ROUNDED before the argmax/share — an unrounded float
+    # argmax can flip between engines on near-ties (the rounded-argmax
+    # discipline, cf. q_embed_farthest_point_init).
+    pw = (dft.select("period_h", "n",
+                     F.round((F.col("re") * F.col("re")
+                              + F.col("im") * F.col("im")) / F.col("n"),
+                             2).alias("power"))
+          .localCheckpoint(eager=False))
+    tot = pw.agg(F.sum("power").alias("tp"),
+                 F.max("power").alias("mx"))
+    return (pw.crossJoin(F.broadcast(tot))
+            .select("period_h",
+                    F.col("n").cast("long").alias("n_hours"),
+                    "power",
+                    F.round(F.col("power") / F.col("tp"), 4)
+                     .alias("power_share"),
+                    (F.col("power") == F.col("mx")).alias("dominant"))
+            .orderBy("period_h"))

@@ -443,3 +443,81 @@ def q_embed_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("center_rank", "vec_id", "dist_at_selection",
                     F.col("radius").alias("coverage_radius"))
             .orderBy("center_rank"))
+
+
+# --------------------------------------------------------------------------
+# TwoNN intrinsic dimension — how many dimensions do the embeddings USE?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_intrinsic_dimension",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 100),
+    d AS (
+        SELECT q.vec_id AS qid,
+               ROUND(1 - list_cosine_similarity(q.v, c.v), 6) AS dist,
+               c.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(1 - list_cosine_similarity(q.v, c.v), 6),
+                            c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.vec_id),
+    nn2 AS (
+        SELECT qid, MIN(dist) AS r1, MAX(dist) AS r2
+        FROM d WHERE rn <= 2 GROUP BY qid),
+    mu AS (SELECT qid, LN(r2 / r1) AS lnmu FROM nn2 WHERE r1 > 0)
+    SELECT (SELECT COUNT(*) FROM q)::BIGINT AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           ROUND(COUNT(*) / SUM(lnmu), 4) AS intrinsic_dimension,
+           ROUND(AVG(lnmu), 6) AS mean_ln_mu
+    FROM mu
+    """,
+    doc="TwoNN intrinsic-dimension estimate (Facco et al. 2017) over a "
+        "100-point probe sample: id_hat = n / sum ln(r2/r1) from each "
+        "point's two nearest-neighbor distances — the statistic that "
+        "says how many dimensions the embeddings ACTUALLY use, which "
+        "is what governs LSH/IVF/PQ recall budgets and whether "
+        "Matryoshka truncation (q_embed_matryoshka_recall) is safe; "
+        "an ambient-64 table with intrinsic dimension ~10 compresses "
+        "much harder than its shape suggests. Distances are "
+        "6-dp-rounded BEFORE the rank (the ulp-safe argmax "
+        "discipline), the neighbor rank runs in a per-QUERY window "
+        "(bounded partitions), and exact-duplicate neighbors (r1 = 0) "
+        "are excluded as the estimator requires. Probe cost is "
+        "100 x n distances — a broadcast of the 100 queries against "
+        "one candidate scan, never n^2.",
+)
+def q_embed_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.vectors import cosine
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = (e.where(F.col("vec_id") < 100)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv"))
+    d = (c.crossJoin(F.broadcast(q))
+         .where(F.col("cid") != F.col("qid"))
+         .select("qid", "cid",
+                 F.round(1 - cosine(F.col("qv"), F.col("cv")), 6)
+                 .alias("dist")))
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    nn2 = (d.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 2)
+           .groupBy("qid")
+           .agg(F.min("dist").alias("r1"), F.max("dist").alias("r2")))
+    mu = (nn2.where(F.col("r1") > 0)
+          .select(F.log(F.col("r2") / F.col("r1")).alias("lnmu")))
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (mu.agg(F.count(F.lit(1)).alias("n_used"),
+                   F.sum("lnmu").alias("s"),
+                   F.avg("lnmu").alias("a"))
+            .crossJoin(F.broadcast(nq))
+            .select(F.col("n_queries").cast("long").alias("n_queries"),
+                    F.col("n_used").cast("long").alias("n_used"),
+                    F.round(F.col("n_used") / F.col("s"), 4)
+                     .alias("intrinsic_dimension"),
+                    F.round("a", 6).alias("mean_ln_mu")))
