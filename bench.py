@@ -310,6 +310,7 @@ ADDITIONS = [
     "q_stats_wilcoxon_signed_rank",
     "q_events_periodogram",
     "q_embed_intrinsic_dimension",
+    "q_embed_hubness",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -521,3 +521,103 @@ def q_embed_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_used") / F.col("s"), 4)
                      .alias("intrinsic_dimension"),
                     F.round("a", 6).alias("mean_ln_mu")))
+
+
+# --------------------------------------------------------------------------
+# Hubness — the high-dimensional pathology that breaks k-NN democracies
+# --------------------------------------------------------------------------
+
+@register(
+    "q_embed_hubness",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 100),
+    d AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(1 - list_cosine_similarity(q.v, c.v), 6),
+                            c.vec_id) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.vec_id),
+    occ AS (
+        SELECT cid, COUNT(*) AS k_occ
+        FROM d WHERE rn <= 5 GROUP BY cid),
+    base AS (
+        SELECT e.vec_id, COALESCE(o.k_occ, 0) AS k_occ
+        FROM e LEFT JOIN occ o ON o.cid = e.vec_id),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(k_occ) AS s1,
+               SUM(k_occ * k_occ) AS s2,
+               SUM(k_occ * k_occ * k_occ) AS s3,
+               MAX(k_occ) AS mx
+        FROM base),
+    m AS (
+        SELECT n, mx,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3
+        FROM s)
+    SELECT CAST(n AS BIGINT) AS n_candidates,
+           CAST(mx AS BIGINT) AS max_k_occurrence,
+           ROUND(mu, 4) AS mean_k_occurrence,
+           ROUND((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                 / POWER(r2 - mu * mu, 1.5), 4) AS hubness_skew,
+           (r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+               / POWER(r2 - mu * mu, 1.5) > 1.0 AS hubby
+    FROM m
+    """,
+    doc="Hubness diagnostic (Radovanovic et al. 2010): the skewness of "
+        "the 5-occurrence distribution — how often each vector appears "
+        "in other points' top-5 neighbor lists over a 100-query probe. "
+        "High positive skew means a few 'hub' vectors dominate "
+        "everyone's neighbor lists (the high-dimensional pathology "
+        "that silently degrades k-NN labeling, item-kNN recommenders, "
+        "and ANN recall benchmarks); the fix is usually centering or "
+        "mutual-proximity rescaling, and THIS query is the before/"
+        "after meter. Pairs with q_embed_intrinsic_dimension and "
+        "q_embed_anisotropy as the embedding-geometry triptych. "
+        "k-occurrence counts are exact integers (rounded-distance "
+        "ranked top-5, per-query windows); skewness comes from the "
+        "integer power sums (the q_stats_moments formulation).",
+)
+def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.vectors import cosine
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = (e.where(F.col("vec_id") < 100)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    c = e.select(F.col("vec_id").alias("cid"),
+                 F.col("embedding").alias("cv"))
+    d = (c.crossJoin(F.broadcast(q))
+         .where(F.col("cid") != F.col("qid"))
+         .select("qid", "cid",
+                 F.round(1 - cosine(F.col("qv"), F.col("cv")), 6)
+                 .alias("dist")))
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    occ = (d.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 5)
+           .groupBy("cid").agg(F.count(F.lit(1)).alias("k_occ")))
+    base = (e.select("vec_id")
+            .join(occ, F.col("vec_id") == F.col("cid"), "left")
+            .select(F.coalesce("k_occ", F.lit(0)).alias("k_occ")))
+    s = base.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k_occ").alias("s1"),
+                 F.sum(F.col("k_occ") * F.col("k_occ")).alias("s2"),
+                 F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+                 .alias("s3"),
+                 F.max("k_occ").alias("mx"))
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) \
+        / F.pow(r2 - mu * mu, F.lit(1.5))
+    return s.select(
+        F.col("n").cast("long").alias("n_candidates"),
+        F.col("mx").cast("long").alias("max_k_occurrence"),
+        F.round(mu, 4).alias("mean_k_occurrence"),
+        F.round(skew, 4).alias("hubness_skew"),
+        (skew > 1.0).alias("hubby"))
