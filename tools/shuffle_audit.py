@@ -45,6 +45,13 @@ DEFAULT_PANEL = [
     "q_embed_kmeans",
     "q_group_zscore",
     "q_salted_join_revenue",
+    # round-5 continuation heavies: candidate-pruning audits and the
+    # portable-signature MinHash estimator
+    "q_dedup_prefix_filter",
+    "q_dedup_bcubed",
+    "q_dedup_minhash_estimator",
+    "q_stats_permutation_test",
+    "q_text_conditional_entropy",
 ]
 
 FIELDS = (
