@@ -311,6 +311,7 @@ ADDITIONS = [
     "q_events_periodogram",
     "q_embed_intrinsic_dimension",
     "q_embed_hubness",
+    "q_events_burstiness_coefficient",
 ]
 
 HEADLINE = CORE + ADDITIONS

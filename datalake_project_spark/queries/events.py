@@ -2781,3 +2781,76 @@ def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("power_share"),
                     (F.col("power") == F.col("mx")).alias("dominant"))
             .orderBy("period_h"))
+
+
+# --------------------------------------------------------------------------
+# Burstiness coefficient — Goh–Barabási B per user from interarrival gaps
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_burstiness_coefficient",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000
+                   AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(gap_s) AS s1, SUM(gap_s * gap_s) AS s2
+        FROM seq WHERE gap_s IS NOT NULL GROUP BY user_id
+        HAVING COUNT(*) >= 10),
+    m AS (
+        SELECT user_id, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                    / n) AS sd
+        FROM g)
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           ROUND(mu, 2) AS mean_gap_s,
+           ROUND(sd, 2) AS sd_gap_s,
+           CASE WHEN sd + mu = 0 THEN NULL
+                ELSE ROUND((sd - mu) / (sd + mu), 4) END AS burstiness
+    FROM m
+    ORDER BY burstiness DESC, user_id
+    LIMIT 20
+    """,
+    doc="Goh-Barabasi burstiness coefficient B = (sigma - mu) / "
+        "(sigma + mu) of each user's interarrival gaps — the bounded "
+        "[-1, 1] signature of temporal behavior: B ~ -1 periodic "
+        "(cron/bot heartbeat), B ~ 0 Poisson (memoryless human "
+        "background), B -> 1 bursty (sessions, cascades). Complements "
+        "the dispersion index (q_events_overdispersion measures count "
+        "variance over clock hours; B measures GAP variance, immune "
+        "to rate differences) and the gap histogram "
+        "(q_events_interarrival). Gaps are integer seconds from the "
+        "per-user LAG (partitioned window); mean/sd from BIGINT power "
+        "sums (population sd, same closed form both engines); users "
+        "need >= 10 gaps for a meaningful estimate.",
+)
+def q_events_burstiness_coefficient(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.withColumn("prev_ts", F.lag("ts").over(w))
+           .select("user_id",
+                   ((F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                    / 1000000).cast("long").alias("gap_s"))
+           .where(F.col("gap_s").isNotNull()))
+    g = (seq.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("gap_s").alias("s1"),
+              F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"))
+         .where(F.col("n") >= 10))
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1") / n) / n)
+    return (g.select("user_id", n.cast("long").alias("n_gaps"),
+                     F.round(mu, 2).alias("mean_gap_s"),
+                     F.round(sd, 2).alias("sd_gap_s"),
+                     F.when(sd + mu == 0, F.lit(None).cast("double"))
+                      .otherwise(F.round((sd - mu) / (sd + mu), 4))
+                      .alias("burstiness"))
+            .orderBy(F.desc("burstiness"), "user_id").limit(20))
