@@ -312,6 +312,7 @@ ADDITIONS = [
     "q_embed_intrinsic_dimension",
     "q_embed_hubness",
     "q_events_burstiness_coefficient",
+    "q_text_head_coverage",
 ]
 
 HEADLINE = CORE + ADDITIONS

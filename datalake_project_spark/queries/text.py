@@ -1376,3 +1376,85 @@ def q_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round((nn * nn) / F.col("s2"), 2)
                       .alias("effective_types"))
             .orderBy("n"))
+
+
+# --------------------------------------------------------------------------
+# Head coverage — what share of tokens do the top-k types carry?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_text_head_coverage",
+    oracle="""
+    WITH words AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+    tri AS (
+        SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+        FROM words, unnest(range(1, len(ws) - 1)) AS u(i)
+        WHERE len(ws) >= 3),
+    tf AS (SELECT term, COUNT(*) AS c FROM tri GROUP BY term),
+    n_ AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tf),
+    ks AS (SELECT UNNEST([10, 100, 1000]) AS k),
+    cov AS (
+        SELECT ks.k,
+               (SELECT SUM(c) FROM
+                   (SELECT c FROM tf ORDER BY c DESC, term LIMIT 10)
+               ) AS c10,
+               (SELECT SUM(c) FROM
+                   (SELECT c FROM tf ORDER BY c DESC, term LIMIT 100)
+               ) AS c100,
+               (SELECT SUM(c) FROM
+                   (SELECT c FROM tf ORDER BY c DESC, term LIMIT 1000)
+               ) AS c1000
+        FROM ks)
+    SELECT CAST(k AS INT) AS k,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(CASE k WHEN 10 THEN c10 WHEN 100 THEN c100
+                       ELSE c1000 END AS BIGINT) AS head_tokens,
+           ROUND(CAST(CASE k WHEN 10 THEN c10 WHEN 100 THEN c100
+                             ELSE c1000 END AS DOUBLE) / n, 4)
+               AS coverage
+    FROM cov CROSS JOIN n_ ORDER BY k
+    """,
+    doc="Head-coverage curve of the trigram distribution: the share of "
+        "all corpus tokens carried by the top-10/100/1000 most "
+        "frequent types — the operational face of the Zipf fit "
+        "(q_text_zipf_fit gives the exponent; this gives the number a "
+        "cache, a tokenizer vocab, or a df-cap planner actually "
+        "budgets against: how much of the stream the head absorbs). "
+        "Each top-k is a TakeOrderedAndProject with a (count DESC, "
+        "term) total order — never a global rank over the vocabulary "
+        "— followed by one sum; counts are exact integers with one "
+        "rounded share per row.",
+)
+def q_text_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tri = (d.select(T.tokens("text").alias("ws"))
+           .where(F.size("ws") >= 3)
+           .select(F.explode(F.expr(
+               "transform(sequence(0, size(ws) - 3), "
+               "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+               .alias("term")))
+    tf = (tri.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    n_ = tf.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+
+    def headsum(k: int):
+        return F.broadcast(
+            tf.orderBy(F.desc("c"), "term").limit(k)
+            .agg(F.sum("c").alias(f"c{k}")))
+
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    cov = (ks.crossJoin(headsum(10)).crossJoin(headsum(100))
+           .crossJoin(headsum(1000)).crossJoin(F.broadcast(n_)))
+    head = (F.when(F.col("k") == 10, F.col("c10"))
+            .when(F.col("k") == 100, F.col("c100"))
+            .otherwise(F.col("c1000")))
+    return (cov.select("k",
+                       F.col("n").cast("long").alias("n_tokens"),
+                       F.col("v").cast("long").alias("n_types"),
+                       head.cast("long").alias("head_tokens"),
+                       F.round(head.cast("double") / F.col("n"), 4)
+                        .alias("coverage"))
+            .orderBy("k"))
