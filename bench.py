@@ -313,6 +313,7 @@ ADDITIONS = [
     "q_embed_hubness",
     "q_events_burstiness_coefficient",
     "q_text_head_coverage",
+    "q_events_markov_entropy_rate",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -2854,3 +2854,76 @@ def q_events_burstiness_coefficient(spark: SparkSession,
                       .otherwise(F.round((sd - mu) / (sd + mu), 4))
                       .alias("burstiness"))
             .orderBy(F.desc("burstiness"), "user_id").limit(20))
+
+
+# --------------------------------------------------------------------------
+# Markov entropy rate — bits per step of the user-journey process
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_markov_entropy_rate",
+    oracle=_markov_oracle(MARKOV_ITERS).rsplit("SELECT st AS", 1)[0] + f"""
+    , hrow AS (
+        SELECT p.st, p.pr,
+               SUM(tp.p * LN(1.0 / tp.p) / LN(2.0)) AS hs
+        FROM p{MARKOV_ITERS} p JOIN tp ON tp.s = p.st
+        GROUP BY p.st, p.pr)
+    SELECT CAST((SELECT k FROM ns) AS BIGINT) AS n_states,
+           ROUND(SUM(pr * hs), 4) AS entropy_rate_bits,
+           ROUND(LN((SELECT k FROM ns)::DOUBLE) / LN(2.0), 4)
+               AS max_entropy_bits,
+           ROUND(1 - SUM(pr * hs)
+                     / (LN((SELECT k FROM ns)::DOUBLE) / LN(2.0)), 4)
+               AS redundancy
+    FROM hrow
+    """,
+    doc="Entropy rate of the user-journey Markov chain: "
+        "H = sum_s pi(s) sum_t P(s,t) log2(1/P(s,t)) bits per step — "
+        "how unpredictable the NEXT event is given the current one, "
+        "under the same stationary distribution and per-step-rounded "
+        "power iterations as q_events_markov_stationary (one shared "
+        "trajectory; cf. q_text_conditional_entropy, which asks the "
+        "same question of word bigrams). redundancy = 1 - H/log2(k) "
+        "is the share of the journey a first-order model already "
+        "explains — the ceiling on what a next-event recommender can "
+        "gain from longer context. All state is event-type^2-sized "
+        "after one corpus pass; per-row transition probabilities are "
+        "identical integer-count ratios on both engines.",
+)
+def q_events_markov_entropy_rate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import math
+
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w))
+    tc = (seq.where(F.col("prev_type").isNotNull())
+          .groupBy(F.col("prev_type").alias("s"),
+                   F.col("event_type").alias("t"))
+          .agg(F.count(F.lit(1)).alias("n")))
+    wn = Window.partitionBy("s")
+    tp = (tc.select("s", "t", (F.col("n").cast("double")
+                               / F.sum("n").over(wn)).alias("p"))
+          .localCheckpoint(eager=False))
+    states = tc.select(F.col("s").alias("st")).distinct()
+    ns = states.agg(F.count(F.lit(1)).alias("k"))
+    pr = (states.crossJoin(F.broadcast(ns))
+          .select("st", (F.lit(1.0) / F.col("k")).alias("pr")))
+    for _ in range(MARKOV_ITERS):
+        pr = (tp.join(F.broadcast(pr), tp.s == pr.st)
+              .groupBy(F.col("t").alias("st"))
+              .agg(F.round(F.sum(F.col("pr") * F.col("p")), 6)
+                   .alias("pr")))
+    hrow = (tp.groupBy(F.col("s").alias("st"))
+            .agg(F.sum(F.col("p") * F.log(1.0 / F.col("p"))
+                       / math.log(2.0)).alias("hs")))
+    h = (pr.join(hrow, "st")
+         .agg(F.sum(F.col("pr") * F.col("hs")).alias("h")))
+    return (h.crossJoin(F.broadcast(ns))
+            .select(F.col("k").cast("long").alias("n_states"),
+                    F.round("h", 4).alias("entropy_rate_bits"),
+                    F.round(F.log(F.col("k").cast("double"))
+                            / math.log(2.0), 4).alias("max_entropy_bits"),
+                    F.round(1 - F.col("h")
+                            / (F.log(F.col("k").cast("double"))
+                               / math.log(2.0)), 4).alias("redundancy")))
