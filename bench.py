@@ -314,6 +314,7 @@ ADDITIONS = [
     "q_events_burstiness_coefficient",
     "q_text_head_coverage",
     "q_events_markov_entropy_rate",
+    "q_stats_levene",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -3874,3 +3874,80 @@ def q_stats_wilcoxon_signed_rank(spark: SparkSession,
         F.round(mu, 1).alias("expected_w"),
         F.round(z, 4).alias("z"),
         (F.abs(z) >= 1.96).alias("significant_at_5pct"))
+
+
+# --------------------------------------------------------------------------
+# Levene's test — is the equal-variance assumption behind ANOVA even true?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_levene",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+    gm AS (SELECT g, COUNT(*) AS n, SUM(c) AS s FROM v GROUP BY g),
+    z AS (
+        SELECT v.g, ABS(v.c - CAST(gm.s AS DOUBLE) / gm.n) AS z
+        FROM v JOIN gm USING (g)),
+    zg AS (SELECT g, COUNT(*) AS n, SUM(z) AS sz,
+                  SUM(z * z) AS szz
+           FROM z GROUP BY g),
+    tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(sz) AS tsz
+            FROM zg),
+    parts AS (
+        SELECT tot.nn, tot.k,
+               SUM(zg.n * (zg.sz / zg.n - tot.tsz / tot.nn)
+                        * (zg.sz / zg.n - tot.tsz / tot.nn)) AS ssb,
+               SUM(zg.szz - zg.sz * zg.sz / zg.n) AS ssw
+        FROM zg CROSS JOIN tot GROUP BY tot.nn, tot.k)
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_rows,
+           ROUND((CAST(nn - k AS DOUBLE) / (k - 1)) * ssb / ssw, 4)
+               AS levene_w,
+           (CAST(nn - k AS DOUBLE) / (k - 1)) * ssb / ssw > 2.37
+               AS heteroscedastic_at_5pct
+    FROM parts
+    """,
+    doc="Levene's test for variance homogeneity across the five "
+        "event-type value distributions — the precondition audit for "
+        "q_events_anova (classic ANOVA assumes equal group variances; "
+        "when Levene rejects, the F-test's size is wrong and Welch-"
+        "style corrections are mandatory). W = one-way ANOVA applied "
+        "to z = |x - group mean|: two grouped passes (exact integer "
+        "group sums feed the mean, then the absolute-deviation "
+        "aggregates), between/within sums of squares via the "
+        "computational identity — no per-row second scan of anything "
+        "but the derived z. 2.37 ~ F(4, inf) at 5%. Cents-integer "
+        "inputs; the double aggregates follow the registry's rounded-"
+        "output discipline.",
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select(F.col("event_type").alias("g"),
+                 F.round(F.col("value") * 100).cast("long").alias("c")))
+    gm = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("c").alias("s"))
+    z = (v.join(F.broadcast(gm), "g")
+         .select("g", F.abs(F.col("c") - F.col("s").cast("double")
+                            / F.col("n")).alias("z")))
+    zg = z.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("z").alias("sz"),
+                            F.sum(F.col("z") * F.col("z")).alias("szz"))
+    tot = zg.agg(F.sum("n").alias("nn"), F.count(F.lit(1)).alias("k"),
+                 F.sum("sz").alias("tsz"))
+    dev = F.col("sz") / F.col("n") - F.col("tsz") / F.col("nn")
+    parts = (zg.crossJoin(F.broadcast(tot))
+             .groupBy("nn", "k")
+             .agg(F.sum(F.col("n") * dev * dev).alias("ssb"),
+                  F.sum(F.col("szz") - F.col("sz") * F.col("sz")
+                        / F.col("n")).alias("ssw")))
+    w = ((F.col("nn") - F.col("k")).cast("double") / (F.col("k") - 1)
+         * F.col("ssb") / F.col("ssw"))
+    return parts.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(w, 4).alias("levene_w"),
+        (w > 2.37).alias("heteroscedastic_at_5pct"))
