@@ -315,6 +315,7 @@ ADDITIONS = [
     "q_text_head_coverage",
     "q_events_markov_entropy_rate",
     "q_stats_levene",
+    "q_stats_effect_size",
 ]
 
 HEADLINE = CORE + ADDITIONS
