@@ -316,6 +316,7 @@ ADDITIONS = [
     "q_events_markov_entropy_rate",
     "q_stats_levene",
     "q_stats_effect_size",
+    "q_split_adversarial_audit",
 ]
 
 HEADLINE = CORE + ADDITIONS

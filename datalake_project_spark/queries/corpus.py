@@ -991,3 +991,70 @@ def q_corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("full_epochs"),
                     (F.round(budget / F.col("n_tokens"), 4) + F.lit(0.0))
                     .alias("epochs")))
+
+
+# --------------------------------------------------------------------------
+# Adversarial split validation — can ANY feature tell train from test?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_split_adversarial_audit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+               CASE WHEN substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'),
+                                1, 2) < 'cc' THEN 1 ELSE 0 END AS is_train
+        FROM documents),
+    feat AS (
+        SELECT is_train,
+               ROUND(CAST(len(toks) AS DOUBLE)
+                     / GREATEST(n_chars, 1), 4) AS f
+        FROM tok),
+    r AS (SELECT is_train AS li,
+                 RANK() OVER (ORDER BY f)
+                 + (COUNT(*) OVER (PARTITION BY f) - 1) / 2.0 AS arank
+          FROM feat),
+    t AS (SELECT SUM(CASE WHEN li = 1 THEN arank ELSE 0.0 END) AS rsum,
+                 COUNT(CASE WHEN li = 1 THEN 1 END) AS p,
+                 COUNT(CASE WHEN li = 0 THEN 1 END) AS n
+          FROM r)
+    SELECT CAST(p AS BIGINT) AS n_train,
+           CAST(n AS BIGINT) AS n_holdout,
+           ROUND((rsum - p * (p + 1) / 2.0)
+                 / (p::DOUBLE * n::DOUBLE), 6) + 0.0 AS adversarial_auc,
+           ABS((rsum - p * (p + 1) / 2.0) / (p::DOUBLE * n::DOUBLE)
+               - 0.5) < 0.05 AS split_looks_iid
+    FROM t
+    """,
+    doc="Adversarial validation of the train/holdout split: the "
+        "Mann-Whitney AUC of a document feature (token density, "
+        "tokens per char, 4-dp histogram) at distinguishing train "
+        "from val+test under the SAME salted-hash assignment the "
+        "corpus release uses. If the split is truly random, no "
+        "feature can beat AUC 0.5 — a deviation means the split "
+        "correlates with content (time-ordered ids, source-clustered "
+        "hashing, preprocessing drift) and every honest eval number "
+        "is suspect. This is the leakage audit run BEFORE training; "
+        "complements q_split_embedding_leakage (near-dup leakage "
+        "across the boundary) and q_split_balance_audit (marginal "
+        "balance). Engine side reuses the bounded-histogram AUC "
+        "(decile-sharded prefix sums, no single-partition window); "
+        "the assignment and counts are hash-exact.",
+)
+def q_split_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+    from datalake_project_spark.queries.ml import histogram_auc
+
+    d = Catalog(spark, sf_dir).table("documents")
+    a = split_assign(d, "doc_id")
+    feat = a.select(
+        (F.col("split") == "train").alias("label"),
+        F.round(F.size(T.tokens("text")).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)), 4).alias("prob"))
+    auc = histogram_auc(feat.select("prob", "label"))
+    return auc.select(
+        F.col("n_pos").cast("long").alias("n_train"),
+        F.col("n_neg").cast("long").alias("n_holdout"),
+        F.col("auc").alias("adversarial_auc"),
+        (F.abs(F.col("auc") - 0.5) < 0.05).alias("split_looks_iid"))
