@@ -317,6 +317,8 @@ ADDITIONS = [
     "q_stats_levene",
     "q_stats_effect_size",
     "q_split_adversarial_audit",
+    "q_classifier_f1_sweep",
+    "q_events_context_gain",
 ]
 
 HEADLINE = CORE + ADDITIONS

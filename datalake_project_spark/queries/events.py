@@ -2927,3 +2927,83 @@ def q_events_markov_entropy_rate(spark: SparkSession,
                     F.round(1 - F.col("h")
                             / (F.log(F.col("k").cast("double"))
                                / math.log(2.0)), 4).alias("redundancy")))
+
+
+# --------------------------------------------------------------------------
+# Second-order context gain — does one more step of history help?
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_context_gain",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e,
+               LAG(event_type, 1) OVER w AS p1,
+               LAG(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (SELECT p2, p1, e FROM seq
+            WHERE p1 IS NOT NULL AND p2 IS NOT NULL),
+    c3 AS (SELECT p2, p1, e, COUNT(*) AS c FROM tri GROUP BY p2, p1, e),
+    c2a AS (SELECT p2, p1, SUM(c) AS cx FROM c3 GROUP BY p2, p1),
+    c2b AS (SELECT p1, e, SUM(c) AS c FROM c3 GROUP BY p1, e),
+    c1 AS (SELECT p1, SUM(c) AS cx FROM c2b GROUP BY p1),
+    n_ AS (SELECT SUM(c) AS n FROM c3),
+    h1 AS (
+        SELECT SUM((b.c::DOUBLE / n) * LN(u.cx::DOUBLE / b.c)
+                   / LN(2.0)) AS h
+        FROM c2b b JOIN c1 u USING (p1) CROSS JOIN n_),
+    h2 AS (
+        SELECT SUM((c3.c::DOUBLE / n) * LN(a.cx::DOUBLE / c3.c)
+                   / LN(2.0)) AS h
+        FROM c3 JOIN c2a a USING (p2, p1) CROSS JOIN n_)
+    SELECT CAST(n AS BIGINT) AS n_trigrams,
+           ROUND(h1.h, 4) AS h_given_1,
+           ROUND(h2.h, 4) AS h_given_2,
+           ROUND(h1.h - h2.h, 4) AS context_gain_bits,
+           ROUND((h1.h - h2.h) / h1.h, 4) AS gain_share
+    FROM h1, h2, n_
+    """,
+    doc="Second-order context gain of the user journey: "
+        "H(next | prev) - H(next | prev2, prev) in bits — how much a "
+        "SECOND step of history buys a next-event model beyond the "
+        "first-order chain (whose per-step entropy is "
+        "q_events_markov_entropy_rate). Near-zero gain certifies the "
+        "journey as first-order Markov and caps what sequence models "
+        "can extract; both conditional entropies derive from ONE "
+        "trigram count table (integer cells) and its marginals, "
+        "evaluated on the shared trigram support so the difference is "
+        "a true conditional-information quantity. Per-user LAG "
+        "windows only; aggregate state is event-type^3-bounded.",
+)
+def q_events_context_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("e"),
+                   F.lag("event_type", 1).over(w).alias("p1"),
+                   F.lag("event_type", 2).over(w).alias("p2"))
+    c3 = (seq.where(F.col("p1").isNotNull() & F.col("p2").isNotNull())
+          .groupBy("p2", "p1", "e").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=False))
+    c2a = c3.groupBy("p2", "p1").agg(F.sum("c").alias("cx"))
+    c2b = c3.groupBy("p1", "e").agg(F.sum("c").alias("c2"))
+    c1 = c2b.groupBy("p1").agg(F.sum("c2").alias("c1x"))
+    n_ = c3.agg(F.sum("c").alias("n"))
+    h1 = (c2b.join(c1, "p1").crossJoin(F.broadcast(n_))
+          .agg(F.sum((F.col("c2").cast("double") / F.col("n"))
+                     * F.log(F.col("c1x").cast("double") / F.col("c2"))
+                     / math.log(2.0)).alias("h1")))
+    h2 = (c3.join(c2a, ["p2", "p1"]).crossJoin(F.broadcast(n_))
+          .agg(F.sum((F.col("c").cast("double") / F.col("n"))
+                     * F.log(F.col("cx").cast("double") / F.col("c"))
+                     / math.log(2.0)).alias("h2")))
+    return (n_.crossJoin(F.broadcast(h1)).crossJoin(F.broadcast(h2))
+            .select(F.col("n").cast("long").alias("n_trigrams"),
+                    F.round("h1", 4).alias("h_given_1"),
+                    F.round("h2", 4).alias("h_given_2"),
+                    F.round(F.col("h1") - F.col("h2"), 4)
+                     .alias("context_gain_bits"),
+                    F.round((F.col("h1") - F.col("h2")) / F.col("h1"), 4)
+                     .alias("gain_share")))

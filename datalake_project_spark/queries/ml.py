@@ -2151,3 +2151,107 @@ def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.round(chi2, 4)).alias("mcnemar_chi2"),
         F.when(b + c == 0, F.lit(None).cast("boolean"))
          .otherwise(chi2 >= 3.8415).alias("biased_at_5pct"))
+
+
+# --------------------------------------------------------------------------
+# F1 threshold sweep — picking the operating point from the histogram
+# --------------------------------------------------------------------------
+
+@register(
+    "q_classifier_f1_sweep",
+    oracle=None,  # installed below — needs _stop_sql from queries.text
+    doc="",
+)
+def q_classifier_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    scores = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    d = Catalog(spark, sf_dir).table("documents")
+    lab = d.select(
+        "doc_id",
+        (T.stopword_ratio(T.tokens("text"), "en") >= 0.08).alias("label"))
+    hist = (scores.join(lab, "doc_id")
+            .groupBy("prob")
+            .agg(F.count(F.when(F.col("label"), 1)).alias("pos"),
+                 F.count(F.when(~F.col("label"), 1)).alias("neg"))
+            .localCheckpoint(eager=False))
+    th = spark.createDataFrame(
+        [(0.3,), (0.4,), (0.5,), (0.6,), (0.7,)], "threshold double")
+    cells = (hist.crossJoin(F.broadcast(th))
+             .groupBy("threshold")
+             .agg(F.sum(F.when(F.col("prob") >= F.col("threshold"),
+                               F.col("pos")).otherwise(0)).alias("tp"),
+                  F.sum(F.when(F.col("prob") >= F.col("threshold"),
+                               F.col("neg")).otherwise(0)).alias("fp"),
+                  F.sum(F.when(F.col("prob") < F.col("threshold"),
+                               F.col("pos")).otherwise(0)).alias("fn")))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+                F.lit(None).cast("double")) \
+          .otherwise(F.round(2 * F.col("tp").cast("double")
+                             / (2 * F.col("tp") + F.col("fp")
+                                + F.col("fn")), 6))
+    return (cells.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0,
+               F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("tp").cast("double")
+                            / (F.col("tp") + F.col("fp")), 6))
+         .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") == 0,
+               F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("tp").cast("double")
+                            / (F.col("tp") + F.col("fn")), 6))
+         .alias("recall"),
+        f1.alias("f1"))
+        .orderBy("threshold"))
+
+
+def _install_f1_sweep_oracle() -> None:
+    from datalake_project_spark.queries import REGISTRY, QuerySpec
+    from datalake_project_spark.queries.text import _stop_sql
+
+    oracle = f"""
+    WITH {_CLS_CTE},
+    lab AS (SELECT doc_id, ({_stop_sql('en')}) >= 0.08 AS label FROM tok),
+    j AS (SELECT c.prob, l.label FROM cls c JOIN lab l USING (doc_id)),
+    th AS (SELECT UNNEST([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold),
+    cells AS (
+        SELECT t.threshold,
+               SUM(CASE WHEN j.prob >= t.threshold AND j.label
+                        THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN j.prob >= t.threshold AND NOT j.label
+                        THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN j.prob < t.threshold AND j.label
+                        THEN 1 ELSE 0 END) AS fn
+        FROM th t CROSS JOIN j GROUP BY t.threshold)
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE ROUND(tp::DOUBLE / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE ROUND(tp::DOUBLE / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE ROUND(2 * tp::DOUBLE / (2 * tp + fp + fn), 6)
+           END AS f1
+    FROM cells ORDER BY threshold
+    """
+    doc = (
+        "Precision/recall/F1 sweep over five operating thresholds for "
+        "the quality classifier — the table that PICKS the threshold "
+        "the fixed-point metrics (q_classifier_mcc at 0.5, the "
+        "PR-AUC's integral view) then characterize. All cells are "
+        "conditional integer sums over the bounded 4-dp score "
+        "histogram with the thresholds broadcast — one corpus pass, "
+        "five operating points, no re-scoring per threshold (the "
+        "session-gap-sweep pattern applied to a classifier)."
+    )
+    spec = REGISTRY["q_classifier_f1_sweep"]
+    REGISTRY["q_classifier_f1_sweep"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=doc)
+
+
+_install_f1_sweep_oracle()
