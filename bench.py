@@ -319,6 +319,7 @@ ADDITIONS = [
     "q_split_adversarial_audit",
     "q_classifier_f1_sweep",
     "q_events_context_gain",
+    "q_events_retention_halflife",
 ]
 
 HEADLINE = CORE + ADDITIONS

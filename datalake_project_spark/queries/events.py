@@ -3007,3 +3007,86 @@ def q_events_context_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("context_gain_bits"),
                     F.round((F.col("h1") - F.col("h2")) / F.col("h1"), 4)
                      .alias("gain_share")))
+
+
+# --------------------------------------------------------------------------
+# Retention half-life — exponential-decay fit on the return curve
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_retention_halflife",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+    f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id),
+    cohort AS (SELECT COUNT(*) AS n0 FROM f),
+    act AS (
+        SELECT DISTINCT d.user_id, d.day - f.d0 AS k
+        FROM d JOIN f USING (user_id)
+        WHERE d.day - f.d0 BETWEEN 1 AND 14),
+    ret AS (
+        SELECT k, COUNT(*) AS n_active FROM act GROUP BY k),
+    pts AS (
+        SELECT r.k, r.n_active,
+               LN(r.n_active::DOUBLE / c.n0) AS y
+        FROM ret r CROSS JOIN cohort c WHERE r.n_active > 0),
+    fit AS (
+        SELECT COUNT(*) AS m, SUM(k) AS sx, SUM(y) AS sy,
+               SUM(k * y) AS sxy, SUM(k * k) AS sxx
+        FROM pts),
+    sl AS (
+        SELECT m,
+               (m * sxy - sx * sy) / (m * sxx - sx * sx) AS slope
+        FROM fit)
+    SELECT CAST((SELECT n0 FROM cohort) AS BIGINT) AS cohort_size,
+           CAST(m AS BIGINT) AS n_days_fit,
+           ROUND(slope, 6) AS decay_per_day,
+           CASE WHEN slope >= 0 THEN NULL
+                ELSE ROUND(-LN(2.0) / slope, 2) END AS half_life_days
+    FROM sl
+    """,
+    doc="Retention half-life: fit ln(retention_k) = a + b*k over days "
+        "1..14 since each user's first event and report "
+        "t_half = ln2 / |b| — the single growth number that summarizes "
+        "the whole retention triangle (q_events_retention) the way a "
+        "half-life summarizes a decay curve; product teams trade "
+        "acquisition cost against exactly this constant. "
+        "retention_k = distinct users active k days after their first "
+        "day over the cohort size; first-day resolution is one min-"
+        "aggregate (no window), the curve is day-bounded, and the "
+        "log-linear OLS is closed-form from five sums. A non-negative "
+        "slope (retention not decaying — possible on synthetic "
+        "uniform traffic) yields NULL half-life identically on both "
+        "engines.",
+)
+def q_events_retention_halflife(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import math
+
+    e = Catalog(spark, sf_dir).table("events")
+    d = e.select("user_id",
+                 F.expr("unix_micros(ts) div 86400000000").alias("day"))
+    f = d.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohort = f.agg(F.count(F.lit(1)).alias("n0"))
+    act = (d.join(f, "user_id")
+           .select("user_id", (F.col("day") - F.col("d0")).alias("k"))
+           .where(F.col("k").between(1, 14)).distinct())
+    ret = act.groupBy("k").agg(F.count(F.lit(1)).alias("n_active"))
+    pts = (ret.crossJoin(F.broadcast(cohort))
+           .where(F.col("n_active") > 0)
+           .select("k", F.log(F.col("n_active").cast("double")
+                              / F.col("n0")).alias("y")))
+    fit = pts.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum("k").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("k") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("k") * F.col("k")).alias("sxx"))
+    slope = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return (fit.crossJoin(F.broadcast(cohort))
+            .select(F.col("n0").cast("long").alias("cohort_size"),
+                    F.col("m").cast("long").alias("n_days_fit"),
+                    F.round(slope, 6).alias("decay_per_day"),
+                    F.when(slope >= 0, F.lit(None).cast("double"))
+                     .otherwise(F.round(-math.log(2.0) / slope, 2))
+                     .alias("half_life_days")))
