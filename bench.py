@@ -320,6 +320,7 @@ ADDITIONS = [
     "q_classifier_f1_sweep",
     "q_events_context_gain",
     "q_events_retention_halflife",
+    "q_stats_bland_altman",
 ]
 
 HEADLINE = CORE + ADDITIONS

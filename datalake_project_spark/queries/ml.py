@@ -2255,3 +2255,109 @@ def _install_f1_sweep_oracle() -> None:
 
 
 _install_f1_sweep_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bland–Altman agreement — comparing two measurements, not two classifiers
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_bland_altman",
+    oracle=None,  # installed below — needs _stop_sql via _QUAL_SQL context
+    doc="",
+)
+def q_stats_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions import text as T
+
+    d = Catalog(spark, sf_dir).table("documents")
+    cls = _classifier_scores(spark, sf_dir).select("doc_id", "prob")
+    qual = d.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text"), T.tokens("text")), 4)
+         .alias("quality"))
+    # 4-dp scores scale to exact integer ten-thousandths: every sum
+    # below is BIGINT-exact and summation-order-free.
+    j = (cls.join(qual, "doc_id")
+         .select((F.round(F.col("prob") * 10000)
+                  - F.round(F.col("quality") * 10000))
+                 .cast("long").alias("dd")))
+    s = j.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("dd").alias("s1"),
+              F.sum(F.col("dd") * F.col("dd")).alias("s2"))
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sd = F.sqrt((F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1") / n)
+                / (n - 1))
+    lo, hi = mu - 1.96 * sd, mu + 1.96 * sd
+    within = (j.crossJoin(F.broadcast(
+        s.select(((F.col("s1").cast("double") / F.col("n"))
+                  - 1.96 * F.sqrt((F.col("s2").cast("double")
+                                   - F.col("s1").cast("double")
+                                   * F.col("s1") / F.col("n"))
+                                  / (F.col("n") - 1))).alias("lo2"),
+                 ((F.col("s1").cast("double") / F.col("n"))
+                  + 1.96 * F.sqrt((F.col("s2").cast("double")
+                                   - F.col("s1").cast("double")
+                                   * F.col("s1") / F.col("n"))
+                                  / (F.col("n") - 1))).alias("hi2"))))
+        .agg(F.sum(F.when(F.col("dd").between(F.col("lo2"),
+                                              F.col("hi2")), 1)
+                   .otherwise(0)).alias("n_within")))
+    return (s.crossJoin(F.broadcast(within))
+            .select(n.cast("long").alias("n"),
+                    F.round(mu / 10000, 6).alias("bias"),
+                    F.round(lo / 10000, 6).alias("loa_low"),
+                    F.round(hi / 10000, 6).alias("loa_high"),
+                    F.col("n_within").cast("long").alias("n_within_loa"),
+                    F.round(F.col("n_within").cast("double") / n, 4)
+                     .alias("pct_within")))
+
+
+def _install_bland_altman_oracle() -> None:
+    from datalake_project_spark.queries import REGISTRY, QuerySpec
+
+    oracle = f"""
+    WITH {_CLS_CTE},
+    qual AS ({_QUAL_SQL}),
+    j AS (SELECT CAST(ROUND(c.prob * 10000)
+                      - ROUND(q.quality * 10000) AS BIGINT) AS dd
+          FROM cls c JOIN qual q USING (doc_id)),
+    s AS (SELECT COUNT(*) AS n, SUM(dd) AS s1, SUM(dd * dd) AS s2
+          FROM j),
+    m AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+                 SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1)) AS sd
+          FROM s),
+    w AS (SELECT COUNT(*) AS n_within
+          FROM j CROSS JOIN m
+          WHERE dd BETWEEN mu - 1.96 * sd AND mu + 1.96 * sd)
+    SELECT CAST(m.n AS BIGINT) AS n,
+           ROUND(mu / 10000, 6) AS bias,
+           ROUND((mu - 1.96 * sd) / 10000, 6) AS loa_low,
+           ROUND((mu + 1.96 * sd) / 10000, 6) AS loa_high,
+           CAST(w.n_within AS BIGINT) AS n_within_loa,
+           ROUND(w.n_within::DOUBLE / m.n, 4) AS pct_within
+    FROM m, w
+    """
+    doc = (
+        "Bland-Altman agreement analysis between the trained quality "
+        "classifier's probability and the closed-form quality "
+        "heuristic as CONTINUOUS measurements — the method-comparison "
+        "standard (medicine's answer to 'can instrument B replace "
+        "instrument A'): bias = mean difference, 95% limits of "
+        "agreement = bias +- 1.96 sd, and the share of documents "
+        "whose disagreement stays inside the limits (~95% if the "
+        "differences are roughly normal). Completes the labeler-"
+        "comparison suite: kappa/McNemar compare the THRESHOLDED "
+        "decisions, Bland-Altman compares the scores themselves. "
+        "4-dp scores scale to integer ten-thousandths so every sum "
+        "is BIGINT-exact; one pass for moments + one broadcast-"
+        "limits recount."
+    )
+    spec = REGISTRY["q_stats_bland_altman"]
+    REGISTRY["q_stats_bland_altman"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=doc)
+
+
+_install_bland_altman_oracle()
