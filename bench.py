@@ -321,6 +321,7 @@ ADDITIONS = [
     "q_events_context_gain",
     "q_events_retention_halflife",
     "q_stats_bland_altman",
+    "q_stats_odds_ratio",
 ]
 
 HEADLINE = CORE + ADDITIONS
