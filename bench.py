@@ -322,6 +322,7 @@ ADDITIONS = [
     "q_events_retention_halflife",
     "q_stats_bland_altman",
     "q_stats_odds_ratio",
+    "q_retrieval_rbo",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -626,3 +626,95 @@ def q_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("first_rel_rank"),
         "reciprocal_rank")
     return per.unionByName(mrr)
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap — how much do the two retrieval modalities agree?
+# --------------------------------------------------------------------------
+
+RBO_P = 0.9
+RBO_DEPTH = 10
+
+
+@register(
+    "q_retrieval_rbo",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    kw AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25 QUALIFY rank <= {RBO_DEPTH}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+    vec AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND(list_cosine_similarity(v, pv), 6) DESC,
+                            vec_id) AS rank
+        FROM e CROSS JOIN probe WHERE vec_id <> 0
+        QUALIFY rank <= {RBO_DEPTH}),
+    depths AS (SELECT UNNEST(range(1, {RBO_DEPTH} + 1)) AS d),
+    ov AS (
+        SELECT d.d,
+               (SELECT COUNT(*) FROM kw JOIN vec USING (doc_id)
+                WHERE kw.rank <= d.d AND vec.rank <= d.d) AS x
+        FROM depths d)
+    SELECT CAST({RBO_DEPTH} AS INT) AS depth,
+           CAST((SELECT x FROM ov WHERE d = {RBO_DEPTH}) AS BIGINT)
+               AS overlap_at_depth,
+           ROUND((1 - {RBO_P}) * SUM(POWER({RBO_P}, d - 1) * x / d)
+                 / (1 - POWER({RBO_P}, {RBO_DEPTH})), 6) AS rbo
+    FROM ov
+    """,
+    doc="Rank-biased overlap (Webber et al. 2010, truncated at depth "
+        "10, p = 0.9, renormalized over the evaluated prefix) between "
+        "the BM25 keyword ranking and the embedding-cosine ranking — "
+        "the top-weighted agreement measure for indefinite rankings "
+        "that Kendall-tau-on-lists gets wrong (disagreement at rank 1 "
+        "should cost more than at rank 10). THIS number is the case "
+        "for hybrid fusion: low RBO means the modalities surface "
+        "different documents, which is exactly when RRF "
+        "(q_hybrid_retrieval_rrf) adds recall; the agreement companion "
+        "to that query's fused output. Overlaps at every depth are "
+        "exact integers from the two bounded top-10 lists (same "
+        "(rounded score, id) total orders the RRF oracle pins); the "
+        "weighted sum is 10 closed-form terms.",
+)
+def q_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kw = (_candidate_ranks(_bm25_scores(spark, sf_dir), "score", "k_rank")
+          .where(F.col("k_rank") <= RBO_DEPTH))
+
+    e = (Catalog(spark, sf_dir).table("embeddings")
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("v")))
+    probe = e.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    dot = F.aggregate(F.zip_with("v", "pv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = (e.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(probe))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(dot / (nrm("v") * nrm("pv")), 6).alias("cos")))
+    vec = (_candidate_ranks(cos, "cos", "v_rank")
+           .where(F.col("v_rank") <= RBO_DEPTH))
+
+    both = (kw.join(vec, "doc_id")
+            .select("k_rank", "v_rank").localCheckpoint(eager=False))
+    depths = spark.range(1, RBO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d"))
+    ov = (depths.join(
+        F.broadcast(both),
+        (F.col("k_rank") <= F.col("d")) & (F.col("v_rank") <= F.col("d")),
+        "left")
+        .groupBy("d").agg(F.count(F.col("k_rank")).alias("x")))
+    w = (F.lit(1 - RBO_P) * F.pow(F.lit(RBO_P), F.col("d") - 1)
+         * F.col("x") / F.col("d"))
+    at_depth = (ov.where(F.col("d") == RBO_DEPTH)
+                .select(F.col("x").alias("xd")))
+    return (ov.agg(F.round(F.sum(w) / (1 - RBO_P ** RBO_DEPTH), 6)
+                   .alias("rbo"))
+            .crossJoin(F.broadcast(at_depth))
+            .select(F.lit(RBO_DEPTH).cast("int").alias("depth"),
+                    F.col("xd").cast("long").alias("overlap_at_depth"),
+                    "rbo"))
