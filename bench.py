@@ -323,6 +323,7 @@ ADDITIONS = [
     "q_stats_bland_altman",
     "q_stats_odds_ratio",
     "q_retrieval_rbo",
+    "q_sketch_ams_f2",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -3090,3 +3090,78 @@ def q_events_retention_halflife(spark: SparkSession,
                     F.when(slope >= 0, F.lit(None).cast("double"))
                      .otherwise(F.round(-math.log(2.0) / slope, 2))
                      .alias("half_life_days")))
+
+
+# --------------------------------------------------------------------------
+# AMS second-moment sketch — estimating join/self-join size in fixed memory
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sketch_ams_f2",
+    oracle="""
+    WITH hp AS (SELECT UNNEST(range(0, 16)) AS j),
+    signs AS (
+        SELECT e.user_id, hp.j,
+               CASE WHEN ((1103515245 * (e.user_id * 16 + hp.j) + 12345)
+                          % 2147483648) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT DISTINCT user_id FROM events) e CROSS JOIN hp),
+    z AS (
+        SELECT s.j, SUM(s.sgn * c.n) AS zj
+        FROM (SELECT user_id, COUNT(*) AS n FROM events
+              GROUP BY user_id) c
+        JOIN signs s USING (user_id)
+        GROUP BY s.j),
+    est AS (SELECT CAST(SUM(zj * zj) AS DOUBLE) / 16 AS f2_est FROM z),
+    exact AS (
+        SELECT SUM(n * n) AS f2
+        FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)),
+    n_ AS (SELECT COUNT(*) AS nrows FROM events)
+    SELECT CAST(nrows AS BIGINT) AS n_rows,
+           CAST(f2 AS BIGINT) AS f2_exact,
+           ROUND(f2_est, 1) AS f2_estimate,
+           ROUND(ABS(f2_est - f2) / f2, 4) AS rel_error,
+           ROUND(f2_est / (nrows::DOUBLE * nrows), 6)
+               AS self_join_selectivity_est
+    FROM est, exact, n_
+    """,
+    doc="AMS (Alon-Matias-Szegedy) second-moment sketch, audited "
+        "against the exact F2 = sum c_k^2 of the user-id frequency "
+        "vector — the THIRD classic sketch beside Count-Min (point "
+        "frequency) and Misra-Gries (heavy hitters): F2 IS the "
+        "self-join size, the quantity a join-size estimator needs "
+        "before picking a strategy (cf. q_stats_join_cardinality_"
+        "audit, which uses exact per-key counts). 16 four-wise-ish "
+        "sign functions from LCG parity (deterministic, bit-identical "
+        "both engines); each sketch counter z_j = sum sgn_j(k) c_k is "
+        "ONE grouped integer sum, mergeable across partitions by "
+        "addition, and E[z_j^2] = F2 exactly — the estimate, the "
+        "exact value, and the relative error are all value-checked "
+        "integers until the final ratios. Fixed memory: 16 counters "
+        "regardless of key cardinality.",
+)
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, P = 16, 2147483648
+    e = Catalog(spark, sf_dir).table("events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hp = spark.range(K).select(F.col("id").alias("j"))
+    sgn = F.when(((F.lit(1103515245)
+                   * (F.col("user_id") * K + F.col("j")) + 12345)
+                  % P) % 2 == 1, 1).otherwise(-1)
+    z = (c.crossJoin(F.broadcast(hp))
+         .groupBy("j")
+         .agg(F.sum(sgn * F.col("n")).alias("zj")))
+    est = z.agg((F.sum(F.col("zj") * F.col("zj")).cast("double") / K)
+                .alias("f2_est"))
+    exact = c.agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+    n_ = e.agg(F.count(F.lit(1)).alias("nrows"))
+    return (est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(n_))
+            .select(F.col("nrows").cast("long").alias("n_rows"),
+                    F.col("f2").cast("long").alias("f2_exact"),
+                    F.round("f2_est", 1).alias("f2_estimate"),
+                    F.round(F.abs(F.col("f2_est") - F.col("f2"))
+                            / F.col("f2"), 4).alias("rel_error"),
+                    F.round(F.col("f2_est")
+                            / (F.col("nrows").cast("double")
+                               * F.col("nrows")), 6)
+                     .alias("self_join_selectivity_est")))
