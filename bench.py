@@ -324,6 +324,8 @@ ADDITIONS = [
     "q_stats_odds_ratio",
     "q_retrieval_rbo",
     "q_sketch_ams_f2",
+    "q_stats_g_test",
+    "q_multimodal_payload_entropy",
 ]
 
 HEADLINE = CORE + ADDITIONS

@@ -4122,3 +4122,73 @@ def q_stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lo, 4).alias("ci_low"),
         F.round(hi, 4).alias("ci_high"),
         ((lo <= 1.0) & (F.lit(1.0) <= hi)).alias("ci_contains_1"))
+
+
+# --------------------------------------------------------------------------
+# G-test — the likelihood-ratio sibling of the chi-square
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_g_test",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (SELECT seg, pri, COUNT(*) AS o FROM j GROUP BY seg, pri),
+    rs AS (SELECT seg, SUM(o) AS r FROM cell GROUP BY seg),
+    cs AS (SELECT pri, SUM(o) AS c FROM cell GROUP BY pri),
+    n_ AS (SELECT SUM(o) AS n FROM cell),
+    g AS (
+        SELECT SUM(2.0 * cell.o
+                   * LN(cell.o / (rs.r * cs.c * 1.0 / n_.n))) AS g2,
+               COUNT(*) AS n_cells
+        FROM cell JOIN rs USING (seg) JOIN cs USING (pri)
+        CROSS JOIN n_),
+    dims AS (SELECT (SELECT COUNT(*) FROM rs) AS r,
+                    (SELECT COUNT(*) FROM cs) AS c)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_cells AS BIGINT) AS n_cells,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(g2, 4) AS g_statistic,
+           g2 > 26.296 AS dependent_at_5pct
+    FROM g, dims, n_
+    """,
+    doc="Likelihood-ratio G-test on the segment x priority contingency "
+        "table — the information-theoretic sibling of the Pearson "
+        "chi-square (G = 2 sum O ln(O/E) = 2N * mutual information in "
+        "nats; additive across table partitions, which chi2 is not — "
+        "the property that lets G-statistics from data shards SUM "
+        "into the global test at 100 TB). Same integer cell/marginal "
+        "machinery as q_stats_cramers_v; 26.296 = chi2(16) at 5%. "
+        "Zero cells contribute 0 by the O ln O convention (none occur "
+        "in this dense 5x5 table; both engines would agree regardless "
+        "since the cell simply doesn't exist in the sparse relation).",
+)
+def q_stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    j = (c.table("orders")
+         .join(F.broadcast(c.table("customer")
+                           .select("c_custkey", "c_mktsegment")),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    cell = (j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+            .localCheckpoint(eager=False))
+    rs = cell.groupBy("seg").agg(F.sum("o").alias("r"))
+    cs = cell.groupBy("pri").agg(F.sum("o").alias("c"))
+    n_ = cell.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    g = (cell.join(F.broadcast(rs), "seg").join(F.broadcast(cs), "pri")
+         .crossJoin(F.broadcast(n_))
+         .agg(F.sum(2.0 * F.col("o") * F.log(F.col("o") / exp))
+              .alias("g2"),
+              F.count(F.lit(1)).alias("n_cells")))
+    dims = (rs.agg(F.count(F.lit(1)).alias("nr"))
+            .crossJoin(F.broadcast(cs.agg(F.count(F.lit(1)).alias("nc")))))
+    return (g.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(n_))
+            .select(F.col("n").cast("long").alias("n"),
+                    F.col("n_cells").cast("long").alias("n_cells"),
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long")
+                     .alias("dof"),
+                    F.round("g2", 4).alias("g_statistic"),
+                    (F.col("g2") > 26.296).alias("dependent_at_5pct")))

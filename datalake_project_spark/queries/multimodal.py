@@ -292,3 +292,68 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (f.join(g, "dhash")
             .select("doc_id", "n_bytes", "dhash", "n_same_hash")
             .orderBy("doc_id"))
+
+
+@register(
+    "q_multimodal_payload_entropy",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+    nib AS (
+        SELECT doc_id, n, unicode(text[i]) // 16 AS nibble
+        FROM m, unnest(range(1, length(text) + 1)) AS u(i)),
+    hist AS (
+        SELECT doc_id, n, nibble, COUNT(*) AS c
+        FROM nib GROUP BY doc_id, n, nibble),
+    h AS (
+        SELECT doc_id, n,
+               ROUND(SUM((c::DOUBLE / n)
+                         * LN(n::DOUBLE / c) / LN(2.0)), 4)
+                   AS entropy_bits
+        FROM hist GROUP BY doc_id, n)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, entropy_bits,
+           entropy_bits < 2.0 AS low_entropy
+    FROM h ORDER BY doc_id
+    """,
+    doc="Per-payload byte-nibble Shannon entropy — the compressibility "
+        "/ media-type probe computed before any decoder exists: "
+        "encrypted or compressed media sits near 4 bits per nibble, "
+        "text around 3, degenerate/padding payloads (the low_entropy "
+        "flag) near 0 — the cheap router that decides which decode "
+        "path (or quarantine) a blob takes in a multimodal ingest "
+        "pipeline. The Spark side derives the 16-bin histogram with "
+        "the same Arrow-batched mapInPandas lane as the feature "
+        "extractor (numpy bincount over payload bytes >> 4 — real "
+        "binary-column plumbing), the oracle recomputes it from "
+        "codepoints (ASCII fixture: codepoint == byte). Integer "
+        "histogram cells; one rounded p-log-p fold per doc.",
+)
+def q_multimodal_payload_entropy(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import math
+
+    from datalake_project_spark.functions.multimodal import (
+        as_media, byte_histogram,
+    )
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = as_media(docs).where(F.length("payload") > 0)
+    # byte_histogram emits the L1-normalized 16-bin nibble histogram;
+    # recover integer cells via n_bytes to keep the entropy fold exact.
+    hist = byte_histogram(media).join(
+        media.select("doc_id", F.length("payload").alias("n")), "doc_id")
+    cell = (hist.select("doc_id", "n",
+                        F.posexplode("byte_hist").alias("nibble", "p"))
+            .where(F.col("p") > 0)
+            .select("doc_id", "n",
+                    F.round(F.col("p") * F.col("n")).cast("long")
+                    .alias("c")))
+    h = (cell.groupBy("doc_id", "n")
+         .agg(F.round(F.sum((F.col("c").cast("double") / F.col("n"))
+                            * F.log(F.col("n").cast("double")
+                                    / F.col("c"))
+                            / math.log(2.0)), 4).alias("entropy_bits")))
+    return (h.select("doc_id", F.col("n").cast("long").alias("n_bytes"),
+                     "entropy_bits",
+                     (F.col("entropy_bits") < 2.0).alias("low_entropy"))
+            .orderBy("doc_id"))
