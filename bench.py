@@ -337,6 +337,9 @@ def main() -> None:
     base = os.path.basename(sf_dir)
     sf = float(base[2:]) if base.startswith("sf") else 0.1
 
+    from datalake_project_spark.scratch import prune_stale
+    prune_stale()
+
     registry = load_all()
     spark = get_spark("bench")
     # One warmup action so JVM/codegen startup isn't billed to the first query.

@@ -83,7 +83,8 @@ def cmd_schedule(args) -> int:
 
     return scheduled_run(args.query, args.sf_dir, run_ts=args.run_ts,
                          retries=args.retries,
-                         retry_delay=args.retry_delay, force=args.force)
+                         retry_delay=args.retry_delay, force=args.force,
+                         tick_seconds=args.tick_seconds)
 
 
 def cmd_sdp(args) -> int:
@@ -140,8 +141,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("query")
     pc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pc.add_argument("--run-ts", default=None,
-                    help="logical timestamp (default: wall clock UTC); "
-                         "set explicitly for backfills")
+                    help="logical timestamp (default: wall clock UTC "
+                         "truncated to the schedule tick, so late "
+                         "re-deliveries of one tick dedup); set "
+                         "explicitly for backfills")
+    pc.add_argument("--tick-seconds", type=int, default=3600,
+                    help="schedule period used to derive the default "
+                         "run_ts (hourly, matching the reference DAG)")
     pc.add_argument("--retries", type=int, default=2)
     pc.add_argument("--retry-delay", type=float, default=30.0)
     pc.add_argument("--force", action="store_true",

@@ -28,11 +28,22 @@ the metadata layer:
   ``CommitConflict`` and the caller re-reads + re-merges — serializable
   MERGE without locks (Delta's ConcurrentAppendException discipline).
 - **Metadata-only time travel.** Every version stays readable
-  (``read_usage_at``); ``rollback`` publishes a new version whose
-  partition entry POINTS AT the restored snapshot's files — zero data
-  copy, unlike the base class's copy-on-write republish. ``expire_runs``
-  drops partition entries and physically deletes only files no surviving
-  entry references (refcount vacuum).
+  (``read_usage_at``) until retention expires it; ``rollback`` publishes
+  a new version whose partition entry POINTS AT the restored snapshot's
+  files — zero data copy, unlike the base class's copy-on-write
+  republish. ``expire_runs`` drops partition entries and physically
+  deletes only files no surviving MANIFEST VERSION references; manifest
+  versions that reference a deleted file are expired with it (Iceberg
+  ``expire_snapshots`` semantics — retention vacuum bounds time travel,
+  it never leaves a readable version pointing at missing data).
+  ``expire_versions(keep_last=N)`` bounds metadata the same way Delta
+  checkpoints / Iceberg manifest rewrites do.
+- **O(1) latest resolution.** Each commit updates a ``_latest`` pointer
+  file (atomic rename). Readers trust it only after probing that the
+  pointed version exists and no later version was published (a crashed
+  writer can leave the pointer one behind; the reader walks forward
+  past it) — so resolving the head of a 10,000-commit table costs a
+  handful of stats, not a directory listing.
 
 At 100 TB the same protocol holds with the manifest on an object store
 supporting put-if-absent (S3 conditional PUT, GCS generation match);
@@ -88,9 +99,47 @@ class ManifestLake(Lake):
         with open(f"{self._mdir(table)}/v{version:08d}.json") as fh:
             return json.load(fh)
 
+    def _vpath(self, table: str, version: int) -> str:
+        return f"{self._mdir(table)}/v{version:08d}.json"
+
     def latest_version(self, table: str) -> int | None:
-        vs = self._versions(table)
-        return vs[-1] if vs else None
+        """Head resolution without an O(versions) directory listing:
+        read the ``_latest`` pointer, validate the pointed version
+        exists, then walk forward past any versions committed by
+        writers that crashed before updating the pointer. Falls back
+        to a full listing only when the pointer is absent or points at
+        an expired/corrupt version — pruning never changes the answer,
+        it only changes the cost."""
+        d = self._mdir(table)
+        try:
+            with open(os.path.join(d, "_latest")) as fh:
+                v = int(fh.read().strip())
+        except (OSError, ValueError):
+            vs = self._versions(table)
+            return vs[-1] if vs else None
+        if v < 1 or not os.path.exists(self._vpath(table, v)):
+            vs = self._versions(table)
+            return vs[-1] if vs else None
+        while os.path.exists(self._vpath(table, v + 1)):
+            v += 1
+        return v
+
+    def _publish_pointer(self, table: str, version: int) -> None:
+        """Atomically advance ``_latest`` (rename is replace-atomic on
+        POSIX). Monotone best-effort: a slower writer never regresses
+        the pointer past a newer committed version because readers walk
+        forward from it, and the next commit re-advances it anyway."""
+        d = self._mdir(table)
+        tmp = os.path.join(d, f".ptr-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, os.path.join(d, "_latest"))
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _latest(self, table: str) -> tuple[int, dict]:
         """(version, manifest); version 0 = empty table."""
@@ -132,6 +181,7 @@ class ManifestLake(Lake):
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, f"{mdir}/v{new_v:08d}.json")
+                self._publish_pointer(table, new_v)
                 return new_v
             except FileExistsError:
                 continue  # lost the race: rebase onto the new latest
@@ -196,8 +246,13 @@ class ManifestLake(Lake):
         ``col`` in [lo, hi]. A file with no stats for ``col`` is kept
         (conservative — stats are an optimization, never a filter); a
         file whose min/max are both null holds no non-null values and
-        range predicates never match null, so it is skipped."""
+        range predicates never match null, so it is skipped — but ONLY
+        when a range predicate actually exists: with lo and hi both
+        None there is no residual filter downstream, so dropping a
+        null-only file would turn pruning into a row filter."""
         stats = entry.get("stats", {})
+        if lo is None and hi is None:
+            return list(entry["files"])
         keep = []
         for f in entry["files"]:
             s = stats.get(f, {}).get(col)
@@ -444,8 +499,12 @@ class ManifestLake(Lake):
                     keep_last: int = 1) -> list[str]:
         """Retention commit + refcount vacuum: drop all but the newest
         ``keep_last`` run entries, then physically delete only files no
-        SURVIVING entry references (a rollback alias keeps its source
-        files alive even when the source run expires)."""
+        surviving reference keeps alive (a rollback alias keeps its
+        source files alive even when the source run expires). Iceberg
+        ``expire_snapshots`` semantics: every HISTORICAL manifest
+        version that references a deleted file is expired with it, so
+        ``read_usage_at`` never resolves a version whose data is gone —
+        retention bounds time travel instead of corrupting it."""
         runs = self.list_runs(table, ingest_date)
         expired = runs[:-keep_last] if keep_last > 0 else runs
         if not expired:
@@ -461,10 +520,67 @@ class ManifestLake(Lake):
         live = {f for e in self._load(table, v)["entries"]
                 for f in e["files"]}
         dead = set()
+        prev = self._load(table, v - 1)
         for r in expired:
-            prev = self._load(table, v - 1)
             dead |= self._entry_files(prev, (ingest_date, r))
-        for f in sorted(dead - live):
+        self._vacuum_dead(table, dead - live, head=v)
+        return expired
+
+    def _vacuum_dead(self, table: str, dead: set, head: int) -> None:
+        """Physically delete ``dead`` files AND expire every manifest
+        version below ``head`` that still references one — the shared
+        refcount vacuum behind expire_runs and expire_versions. A
+        version that references no dead file stays readable."""
+        if not dead:
+            return
+        for ver in self._versions(table):
+            if ver >= head:
+                continue
+            refs = {f for e in self._load(table, ver).get("entries", [])
+                    for f in e["files"]}
+            if refs & dead:
+                try:
+                    os.unlink(self._vpath(table, ver))
+                except OSError:
+                    pass
+        # recompute liveness over the SURVIVING versions before deleting
+        keep_alive: set = set()
+        for ver in self._versions(table):
+            for e in self._load(table, ver).get("entries", []):
+                keep_alive.update(e["files"])
+        for f in sorted(dead - keep_alive):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+
+    def expire_versions(self, table: str, keep_last: int = 10) -> list[int]:
+        """Bound manifest metadata: drop all but the newest ``keep_last``
+        manifest versions (Delta checkpoint / Iceberg manifest-rewrite
+        discipline — an hourly-commit year is 8,760 manifests without
+        this), then refcount-vacuum data files that only the expired
+        versions referenced. The ``_latest`` pointer is untouched: it
+        points at the head, which is always kept. Returns the expired
+        version numbers."""
+        vs = self._versions(table)
+        if keep_last < 1:
+            keep_last = 1
+        expired = vs[:-keep_last]
+        if not expired:
+            return []
+        survivors = vs[-keep_last:]
+        keep_alive = {f for ver in survivors
+                      for e in self._load(table, ver).get("entries", [])
+                      for f in e["files"]}
+        dead = {f for ver in expired
+                for e in self._load(table, ver).get("entries", [])
+                for f in e["files"]} - keep_alive
+        for ver in expired:
+            try:
+                os.unlink(self._vpath(table, ver))
+            except OSError:
+                pass
+        for f in sorted(dead):
             try:
                 os.unlink(f)
             except OSError:

@@ -1078,10 +1078,6 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks t JOIN df f USING (tok) JOIN tsz s USING (doc_id)),
     pref AS (SELECT doc_id, tok FROM ranked
              WHERE tr <= sz - CEIL(0.5 * sz) + 1),
-    cand_full AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM toks a JOIN toks b
-          ON a.tok = b.tok AND a.doc_id < b.doc_id),
     cand_pref AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM pref a JOIN pref b
@@ -1094,7 +1090,8 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
                - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
               >= 0.5)
     SELECT (SELECT COUNT(*) FROM sh)::BIGINT AS n_docs,
-           (SELECT COUNT(*) FROM cand_full)::BIGINT AS n_full_pairs,
+           (SELECT CAST(SUM(df * (df - 1) // 2) AS BIGINT) FROM df)
+               AS n_full_pair_slots,
            (SELECT COUNT(*) FROM cand_pref)::BIGINT AS n_prefix_pairs,
            (SELECT COUNT(*) FROM truth)::BIGINT AS n_true_pairs,
            (SELECT COUNT(*) FROM truth t
@@ -1105,8 +1102,8 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE NOT EXISTS (SELECT 1 FROM cand_pref c
                               WHERE c.a_id = t.a_id AND c.b_id = t.b_id)
            ) = 0 AS prefix_complete,
-           ROUND((SELECT COUNT(*) FROM cand_full)::DOUBLE
-                 / (SELECT COUNT(*) FROM cand_pref), 2) AS reduction_x
+           ROUND((SELECT SUM(df * (df - 1) // 2) FROM df)::DOUBLE
+                 / (SELECT COUNT(*) FROM cand_pref), 2) AS reduction_x_ub
     """,
     doc="PPJoin-style prefix filtering (Xiao et al. '11) — the "
         "candidate-reduction theorem that makes exact set-similarity "
@@ -1117,10 +1114,17 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Theorem: two sets with Jaccard >= t MUST collide inside these "
         "prefixes (if all prefix tokens differ, the overlap is too "
         "small), so pruning the inverted index to prefixes loses ZERO "
-        "true pairs while collapsing candidate volume — here 11533 -> "
-        "977 pairs (11.8x) with all 25 true pairs retained, and the "
+        "true pairs while collapsing candidate volume, and the "
         "prefix_complete flag value-checks the theorem, not just the "
-        "counts. This composes with the df-cap skew valve "
+        "counts. The full-index denominator is Sigma C(df,2) computed "
+        "ARITHMETICALLY from the df table (n_full_pair_slots — the "
+        "number of colliding postings-pairs the un-pruned index would "
+        "enumerate, an upper bound on its distinct pairs), never by "
+        "materializing the all-token self-join: the r5 audit paid a "
+        "23 MB shuffle at sf0.1 just to print that denominator, and at "
+        "100x the audit itself would explode while the operator it "
+        "audits stayed healthy. reduction_x_ub is stated as the bound "
+        "it is. This composes with the df-cap skew valve "
         "(q_dedup_dfcap_planner): the cap bounds per-shingle df^2 "
         "blowup, the prefix bounds per-DOC index width; together they "
         "are the knobs an exact 100 TB near-dup pass actually ships "
@@ -1159,17 +1163,20 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed = truth.join(cand_pref, ["a_id", "b_id"], "left_anti")
     one = lambda df, nm: F.broadcast(
         df.agg(F.count(F.lit(1)).cast("long").alias(nm)))
+    slots = F.broadcast(dfreq.agg(
+        F.sum(F.expr("df * (df - 1) DIV 2")).cast("long")
+        .alias("n_full_pair_slots")))
     return (sh.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-            .crossJoin(one(pair_count(toks), "n_full_pairs"))
+            .crossJoin(slots)
             .crossJoin(one(cand_pref, "n_prefix_pairs"))
             .crossJoin(one(truth, "n_true_pairs"))
             .crossJoin(one(missed, "n_missed_true"))
-            .select("n_docs", "n_full_pairs", "n_prefix_pairs",
+            .select("n_docs", "n_full_pair_slots", "n_prefix_pairs",
                     "n_true_pairs", "n_missed_true",
                     (F.col("n_missed_true") == 0).alias("prefix_complete"),
-                    F.round(F.col("n_full_pairs").cast("double")
+                    F.round(F.col("n_full_pair_slots").cast("double")
                             / F.col("n_prefix_pairs"), 2)
-                    .alias("reduction_x")))
+                    .alias("reduction_x_ub")))
 
 
 # --------------------------------------------------------------------------

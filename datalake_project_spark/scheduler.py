@@ -15,7 +15,11 @@ retry policy, idempotently.
 
 Semantics matched to Airflow task instances:
 - **Explicit logical time.** ``--run-ts`` defaults to the wall clock
-  but is overridable for backfills (`airflow dags backfill` analog).
+  TRUNCATED TO THE SCHEDULE TICK (``tick_seconds``, hourly by default —
+  the reference DAG is ``@hourly``), so a cron re-delivery of a missed
+  tick minutes later derives the SAME logical timestamp and hits the
+  same idempotency marker; it is overridable for backfills
+  (`airflow dags backfill` analog).
 - **Retries with delay.** A failing attempt sleeps ``retry_delay`` and
   reruns, up to ``retries`` times; the exit code is 0 only on success.
 - **Idempotent re-run protection.** A success marker
@@ -32,9 +36,21 @@ import time
 import traceback
 
 
+def tick_run_ts(tick_seconds: int = 3600, now: float | None = None) -> str:
+    """Logical timestamp of the schedule tick containing ``now``: wall
+    clock truncated to the tick boundary. Two deliveries of the same
+    tick (the on-time fire and a late cron re-delivery) both derive the
+    same run_ts, so the idempotency marker actually dedups them —
+    Airflow's logical_date discipline, where the run is named by its
+    scheduled time, never by when the scheduler got around to it."""
+    t = time.time() if now is None else now
+    tick = max(1, int(tick_seconds))
+    return time.strftime("%Y%m%dT%H%M%S", time.gmtime(t - (t % tick)))
+
+
 def scheduled_run(query: str, sf_dir: str, run_ts: str | None = None,
                   retries: int = 2, retry_delay: float = 30.0,
-                  force: bool = False) -> int:
+                  force: bool = False, tick_seconds: int = 3600) -> int:
     """Run one registered query under the DAG retry policy.
 
     Returns a process exit code: 0 success (or already-done), 1 when
@@ -48,7 +64,7 @@ def scheduled_run(query: str, sf_dir: str, run_ts: str | None = None,
     if query not in registry:
         print(f"schedule: unknown query {query!r}")
         return 2
-    run_ts = run_ts or time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    run_ts = run_ts or tick_run_ts(tick_seconds)
     marker_dir = f"{scratch_root()}/sched/{query}"
     marker = f"{marker_dir}/{run_ts}.done"
     if os.path.exists(marker) and not force:

@@ -82,3 +82,38 @@ def _prune_stale_siblings(root: str, kind: str) -> None:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue
+
+
+def prune_stale(root: str | None = None) -> list[str]:
+    """Sweep the WHOLE scratch root once: remove every keyed scratch dir
+    whose recorded ``.src`` input no longer exists, plus dirs with no
+    marker at all that match the keyed naming shape (legacy keys from
+    before the marker discipline). Called at gate/bench start so dead
+    pytest-tmp caches never accumulate across rounds. Returns removed
+    paths; best-effort, never raises."""
+    import re
+    import shutil
+
+    root = root or scratch_root()
+    removed = []
+    keyed = re.compile(r"^[a-z0-9_.]+_[0-9a-f]{8}$")
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return removed
+    for name in entries:
+        d = os.path.join(root, name)
+        if not os.path.isdir(d) or not keyed.match(name):
+            continue
+        marker = os.path.join(d, ".src")
+        try:
+            if os.path.isfile(marker):
+                with open(marker) as fh:
+                    src = fh.read().strip()
+                if not src or os.path.exists(src):
+                    continue
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+        except OSError:
+            continue
+    return removed

@@ -249,15 +249,24 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
     """Streaming sink half — ``writeStream.format("paged_json")``.
 
     Exactly-once by micro-batch idempotence: tasks write temp files,
-    and the driver-side ``commit(messages, batchId)`` renames them to
-    ``page_b{batchId:010d}_{i:04d}.json``. Batch ids are monotone, so
+    and the driver-side ``commit(messages, batchId)`` concatenates
+    them into ONE per-batch page published by a SINGLE ``os.rename``
+    to ``page_b{batchId:010d}_0000.json``. Batch ids are monotone, so
     the name sequence stays in the lexicographic order the batch and
     stream READERS rely on. A replayed micro-batch (restart between
     sink commit and checkpoint write — the classic at-least-once
     window) is detected by its already-present ``page_b{batchId}_``
     prefix and skipped, making the sink effectively exactly-once
     without a transaction log — the same dedup-on-replay contract a
-    foreachBatch MERGE gives, expressed at the sink layer."""
+    foreachBatch MERGE gives, expressed at the sink layer.
+
+    The one-rename publish is the atomicity guarantee: a driver crash
+    mid-commit leaves either no batch page (the replay re-publishes
+    everything) or the complete batch page (the replay is dropped) —
+    never a partial batch. The earlier multi-rename scheme could
+    crash after renaming SOME task files, and the replay would then
+    see the prefix, classify the batch as committed, and discard the
+    replacement temps, silently losing the unrenamed partitions."""
 
     def __init__(self, options: dict):
         self.root = options.get("path")
@@ -277,6 +286,8 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
         return PageCommit(tmp)
 
     def commit(self, messages, batchId: int) -> None:
+        import uuid
+
         os.makedirs(self.root, exist_ok=True)
         prefix = f"page_b{batchId:010d}_"
         done = [m.tmp_path for m in messages
@@ -286,10 +297,23 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
             for tmp in done:  # replayed batch: drop the duplicate payload
                 if os.path.exists(tmp):
                     os.remove(tmp)
-        else:
-            for i, tmp in enumerate(done):
-                os.rename(tmp, os.path.join(self.root,
-                                            f"{prefix}{i:04d}.json"))
+        elif done:
+            # Concatenate task payloads into one batch page in a temp
+            # path, then publish with a SINGLE atomic rename — a crash
+            # before the rename leaves only temps (replay re-publishes),
+            # a crash after leaves the complete batch (replay dropped).
+            records: list = []
+            for tmp in done:
+                with open(tmp) as fh:
+                    records.extend(json.load(fh))
+            staged = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
+            with open(staged, "w") as fh:
+                json.dump(records, fh)
+            os.rename(staged, os.path.join(self.root,
+                                           f"{prefix}0000.json"))
+            for tmp in done:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         for f in os.listdir(self.root):  # sweep failed-attempt orphans
             if f.startswith("_tmp_"):
                 os.remove(os.path.join(self.root, f))

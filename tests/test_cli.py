@@ -78,3 +78,18 @@ def test_cli_sdp_runs_reference_dataflow(capsys, spark, tmp_path):
         assert f"== {target} (" in out
     for v in ("filtered_orders", "enriched_orders", "nation_revenue"):
         spark.catalog.dropTempView(v)
+
+
+def test_schedule_default_run_ts_is_tick_truncated(monkeypatch):
+    """Airflow logical_date discipline: two deliveries inside one
+    schedule tick derive the SAME default run_ts, so the idempotency
+    marker dedups a late cron re-delivery of a missed tick."""
+    from datalake_project_spark.scheduler import tick_run_ts
+
+    on_time = tick_run_ts(3600, now=1767229200.0)       # exactly on the hour
+    late = tick_run_ts(3600, now=1767229200.0 + 1742.0)  # ~29 min late
+    assert on_time == late
+    nxt = tick_run_ts(3600, now=1767229200.0 + 3600.0)
+    assert nxt != on_time
+    # the string is the truncated UTC hour
+    assert on_time.endswith("0000")

@@ -344,3 +344,161 @@ def test_vacuum_orphans_sweeps_torn_stage_only(spark, tmp_path):
     assert _state(lake, "T01") == {(1, "b")}
     old = lake.read_usage_at("t", 1, D, "T01")
     assert {(r["id"], r["v"]) for r in old.collect()} == {(1, "a")}
+
+
+# -- r6: _latest pointer, bounded metadata, version expiry ------------------
+
+def test_latest_pointer_is_o1_no_directory_listing(spark, tmp_path,
+                                                   monkeypatch):
+    """Head resolution on a deep table reads the pointer + a couple of
+    stats, never an O(versions) listing: synthesize a 1,000-version
+    manifest chain, then assert latest_version answers correctly with
+    _versions() (the listing path) forbidden."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "a")]), "t", D, "T01")
+    mdir = lake._mdir("t")
+    m = json.load(open(f"{mdir}/v00000001.json"))
+    for v in range(2, 1001):
+        m["version"] = v
+        with open(f"{mdir}/v{v:08d}.json", "w") as fh:
+            json.dump(m, fh)
+    lake._publish_pointer("t", 1000)
+
+    def boom(self, table):
+        raise AssertionError("latest_version fell back to a listing")
+
+    monkeypatch.setattr(ManifestLake, "_versions", boom)
+    assert lake.latest_version("t") == 1000
+
+
+def test_latest_pointer_stale_walks_forward(spark, tmp_path):
+    """A writer that crashed after os.link but before the pointer update
+    leaves the pointer one behind; readers walk forward and still see
+    the committed head (read-committed despite the stale pointer)."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "a")]), "t", D, "T01")
+    lake.write_usage(_df(spark, [(1, "b")]), "t", D, "T01")
+    lake._publish_pointer("t", 1)  # simulate the crash-window regression
+    assert lake.latest_version("t") == 2
+    assert _state(lake, "T01") == {(1, "b")}
+
+
+def test_latest_pointer_absent_or_corrupt_falls_back(spark, tmp_path):
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "a")]), "t", D, "T01")
+    ptr = os.path.join(lake._mdir("t"), "_latest")
+    os.unlink(ptr)
+    assert lake.latest_version("t") == 1
+    with open(ptr, "w") as fh:
+        fh.write("not-a-version")
+    assert lake.latest_version("t") == 1
+
+
+def test_expire_versions_bounds_metadata_and_refcount_vacuums(
+        spark, tmp_path):
+    """expire_versions(keep_last=N) drops old manifests (Delta
+    checkpoint / Iceberg manifest-rewrite discipline) and deletes data
+    files only the expired versions referenced, while every file a
+    surviving version still points at stays alive."""
+    lake = ManifestLake(spark, str(tmp_path))
+    for i in range(5):
+        lake.write_usage(_df(spark, [(1, f"v{i}")]), "t", D, "T01")
+    v1_files = lake._entry_files(lake._load("t", 1), (D, "T01"))
+    v5_files = lake._entry_files(lake._load("t", 5), (D, "T01"))
+    assert lake.expire_versions("t", keep_last=2) == [1, 2, 3]
+    assert lake._versions("t") == [4, 5]
+    assert lake.latest_version("t") == 5          # pointer still valid
+    assert _state(lake, "T01") == {(1, "v4")}
+    # v1's files were only referenced by expired versions: gone
+    assert not any(os.path.exists(f) for f in v1_files)
+    assert all(os.path.exists(f) for f in v5_files)
+    # expired versions are no longer time-travelable — by contract
+    try:
+        lake.read_usage_at("t", 1, D, "T01")
+        raise AssertionError("expired version should not resolve")
+    except FileNotFoundError:
+        pass
+
+
+def test_expire_runs_expires_versions_referencing_deleted_files(
+        spark, tmp_path):
+    """Retention never leaves a readable manifest pointing at deleted
+    data: expire_runs also expires historical versions that reference
+    the vacuumed files (Iceberg expire_snapshots), while a historical
+    version that references none of them STAYS readable."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(2, "keep")]), "t", D, "T02")   # v1
+    lake.write_usage(_df(spark, [(1, "old")]), "t", D, "T01")    # v2
+    assert lake.expire_runs("t", D, keep_last=1) == ["T01"]      # v3
+    # v2 referenced T01's (now deleted) files -> expired with them
+    assert 2 not in lake._versions("t")
+    # v1 references only T02's files -> still time-travels
+    old = lake.read_usage_at("t", 1, D, "T02")
+    assert {(r["id"], r["v"]) for r in old.collect()} == {(2, "keep")}
+    assert _state(lake, "T02") == {(2, "keep")}
+
+
+HAMMER = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from datalake_project_spark.manifest_lake import ManifestLake
+from datalake_project_spark.session import get_spark
+
+root, tag, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = get_spark(f"hammer-{tag}", extra_conf={
+    "spark.sql.shuffle.partitions": "2",
+    "spark.ui.enabled": "false",
+})
+lake = ManifestLake(spark, root)
+for i in range(n):
+    df = spark.createDataFrame([(int(tag) * 1000 + i, f"p{tag}r{i}")],
+                               "id long, v string")
+    lake.upsert(df, "t", "2026-02-01", "T01", keys=["id"])
+spark.stop()
+print("OK")
+"""
+
+
+def test_multiprocess_concurrent_upserts_no_lost_update(spark, tmp_path):
+    """The os.link commit claim is about CROSS-PROCESS atomicity: two OS
+    processes (separate JVMs, separate Python interpreters) hammer
+    upsert on one partition; every row from both must land (losers
+    rebase on CommitConflict) and the version chain has no gaps."""
+    import subprocess
+    import sys as _sys
+
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(0, "seed")]), "t", D, "T01")
+    script = tmp_path / "hammer.py"
+    script.write_text(HAMMER)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(script), str(tmp_path), tag, "3"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for tag in ("1", "2")]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+        assert b"OK" in out
+    got = _state(lake, "T01")
+    want = {(0, "seed")} | {(1000 + i, f"p1r{i}") for i in range(3)} \
+        | {(2000 + i, f"p2r{i}") for i in range(3)}
+    assert got == want
+    # version chain is gapless: 1 seed + 6 upsert commits
+    assert lake._versions("t") == list(range(1, 8))
+
+
+def test_unbounded_scan_keeps_null_only_files(spark, tmp_path):
+    """Pruning is an optimization, never a filter: with NO range
+    predicate (lo=hi=None), scan_usage must return rows from files
+    whose stats say the column is entirely null."""
+    lake = ManifestLake(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, None), (2, "x")], "id long, v string") \
+        .repartition(2, "id")
+    lake.write_usage(df, "t", D, "T01")
+    got = {(r["id"], r["v"])
+           for r in lake.scan_usage("t", "v").select("id", "v").collect()}
+    assert got == {(1, None), (2, "x")}
+    # and the predicate path still skips/filters nulls correctly
+    bounded = {(r["id"], r["v"]) for r in
+               lake.scan_usage("t", "v", lo="a").select("id", "v").collect()}
+    assert bounded == {(2, "x")}

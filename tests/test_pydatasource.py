@@ -255,3 +255,45 @@ def test_stream_writer_end_to_end_and_replay_idempotence(spark, page_dir,
              for r in spark.read.format("paged_json")
              .option("path", out).load().collect()}
     assert final == {"alice", "bob", "carol", "dave", "erin"}
+
+
+def test_stream_commit_publishes_batch_atomically(spark, tmp_path):
+    """The per-batch publish is ONE rename: multiple task temps are
+    concatenated into a single batch page, so a crash can never leave a
+    partially-renamed batch that a replay would then discard (the
+    at-least-once-turned-data-loss window of a multi-rename commit).
+    A replay of the same batch id drops its temps; the batch page keeps
+    every partition's records."""
+    import os
+
+    from datalake_project_spark.sources.pydatasource import (
+        PageCommit, PagedJsonStreamWriter,
+    )
+
+    out = str(tmp_path / "atomic_pages")
+    os.makedirs(out)
+    w = PagedJsonStreamWriter({"path": out})
+    temps = []
+    for i in range(3):
+        p = os.path.join(out, f"_tmp_task{i}")
+        with open(p, "w") as fh:
+            json.dump([{"username": f"u{i}", "full_name": f"N{i}"}], fh)
+        temps.append(p)
+    w.commit([PageCommit(t) for t in temps], 7)
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert files == ["page_b0000000007_0000.json"]  # one page per batch
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    recs = json.load(open(os.path.join(out, files[0])))
+    assert {r["username"] for r in recs} == {"u0", "u1", "u2"}
+
+    # replayed batch id: duplicate payload dropped, page unchanged
+    dup = os.path.join(out, "_tmp_dup")
+    with open(dup, "w") as fh:
+        json.dump([{"username": "dup", "full_name": "D"}], fh)
+    w.commit([PageCommit(dup)], 7)
+    assert sorted(f for f in os.listdir(out)
+                  if f.endswith(".json")) == files
+    assert {r["username"]
+            for r in json.load(open(os.path.join(out, files[0])))} \
+        == {"u0", "u1", "u2"}

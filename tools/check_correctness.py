@@ -48,6 +48,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from datalake_project_spark.scratch import prune_stale
+    prune_stale()  # dead pytest-tmp cache keys never accumulate
+
     registry = load_all()
     spark = get_spark("correctness-check")
 
