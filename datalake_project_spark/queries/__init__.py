@@ -50,64 +50,52 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-5 WINDOW ROTATION (the r4 judge's top ask): across rounds 1-4
-    # only 125 of 325 registered queries ever carried a driver CORRECTNESS
-    # stamp; every multi-green veteran rotates to the tail (which the
-    # judge re-runs in full) and 47 of these 50 slots go to queries that
-    # have NEVER been driver-stamped — every judge-named promotion
-    # candidate plus the round-5 additions, all green in the r4 judge's
-    # independent full gate and/or this round's local gate. The three
-    # stamped holdovers are the flagship CDC diff (entry()'s query), the
-    # end-to-end pipeline (the reference's entire dataflow), and the
-    # exact-ANN anchor.
+    # ROUND-6 WINDOW ROTATION (the r5 judge's task #5): every r5-stamped
+    # query rotates to the tail; 49 of these 50 slots are queries that
+    # have NEVER carried a driver CORRECTNESS stamp in rounds 1-5 (the
+    # 284-query remainder), spread across every capability family. The
+    # one stamped holdover is the flagship CDC diff (entry()'s query).
+    # q_dedup_prefix_filter enters the window in the round it was made
+    # scale-safe (arithmetic full-index denominator), so the fix itself
+    # gets a driver stamp.
     #
-    # CDC / medallion / lake lifecycle
-    "q_snapshot_diff", "q_pipeline_end_to_end",
-    "q_write_audit_publish", "q_snapshot_rollback",
-    "q_tpch_refresh_stream", "q_retention_vacuum",
-    "q_manifest_stats_skipping",
-    # Round-5 lake features: manifest-commit ACID (MERGE parity, version
-    # time travel, version-pair CDC, Iceberg-style file-stats skipping)
-    # and incremental join maintenance
-    "q_manifest_merge_upsert", "q_manifest_timetravel",
-    "q_manifest_version_diff", "q_incremental_join_maintenance",
-    # Deduplication (end-to-end ladders + the clustered semantic twin)
-    "q_dedup_savings_ladder", "q_dedup_resolved_by_quality",
-    "q_dedup_winnow_resolved", "q_dedup_semantic_clustered",
-    # Embedding ML / ANN compression ladder (q_ann_cosine_topk is the
-    # third stamped holdover — the exact-ANN family anchor)
-    "q_ann_cosine_topk",
-    "q_embed_pq_codebook", "q_embed_pq_recall",
-    "q_embed_triplet_mining", "q_embed_logreg_train",
-    # Text analysis / LM training loop (round 5 adds the Kneser-Ney
-    # smoothed LM beside the add-one and interpolated twins)
-    "q_text_unigram_em_round", "q_text_kneser_ney",
-    "q_text_collocations", "q_text_decontaminate",
-    "q_text_ppl_buckets", "q_text_nb_langid",
-    # Retrieval + evaluation arc (rocchio rotates to the tail for the
-    # round-5 Gopher-rules audit — quality family was unrepresented)
-    "q_retrieval_ndcg", "q_retrieval_mrr",
-    "q_retrieval_mmr", "q_quality_gopher_rules",
-    # Corpus assembly / release + the Poisson-bootstrap CI
-    "q_corpus_release", "q_corpus_epoch_plan", "q_stats_bootstrap_ci",
-    # Relational semantics + linkage (q_linkage_fellegi_sunter enters
-    # with the round-5 composite pigeonhole re-block; LATERAL and SQL
-    # UDFs are new round-5 engine surfaces)
-    "q_linkage_fellegi_sunter", "q_sql_variables",
-    "q_lateral_topn", "q_sql_udf_margin",
-    "q_skyline_pareto", "q9_product_profit", "q_customer_rfm",
-    # Events / experimentation (round 5 adds CDC changelog compaction,
-    # the tolerance-bounded as-of join, MAD robust outliers, and the
-    # linear-blocking sorted-neighborhood linkage; the r4-stamped
-    # funnel/zscore veterans rotate to the tail)
-    "q_events_mad_outliers", "q_quantile_rollup", "q_cdc_apply_latest",
-    "q_asof_tolerance_join", "q_linkage_sorted_neighborhood",
-    # Structured Streaming (the append-mode/outer-join drains whose
-    # watermark-withholding rules are stated verbatim in the oracles)
-    "q_stream_outer_join", "q_stream_session_append",
-    "q_stream_rolling_median",
-    # Multimodal + graph representatives
-    "q_multimodal_shard_plan", "q_graph_label_propagation",
+    # Flagship + lake lifecycle / CDC / formats
+    "q_snapshot_diff", "q_snapshot_asof", "q_incremental_ingest",
+    "q_replica_repair", "q_zorder_layout_roundtrip", "q_snapshot_scd3",
+    "q_schema_evolution", "q_json_corrupt_records", "q_file_inventory",
+    # TPC-H / relational / SQL surfaces
+    "q2_min_cost_supplier", "q13_order_distribution",
+    "q20_excess_suppliers", "q21_waiting_supplier",
+    "q_sql_pipe_syntax", "q_sql_group_order_by_all",
+    "q_window_ntile_deciles", "q_unpivot",
+    # Scale equipment (bucketed co-location, skew diagnostics, bloom prune)
+    "q_bucketed_join_roundtrip", "q_skew_key_diagnostics",
+    "q_join_bloom_prune",
+    # Events / experimentation / inference
+    "q_events_funnel", "q_events_retention", "q_events_changepoint",
+    "q_events_dau_mau", "q_events_sprt",
+    "q_events_shapley_attribution",
+    # ANN representative: the round-6 portable-LSH twin (value-checked
+    # signatures + candidates + rescoring, LCG hyperplanes)
+    "q_ann_lsh_portable",
+    # Mergeable sketches
+    "q_hll_mergeable_distinct", "q_sketch_countmin", "q_sketch_ams_f2",
+    # Text analysis / tokenizers / LM
+    "q_text_zipf_fit", "q_text_vocab_coverage_sharded",
+    "q_text_good_turing", "q_text_bpe_encode", "q_text_unigram_viterbi",
+    "q_pii_redaction",
+    # Quality + privacy
+    "q_quality_ensemble", "q_dp_noisy_counts",
+    # Dedup (the fixed prefix-filter audit + estimator/clustering audits)
+    "q_dedup_prefix_filter", "q_dedup_minhash_estimator",
+    "q_dedup_bcubed", "q_dedup_lsh_s_curve",
+    # Embeddings / ANN audits
+    "q_embed_knn_label_accuracy", "q_embed_jl_distortion",
+    # Streaming
+    "q_stream_heavy_hitters", "q_stream_merge_upsert",
+    # Multimodal + graph + corpus + retrieval
+    "q_multimodal_dhash", "q_graph_pagerank",
+    "q_corpus_temperature_mix", "q_retrieval_rocchio",
 )
 
 

@@ -140,7 +140,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_simhash",
     oracle=None,  # xxhash64-based signature not reproducible in SQL
     doc="SimHash near-dup pairs (hamming <= 3 of 64-bit signatures); "
-        "pigeonhole 4-chunk bucketing gives perfect recall for d <= 3.",
+        "pigeonhole 4-chunk bucketing gives perfect recall for d <= 3. "
+        "Rows-only ONLY because the production hash (xxhash64) is "
+        "deliberately SQL-opaque; the mechanism is fully value-checked "
+        "by the portable twin q_dedup_simhash_portable and the recall "
+        "invariant by q_dedup_simhash_recall.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
@@ -1301,4 +1305,120 @@ def q_dedup_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.abs(F.col("e") - F.col("jaccard")), 4)
                      .alias("abs_err"),
                     "mae")
+            .orderBy("a_id", "b_id"))
+
+
+# --------------------------------------------------------------------------
+# SimHash portable twin — the signature mechanism, fully value-checked
+# --------------------------------------------------------------------------
+
+@register(
+    "q_dedup_simhash_portable",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    truth AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                     (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)))::DOUBLE,
+                     4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
+              >= 0.5),
+    ids AS (SELECT a_id AS id FROM truth UNION SELECT b_id FROM truth),
+    toksd AS (
+        SELECT DISTINCT w.doc_id, u.t AS s
+        FROM words w, unnest(w.ws) AS u(t)
+        WHERE w.doc_id IN (SELECT id FROM ids)),
+    hs AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform([s[i] FOR i IN range(1, length(s) + 1)],
+                                      c -> unicode(c)::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        FROM toksd),
+    bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(((h >> CAST(j AS INT)) & 1) * 2 - 1) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM hs CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+        GROUP BY doc_id, j),
+    ham AS (
+        SELECT t.a_id, t.b_id, t.jaccard,
+               SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming
+        FROM truth t
+        JOIN bits ba ON ba.doc_id = t.a_id
+        JOIN bits bb ON bb.doc_id = t.b_id AND bb.j = ba.j
+        GROUP BY t.a_id, t.b_id, t.jaccard)
+    SELECT a_id, b_id, jaccard AS exact_j,
+           CAST(hamming AS BIGINT) AS hamming16,
+           hamming <= 3 AS near_dup
+    FROM ham ORDER BY a_id, b_id
+    """,
+    doc="SimHash MECHANISM audit, fully value-checked — the portable twin "
+        "the rows-only production query (q_dedup_simhash, xxhash64 64-bit "
+        "signatures, SQL-opaque by design) names as its oracle-checked "
+        "companion. Swaps in the portable token hash (the rolling "
+        "(acc*31 + codepoint) mod 2^31-1 fold, bit-identical in both "
+        "engines) and computes a 16-bit simhash with pure integer "
+        "arithmetic: bit j of the signature is the sign of "
+        "sum_tokens(2*((h >> j) & 1) - 1) — Charikar's random-projection "
+        "sketch with the hash bits as the projection. For every "
+        "exact-Jaccard >= 0.5 pair it reports the signature hamming "
+        "distance and the near_dup verdict at the production threshold "
+        "(hamming <= 3), so the monotone jaccard->hamming relation the "
+        "production pigeonhole join relies on is VALUE-checked, not "
+        "rows-counted. Signatures are computed only for docs appearing "
+        "in audit pairs (semi-join pushdown), O(pairs * tokens).",
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B, P = 16, 2147483647
+    d = Catalog(spark, sf_dir).table("documents")
+    truth = (D.ngram_jaccard_pairs(d, threshold=0.5)
+             .select("a_id", "b_id", "jaccard")
+             .localCheckpoint(eager=False))
+    ids = (truth.select(F.col("a_id").alias("_id"))
+           .union(truth.select("b_id")).distinct())
+    from datalake_project_spark.functions.text import tokens
+    toks = (d.join(ids, d["doc_id"] == ids["_id"])
+            .select("doc_id", F.explode(tokens("text")).alias("s"))
+            .distinct())
+    chars = F.filter(F.split(F.col("s"), ""), lambda c: F.length(c) > 0)
+    h = F.aggregate(chars, F.lit(0).cast("long"),
+                    lambda acc, c: (acc * 31 + F.ascii(c)) % P)
+    hs = toks.select("doc_id", h.alias("h"))
+    # 16 per-(doc, j) weights in one explode: +1 when bit j of h is set
+    weights = F.array(*[
+        (F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))
+         * 2 - 1).cast("long").alias(f"w{j}")
+        for j in range(B)])
+    bits = (hs.select("doc_id", F.posexplode(weights).alias("j", "w"))
+            .groupBy("doc_id", "j")
+            .agg(F.when(F.sum("w") > 0, F.lit(1)).otherwise(F.lit(0))
+                 .alias("bit")))
+    ba = bits.select(F.col("doc_id").alias("a_id"), "j",
+                     F.col("bit").alias("bita"))
+    bb = bits.select(F.col("doc_id").alias("b2"),
+                     F.col("j").alias("jb"), F.col("bit").alias("bitb"))
+    return (truth.join(ba, "a_id")
+            .join(bb, (F.col("b_id") == F.col("b2"))
+                  & (F.col("j") == F.col("jb")))
+            .groupBy("a_id", "b_id", "jaccard")
+            .agg(F.sum(F.when(F.col("bita") != F.col("bitb"), 1)
+                       .otherwise(0)).cast("long").alias("hamming16"))
+            .select("a_id", "b_id", F.col("jaccard").alias("exact_j"),
+                    "hamming16",
+                    (F.col("hamming16") <= 3).alias("near_dup"))
             .orderBy("a_id", "b_id"))

@@ -48,7 +48,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by design; recall asserted in unit tests
     doc="LSH-bucketed approximate top-5 (16 random hyperplanes, 4 bands): "
         "candidates from sub-band collisions, exact rescoring. The 100 TB "
-        "path — cost scales with bucket collisions, not n x q.",
+        "path — cost scales with bucket collisions, not n x q. Rows-only "
+        "ONLY because the numpy-seeded float hyperplanes are not SQL-"
+        "reproducible; the full pipeline is value-checked by the "
+        "portable twin q_ann_lsh_portable and the recall floor by "
+        "q_ann_lsh_recall.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
@@ -88,7 +92,11 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
         "(KMeans coarse quantizer, 16 cells, candidates written "
         "partitionBy(cell)) runs once per fixture; the query is "
         "probe-only — each query's 4 nearest cells are a partition-pruned "
-        "scan of n_probe/n_clusters of the data, exact rescoring inside.",
+        "scan of n_probe/n_clusters of the data, exact rescoring inside. "
+        "Rows-only ONLY because KMeans centroids are not SQL-"
+        "reproducible; the probe lifecycle is value-checked by the "
+        "portable twin q_ann_ivf_portable and the recall floor by "
+        "q_ann_ivf_recall.",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
@@ -621,3 +629,225 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 4).alias("mean_k_occurrence"),
         F.round(skew, 4).alias("hubness_skew"),
         (skew > 1.0).alias("hubby"))
+
+
+# --------------------------------------------------------------------------
+# Portable-signature ANN twins — LSH + IVF mechanisms, fully value-checked
+# --------------------------------------------------------------------------
+
+def _portable_bits(spark: SparkSession, e: DataFrame,
+                   n_planes: int = 16, dim: int = 64,
+                   scale: int = 10000) -> DataFrame:
+    """(vec_id, j, bit): sign bits of LCG-derived +/-1 hyperplanes over
+    integer-scaled embeddings — PURE integer arithmetic, bit-identical
+    in DuckDB. Component d of plane j is +1 iff
+    (1103515245*(j*dim+d) + 12345) mod 2^31 < 2^30; embedding values are
+    rounded to integer ten-thousandths first, so every dot product is an
+    exact BIGINT sum whose sign both engines agree on with zero float
+    risk (a float hyperplane could flip a near-zero sign between
+    engines; an integer one cannot)."""
+    qz = (e.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+          .select("vec_id", F.col("d").cast("long").alias("d"),
+                  F.round(F.col("x").cast("double") * scale)
+                  .cast("long").alias("qx")))
+    planes = spark.createDataFrame(
+        [(j, d, 1 if (1103515245 * (j * dim + d) + 12345) % 2**31 < 2**30
+          else -1)
+         for j in range(n_planes) for d in range(dim)],
+        "j long, d long, w long")
+    return (qz.join(F.broadcast(planes), "d")
+            .groupBy("vec_id", "j")
+            .agg(F.when(F.sum(F.col("w") * F.col("qx")) >= 0, F.lit(1))
+                 .otherwise(F.lit(0)).alias("bit")))
+
+
+def _portable_band_codes(spark: SparkSession, bits: DataFrame,
+                         band_size: int = 4) -> DataFrame:
+    """(vec_id, band, code): pack each run of ``band_size`` sign bits
+    into an integer band code (bit j contributes 2^(j mod band_size))."""
+    n = 16
+    jt = spark.createDataFrame(
+        [(j, j // band_size, 2 ** (j % band_size)) for j in range(n)],
+        "j long, band long, p2 long")
+    return (bits.join(F.broadcast(jt), "j")
+            .groupBy("vec_id", "band")
+            .agg(F.sum(F.col("bit") * F.col("p2")).alias("code")))
+
+
+_PORTABLE_CTES = """
+    qz AS (
+        SELECT vec_id, d - 1 AS d,
+               CAST(ROUND(embedding[CAST(d AS INT)]::DOUBLE * 10000)
+                    AS BIGINT) AS qx
+        FROM embeddings, range(1, 65) t(d)),
+    planes AS (
+        SELECT j, d,
+               CASE WHEN (1103515245 * (j * 64 + d) + 12345) % 2147483648
+                         < 1073741824 THEN 1 ELSE -1 END AS w
+        FROM (SELECT unnest(range(0, 16)) AS j),
+             (SELECT unnest(range(0, 64)) AS d)),
+    bits AS (
+        SELECT q.vec_id, p.j,
+               CASE WHEN SUM(p.w * q.qx) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM qz q JOIN planes p ON p.d = q.d
+        GROUP BY q.vec_id, p.j),
+    codes AS (
+        SELECT vec_id, j // 4 AS band,
+               CAST(SUM(bit * (1 << CAST(j % 4 AS INT))) AS BIGINT) AS code
+        FROM bits GROUP BY vec_id, j // 4)
+"""
+
+
+@register(
+    "q_ann_lsh_portable",
+    oracle="""
+    WITH """ + _PORTABLE_CTES + """,
+    pairs AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM codes q JOIN codes c ON q.band = c.band AND q.code = c.code
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                            DESC, p.neighbor_id ASC) AS rank
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, rank, ROUND(cs, 6) AS cos_sim
+    FROM scored WHERE rank <= 5
+    """,
+    doc="Random-hyperplane LSH end to end, fully value-checked — the "
+        "portable twin the rows-only production query (q_ann_lsh_topk, "
+        "numpy-seeded float hyperplanes, not SQL-reproducible) names as "
+        "its oracle-checked companion. Same pipeline shape (16 sign "
+        "bits -> 4 bands of 4 -> band-equality candidates -> exact "
+        "cosine rescoring -> top-5), but the hyperplanes are LCG-derived "
+        "+/-1 vectors over integer-scaled embeddings, so signatures, "
+        "band codes, and the candidate set are exact integer arithmetic "
+        "both engines reproduce bit-for-bit; only the final rescoring "
+        "touches doubles, with the same index-order discipline "
+        "q_ann_cosine_topk already proves. Candidate generation "
+        "shuffles (id, band, code) rows, never vectors — the same "
+        "O(collisions) scale path as the production operator.",
+)
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    codes = _portable_band_codes(
+        spark, _portable_bits(spark, e)).localCheckpoint(eager=False)
+    qc = (codes.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "band", "code"))
+    cc = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "code")
+    pairs = (qc.join(cc, ["band", "code"])
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id").distinct())
+    from datalake_project_spark.functions.vectors import cosine
+    qv = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("_cv"))
+    scored = (pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+              .withColumn("cs", cosine(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cs", 6).alias("cos_sim")))
+
+
+@register(
+    "q_ann_ivf_portable",
+    oracle="""
+    WITH """ + _PORTABLE_CTES + """,
+    cells AS (SELECT vec_id, code AS cell FROM codes WHERE band = 0),
+    cellbits AS (
+        SELECT c, j, (c >> CAST(j AS INT)) & 1 AS cbit
+        FROM (SELECT unnest(range(0, 16)) AS c),
+             (SELECT unnest(range(0, 4)) AS j)),
+    probe AS (
+        SELECT query_id, c AS cell FROM (
+            SELECT b.vec_id AS query_id, cb.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY SUM(CASE WHEN b.bit <> cb.cbit
+                                         THEN 1 ELSE 0 END) ASC, cb.c ASC
+                   ) AS rnk
+            FROM bits b JOIN cellbits cb ON cb.j = b.j
+            WHERE b.vec_id < 10 AND b.j < 4
+            GROUP BY b.vec_id, cb.c) t
+        WHERE rnk <= 4),
+    pairs AS (
+        SELECT p.query_id, cl.vec_id AS neighbor_id
+        FROM probe p JOIN cells cl ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.query_id),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                            DESC, p.neighbor_id ASC) AS rank
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.vec_id = p.neighbor_id)
+    SELECT query_id, neighbor_id, rank, ROUND(cs, 6) AS cos_sim
+    FROM scored WHERE rank <= 5
+    """,
+    doc="IVF probe end to end, fully value-checked — the portable twin "
+        "the rows-only production query (q_ann_ivf_topk, KMeans "
+        "centroids, not SQL-reproducible) names as its oracle-checked "
+        "companion. The coarse quantizer is the first 4 LCG-hyperplane "
+        "sign bits (16 cells, the production cell count); each query "
+        "probes the n_probe=4 cells nearest by code hamming distance "
+        "(cell-id tie-break) and rescores exactly inside them — "
+        "assignment, probe selection, and the candidate set are pure "
+        "integer arithmetic. Mirrors the production lifecycle shape: "
+        "cell assignment is the partition key, a probe reads "
+        "n_probe/n_cells of the data (partition-pruned scan at scale), "
+        "exact top-5 inside the probed union.",
+)
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    bits = _portable_bits(spark, e).localCheckpoint(eager=False)
+    cells = _portable_band_codes(spark, bits) \
+        .where(F.col("band") == 0) \
+        .select("vec_id", F.col("code").alias("cell"))
+    cellbits = spark.createDataFrame(
+        [(c, j, (c >> j) & 1) for c in range(16) for j in range(4)],
+        "c long, j long, cbit long")
+    wq = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("c"))
+    probe = (bits.where((F.col("vec_id") < 10) & (F.col("j") < 4))
+             .join(F.broadcast(cellbits), "j")
+             .groupBy(F.col("vec_id").alias("query_id"), "c")
+             .agg(F.sum(F.when(F.col("bit") != F.col("cbit"), 1)
+                        .otherwise(0)).alias("ham"))
+             .withColumn("rnk", F.row_number().over(wq))
+             .where(F.col("rnk") <= 4)
+             .select("query_id", F.col("c").alias("cell")))
+    pairs = (probe.join(cells, "cell")
+             .where(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    from datalake_project_spark.functions.vectors import cosine
+    qv = e.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("_cv"))
+    scored = (pairs.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+              .withColumn("cs", cosine(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cs", 6).alias("cos_sim")))
