@@ -7,8 +7,13 @@ lost its canonical number to `"parsed": null`):
   {"metric": "...", "value": <total_sec>, "unit": "sec", "core26": ...,
    "queries": {<CORE suite only>: sec}, "n_queries": N, "sf": <sf>}
 
-The FULL per-query timing dict (every HEADLINE entry) is written to
-BENCHDETAIL.json next to this file; per-query lines also stream to stderr.
+The FULL per-query timing dict is written to BENCHDETAIL.json next to
+this file; per-query lines also stream to stderr. Since round 6 the
+detail file covers the ENTIRE registry (HEADLINE timed first, the
+canonical stdout line printed, then every remaining registered query
+swept) so a plan regression in a tail query shows up in the
+round-over-round series, not just HEADLINE regressions. Set
+SPARK_GRAFT_BENCH_FULL=0 for the fast HEADLINE-only mode.
 
 The suite spans every operator family (scan/agg, star join, CDC diff,
 windows, sessionization, as-of join, text, dedup incl. MinHash-LSH, ANN)
@@ -383,14 +388,11 @@ def main() -> None:
     # subtotal stays comparable round-over-round even as new queries
     # append to ADDITIONS.
     core26 = round(sum(timings[n] for n in CORE), 3)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCHDETAIL.json"), "w") as fh:
-        json.dump({"metric": "headline_suite_total", "value": total,
-                   "unit": "sec", "core26": core26, "queries": timings,
-                   "n_queries": len(timings), "sf": sf}, fh, indent=1)
-        fh.write("\n")
     # Stdout stays one BOUNDED line: summary + the frozen 26-entry CORE
-    # dict only (~1 KB) — never the full per-query dict.
+    # dict only (~1 KB) — never the full per-query dict. Printed BEFORE
+    # the full-registry tail sweep below so the canonical number is on
+    # stdout even if the process is killed mid-sweep (the round-4
+    # truncation lesson, generalized).
     print(json.dumps({
         "metric": "headline_suite_total",
         "value": total,
@@ -399,7 +401,33 @@ def main() -> None:
         "queries": {n: timings[n] for n in CORE},
         "n_queries": len(timings),
         "sf": sf,
-    }))
+    }), flush=True)
+
+    # Full-registry tail sweep (r5 verdict task #4): every registered
+    # query gets an sf0.1 wall-time in BENCHDETAIL.json each round, so a
+    # plan regression in a non-HEADLINE query shows up in the series —
+    # not just the HEADLINE set. Skip with SPARK_GRAFT_BENCH_FULL=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0":
+        for name, spec in registry.items():
+            if name in timings:
+                continue
+            t0 = time.perf_counter()
+            try:
+                n = spec.fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 - sweep must finish
+                print(f"# {name}: ERR {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
+                  file=sys.stderr)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCHDETAIL.json"), "w") as fh:
+        json.dump({"metric": "headline_suite_total", "value": total,
+                   "unit": "sec", "core26": core26, "queries": timings,
+                   "n_queries": len(timings), "sf": sf}, fh, indent=1)
+        fh.write("\n")
     spark.stop()
 
 

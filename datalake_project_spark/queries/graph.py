@@ -664,11 +664,19 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdeg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
     a = bip.select(F.col("s").alias("u"), "p")
     b = bip.select(F.col("s").alias("v"), "p")
-    edges = (a.join(b, "p")
-             .where(F.col("u") != F.col("v"))
-             .join(pdeg.where(F.col("np").between(2, 1000)), "p")
-             .select("u", "v").distinct()
-             .localCheckpoint(eager=False))
+    # Wedge join emits each undirected edge ONCE (u < v) and mirrors
+    # after the distinct — identical edge set to the oracle's u <> v
+    # formulation at half the pre-distinct shuffle/aggregate volume
+    # (the r6 scale ladder showed the full-volume variant spilling
+    # ~14 GB at 10x on local[32]; halving the wedge stream halves the
+    # dedup working set at every scale).
+    half = (a.join(b, "p")
+            .where(F.col("u") < F.col("v"))
+            .join(pdeg.where(F.col("np").between(2, 1000)), "p")
+            .select("u", "v").distinct()
+            .localCheckpoint(eager=False))
+    edges = half.union(half.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
     counts = []
     for i in range(1, 4):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

@@ -1,0 +1,254 @@
+"""Scale-ladder receipts: measure, don't argue.
+
+Every "survives 100x" claim in the repo is a plan-shape argument
+verified at sf0.1. This tool turns the claims for the heavy families
+into MEASURED scaling exponents: it synthesizes a FACTOR-x scaled copy
+of the sf0.1 fixture (replicate-and-perturb, preserving within-copy
+duplicate/skew structure while keeping copies disjoint — the way a
+genuinely larger corpus behaves), runs the heavy panel at 1x and
+FACTOR-x, and records wall time + shuffle bytes + the implied exponent
+per query (exponent = log(t_Fx / t_1x) / log(F); ~1.0 = linear).
+
+Replication design (copy k of F, stride-offset surrogate keys):
+- documents: copy 0 is the original; copies 1..F-1 re-express the text
+  as lowercase tokens each tagged with a copy letter — a per-copy
+  VOCABULARY BIJECTION. Within-copy near-dup structure is preserved
+  (tagging both members of a pair preserves their shingle overlap);
+  cross-copy Jaccard is exactly 0 (disjoint vocabularies); shingle df
+  distributions replicate per copy instead of inflating 10x. That is
+  how a real 10x corpus grows: new content, same skew profile.
+- customer: copy k rotates every DIGIT of c_name by k (a per-copy
+  bijection on the identifier alphabet): within-copy edit distances —
+  and therefore d<=2 record-linkage match AND blocking structure — are
+  preserved exactly, while cross-copy names differ at EVERY digit
+  position, so digit-class blocking keys never collide across copies.
+  (A first attempt used a suffix tag; that left the blocked digit
+  positions identical across copies and candidate volume went x F^2 —
+  the fixture must emulate NEW entities, not re-keyed old ones.)
+- lineitem: all graph-bearing keys (orderkey/partkey/suppkey) offset
+  per copy -> F disjoint copies of the co-purchase graph: identical
+  degree distribution, identical k-core peel depth, F x the edges.
+- embeddings: per-(copy, vec, dim) LCG relative noise (+-5%) keeps the
+  cluster geometry while preventing exact-duplicate vectors.
+- everything else: symlinked from the base fixture.
+
+Usage:
+  python tools/scale_ladder.py [--factor 10] [--base /root/testdata/sf0.1]
+                               [query ...]
+Writes SCALELADDER.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datalake_project_spark.queries import load_all  # noqa: E402
+from datalake_project_spark.session import get_spark  # noqa: E402
+
+STRIDE = 10_000_000
+
+# One representative per heavy family named by the r5 verdict: inverted-
+# index dedup candidate generation, MinHash-LSH banding, winnowing
+# substring dedup, Fellegi-Sunter + sorted-neighborhood record linkage,
+# k-core peeling, BM25 ranking, cluster-restricted SemDeDup.
+PANEL = [
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_winnow_resolved",
+    "q_linkage_fellegi_sunter",
+    "q_linkage_sorted_neighborhood",
+    "q_graph_kcore",
+    "q_text_bm25_topk",
+    "q_dedup_semantic_clustered",
+]
+
+SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders", "events"]
+
+FIELDS = ("shuffleReadBytes", "shuffleWriteBytes", "inputBytes",
+          "memoryBytesSpilled", "diskBytesSpilled")
+
+
+def build_scaled(base: str, factor: int, out: str) -> str:
+    """Synthesize the scaled fixture with DuckDB (single pass per table);
+    idempotent via a _READY marker."""
+    import duckdb
+
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"SET threads = {max(4, (os.cpu_count() or 8) // 2)}")
+
+    def rep(table_sql: str, name: str) -> None:
+        con.sql(f"COPY ({table_sql}) TO '{out}/{name}.parquet' "
+                f"(FORMAT PARQUET)")
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rep(f"""
+        SELECT doc_id + k * {STRIDE} AS doc_id,
+               CASE WHEN k = 0 THEN text
+                    ELSE array_to_string(list_transform(
+                        regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        t -> t || substr('{letters}',
+                                         CAST(k + 1 AS INT), 1)), ' ')
+               END AS text,
+               lang, source,
+               CASE WHEN k = 0 THEN n_chars
+                    ELSE CAST(length(array_to_string(list_transform(
+                        regexp_extract_all(lower(text), '[a-z0-9]+'),
+                        t -> t || substr('{letters}',
+                                         CAST(k + 1 AS INT), 1)), ' '))
+                        AS BIGINT)
+               END AS n_chars
+        FROM read_parquet('{base}/documents.parquet'),
+             range(0, {factor}) r(k)
+        """, "documents")
+    rep(f"""
+        SELECT c_custkey + k * {STRIDE} AS c_custkey,
+               CASE WHEN k = 0 THEN c_name
+                    ELSE translate(c_name, '0123456789',
+                                   substr('01234567890123456789',
+                                          CAST(k % 10 + 1 AS INT), 10))
+               END AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM read_parquet('{base}/customer.parquet'),
+             range(0, {factor}) r(k)
+        """, "customer")
+    rep(f"""
+        SELECT l_orderkey + k * {STRIDE} AS l_orderkey,
+               l_partkey + k * {STRIDE} AS l_partkey,
+               l_suppkey + k * {STRIDE} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM read_parquet('{base}/lineitem.parquet'),
+             range(0, {factor}) r(k)
+        """, "lineitem")
+    rep(f"""
+        SELECT vec_id + k * {STRIDE} AS vec_id,
+               CASE WHEN k = 0 THEN embedding
+                    ELSE [CAST(embedding[CAST(d AS INT)] *
+                          (1.0 + ((((1103515245 * (vec_id * 1024
+                                    + k * 64 + d) + 12345) % 2147483648)
+                                   / 2147483648.0) - 0.5) * 0.1)
+                          AS FLOAT)
+                          FOR d IN range(1, len(embedding) + 1)]
+               END AS embedding,
+               label
+        FROM read_parquet('{base}/embeddings.parquet'),
+             range(0, {factor}) r(k)
+        """, "embeddings")
+    for t in SYMLINK_TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base}/{t}.parquet", dst)
+    con.close()
+    with open(marker, "w") as fh:
+        fh.write(f"factor={factor} base={base}\n")
+    return out
+
+
+def _stage_totals(api: str) -> dict[str, int]:
+    with urllib.request.urlopen(f"{api}/stages?status=complete",
+                                timeout=30) as r:
+        stages = json.load(r)
+    out = {f: 0 for f in FIELDS}
+    for s in stages:
+        for f in FIELDS:
+            out[f] += int(s.get(f, 0) or 0)
+    return out
+
+
+def run_panel(spark, api: str, registry, sf_dir: str,
+              names: list[str]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name in names:
+        before = _stage_totals(api)
+        t0 = time.perf_counter()
+        n = registry[name].fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        after = _stage_totals(api)
+        delta = {f: after[f] - before[f] for f in FIELDS}
+        out[name] = {"sec": dt, "rows": n, **delta}
+        print(f"# {os.path.basename(sf_dir)} {name}: {dt:.1f}s "
+              f"shufW={delta['shuffleWriteBytes']/1e6:.1f}MB "
+              f"spill={delta['diskBytesSpilled']/1e6:.1f}MB "
+              f"({n} rows)", file=sys.stderr, flush=True)
+    return out
+
+
+def main() -> int:
+    import argparse
+    import math
+
+    from datalake_project_spark.scratch import scratch_root
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="*", default=None)
+    args = ap.parse_args()
+    names = args.queries or PANEL
+
+    scaled = os.path.join(scratch_root(),
+                          f"scale{args.factor}x_"
+                          f"{os.path.basename(args.base)}")
+    print(f"# building {args.factor}x fixture at {scaled}",
+          file=sys.stderr, flush=True)
+    build_scaled(args.base, args.factor, scaled)
+
+    registry = load_all()
+    spark = get_spark("scale-ladder", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "4049",
+    })
+    api = "http://localhost:4049/api/v1/applications"
+    with urllib.request.urlopen(api, timeout=30) as r:
+        app_id = json.load(r)[0]["id"]
+    api = f"{api}/{app_id}"
+    # Untimed warmup pass at 1x: codegen/JIT/broadcast-thread spin-up
+    # otherwise bills to the 1x measurements and fakes a SUPER-linear
+    # exponent down (or negative) — the same discipline bench.py applies.
+    print("# warmup pass (untimed)", file=sys.stderr, flush=True)
+    for name in names:
+        registry[name].fn(spark, args.base).count()
+
+    r1 = run_panel(spark, api, registry, args.base, names)
+    rF = run_panel(spark, api, registry, scaled, names)
+
+    rows = []
+    for name in names:
+        t1, tF = max(r1[name]["sec"], 0.05), max(rF[name]["sec"], 0.05)
+        s1 = max(r1[name]["shuffleWriteBytes"], 1)
+        sF = max(rF[name]["shuffleWriteBytes"], 1)
+        rows.append({
+            "query": name,
+            "sec_1x": r1[name]["sec"], "sec_Fx": rF[name]["sec"],
+            "shufW_1x": r1[name]["shuffleWriteBytes"],
+            "shufW_Fx": rF[name]["shuffleWriteBytes"],
+            "spill_Fx": rF[name]["diskBytesSpilled"]
+            + rF[name]["memoryBytesSpilled"],
+            "time_exp": round(math.log(tF / t1)
+                              / math.log(args.factor), 2),
+            "shuffle_exp": round(math.log(sF / s1)
+                                 / math.log(args.factor), 2),
+        })
+    result = {"factor": args.factor, "base": args.base,
+              "panel": rows}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALELADDER.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
