@@ -1128,7 +1128,11 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "23 MB shuffle at sf0.1 just to print that denominator, and at "
         "100x the audit itself would explode while the operator it "
         "audits stayed healthy. reduction_x_ub is stated as the bound "
-        "it is. This composes with the df-cap skew valve "
+        "it is. The remaining shuffle (~22 MB at sf0.1) is the LINEAR "
+        "rarest-first ranking stream — every (doc, token, df) row "
+        "crosses one tok exchange and one doc_id window exchange, "
+        "O(corpus tokens), the unavoidable cost of a global-df prefix "
+        "order. This composes with the df-cap skew valve "
         "(q_dedup_dfcap_planner): the cap bounds per-shingle df^2 "
         "blowup, the prefix bounds per-DOC index width; together they "
         "are the knobs an exact 100 TB near-dup pass actually ships "
@@ -1144,10 +1148,14 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.explode("_shingles").alias("tok"))
             .localCheckpoint(eager=False))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    tsz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (toks.join(dfreq, "tok").join(tsz, "doc_id")
-              .select("doc_id", "tok", "sz",
+    wall = Window.partitionBy("doc_id")
+    # doc size comes from count() OVER the same doc partition — one
+    # doc_id exchange for rank and size together, instead of a separate
+    # groupBy + join leg re-shuffling the token stream a second time
+    ranked = (toks.join(dfreq, "tok")
+              .select("doc_id", "tok",
+                      F.count(F.lit(1)).over(wall).alias("sz"),
                       F.row_number().over(w).alias("tr")))
     pref = (ranked.where(F.col("tr") <= F.col("sz")
                          - F.ceil(0.5 * F.col("sz")) + 1)
