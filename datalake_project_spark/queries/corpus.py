@@ -1058,3 +1058,55 @@ def q_split_adversarial_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").cast("long").alias("n_holdout"),
         F.col("auc").alias("adversarial_auc"),
         (F.abs(F.col("auc") - 0.5) < 0.05).alias("split_looks_iid"))
+
+
+# --------------------------------------------------------------------------
+# Sequential Poisson sampling — one-pass weighted sample without replacement
+# --------------------------------------------------------------------------
+
+@register(
+    "q_corpus_sequential_poisson",
+    oracle="""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               ((1103515245 * doc_id + 12345) % 2147483648)::DOUBLE
+                   / n_chars AS xi
+        FROM documents WHERE n_chars > 0),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (ORDER BY xi ASC, doc_id ASC) AS rk
+        FROM pri)
+    SELECT doc_id, source, n_chars, rk AS sample_rank
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+    doc="Sequential Poisson sampling (Ohlsson '98) — the one-pass "
+        "weighted-without-replacement sample a 100 TB corpus draw "
+        "actually uses: give each doc the priority xi = u_i / w_i "
+        "(u_i uniform, w_i = n_chars the size weight) and keep the n "
+        "smallest — a length-biased pi-ps sample computed as ONE "
+        "TakeOrdered over the corpus, no per-stratum pass, no second "
+        "scan, mergeable across partitions (each partition's local "
+        "top-n suffices — the same property that makes top-k "
+        "distributed). u_i is the 31-bit LCG of doc_id, so the draw "
+        "is reproducible and the oracle recomputes it exactly; the "
+        "priority is one integer-exact division (IEEE division is "
+        "correctly rounded, so both engines order identical doubles "
+        "identically — no transcendental in sight, unlike the "
+        "exp-keys A-ES variant whose u^(1/w) pow() is not "
+        "cross-engine-stable). Weighted + deterministic + one pass + "
+        "mergeable = the corpus-release draw (q_corpus_quota_sample) "
+        "generalized from quota-exact to probability-proportional-"
+        "to-size.",
+)
+def q_corpus_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = Catalog(spark, sf_dir).table("documents").where(F.col("n_chars") > 0)
+    xi = (((1103515245 * F.col("doc_id") + 12345) % (2 ** 31))
+          .cast("double") / F.col("n_chars"))
+    w = Window.orderBy(F.asc("xi"), F.asc("doc_id"))
+    return (d.select("doc_id", "source", "n_chars", xi.alias("xi"))
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= 20)
+            .select("doc_id", "source", "n_chars", "sample_rank")
+            .orderBy("sample_rank"))

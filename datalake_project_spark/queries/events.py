@@ -3165,3 +3165,91 @@ def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("nrows").cast("double")
                                * F.col("nrows")), 6)
                      .alias("self_join_selectivity_est")))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter — membership sketch with a measured-vs-expected FPR audit
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sketch_bloom_fpr",
+    oracle="""
+    WITH members AS (
+        SELECT DISTINCT user_id AS x FROM events WHERE user_id % 2 = 0),
+    probes AS (
+        SELECT DISTINCT user_id AS x FROM events WHERE user_id % 2 = 1),
+    hf AS (
+        SELECT i, (1103515245 * i + 12345) % 2147483647 AS a,
+               (69069 * i + 362437) % 2147483647 AS b
+        FROM (SELECT unnest(range(0, 4)) AS i)),
+    bits AS (
+        SELECT DISTINCT ((a * x + b) % 2147483647) % 4096 AS pos
+        FROM members CROSS JOIN hf),
+    z AS (SELECT COUNT(*) AS bits_set FROM bits),
+    fp AS (
+        SELECT p.x
+        FROM probes p CROSS JOIN hf
+        JOIN bits ON bits.pos = ((hf.a * p.x + hf.b) % 2147483647) % 4096
+        GROUP BY p.x HAVING COUNT(DISTINCT hf.i) = 4)
+    SELECT (SELECT COUNT(*) FROM members)::BIGINT AS n_members,
+           (SELECT COUNT(*) FROM probes)::BIGINT AS n_probes,
+           (SELECT bits_set FROM z)::BIGINT AS bits_set,
+           ROUND((SELECT COUNT(*) FROM fp)::DOUBLE
+                 / (SELECT COUNT(*) FROM probes), 6) AS fpr_measured,
+           ROUND(((SELECT bits_set FROM z)::DOUBLE / 4096)
+                 * ((SELECT bits_set FROM z)::DOUBLE / 4096)
+                 * ((SELECT bits_set FROM z)::DOUBLE / 4096)
+                 * ((SELECT bits_set FROM z)::DOUBLE / 4096), 6)
+               AS fpr_expected
+    """,
+    doc="Bloom-filter membership sketch, audited end to end — the "
+        "mergeable structure behind shuffle-free distributed semi-joins "
+        "(build per partition, OR the bit arrays, broadcast the result; "
+        "Spark's own runtime bloom join is the engine-internal twin, "
+        "q_join_bloom_prune). k=4 LCG-derived universal hashes "
+        "((a_i x + b_i) mod p mod m) into one m=4096-bit array, built "
+        "from the even user_ids; every odd user_id probes it. Reported "
+        "against each other: the MEASURED false-positive rate (probes "
+        "with all 4 bits set / probes — exact integer counting, both "
+        "engines bit-identical) and the occupancy-conditional EXPECTED "
+        "rate (z/m)^k computed by explicit multiplication (no pow(), "
+        "so the doubles match bit-for-bit). At 100 TB the build is one "
+        "distinct over (member x k) hash positions — map-side "
+        "combinable — and the probe is a broadcast-bit-array lookup; "
+        "the audit itself is the sketch contract: measured FPR tracks "
+        "(z/m)^k, the number a capacity planner sizes m and k from.",
+)
+def q_sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M, P = 4, 4096, 2147483647
+    ev = Catalog(spark, sf_dir).table("events")
+    members = (ev.where(F.col("user_id") % 2 == 0)
+               .select(F.col("user_id").alias("x")).distinct()
+               .localCheckpoint(eager=False))
+    probes = (ev.where(F.col("user_id") % 2 == 1)
+              .select(F.col("user_id").alias("x")).distinct()
+              .localCheckpoint(eager=False))
+    hf = (spark.range(K).select(
+        F.col("id").alias("i"),
+        ((1103515245 * F.col("id") + 12345) % P).alias("a"),
+        ((69069 * F.col("id") + 362437) % P).alias("b")))
+    pos = ((F.col("a") * F.col("x") + F.col("b")) % P) % M
+    bits = (members.crossJoin(F.broadcast(hf))
+            .select(pos.alias("pos")).distinct()
+            .localCheckpoint(eager=False))
+    fp = (probes.crossJoin(F.broadcast(hf))
+          .select("x", "i", pos.alias("pos"))
+          .join(bits, "pos")
+          .groupBy("x")
+          .agg(F.countDistinct("i").alias("nh"))
+          .where(F.col("nh") == K))
+    one = lambda df, nm: F.broadcast(
+        df.agg(F.count(F.lit(1)).cast("long").alias(nm)))
+    zfrac = F.col("bits_set").cast("double") / M
+    return (one(members, "n_members").crossJoin(one(probes, "n_probes"))
+            .crossJoin(one(bits, "bits_set"))
+            .crossJoin(one(fp, "n_fp"))
+            .select("n_members", "n_probes", "bits_set",
+                    F.round(F.col("n_fp").cast("double")
+                            / F.col("n_probes"), 6).alias("fpr_measured"),
+                    F.round(zfrac * zfrac * zfrac * zfrac, 6)
+                    .alias("fpr_expected")))
