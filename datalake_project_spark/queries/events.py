@@ -3253,3 +3253,70 @@ def q_sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_probes"), 6).alias("fpr_measured"),
                     F.round(zfrac * zfrac * zfrac * zfrac, 6)
                     .alias("fpr_expected")))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — estimator value-checked
+# --------------------------------------------------------------------------
+
+@register(
+    "q_sketch_kmv_distinct",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT user_id AS x FROM events),
+    hs AS (
+        SELECT x, (1103515245 * x + 12345) % 2147483647 AS h FROM ids),
+    kth AS (
+        SELECT MAX(h) AS hk, COUNT(*) AS m
+        FROM (SELECT h FROM hs ORDER BY h ASC, x ASC LIMIT 256)),
+    est AS (
+        SELECT CASE WHEN m < 256 THEN m
+                    ELSE CAST(FLOOR(255.0 * 2147483647 / hk) AS BIGINT)
+               END AS kmv
+        FROM kth)
+    SELECT (SELECT COUNT(*) FROM ids)::BIGINT AS exact_distinct,
+           (SELECT kmv FROM est) AS kmv_estimate,
+           ROUND(ABS((SELECT kmv FROM est)
+                     - (SELECT COUNT(*) FROM ids))::DOUBLE
+                 / (SELECT COUNT(*) FROM ids), 4) AS rel_err,
+           ABS((SELECT kmv FROM est) - (SELECT COUNT(*) FROM ids))::DOUBLE
+               / (SELECT COUNT(*) FROM ids) <= 0.2 AS within_20pct
+    """,
+    doc="KMV (k-minimum-values, Bar-Yossef et al.) distinct-count "
+        "sketch with the ESTIMATE itself value-checked — the third "
+        "mergeable cardinality structure beside the HLL register table "
+        "(q_hll_mergeable_distinct) and the exact bitmap "
+        "(q_bitmap_distinct_users), and the one whose estimator is "
+        "simplest to audit cross-engine: hash every key with the "
+        "portable LCG into (0, p), keep the k=256 smallest (a "
+        "TakeOrdered — mergeable: the k smallest of a union are among "
+        "the union of per-partition k smallest), and estimate "
+        "D ~ (k-1) * p / h_(k), the order-statistics estimator (the "
+        "k-th smallest of D uniforms sits near k/D * p). FLOOR keeps "
+        "the comparison integer-exact; rel_err and a 20% acceptance "
+        "flag (k=256 gives ~1/sqrt(254) ~ 6.3% standard error) are "
+        "reported against the exact count computed in the same query "
+        "(when fewer than k keys exist the sketch holds them all and "
+        "reports the exact count, the standard KMV degenerate case). "
+        "At 100 TB: one map-side partial TakeOrdered per partition, "
+        "k longs per partition to the driver — the sketch IS the "
+        "shuffle payload, like the HLL registers.",
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, P = 256, 2147483647
+    ev = Catalog(spark, sf_dir).table("events")
+    ids = ev.select(F.col("user_id").alias("x")).distinct()
+    hs = ids.select("x", ((1103515245 * F.col("x") + 12345) % P).alias("h"))
+    kth = (hs.orderBy(F.asc("h"), F.asc("x")).limit(K)
+           .agg(F.max("h").alias("hk"),
+                F.count(F.lit(1)).alias("m")))
+    exact = F.broadcast(ids.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")))
+    est = F.when(F.col("m") < K, F.col("m").cast("long")).otherwise(
+        F.floor(F.lit(float(K - 1)) * P / F.col("hk")).cast("long"))
+    rel = (F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+           .cast("double") / F.col("exact_distinct"))
+    return (exact.crossJoin(F.broadcast(kth))
+            .select("exact_distinct", est.alias("kmv_estimate"))
+            .select("exact_distinct", "kmv_estimate",
+                    F.round(rel, 4).alias("rel_err"),
+                    (rel <= 0.2).alias("within_20pct")))
