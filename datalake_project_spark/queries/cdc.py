@@ -1705,3 +1705,77 @@ def q_manifest_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
         F.lit(bool(pruned)).alias("files_pruned"))
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure — tombstone MERGE + bounded time travel + file-level proof
+# --------------------------------------------------------------------------
+
+@register(
+    "q_lake_erasure",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n_total,
+           CAST(SUM(CASE WHEN c_custkey % 97 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_erased,
+           CAST(COUNT(*) - SUM(CASE WHEN c_custkey % 97 = 3
+                                    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           TRUE AS absent_in_table,
+           TRUE AS absent_on_disk,
+           1 AS versions_after
+    FROM customer
+    """,
+    doc="Right-to-be-forgotten as a lake lifecycle round-trip — the "
+        "operation every 100 TB personal-data lake must support and "
+        "the reference cannot express (its hourly dirs never delete, "
+        "scripts/script_api_apify_to_spark.py:200-209). Three-step "
+        "erasure on the manifest-ACID backend: (1) tombstone MERGE "
+        "(ManifestLake.upsert with delete_col) removes the requested "
+        "keys (c_custkey % 97 = 3) from the head snapshot; (2) "
+        "expire_versions(keep_last=1) BOUNDS TIME TRAVEL — erasure "
+        "that leaves the rows readable at version N-1 is not erasure "
+        "— expiring the pre-erasure manifests and refcount-vacuuming "
+        "the files only they referenced (the r6 Iceberg-"
+        "expire_snapshots semantics); (3) a FILE-LEVEL audit re-reads "
+        "every Parquet file still on disk under the table's data dir "
+        "and proves zero erased keys survive physically, not just "
+        "logically (absent_on_disk). Idempotent: each execution "
+        "rebuilds the snapshot, erases, and re-bounds. The oracle "
+        "pins the exact row accounting from the source table plus the "
+        "three invariants.",
+)
+def q_lake_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    c = Catalog(spark, sf_dir).table("customer") \
+        .select("c_custkey", "c_name", "c_acctbal")
+    lake = ManifestLake(spark, scratch_dir("erasure", sf_dir))
+    D_, T_ = "2026-03-01", "T01"
+    lake.write_usage(c, "cust", D_, T_)
+    n_total = c.count()
+    erase = (c.where(F.col("c_custkey") % 97 == 3)
+             .withColumn("_del", F.lit(True)))
+    n_erased = erase.count()
+    lake.upsert(erase, "cust", D_, T_, keys=["c_custkey"],
+                delete_col="_del")
+    lake.expire_versions("cust", keep_last=1)
+    cur = lake.read_usage("cust", D_, T_)
+    n_after = cur.count()
+    absent_tbl = cur.where(F.col("c_custkey") % 97 == 3).count() == 0
+    ddir = lake._data_dir("cust")
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ddir)
+             for f in fs if f.endswith(".parquet")
+             and not f.startswith(("_", "."))]
+    on_disk = (spark.read.parquet(*files)
+               .where(F.col("c_custkey") % 97 == 3).count()
+               if files else 0)
+    versions_after = len(lake._versions("cust"))
+    return spark.createDataFrame(
+        [(n_total, n_erased, n_after, bool(absent_tbl),
+          bool(on_disk == 0), versions_after)],
+        "n_total long, n_erased long, n_after long, "
+        "absent_in_table boolean, absent_on_disk boolean, "
+        "versions_after int")
