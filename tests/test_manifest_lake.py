@@ -502,3 +502,69 @@ def test_unbounded_scan_keeps_null_only_files(spark, tmp_path):
     bounded = {(r["id"], r["v"]) for r in
                lake.scan_usage("t", "v", lo="a").select("id", "v").collect()}
     assert bounded == {(2, "x")}
+
+
+CRASH_WORKER = r"""
+import sys, json, os
+sys.path.insert(0, "/root/repo")
+from datalake_project_spark.manifest_lake import ManifestLake
+from datalake_project_spark.session import get_spark
+
+root = sys.argv[1]
+spark = get_spark("crash-worker", extra_conf={
+    "spark.sql.shuffle.partitions": "2",
+    "spark.ui.enabled": "false",
+})
+lake = ManifestLake(spark, root)
+i = 0
+while True:  # upsert forever; the parent SIGKILLs us mid-flight
+    df = spark.createDataFrame([(i % 7, f"w{i}")], "id long, v string")
+    lake.upsert(df, "t", "2026-02-01", "T01", keys=["id"])
+    i += 1
+"""
+
+
+def test_sigkill_mid_commit_leaves_table_consistent(spark, tmp_path):
+    """The ACID claim under a real crash: a writer process is SIGKILLed
+    while continuously upserting. Whatever instant it died at — staging,
+    mid-manifest-write, between os.link and the pointer update — the
+    table must stay fully consistent for readers: every published
+    manifest parses, the version chain has no gaps, the head resolves,
+    and the data reads back with exactly one row per key (the upsert
+    invariant). Orphaned temps/stage dirs are allowed (vacuum_orphans'
+    job); torn STATE is not."""
+    import json as _json
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(99, "seed")]), "t", D, "T01")
+    script = tmp_path / "crash_worker.py"
+    script.write_text(CRASH_WORKER)
+    proc = subprocess.Popen([_sys.executable, str(script), str(tmp_path)],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    deadline = _time.time() + 120
+    # wait until the worker has committed a few versions, then kill -9
+    while _time.time() < deadline:
+        if (lake.latest_version("t") or 0) >= 4:
+            break
+        _time.sleep(0.5)
+    assert (lake.latest_version("t") or 0) >= 4, "worker never committed"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=30)
+
+    head = lake.latest_version("t")
+    versions = lake._versions("t")
+    assert versions == list(range(1, head + 1)), "version chain has gaps"
+    for v in versions:  # every published manifest is complete JSON
+        m = _json.load(open(lake._vpath("t", v)))
+        assert m["version"] == v
+        for e in m["entries"]:
+            for f in e["files"]:
+                assert os.path.exists(f), f"v{v} references missing {f}"
+    # data invariant: exactly one row per key at the head
+    rows = lake.read_usage("t", D, "T01").groupBy("id").count().collect()
+    assert rows and all(r["count"] == 1 for r in rows)

@@ -66,9 +66,16 @@ PANEL = [
     "q_graph_kcore",
     "q_text_bm25_topk",
     "q_dedup_semantic_clustered",
+    # r6 extension: the remaining heavy audit shapes + the events lane
+    "q_dedup_prefix_filter",
+    "q_dedup_bcubed",
+    "q_dedup_minhash_estimator",
+    "q_text_collocations",
+    "q_events_sessionize",
+    "q_group_zscore",
 ]
 
-SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders", "events"]
+SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
 
 FIELDS = ("shuffleReadBytes", "shuffleWriteBytes", "inputBytes",
           "memoryBytesSpilled", "diskBytesSpilled")
@@ -144,6 +151,13 @@ def build_scaled(base: str, factor: int, out: str) -> str:
         FROM read_parquet('{base}/embeddings.parquet'),
              range(0, {factor}) r(k)
         """, "embeddings")
+    rep(f"""
+        SELECT event_id + k * {STRIDE} AS event_id, ts,
+               user_id + k * {STRIDE} AS user_id,
+               event_type, value, props
+        FROM read_parquet('{base}/events.parquet'),
+             range(0, {factor}) r(k)
+        """, "events")
     for t in SYMLINK_TABLES:
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
