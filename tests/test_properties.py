@@ -284,3 +284,96 @@ def test_manifest_prune_never_drops_a_matching_file(files, lo, hi,
                       for r in rows_)
         if matches:
             assert f"f{i}" in kept, (i, rows_, lo, hi)
+
+
+@st.composite
+def _lifecycle_ops(draw):
+    keys = st.integers(min_value=0, max_value=5)
+    ops = []
+    n = draw(st.integers(min_value=2, max_value=5))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["write", "upsert", "expire"]))
+        if kind == "write":
+            ops.append(("write", draw(st.dictionaries(
+                keys, st.text("ab", min_size=1, max_size=2),
+                min_size=1, max_size=4))))
+        elif kind == "upsert":
+            ups = draw(st.dictionaries(keys, st.text("cd", min_size=1,
+                                                     max_size=2),
+                                       min_size=1, max_size=3))
+            dels = {k for k in draw(st.sets(keys, max_size=2))
+                    if k not in ups}
+            ops.append(("upsert", ups, dels))
+        else:
+            ops.append(("expire", draw(st.integers(min_value=1,
+                                                   max_value=3))))
+    return ops
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_lifecycle_ops())
+def test_manifest_lifecycle_matches_version_model(spark, tmp_path_factory,
+                                                  ops):
+    """Version-history property: for a random op sequence (partition
+    write / MERGE upsert / expire_versions), every SURVIVING manifest
+    version time-travels to exactly the model's snapshot at that
+    version, expired versions raise, and the head always equals the
+    model head. This pins the r6 metadata-bounding machinery
+    (expire_versions + the _latest pointer) against the same dict model
+    the MERGE property uses."""
+    from datalake_project_spark.manifest_lake import ManifestLake
+
+    D_, T_ = "2026-02-01", "T01"
+    tmp = tmp_path_factory.mktemp("mlife")
+    lake = ManifestLake(spark, str(tmp))
+    schema = "k long, v string"
+    state: dict = {}
+    history: dict[int, dict] = {}   # version -> full snapshot
+    live_versions: list[int] = []
+
+    for op in ops:
+        if op[0] == "write":
+            state = dict(op[1])
+            lake.write_usage(spark.createDataFrame(list(state.items()),
+                                                   schema), "t", D_, T_)
+            v = lake.latest_version("t")
+            history[v] = dict(state)
+            live_versions.append(v)
+        elif op[0] == "upsert":
+            _, ups, dels = op
+            if not state and not ups:
+                continue
+            state = {**state, **ups}
+            for k in dels:
+                state.pop(k, None)
+            rows = ([(k, v_, False) for k, v_ in ups.items()]
+                    + [(k, None, True) for k in dels])
+            lake.upsert(spark.createDataFrame(rows,
+                                              "k long, v string, "
+                                              "del boolean"),
+                        "t", D_, T_, keys=["k"], delete_col="del")
+            v = lake.latest_version("t")
+            history[v] = dict(state)
+            live_versions.append(v)
+        else:
+            keep = op[1]
+            expired = lake.expire_versions("t", keep_last=keep)
+            live_versions = [v for v in live_versions if v not in expired]
+
+    if not live_versions:
+        return
+    assert lake.latest_version("t") == live_versions[-1]
+    got_head = {r["k"]: r["v"]
+                for r in lake.read_usage("t", D_, T_).collect()}
+    assert got_head == history[live_versions[-1]]
+    for v in live_versions:  # every surviving version time-travels
+        got = {r["k"]: r["v"]
+               for r in lake.read_usage_at("t", v, D_, T_).collect()}
+        assert got == history[v], f"v{v} snapshot drifted"
+    for v in sorted(set(history) - set(live_versions)):
+        try:
+            lake.read_usage_at("t", v, D_, T_).collect()
+            raise AssertionError(f"expired v{v} still resolves")
+        except FileNotFoundError:
+            pass

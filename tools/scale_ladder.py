@@ -17,11 +17,14 @@ Replication design (copy k of F, stride-offset surrogate keys):
   cross-copy Jaccard is exactly 0 (disjoint vocabularies); shingle df
   distributions replicate per copy instead of inflating 10x. That is
   how a real 10x corpus grows: new content, same skew profile.
-- customer: copy k rotates every DIGIT of c_name by k (a per-copy
-  bijection on the identifier alphabet): within-copy edit distances —
-  and therefore d<=2 record-linkage match AND blocking structure — are
-  preserved exactly, while cross-copy names differ at EVERY digit
-  position, so digit-class blocking keys never collide across copies.
+- customer: copy k rotates every DIGIT of c_name by k mod 10 (a
+  per-copy bijection on the identifier alphabet): within-copy edit
+  distances — and therefore d<=2 record-linkage match AND blocking
+  structure — are preserved exactly, while cross-copy names differ at
+  EVERY digit position, so digit-class blocking keys never collide
+  across copies. NOTE: only 10 distinct rotations exist — above
+  factor 10 the linkage queries see same-rotation copy pairs colliding
+  in the blocker; run the linkage panel at factor <= 10.
   (A first attempt used a suffix tag; that left the blocked digit
   positions identical across copies and candidate volume went x F^2 —
   the fixture must emulate NEW entities, not re-keyed old ones.)
@@ -98,20 +101,24 @@ def build_scaled(base: str, factor: int, out: str) -> str:
                 f"(FORMAT PARQUET)")
 
     letters = "abcdefghijklmnopqrstuvwxyz"
+    # two-letter copy tag: supports up to 676 copies (a single letter
+    # wraps past k=26, silently UN-tagging copies 26+ — the factor-30
+    # run that caught it produced 5 identical sub-corpora and x245 pair
+    # output instead of x30)
+    tag = (f"substr('{letters}', CAST(k // 26 + 1 AS INT), 1) || "
+           f"substr('{letters}', CAST(k % 26 + 1 AS INT), 1)")
     rep(f"""
         SELECT doc_id + k * {STRIDE} AS doc_id,
                CASE WHEN k = 0 THEN text
                     ELSE array_to_string(list_transform(
                         regexp_extract_all(lower(text), '[a-z0-9]+'),
-                        t -> t || substr('{letters}',
-                                         CAST(k + 1 AS INT), 1)), ' ')
+                        t -> t || {tag}), ' ')
                END AS text,
                lang, source,
                CASE WHEN k = 0 THEN n_chars
                     ELSE CAST(length(array_to_string(list_transform(
                         regexp_extract_all(lower(text), '[a-z0-9]+'),
-                        t -> t || substr('{letters}',
-                                         CAST(k + 1 AS INT), 1)), ' '))
+                        t -> t || {tag}), ' '))
                         AS BIGINT)
                END AS n_chars
         FROM read_parquet('{base}/documents.parquet'),
