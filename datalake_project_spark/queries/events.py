@@ -3320,3 +3320,67 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("exact_distinct", "kmv_estimate",
                     F.round(rel, 4).alias("rel_err"),
                     (rel <= 0.2).alias("within_20pct")))
+
+
+# --------------------------------------------------------------------------
+# Keyless interval join via bucketization — the non-equi join scale path
+# --------------------------------------------------------------------------
+
+@register(
+    "q_interval_bucket_join",
+    oracle="""
+    WITH campaigns AS (
+        SELECT DISTINCT date_trunc('month', ts) AS start_ts,
+               date_trunc('month', ts) + INTERVAL 10 DAY AS end_ts,
+               strftime(date_trunc('month', ts), '%Y-%m') AS campaign
+        FROM events),
+    hits AS (
+        SELECT c.campaign, e.user_id, e.value
+        FROM events e JOIN campaigns c
+          ON e.ts >= c.start_ts AND e.ts < c.end_ts)
+    SELECT campaign,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM hits GROUP BY campaign ORDER BY campaign
+    """,
+    doc="Interval join WITHOUT any equi key — the join shape Catalyst "
+        "can only plan as a nested loop — rewritten as the bucketized "
+        "equi-join that scales: quantize time into fixed 7-day buckets, "
+        "explode each campaign interval into the buckets it covers "
+        "(bounded: ceil(len/width)+1 rows per interval), map each event "
+        "to its SINGLE point-bucket, hash-join on the bucket key, and "
+        "apply the exact range predicate as the residual filter. Every "
+        "true (event, interval) pair shares the event's bucket, so the "
+        "rewrite is lossless and duplicate-free by construction (the "
+        "event appears in one bucket; no post-join distinct). This is "
+        "the generic 100 TB recipe for keyless temporal/range overlap "
+        "joins (and what q_geo_radius_join does in 2-D with grid "
+        "cells); the oracle runs the direct non-equi join. Campaigns "
+        "here are the first 10 days of each month present in the data "
+        "— derived deterministically, no fixture dependency.",
+)
+def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = 604800  # 7-day bucket, seconds
+    ev = Catalog(spark, sf_dir).table("events")
+    camp = (ev.select(F.date_trunc("month", "ts").alias("start_ts"))
+            .distinct()
+            .select("start_ts",
+                    (F.col("start_ts") + F.expr("INTERVAL 10 DAYS"))
+                    .alias("end_ts"),
+                    F.date_format("start_ts", "yyyy-MM").alias("campaign")))
+    b0 = F.floor(F.unix_timestamp("start_ts") / W)
+    b1 = F.floor((F.unix_timestamp("end_ts") - 1) / W)
+    camp_b = camp.select(
+        "campaign", "start_ts", "end_ts",
+        F.explode(F.sequence(b0, b1)).alias("bucket"))
+    ev_b = ev.select("ts", "user_id", "value",
+                     F.floor(F.unix_timestamp("ts") / W).alias("bucket"))
+    hits = (ev_b.join(F.broadcast(camp_b), "bucket")
+            .where((F.col("ts") >= F.col("start_ts"))
+                   & (F.col("ts") < F.col("end_ts"))))
+    return (hits.groupBy("campaign")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("campaign"))

@@ -357,3 +357,93 @@ def q_multimodal_payload_entropy(spark: SparkSession,
                      "entropy_bits",
                      (F.col("entropy_bits") < 2.0).alias("low_entropy"))
             .orderBy("doc_id"))
+
+
+_DHASH_CTE = """
+    m AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               (octet_length(encode(text)) + 63) // 64 AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, n, u.k,
+               COALESCE(list_sum(list_transform(
+                   [text[i] FOR i IN range(u.k * w + 1,
+                                           LEAST((u.k + 1) * w, n) + 1)],
+                   c -> unicode(c)::BIGINT)), 0) AS bs
+        FROM m, unnest(range(0, 64)) AS u(k)),
+    p AS (
+        SELECT doc_id, n, k, bs,
+               LEAD(bs) OVER (PARTITION BY doc_id ORDER BY k) AS bs1
+        FROM s),
+    h AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bs > bs1 THEN 1::BIGINT << k
+                             ELSE 0 END) AS BIGINT) AS dhash
+        FROM p WHERE k < 63 GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_multimodal_dhash_near_dup",
+    oracle="WITH " + _DHASH_CTE + """,
+    chunks AS (
+        SELECT doc_id, u.j,
+               (dhash >> CAST(u.j * 21 AS INT)) & 2097151 AS cv
+        FROM h, unnest(range(0, 3)) AS u(j)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM chunks a JOIN chunks b
+          ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id),
+    verified AS (
+        SELECT c.a_id, c.b_id,
+               bit_count(xor(ha.dhash, hb.dhash)) AS hamming
+        FROM cand c
+        JOIN h ha ON ha.doc_id = c.a_id
+        JOIN h hb ON hb.doc_id = c.b_id
+        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 2)
+    SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+    FROM verified ORDER BY a_id, b_id
+    """,
+    doc="Near-duplicate MEDIA pairs at perceptual-hash distance <= 2 — "
+        "the hamming rung above q_multimodal_dhash's exact-fingerprint "
+        "grouping, and the multimodal realization of the SimHash "
+        "pigeonhole discipline: the 63-bit dHash splits into 3 chunks "
+        "of 21 bits, and any pair within hamming 2 must agree on at "
+        "least one whole chunk, so candidates come from a chunk-"
+        "equality equi-join (8-byte keys, never payloads) with exact "
+        "XOR-popcount verification after — perfect recall for d <= 2, "
+        "candidate volume bounded by chunk-bucket collisions instead "
+        "of n^2. Fully value-checked: the dhash itself is the "
+        "bit-for-bit oracle-proven fingerprint, and both engines "
+        "compute the identical chunk keys and popcounts.",
+)
+def q_multimodal_dhash_near_dup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.multimodal import (
+        as_media, perceptual_dhash,
+    )
+    docs = Catalog(spark, sf_dir).table("documents")
+    h = (perceptual_dhash(as_media(docs))
+         .select("doc_id", "dhash").localCheckpoint(eager=False))
+    chunks = h.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("dhash"), 21 * j)
+            .bitwiseAND(F.lit((1 << 21) - 1)) for j in range(3)
+        ])).alias("j", "cv"))
+    a = chunks.select(F.col("doc_id").alias("a_id"), "j", "cv")
+    b = chunks.select(F.col("doc_id").alias("b_id"),
+                      F.col("j").alias("jb"), F.col("cv").alias("cvb"))
+    cand = (a.join(b, (F.col("j") == F.col("jb"))
+                   & (F.col("cv") == F.col("cvb"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id").distinct())
+    ha = h.select(F.col("doc_id").alias("a_id"), F.col("dhash").alias("da"))
+    hb = h.select(F.col("doc_id").alias("b_id"), F.col("dhash").alias("db"))
+    return (cand.join(ha, "a_id").join(hb, "b_id")
+            .select("a_id", "b_id",
+                    F.bit_count(F.expr("da ^ db")).cast("long")
+                    .alias("hamming"))
+            .where(F.col("hamming") <= 2)
+            .orderBy("a_id", "b_id"))
