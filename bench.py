@@ -421,6 +421,20 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
                   file=sys.stderr)
+        # Re-print the identical summary line AFTER the sweep: the driver
+        # captures the combined tail of the run, and the 400+ stderr lines
+        # of the full-registry sweep scrolled the early print out of the
+        # window in round 6 (BENCH_r06 parsed=null). The early print stays
+        # for kill-survival; this one is what the driver actually parses.
+        print(json.dumps({
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "core26": core26,
+            "queries": {n: timings[n] for n in CORE},
+            "n_queries": len(timings),
+            "sf": sf,
+        }), flush=True)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCHDETAIL.json"), "w") as fh:

@@ -162,8 +162,17 @@ class ManifestLake(Lake):
             cur_v, cur = self._latest(table)
             if guard_key is not None and base_version is not None \
                     and cur_v != base_version:
-                base = (self._load(table, base_version)
-                        if base_version > 0 else {"entries": []})
+                try:
+                    base = (self._load(table, base_version)
+                            if base_version > 0 else {"entries": []})
+                except FileNotFoundError:
+                    # expire_versions vacuumed the base manifest while this
+                    # writer was merging: surface it as a conflict so the
+                    # caller re-reads the new head and re-merges, instead
+                    # of crashing the retry loop with an uncaught IO error.
+                    raise CommitConflict(
+                        f"{table} base manifest v{base_version} expired "
+                        f"during commit") from None
                 if (self._entry_files(base, guard_key)
                         != self._entry_files(cur, guard_key)):
                     raise CommitConflict(
@@ -438,9 +447,12 @@ class ManifestLake(Lake):
             if not self._entry_files(base_m, (ingest_date, run_ts)):
                 merged = ups
             else:
-                target = (self.read_usage_at(table, base_v or None,
-                                             ingest_date, run_ts)
-                          .drop("ingest_date", "run_ts"))
+                try:
+                    target = (self.read_usage_at(table, base_v or None,
+                                                 ingest_date, run_ts)
+                              .drop("ingest_date", "run_ts"))
+                except FileNotFoundError:
+                    continue  # base manifest expired mid-merge: re-read head
                 keep = target.join(touched, keys, "left_anti")
                 merged = keep.unionByName(ups)
             files = self._stage(merged.localCheckpoint(eager=True)

@@ -1104,10 +1104,14 @@ def q_corpus_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents").where(F.col("n_chars") > 0)
     xi = (((1103515245 * F.col("doc_id") + 12345) % (2 ** 31))
           .cast("double") / F.col("n_chars"))
+    # orderBy().limit(n) plans as TakeOrdered (per-partition local top-n,
+    # driver merge) — the one-pass mergeable draw the doc promises. The
+    # rank window runs over ONLY the 20 survivors, never the corpus, so
+    # no global single-partition data-scale window exists in this plan.
+    top = (d.select("doc_id", "source", "n_chars", xi.alias("xi"))
+           .orderBy(F.asc("xi"), F.asc("doc_id")).limit(20))
     w = Window.orderBy(F.asc("xi"), F.asc("doc_id"))
-    return (d.select("doc_id", "source", "n_chars", xi.alias("xi"))
-            .withColumn("sample_rank", F.row_number().over(w))
-            .where(F.col("sample_rank") <= 20)
+    return (top.withColumn("sample_rank", F.row_number().over(w))
             .select("doc_id", "source", "n_chars", "sample_rank")
             .orderBy("sample_rank"))
 
@@ -1124,14 +1128,16 @@ def q_corpus_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     a8 AS (
         SELECT d.doc_id,
                (SELECT s.sh FROM shards8 s
-                ORDER BY (1103515245 * (d.doc_id * 64 + s.sh) + 12345)
+                ORDER BY (1103515245 * (((d.doc_id % 2147483647) * 64
+                                         + s.sh) % 2147483647) + 12345)
                          % 2147483647 DESC, s.sh ASC
                 LIMIT 1) AS shard
         FROM documents d),
     a9 AS (
         SELECT d.doc_id,
                (SELECT s.sh FROM shards9 s
-                ORDER BY (1103515245 * (d.doc_id * 64 + s.sh) + 12345)
+                ORDER BY (1103515245 * (((d.doc_id % 2147483647) * 64
+                                         + s.sh) % 2147483647) + 12345)
                          % 2147483647 DESC, s.sh ASC
                 LIMIT 1) AS shard
         FROM documents d),
@@ -1153,8 +1159,9 @@ def q_corpus_sequential_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— the stateless data-placement rule a 100 TB ingest uses to "
         "route documents to shards/writers: doc goes to the shard with "
         "the highest hash(doc, shard) weight (portable LCG over "
-        "doc_id*64+shard, deterministic in both engines; shard-id "
-        "tie-break). VALUE-checked properties, not vibes: (a) balance — "
+        "(doc_id mod P)*64+shard reduced mod P again before the "
+        "multiply, so the product never overflows BIGINT at any id "
+        "range, deterministic in both engines; shard-id tie-break). VALUE-checked properties, not vibes: (a) balance — "
         "max/min shard occupancy at 8 shards; (b) MINIMAL MOVEMENT — "
         "growing 8 -> 9 shards re-routes only the docs whose new shard "
         "9 wins the per-doc tournament, expected 1/9 ~ 11% of keys "
@@ -1172,9 +1179,15 @@ def q_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(n: int):
         # per-doc tournament: argmax over n (weight, shard) structs —
-        # greatest() over struct literals keeps it one JVM projection
+        # greatest() over struct literals keeps it one JVM projection.
+        # doc_id is reduced mod P BEFORE the multiply (and the *64+s mixed
+        # key again) so the LCG operand stays <= P and the 1103515245*x
+        # product stays under 2^63 for ANY id range — the scale ladder's
+        # stride-offset ids (> 1.3e8) silently wrapped on long overflow
+        # in Spark while DuckDB raised.
         pairs = [F.struct(
-            ((1103515245 * (F.col("doc_id") * 64 + F.lit(s)) + 12345) % P)
+            ((1103515245 * (((F.col("doc_id") % P) * 64 + F.lit(s)) % P)
+              + 12345) % P)
             .alias("w"),
             F.lit(-s).alias("negsh"))  # ties -> smallest shard id wins
             for s in range(n)]

@@ -84,15 +84,25 @@ def _prune_stale_siblings(root: str, kind: str) -> None:
             continue
 
 
+#: Markerless keyed dirs younger than this survive prune_stale: a live
+#: cache whose best-effort ``.src`` write failed (OSError swallowed in
+#: scratch_dir) must not be rmtree'd out from under a running gate/bench.
+_MARKERLESS_MIN_AGE_S = 24 * 3600
+
+
 def prune_stale(root: str | None = None) -> list[str]:
     """Sweep the WHOLE scratch root once: remove every keyed scratch dir
-    whose recorded ``.src`` input no longer exists, plus dirs with no
-    marker at all that match the keyed naming shape (legacy keys from
-    before the marker discipline). Called at gate/bench start so dead
+    whose recorded ``.src`` input no longer exists, plus AGED dirs with
+    no marker at all that match the keyed naming shape (legacy keys from
+    before the marker discipline). Markerless dirs are age-gated (>24 h
+    since last mtime) so a live cache whose marker write failed — or an
+    unrelated dir that happens to match ``name_8hex`` — is never deleted
+    while it could still be in use. Called at gate/bench start so dead
     pytest-tmp caches never accumulate across rounds. Returns removed
     paths; best-effort, never raises."""
     import re
     import shutil
+    import time
 
     root = root or scratch_root()
     removed = []
@@ -112,6 +122,8 @@ def prune_stale(root: str | None = None) -> list[str]:
                     src = fh.read().strip()
                 if not src or os.path.exists(src):
                     continue
+            elif time.time() - os.path.getmtime(d) < _MARKERLESS_MIN_AGE_S:
+                continue
             shutil.rmtree(d, ignore_errors=True)
             removed.append(d)
         except OSError:

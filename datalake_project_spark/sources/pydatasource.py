@@ -298,17 +298,30 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
                 if os.path.exists(tmp):
                     os.remove(tmp)
         elif done:
-            # Concatenate task payloads into one batch page in a temp
-            # path, then publish with a SINGLE atomic rename — a crash
-            # before the rename leaves only temps (replay re-publishes),
-            # a crash after leaves the complete batch (replay dropped).
-            records: list = []
-            for tmp in done:
-                with open(tmp) as fh:
-                    records.extend(json.load(fh))
+            # Splice task payloads into one batch page in a temp path,
+            # then publish with a SINGLE atomic rename — a crash before
+            # the rename leaves only temps (replay re-publishes), a crash
+            # after leaves the complete batch (replay dropped). Each task
+            # page is a JSON array, so the splice strips its outer
+            # brackets and joins with commas: driver memory is bounded by
+            # ONE task's payload, never the whole micro-batch (the
+            # previous deserialize-everything concat was a driver-OOM
+            # shape for large batches).
             staged = os.path.join(self.root, f"_tmp_{uuid.uuid4().hex}")
-            with open(staged, "w") as fh:
-                json.dump(records, fh)
+            with open(staged, "w") as out:
+                out.write("[")
+                first = True
+                for tmp in done:
+                    with open(tmp) as fh:
+                        body = fh.read().strip()
+                    body = body[1:-1].strip()  # drop the task page's [ ]
+                    if not body:
+                        continue
+                    if not first:
+                        out.write(",")
+                    out.write(body)
+                    first = False
+                out.write("]")
             os.rename(staged, os.path.join(self.root,
                                            f"{prefix}0000.json"))
             for tmp in done:

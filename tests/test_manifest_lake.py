@@ -568,3 +568,53 @@ def test_sigkill_mid_commit_leaves_table_consistent(spark, tmp_path):
     # data invariant: exactly one row per key at the head
     rows = lake.read_usage("t", D, "T01").groupBy("id").count().collect()
     assert rows and all(r["count"] == 1 for r in rows)
+
+
+def test_expired_base_version_raises_commit_conflict_not_io_error(
+        spark, tmp_path):
+    """Race between version expiry and a guarded commit (ADVICE r6): a
+    writer read base version V, then expire_versions deleted V's
+    manifest before the writer committed. The guard's base-load must
+    surface as CommitConflict (caller re-reads the new head and
+    re-merges) — an uncaught FileNotFoundError would crash the upsert
+    retry loop mid-flight."""
+    from datalake_project_spark.manifest_lake import CommitConflict
+
+    lake = ManifestLake(spark, str(tmp_path))
+    for i in range(4):
+        lake.write_usage(_df(spark, [(1, f"v{i}")]), "t", D, "T01")
+    lake.expire_versions("t", keep_last=1)  # v1..v3 manifests are gone
+    try:
+        lake._commit("t", lambda m: m, base_version=1,
+                     guard_key=(D, "T01"))
+        raise AssertionError("expected CommitConflict")
+    except CommitConflict:
+        pass
+    except FileNotFoundError:
+        raise AssertionError(
+            "guard leaked FileNotFoundError instead of CommitConflict")
+
+
+def test_upsert_rereads_head_when_base_expires_mid_merge(
+        spark, tmp_path, monkeypatch):
+    """The upsert retry loop's merge reads the base version's rows; if
+    expiry deletes that manifest between the head read and the merge
+    read, upsert must retry against the new head, not crash. Simulated
+    by failing the first read_usage_at call with the same
+    FileNotFoundError _load raises for an expired manifest."""
+    lake = ManifestLake(spark, str(tmp_path))
+    lake.write_usage(_df(spark, [(1, "v0"), (2, "keep")]), "t", D, "T01")
+
+    real = ManifestLake.read_usage_at
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("manifest expired mid-merge")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestLake, "read_usage_at", flaky)
+    lake.upsert(_df(spark, [(1, "v1")]), "t", D, "T01", keys=["id"])
+    assert calls["n"] >= 2, "upsert never retried after expiry"
+    assert _state(lake, "T01") == {(1, "v1"), (2, "keep")}
