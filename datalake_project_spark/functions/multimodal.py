@@ -196,3 +196,47 @@ def perceptual_dhash(media: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, dhash) via Arrow-batched ``mapInPandas``."""
     return media.select("doc_id", "payload").mapInPandas(
         _dhash_batches, DHASH_SCHEMA)
+
+def dhash_chunk_candidates(h: DataFrame, max_df: int | None = None,
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Candidate near-dup pairs from the 3x21-bit chunk pigeonhole over
+    ``(doc_id, dhash)`` rows: any pair within hamming distance <= 2 of
+    the 63-bit dhash agrees on at least one whole 21-bit chunk, so
+    candidates come from a chunk-equality equi-join on 8-byte keys.
+
+    ``max_df`` is the skew valve (same discipline as the shingle index's
+    sum-df² cap): chunk values shared by more than ``max_df`` documents
+    are dropped from the candidate index, so a degenerate corpus — many
+    constant-color images hashing to identical chunks — cannot drive the
+    self-join to Σ bucket². Returns ``(candidates, dropped)`` where
+    ``dropped`` is the audit frame of vetoed heavy buckets
+    ``(j, cv, df)``; it is empty when the valve never fires, and a
+    value-checked gate against an uncapped oracle proves the cap lost
+    no pairs on the real corpus. Dropping a bucket can only lose pairs
+    whose SOLE agreeing chunk is boilerplate-heavy; the exact XOR
+    verification after never emits a false positive either way."""
+    chunks = h.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("dhash"), 21 * j)
+            .bitwiseAND(F.lit((1 << 21) - 1)) for j in range(3)
+        ])).alias("j", "cv"))
+    dropped = None
+    if max_df is not None:
+        df_counts = (chunks.groupBy("j", "cv")
+                     .agg(F.count(F.lit(1)).alias("df"))
+                     .localCheckpoint(eager=False))
+        dropped = df_counts.where(F.col("df") > max_df)
+        chunks = (chunks.join(df_counts.where(F.col("df") <= max_df)
+                              .select("j", "cv"), ["j", "cv"]))
+    a = chunks.select(F.col("doc_id").alias("a_id"), "j", "cv")
+    b = chunks.select(F.col("doc_id").alias("b_id"),
+                      F.col("j").alias("jb"), F.col("cv").alias("cvb"))
+    cand = (a.join(b, (F.col("j") == F.col("jb"))
+                   & (F.col("cv") == F.col("cvb"))
+                   & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id").distinct())
+    if dropped is None:
+        dropped = cand.sparkSession.createDataFrame(
+            [], "j int, cv long, df long")
+    return cand, dropped
