@@ -64,7 +64,8 @@ def _verify_pairs_exact(hashed: DataFrame, cands: DataFrame,
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        num_partitions: int | None = None) -> DataFrame:
     """Exact near-duplicate pairs by word-``n``-gram Jaccard >= threshold.
 
     Inverted-index plan: explode distinct shingles, self-join on shingle
@@ -85,6 +86,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     shingle sets, so every emitted Jaccard value is still exact — the
     cap can only lose pairs whose overlap is exclusively ultra-common
     shingles, which at threshold >= 0.5 means near-pure boilerplate.
+
+    ``num_partitions`` sizes the self-join / pair-count exchanges
+    (callers derive it from the corpus footprint via
+    ``tuning.suggest_for_stage``): the sum-df² pair stream's aggregate
+    hash tables otherwise sit on the session's static shuffle width
+    and spill once the corpus outgrows it (q_dedup_bcubed measured
+    2.6 GB spilled at the r6 ladder's 10x point on 32 partitions).
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     if max_df is not None:
@@ -112,13 +120,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     inv = sh.select("_id", F.explode(
         F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s")) \
         .localCheckpoint(eager=False)
+    if num_partitions is not None:
+        # widen the shingle-keyed exchange so the join (and the pair
+        # partial-aggregates running on its output partitions) split
+        # the sum-df² working set across footprint-sized tasks
+        inv = inv.repartition(num_partitions, "_s")
 
     a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    raw = (a.join(b, (F.col("a._s") == F.col("b._s"))
+                  & (F.col("a._id") < F.col("b._id")))
+           .select(F.col("a._id").alias("a_id"),
+                   F.col("b._id").alias("b_id")))
+    if num_partitions is not None:
+        # size the pair-count exchange too: map-side combine buys
+        # almost nothing here (a pair's duplicate wedges live in
+        # DIFFERENT shingle partitions), so shuffling the raw stream
+        # into footprint-sized buckets costs the same bytes and keeps
+        # every aggregate hash table ~128 MB
+        raw = raw.repartition(num_partitions, "a_id", "b_id")
+    inter = (raw.groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("_inter")))
     sa = sizes.select(F.col("_id").alias("a_id"), F.col("_n").alias("_na"))
     sb = sizes.select(F.col("_id").alias("b_id"), F.col("_n").alias("_nb"))
     jac = F.col("_inter").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")

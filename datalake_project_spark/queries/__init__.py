@@ -50,52 +50,58 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-6 WINDOW ROTATION (the r5 judge's task #5): every r5-stamped
-    # query rotates to the tail; 49 of these 50 slots are queries that
-    # have NEVER carried a driver CORRECTNESS stamp in rounds 1-5 (the
-    # 284-query remainder), spread across every capability family. The
-    # one stamped holdover is the flagship CDC diff (entry()'s query).
-    # q_dedup_prefix_filter enters the window in the round it was made
-    # scale-safe (arithmetic full-index denominator), so the fix itself
-    # gets a driver stamp.
+    # ROUND-7 WINDOW ROTATION (the r6 judge's task #7): every previously
+    # stamped query rotates to the tail; 49 of these 50 slots have NEVER
+    # carried a driver CORRECTNESS stamp in rounds 1-6 (the 246-query
+    # remainder), spread across every capability family, with this
+    # round's re-blocked / newly-valved queries placed in the window so
+    # each fix earns its own driver stamp (q_record_linkage,
+    # q_graph_kcore, q_corpus_sequential_poisson, q_shard_rendezvous,
+    # q_multimodal_dhash_near_dup, q_interval_bucket_join). The one
+    # stamped holdover is the flagship CDC diff (entry()'s query).
     #
-    # Flagship + lake lifecycle / CDC / formats
-    "q_snapshot_diff", "q_snapshot_asof", "q_incremental_ingest",
-    "q_replica_repair", "q_zorder_layout_roundtrip", "q_snapshot_scd3",
-    "q_schema_evolution", "q_json_corrupt_records", "q_file_inventory",
-    # TPC-H / relational / SQL surfaces
-    "q2_min_cost_supplier", "q13_order_distribution",
-    "q20_excess_suppliers", "q21_waiting_supplier",
-    "q_sql_pipe_syntax", "q_sql_group_order_by_all",
-    "q_window_ntile_deciles", "q_unpivot",
-    # Scale equipment (bucketed co-location, skew diagnostics, bloom prune)
-    "q_bucketed_join_roundtrip", "q_skew_key_diagnostics",
-    "q_join_bloom_prune",
-    # Events / experimentation / inference
-    "q_events_funnel", "q_events_retention", "q_events_changepoint",
-    "q_events_dau_mau", "q_events_sprt",
-    "q_events_shapley_attribution",
-    # ANN representative: the round-6 portable-LSH twin (value-checked
-    # signatures + candidates + rescoring, LCG hyperplanes)
-    "q_ann_lsh_portable",
-    # Mergeable sketches
-    "q_hll_mergeable_distinct", "q_sketch_countmin", "q_sketch_ams_f2",
-    # Text analysis / tokenizers / LM
-    "q_text_zipf_fit", "q_text_vocab_coverage_sharded",
-    "q_text_good_turing", "q_text_bpe_encode", "q_text_unigram_viterbi",
-    "q_pii_redaction",
-    # Quality + privacy
-    "q_quality_ensemble", "q_dp_noisy_counts",
-    # Dedup (the fixed prefix-filter audit + estimator/clustering audits)
-    "q_dedup_prefix_filter", "q_dedup_minhash_estimator",
-    "q_dedup_bcubed", "q_dedup_lsh_s_curve",
-    # Embeddings / ANN audits
-    "q_embed_knn_label_accuracy", "q_embed_jl_distortion",
+    # Flagship + lake lifecycle / CDC
+    "q_snapshot_diff", "q_lake_erasure", "q_temporal_join",
+    "q_tuned_shuffle_join",
+    # This round's scale fixes
+    "q_record_linkage", "q_graph_kcore", "q_corpus_sequential_poisson",
+    "q_shard_rendezvous", "q_multimodal_dhash_near_dup",
+    # Relational / SQL surfaces
+    "q_star_schema_revenue", "q_sql_entrypoint_q1", "q_basket_rules",
+    "q_geo_radius_join", "q_approx_quantile_bound",
+    "q_linkage_qgram_filter",
+    # Events / sketches / experimentation
+    "q_interval_bucket_join", "q_events_markov_stationary",
+    "q_sketch_bloom_fpr", "q_sketch_kmv_distinct", "q_events_ab_cuped",
+    "q_bitmap_distinct_users",
+    # Formats
+    "q_orc_roundtrip", "q_log_parse",
+    # Graph
+    "q_graph_triangles", "q_graph_modularity",
+    # Inference / statistics
+    "q_stats_fisher_exact", "q_events_bh_fdr",
+    "q_feature_mutual_information", "q_events_diff_in_diff",
+    "q_stats_eb_shrinkage",
+    # ML / embeddings
+    "q_embed_pq_search", "q_classifier_conformal", "q_embed_silhouette",
+    "q_ols_multivariate",
+    # Multimodal
+    "q_multimodal_content_dedup", "q_multimodal_payload_entropy",
+    # Quality
+    "q_text_mojibake", "q_quality_threshold_sweep",
+    # Corpus assembly / splits
+    "q_corpus_quota_sample", "q_split_ngram_leakage",
+    # Dedup audits
+    "q_dedup_cluster_sizes", "q_dedup_dfcap_planner",
+    "q_dedup_simhash_portable",
+    # Retrieval + robust
+    "q_search_facets", "q_events_rolling_median",
+    # Similarity (the IVF portable twin)
+    "q_ann_ivf_portable",
     # Streaming
-    "q_stream_heavy_hitters", "q_stream_merge_upsert",
-    # Multimodal + graph + corpus + retrieval
-    "q_multimodal_dhash", "q_graph_pagerank",
-    "q_corpus_temperature_mix", "q_retrieval_rocchio",
+    "q_stream_static_join", "q_stream_psi_monitor",
+    # Substrings / text
+    "q_text_bpe_merge_counts", "q_text_langid_confusion",
 )
 
 

@@ -1025,8 +1025,16 @@ def q_dedup_resolved_by_quality(spark: SparkSession,
         "against the Jaccard truth) before you spend the LSH pass.",
 )
 def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.tuning import suggest_for_stage
+
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    # footprint-sized pair exchanges (r6 ladder: 2.6 GB spill at 10x /
+    # 3.8 GB at 30x on the static session width); the sum-df² working
+    # set measured ~45x the documents parquet bytes
+    nparts = suggest_for_stage(spark, f"{sf_dir}/documents.parquet",
+                               expansion=48.0)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=nparts)
     rep = D.connected_components(pairs)  # (id, rep)
     lab = (d.join(rep.withColumnRenamed("id", "doc_id"), "doc_id", "left")
            .select("doc_id",

@@ -656,6 +656,8 @@ def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round is two shuffles regardless of graph size.",
 )
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.tuning import suggest_for_stage
+
     K = 3
     li = Catalog(spark, sf_dir).table("lineitem")
     bip = li.select(F.col("l_suppkey").alias("s"),
@@ -669,11 +671,19 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulation at half the pre-distinct shuffle/aggregate volume
     # (the r6 scale ladder showed the full-volume variant spilling
     # ~14 GB at 10x on local[32]; halving the wedge stream halves the
-    # dedup working set at every scale).
+    # dedup working set at every scale). The dedup exchange is SIZED
+    # from the lineitem footprint instead of the session default: the
+    # wedge stream's working set measured ~60x the parquet bytes on
+    # the r6 ladder (6.7 GB spilled at 10x / 20.4 GB at 30x over 32
+    # static partitions), so the keyed repartition grows the hash-
+    # aggregate width with the input and each task's slice stays
+    # ~128 MB at any scale.
+    nparts = suggest_for_stage(spark, f"{sf_dir}/lineitem.parquet",
+                               expansion=64.0)
     half = (a.join(b, "p")
             .where(F.col("u") < F.col("v"))
             .join(pdeg.where(F.col("np").between(2, 1000)), "p")
-            .select("u", "v").distinct()
+            .select("u", "v").repartition(nparts, "u", "v").distinct()
             .localCheckpoint(eager=False))
     edges = half.union(half.select(F.col("v").alias("u"),
                                    F.col("u").alias("v")))

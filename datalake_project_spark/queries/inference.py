@@ -1791,9 +1791,15 @@ def q_split_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("holdout", "seg")
              .agg(F.count(F.lit(1)).cast("long").alias("n_train"),
                   F.round(F.avg("y"), 4).alias("pred")))
-    ev = rows.join(F.broadcast(train),
-                   (rows["fold"] == train["holdout"])
-                   & (rows["seg"] == train["seg"]))
+    # rename the train-side key: train derives from rows, so
+    # rows["seg"] == train["seg"] resolves both sides to the SAME
+    # attribute (Spark logs "trivially true equals predicate") — the
+    # 4.1.2 self-join ambiguity the BPE discipline renames away
+    tr = train.select("holdout", F.col("seg").alias("tseg"),
+                      "n_train", "pred")
+    ev = rows.join(F.broadcast(tr),
+                   (rows["fold"] == tr["holdout"])
+                   & (rows["seg"] == tr["tseg"]))
     return (ev.groupBy("fold")
             .agg(F.count(F.lit(1)).cast("long").alias("n_test"),
                  F.round(F.avg((F.col("y") - F.col("pred"))

@@ -73,3 +73,22 @@ def apply_shuffle_sizing(spark, *paths: str,
     n = suggest_shuffle_partitions(total, **kwargs)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+def suggest_for_stage(spark, *paths: str, expansion: float = 1.0,
+                      **kwargs) -> int:
+    """Per-STAGE partition count for one heavy exchange, derived from the
+    on-disk footprint of the inputs that stage fans out from.
+
+    Unlike ``apply_shuffle_sizing`` this mutates nothing: the caller
+    hands the number to a keyed ``repartition`` in front of its widest
+    exchange, so one query's working set cannot depend on whatever the
+    session default happens to be (the r6 scale ladder measured
+    q_graph_kcore spilling 6.7 GB at 10x and 20.4 GB at 30x purely
+    because the wedge-dedup hash tables were squeezed into 32 static
+    partitions). ``expansion`` is the measured working-set/input ratio
+    of the stage (a wedge join or pair explosion makes it >> 1); the
+    2x-cores floor keeps small fixtures fully parallel."""
+    total = int(sum(dir_bytes(p) for p in paths) * expansion)
+    cores = spark.sparkContext.defaultParallelism
+    return suggest_shuffle_partitions(total, cluster_cores=cores, **kwargs)

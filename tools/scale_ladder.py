@@ -17,15 +17,26 @@ Replication design (copy k of F, stride-offset surrogate keys):
   cross-copy Jaccard is exactly 0 (disjoint vocabularies); shingle df
   distributions replicate per copy instead of inflating 10x. That is
   how a real 10x corpus grows: new content, same skew profile.
-- customer: copy k rotates every DIGIT of c_name by k mod 10 (a
-  per-copy bijection on the identifier alphabet): within-copy edit
-  distances — and therefore d<=2 record-linkage match AND blocking
-  structure — are preserved exactly, while cross-copy names differ at
-  EVERY digit position, so digit-class blocking keys never collide
-  across copies. NOTE: only 10 distinct rotations exist — above
-  factor 10 the linkage queries see same-rotation copy pairs colliding
-  in the blocker; run the linkage panel at factor <= 10.
-  (A first attempt used a suffix tag; that left the blocked digit
+- customer: copy k rewrites the name's 9-digit identifier block as
+  GROUP-CODE + ROTATION: the three leading (constant-'0' in base)
+  digits become the copy-group digit g = k//10 repeated three times,
+  and the six trailing digits rotate by k mod 10 (a bijection on the
+  digit alphabet). Within-copy edit distances — and therefore d<=2
+  record-linkage match AND blocking structure — are preserved exactly
+  (group code is copy-constant; rotation cannot change per-position
+  equality). Cross-copy pairs are BOTH non-matching and non-blocking:
+  different rotations disagree at every trailing digit position (>= 6
+  diffs — no 2-deletion key can align them), while same-rotation
+  pairs from different groups agree on the trailing digits but differ
+  at all three group positions — hamming 3, above the comparators'
+  d<=2 AND above what a 2-position mask can absorb. So candidates,
+  matches, and blocking keys all replicate exactly x F with ZERO
+  cross-copy interaction, for factor <= 100 (10 groups x 10
+  rotations). This generalizes the r6 rotation fixture (capped at
+  factor 10: rotations repeat mod 10, and the r7 first-cut affine
+  maps collided on the constant digits — same-offset copies agreed on
+  the '0'-image, measured shuffle exp 1.44).
+  (The r5 attempt used a suffix tag; that left the blocked digit
   positions identical across copies and candidate volume went x F^2 —
   the fixture must emulate NEW entities, not re-keyed old ones.)
 - lineitem: all graph-bearing keys (orderkey/partkey/suppkey) offset
@@ -66,6 +77,7 @@ PANEL = [
     "q_dedup_winnow_resolved",
     "q_linkage_fellegi_sunter",
     "q_linkage_sorted_neighborhood",
+    "q_record_linkage",
     "q_graph_kcore",
     "q_text_bm25_topk",
     "q_dedup_semantic_clustered",
@@ -124,12 +136,23 @@ def build_scaled(base: str, factor: int, out: str) -> str:
         FROM read_parquet('{base}/documents.parquet'),
              range(0, {factor}) r(k)
         """, "documents")
+    # copy k name = prefix + group code (k//10 three times, hamming 3
+    # between groups) + rotation k%10 of the six trailing digits.
+    # Overwriting the three leading digits is only injective while they
+    # are constant-'0' in the base — assert it (base custkey < 10^6).
+    max_ck = con.sql(f"SELECT MAX(c_custkey) FROM "
+                     f"read_parquet('{base}/customer.parquet')").fetchone()[0]
+    assert max_ck < 10**6, (
+        f"group-code fixture needs base custkey < 1e6, got {max_ck}")
     rep(f"""
         SELECT c_custkey + k * {STRIDE} AS c_custkey,
                CASE WHEN k = 0 THEN c_name
-                    ELSE translate(c_name, '0123456789',
-                                   substr('01234567890123456789',
-                                          CAST(k % 10 + 1 AS INT), 10))
+                    ELSE substr(c_name, 1, 9)
+                         || repeat(substr('0123456789',
+                                          CAST(k // 10 AS INT) + 1, 1), 3)
+                         || translate(substr(c_name, 13, 6), '0123456789',
+                                      substr('01234567890123456789',
+                                             CAST(k % 10 + 1 AS INT), 10))
                END AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM read_parquet('{base}/customer.parquet'),
@@ -262,9 +285,22 @@ def main() -> int:
         })
     result = {"factor": args.factor, "base": args.base,
               "panel": rows}
+    # merge into the rung ladder: one entry per factor, latest run wins
+    # (the r6 file was hand-merged into {"runs": [...]}; keep that shape)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALELADDER.json"), "w") as fh:
-        json.dump(result, fh, indent=1)
+    out_path = os.path.join(root, "SCALELADDER.json")
+    runs = []
+    try:
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        runs = prior.get("runs", [prior] if "panel" in prior else [])
+    except (OSError, ValueError):
+        pass
+    runs = [r for r in runs if r.get("factor") != args.factor]
+    runs.append(result)
+    runs.sort(key=lambda r: r.get("factor", 0))
+    with open(out_path, "w") as fh:
+        json.dump({"runs": runs}, fh, indent=1)
         fh.write("\n")
     print(json.dumps(result))
     spark.stop()
