@@ -37,6 +37,17 @@ _PAIRS_ORACLE = """
 """
 
 
+
+def _pair_parts(spark, sf_dir: str) -> int:
+    """Footprint-derived exchange width for the shingle pair stream —
+    shared by every ngram_jaccard_pairs call site (the 30x ladder
+    measured 3.8 GB spill in the unsized truth arms; the sum-df²
+    working set runs ~45x the documents parquet bytes)."""
+    from datalake_project_spark.tuning import suggest_for_stage
+    return suggest_for_stage(spark, f"{sf_dir}/documents.parquet",
+                             expansion=48.0)
+
+
 @register(
     "q_dedup_exact",
     oracle="""
@@ -89,7 +100,8 @@ def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    return D.ngram_jaccard_pairs(d, threshold=0.5)
+    return D.ngram_jaccard_pairs(d, threshold=0.5,
+                                 num_partitions=_pair_parts(spark, sf_dir))
 
 
 @register(
@@ -255,7 +267,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     return D.connected_components(pairs)
 
 
@@ -299,7 +312,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     comp = D.connected_components(pairs)
     sizes = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (sizes.groupBy("cluster_size")
@@ -413,7 +427,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     comp = D.connected_components(pairs)
     non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
     return d.join(non_reps, d.doc_id == non_reps.id, "left_anti").select("doc_id")
@@ -530,7 +545,8 @@ def q_dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     comp = D.connected_components(pairs)
     dropped = comp.where(F.col("id") != F.col("rep")).select("id")
     tagged = d.select("doc_id", "source").join(
@@ -639,7 +655,8 @@ def q_dedup_dfcap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     cuts = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
     exploded = pairs.select("jaccard",
                             F.explode(cuts).alias("threshold"))
@@ -936,7 +953,8 @@ def q_dedup_resolved_by_quality(spark: SparkSession,
     from datalake_project_spark.functions.text import tokens
 
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     comp = D.connected_components(pairs)
     ws = tokens(F.col("text"))
     scored = d.select(
@@ -1025,16 +1043,11 @@ def q_dedup_resolved_by_quality(spark: SparkSession,
         "against the Jaccard truth) before you spend the LSH pass.",
 )
 def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalake_project_spark.tuning import suggest_for_stage
-
     d = Catalog(spark, sf_dir).table("documents")
-    # footprint-sized pair exchanges (r6 ladder: 2.6 GB spill at 10x /
-    # 3.8 GB at 30x on the static session width); the sum-df² working
-    # set measured ~45x the documents parquet bytes
-    nparts = suggest_for_stage(spark, f"{sf_dir}/documents.parquet",
-                               expansion=48.0)
+    # footprint-sized pair exchanges (r6 ladder: 2.6 GB spill at 10x
+    # on the static session width)
     pairs = D.ngram_jaccard_pairs(d, threshold=0.5,
-                                  num_partitions=nparts)
+                                  num_partitions=_pair_parts(spark, sf_dir))
     rep = D.connected_components(pairs)  # (id, rep)
     lab = (d.join(rep.withColumnRenamed("id", "doc_id"), "doc_id", "left")
            .select("doc_id",
@@ -1151,6 +1164,11 @@ def q_dedup_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     d = Catalog(spark, sf_dir).table("documents")
+    # every wide exchange in the audit (token-df join, per-doc ranking
+    # window, prefix self-join, truth arm) takes the footprint width:
+    # the 30x ladder measured 7.3 GB spilled with these on the static
+    # session setting
+    nparts = _pair_parts(spark, sf_dir)
     sh = D._doc_shingles(d, "doc_id", "text", 3)
     toks = (sh.select(F.col("_id").alias("doc_id"),
                       F.explode("_shingles").alias("tok"))
@@ -1161,7 +1179,8 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc size comes from count() OVER the same doc partition — one
     # doc_id exchange for rank and size together, instead of a separate
     # groupBy + join leg re-shuffling the token stream a second time
-    ranked = (toks.join(dfreq, "tok")
+    ranked = (toks.repartition(nparts, "tok").join(dfreq, "tok")
+              .repartition(nparts, "doc_id")
               .select("doc_id", "tok",
                       F.count(F.lit(1)).over(wall).alias("sz"),
                       F.row_number().over(w).alias("tr")))
@@ -1170,15 +1189,18 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "tok").localCheckpoint(eager=False))
 
     def pair_count(idx):
+        idx = idx.repartition(nparts, "tok")
         a, b = idx.alias("a"), idx.alias("b")
         return (a.join(b, (F.col("a.tok") == F.col("b.tok"))
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
                 .select(F.col("a.doc_id").alias("a_id"),
                         F.col("b.doc_id").alias("b_id"))
+                .repartition(nparts, "a_id", "b_id")
                 .distinct())
 
     cand_pref = pair_count(pref).localCheckpoint(eager=False)
-    truth = (D.ngram_jaccard_pairs(d, threshold=0.5)
+    truth = (D.ngram_jaccard_pairs(d, threshold=0.5,
+                                   num_partitions=nparts)
              .select("a_id", "b_id").localCheckpoint(eager=False))
     missed = truth.join(cand_pref, ["a_id", "b_id"], "left_anti")
     one = lambda df, nm: F.broadcast(
@@ -1280,7 +1302,8 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, P = 16, 2147483647
     d = Catalog(spark, sf_dir).table("documents")
-    truth = (D.ngram_jaccard_pairs(d, threshold=0.2)
+    truth = (D.ngram_jaccard_pairs(
+        d, threshold=0.2, num_partitions=_pair_parts(spark, sf_dir))
              .select("a_id", "b_id", "jaccard")
              .localCheckpoint(eager=False))
     ids = (truth.select(F.col("a_id").alias("_id"))

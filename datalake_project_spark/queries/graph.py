@@ -689,7 +689,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("u").alias("v")))
     counts = []
     for i in range(1, 4):
-        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # degree count at the sized width (the edge stream is the same
+        # working set the wedge dedup just paid for); survivor-set
+        # semi-joins BROADCAST the node list — nodes are orders of
+        # magnitude fewer than edges at every scale (the Pregel
+        # node-table-vs-edge-table asymmetry), so the 30x ladder's
+        # per-round edge re-sort (1.5 GB residual spill) disappears
+        deg = edges.repartition(nparts, "u") \
+            .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = (deg.where(F.col("d") >= K)
                 .select(F.col("u").alias("node"))
                 .localCheckpoint(eager=False))
@@ -697,10 +704,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(i).alias("iteration"),
             F.count(F.lit(1)).alias("n_nodes")))
         edges = (edges
-                 .join(keep.select(F.col("node").alias("u")), "u",
-                       "left_semi")
-                 .join(keep.select(F.col("node").alias("v")), "v",
-                       "left_semi")
+                 .join(F.broadcast(keep.select(F.col("node").alias("u"))),
+                       "u", "left_semi")
+                 .join(F.broadcast(keep.select(F.col("node").alias("v"))),
+                       "v", "left_semi")
                  .select("u", "v")
                  .localCheckpoint(eager=False))
     out = counts[0]

@@ -442,3 +442,61 @@ def q_multimodal_dhash_near_dup(spark: SparkSession,
                     .alias("hamming"))
             .where(F.col("hamming") <= 2)
             .orderBy("a_id", "b_id"))
+
+
+@register(
+    "q_multimodal_dhash_valve_audit",
+    oracle="WITH " + _DHASH_CTE + """,
+    chunks AS (
+        SELECT doc_id, u.j,
+               (dhash >> CAST(u.j * 21 AS INT)) & 2097151 AS cv
+        FROM h, unnest(range(0, 3)) AS u(j)),
+    dfs AS (SELECT j, cv, COUNT(*) AS df FROM chunks GROUP BY j, cv)
+    SELECT COUNT(*)::BIGINT AS n_buckets,
+           CAST(MAX(df) AS BIGINT) AS max_df,
+           CAST(SUM(CASE WHEN df > 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vetoed,
+           CAST(SUM(CASE WHEN df <= 500 THEN df * (df - 1) // 2
+                         ELSE 0 END) AS BIGINT) AS kept_pair_slots,
+           CAST(SUM(CASE WHEN df > 500 THEN df * (df - 1) // 2
+                         ELSE 0 END) AS BIGINT) AS vetoed_pair_slots
+    FROM dfs
+    """,
+    doc="The dHash chunk-bucket valve's ARMED-state receipt (companion "
+        "to q_multimodal_dhash_near_dup's max_df=500 cap): the exact "
+        "chunk-value document-frequency profile, how many buckets the "
+        "valve would veto at the shipped cap, and the ARITHMETIC "
+        "candidate mass Σ C(df,2) on both sides of the cap — computed "
+        "from the frequency table alone, never by materializing pairs "
+        "(the q_dedup_dfcap_planner discipline). On this corpus "
+        "n_vetoed = 0 and vetoed_pair_slots = 0 — the standing proof "
+        "the near-dup query's gate result is cap-free — while a "
+        "degenerate constant-color corpus shows its Σ bucket² mass in "
+        "vetoed_pair_slots BEFORE anyone pays for it. The dhash is the "
+        "bit-for-bit oracle-proven fingerprint, so every column is "
+        "integer-exact across engines.",
+)
+def q_multimodal_dhash_valve_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.multimodal import (
+        as_media, perceptual_dhash,
+    )
+    docs = Catalog(spark, sf_dir).table("documents")
+    h = perceptual_dhash(as_media(docs)).select("doc_id", "dhash")
+    chunks = h.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("dhash"), 21 * j)
+            .bitwiseAND(F.lit((1 << 21) - 1)) for j in range(3)
+        ])).alias("j", "cv"))
+    dfs = chunks.groupBy("j", "cv").agg(F.count(F.lit(1)).alias("df"))
+    slots = F.expr("df * (df - 1) DIV 2")
+    return dfs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum(F.when(F.col("df") > 500, 1).otherwise(0)).cast("long")
+        .alias("n_vetoed"),
+        F.sum(F.when(F.col("df") <= 500, slots).otherwise(0)).cast("long")
+        .alias("kept_pair_slots"),
+        F.sum(F.when(F.col("df") > 500, slots).otherwise(0)).cast("long")
+        .alias("vetoed_pair_slots"))

@@ -2619,3 +2619,111 @@ def q_linkage_qgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_true_pairs", "n_missed_true",
                     (F.col("n_missed_true") == 0)
                     .alias("filter_complete")))
+
+
+@register(
+    "q_linkage_blocking_recall",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey, c_nationkey, c_name
+        FROM customer WHERE c_custkey % 4 = 1),
+    truth AS (
+        SELECT a.c_custkey AS l, b.c_custkey AS r
+        FROM s a JOIN s b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2),
+    masks AS (
+        SELECT a.i AS i, b.j AS j
+        FROM (SELECT unnest(range(1, 10)) AS i) a,
+             (SELECT unnest(range(1, 10)) AS j) b
+        WHERE a.i < b.j),
+    segs AS (
+        SELECT t.c_custkey, t.c_nationkey, m.i, m.j,
+               substr(d, 1, m.i - 1) || '_'
+               || substr(d, m.i + 1, m.j - m.i - 1) || '_'
+               || substr(d, m.j + 1) AS seg
+        FROM (SELECT *, substr(c_name, 10, 9) AS d FROM s) t, masks m),
+    cand AS (
+        SELECT DISTINCT a.c_custkey AS l, b.c_custkey AS r
+        FROM segs a JOIN segs b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.i = b.i AND a.j = b.j AND a.seg = b.seg
+         AND a.c_custkey < b.c_custkey),
+    np AS (
+        SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_nation_pairs
+        FROM (SELECT COUNT(*) AS c FROM s GROUP BY c_nationkey)),
+    missed AS (
+        SELECT COUNT(*) AS n_missed
+        FROM truth t LEFT JOIN cand c ON t.l = c.l AND t.r = c.r
+        WHERE c.l IS NULL)
+    SELECT (SELECT COUNT(*) FROM s)::BIGINT AS n_sample,
+           (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth,
+           (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT n_nation_pairs FROM np) AS n_nation_pairs,
+           (SELECT n_missed FROM missed)::BIGINT AS n_missed,
+           ROUND((SELECT n_nation_pairs FROM np)::DOUBLE
+                 / (SELECT COUNT(*) FROM cand), 2) AS reduction_x
+    """,
+    doc="Blocking-recall audit — the r7 losslessness claim as a "
+        "MEASURED row, the receipt production entity resolution keeps "
+        "next to its blocker: on the deterministic 1/4 sample "
+        "(custkey % 4 = 1, the fixed-fraction discipline of "
+        "q_linkage_fellegi_sunter's u-estimation), compute ground-truth "
+        "matches (levenshtein <= 2 within nation, brute force over the "
+        "SAMPLE only — quadratic in n/4 per nation, the price of a "
+        "truth arm, bounded by sampling exactly like production recall "
+        "audits) and the 2-deletion-mask candidates on the same sample; "
+        "n_missed MUST be 0 (every truth pair is a candidate — the "
+        "pigeonhole proof, now a row the driver value-checks every "
+        "round) and reduction_x states the measured candidate-volume "
+        "win over nation-only blocking. Integer columns end to end; "
+        "the one ratio is a single rounded division.",
+)
+def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    s = (c.where(F.col("c_custkey") % 4 == 1)
+         .select("c_custkey", "c_nationkey", "c_name")
+         .localCheckpoint(eager=False))
+    ta = s.select(F.col("c_custkey").alias("l"),
+                  F.col("c_nationkey").alias("nk"),
+                  F.col("c_name").alias("ln"))
+    tb = s.select(F.col("c_custkey").alias("r"),
+                  F.col("c_nationkey").alias("nk"),
+                  F.col("c_name").alias("rn"))
+    truth = (ta.join(tb, "nk").where(F.col("l") < F.col("r"))
+             .where(F.levenshtein("ln", "rn", 2) >= 0)
+             .select("l", "r").localCheckpoint(eager=False))
+    d = F.substring("c_name", 10, 9)
+    masks = [F.concat(F.substring(d, 1, i), F.lit("_"),
+                      F.substring(d, i + 2, j - i - 1), F.lit("_"),
+                      F.substring(d, j + 2, 8 - j))
+             for i in range(9) for j in range(i + 1, 9)]
+    segs = s.select(F.col("c_custkey").alias("k"),
+                    F.col("c_nationkey").alias("nk"),
+                    F.posexplode(F.array(*masks)).alias("pos", "seg"))
+    ca = segs.select(F.col("k").alias("l"), "nk", "pos", "seg")
+    cb = segs.select(F.col("k").alias("r"), "nk", "pos", "seg")
+    cand = (ca.join(cb, ["nk", "pos", "seg"])
+            .where(F.col("l") < F.col("r"))
+            .select("l", "r").distinct().localCheckpoint(eager=False))
+    np_ = (s.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
+                .alias("n_nation_pairs")))
+    missed = (truth.join(cand, ["l", "r"], "left_anti")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+
+    def one(df, name):
+        return F.broadcast(df.agg(F.count(F.lit(1)).cast("long")
+                                  .alias(name)))
+
+    return (one(s, "n_sample")
+            .crossJoin(one(truth, "n_truth"))
+            .crossJoin(one(cand, "n_candidates"))
+            .crossJoin(F.broadcast(np_))
+            .crossJoin(F.broadcast(missed))
+            .select("n_sample", "n_truth", "n_candidates",
+                    "n_nation_pairs", "n_missed",
+                    F.round(F.col("n_nation_pairs").cast("double")
+                            / F.col("n_candidates"), 2)
+                    .alias("reduction_x")))
