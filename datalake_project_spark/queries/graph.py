@@ -689,14 +689,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("u").alias("v")))
     counts = []
     for i in range(1, 4):
-        # degree count at the sized width (the edge stream is the same
-        # working set the wedge dedup just paid for); survivor-set
+        # degree count stays a PLAIN groupBy: map-side combine compresses
+        # the edge stream to at most (nodes x partitions) partial rows
+        # before the exchange, so the shuffle is node-scale — an explicit
+        # pre-repartition would ship raw edges instead (measured 71 s ->
+        # 126 s at the 30x point before this was reverted). Survivor-set
         # semi-joins BROADCAST the node list — nodes are orders of
         # magnitude fewer than edges at every scale (the Pregel
-        # node-table-vs-edge-table asymmetry), so the 30x ladder's
-        # per-round edge re-sort (1.5 GB residual spill) disappears
-        deg = edges.repartition(nparts, "u") \
-            .groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # node-table-vs-edge-table asymmetry), so the per-round edge
+        # re-sorts of the r6 formulation disappear
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = (deg.where(F.col("d") >= K)
                 .select(F.col("u").alias("node"))
                 .localCheckpoint(eager=False))

@@ -276,8 +276,12 @@ def main() -> int:
             "sec_1x": r1[name]["sec"], "sec_Fx": rF[name]["sec"],
             "shufW_1x": r1[name]["shuffleWriteBytes"],
             "shufW_Fx": rF[name]["shuffleWriteBytes"],
+            # spill_Fx keeps the r6 definition (disk + the in-memory size
+            # of spilled data); spill_disk_Fx is the actual bytes that
+            # hit disk — the number capacity planning cares about
             "spill_Fx": rF[name]["diskBytesSpilled"]
             + rF[name]["memoryBytesSpilled"],
+            "spill_disk_Fx": rF[name]["diskBytesSpilled"],
             "time_exp": round(math.log(tF / t1)
                               / math.log(args.factor), 2),
             "shuffle_exp": round(math.log(sF / s1)
@@ -285,8 +289,9 @@ def main() -> int:
         })
     result = {"factor": args.factor, "base": args.base,
               "panel": rows}
-    # merge into the rung ladder: one entry per factor, latest run wins
-    # (the r6 file was hand-merged into {"runs": [...]}; keep that shape)
+    # merge into the rung ladder: one entry per factor, panel rows merged
+    # BY QUERY NAME so a targeted re-run (scale_ladder.py --factor 30
+    # q_one_query) refreshes that row without clobbering the full panel
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "SCALELADDER.json")
     runs = []
@@ -296,6 +301,14 @@ def main() -> int:
         runs = prior.get("runs", [prior] if "panel" in prior else [])
     except (OSError, ValueError):
         pass
+    same = [r for r in runs if r.get("factor") == args.factor]
+    if same:
+        merged = {row["query"]: row for row in same[0].get("panel", [])}
+        merged.update({row["query"]: row for row in rows})
+        result["panel"] = [merged[n] for n in
+                           sorted(merged, key=lambda n:
+                                  (PANEL.index(n) if n in PANEL else 99,
+                                   n))]
     runs = [r for r in runs if r.get("factor") != args.factor]
     runs.append(result)
     runs.sort(key=lambda r: r.get("factor", 0))
