@@ -680,6 +680,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~128 MB at any scale.
     nparts = suggest_for_stage(spark, f"{sf_dir}/lineitem.parquet",
                                expansion=64.0)
+    # Dedup = one keyed repartition at the footprint width, then the
+    # aggregate runs partial+final fused on those partitions. Measured
+    # against both alternatives at the 30x ladder point: the r6 plain
+    # distinct on 32 static partitions spilled 20.4 GB; a widened join
+    # with map-side combine before a 32-wide final exchange spilled
+    # 1.38 GB disk (a pair's duplicate wedges live in DIFFERENT p
+    # partitions, so local dedup barely compresses and the final
+    # exchange still carries quasi-raw volume); this shape spills
+    # 115 MB disk at 74 s. Combine is worthless on wedge streams —
+    # ship the raw pairs straight to footprint-sized dedup buckets.
     half = (a.join(b, "p")
             .where(F.col("u") < F.col("v"))
             .join(pdeg.where(F.col("np").between(2, 1000)), "p")

@@ -73,10 +73,11 @@ def test_every_family_in_driver_window():
         "relational": ("q1_", "q3_", "q9_", "q_json", "q_window",
                        "q_gender", "q_sql_", "q_customer", "q_skyline",
                        "q_geo_", "q_lateral", "q_linkage"),
-        "lake": ("q_merge", "q_manifest", "q_retention", "q_tpch_refresh",
+        "lake": ("q_lake_", "q_merge", "q_manifest", "q_retention",
+                 "q_tpch_refresh",
                  "q_write_audit", "q_snapshot_rollback", "q_replica_repair",
                  "q_zorder", "q_incremental_ingest", "q_file_inventory"),
-        "retrieval": ("q_retrieval", "q_hybrid", "q_text_bm25"),
+        "retrieval": ("q_retrieval", "q_search_", "q_hybrid", "q_text_bm25"),
         "corpus": ("q_corpus",),
         "graph": ("q_graph",),
         "embed": ("q_embed",),
