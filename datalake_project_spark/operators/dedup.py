@@ -106,13 +106,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         rare = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
                 .where(F.col("_df") <= max_df).select("_s"))
         inv = inv.join(rare, "_s")  # drop heavy-hitter shingles
+        if num_partitions is not None:
+            inv = inv.repartition(num_partitions, "_s")
         a, b = inv.alias("a"), inv.alias("b")
         cands = (
             a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
             .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-            .distinct()
         )
-        return _verify_pairs_exact(hashed, cands, threshold)
+        if num_partitions is not None:
+            cands = cands.repartition(num_partitions, "a_id", "b_id")
+        return _verify_pairs_exact(hashed, cands.distinct(), threshold)
 
     sizes = sh.select("_id", F.size("_shingles").alias("_n"))
     # the inverted index feeds BOTH sides of the self-join; lazy

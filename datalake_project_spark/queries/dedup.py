@@ -334,7 +334,8 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    return D.ngram_jaccard_pairs(d, threshold=0.5, max_df=50)
+    return D.ngram_jaccard_pairs(d, threshold=0.5, max_df=50,
+                                 num_partitions=_pair_parts(spark, sf_dir))
 
 
 @register(
