@@ -74,3 +74,20 @@ def test_observation_collects_inflight_metrics(spark):
     assert got["n_rows"] == 1000
     assert got["id_sum"] == 499500
     assert got["n_g0"] == len([i for i in range(1000) if i % 7 == 0])
+
+
+def test_suggest_for_stage_floors_at_cores_and_scales(spark, tmp_path):
+    """suggest_for_stage = per-stage repartition width: footprint x
+    expansion / 128 MiB, floored at 2x the session's parallelism so
+    small fixtures stay fully parallel, and it must NOT mutate the
+    session conf (unlike apply_shuffle_sizing)."""
+    from datalake_project_spark.tuning import suggest_for_stage
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"x" * (4 * 1024 * 1024))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    assert suggest_for_stage(spark, str(f)) == 2 * cores  # floor
+    # 4 MiB x 65536 = 256 GiB -> 2048 partitions of 128 MiB
+    assert suggest_for_stage(spark, str(f), expansion=65536.0) == 2048
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
