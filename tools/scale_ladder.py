@@ -88,6 +88,11 @@ PANEL = [
     "q_text_collocations",
     "q_events_sessionize",
     "q_group_zscore",
+    # r7: the streaming lane joins the panel — a real micro-batch drain
+    # (availableNow over the staged events fixture) so state-store and
+    # sink costs are measured, not argued. Sessionize emits real rows at
+    # every factor (heavy-hitters' support threshold empties at sf0.1).
+    "q_stream_sessionize",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
