@@ -851,3 +851,142 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= 5)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cs", 6).alias("cos_sim")))
+
+
+@register(
+    "q_ann_lsh_multiprobe",
+    oracle="""
+    WITH """ + _PORTABLE_CTES + """,
+    qrs AS (SELECT DISTINCT vec_id AS query_id FROM codes
+            WHERE vec_id < 10),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.band, cb.c AS code
+        FROM codes q, (SELECT unnest(range(0, 16)) AS c) cb
+        WHERE q.vec_id < 10 AND bit_count(xor(q.code, cb.c)) <= 1),
+    cand_multi AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN codes c
+          ON c.band = p.band AND c.code = p.code
+        WHERE c.vec_id <> p.query_id),
+    cand_single AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM codes q JOIN codes c ON q.band = c.band AND q.code = c.code
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    truth AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[])
+                            DESC, b.vec_id ASC) AS rnk
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10),
+    top5 AS (SELECT query_id, neighbor_id FROM truth WHERE rnk <= 5),
+    s AS (SELECT query_id, COUNT(*) AS n_cand_single
+          FROM cand_single GROUP BY query_id),
+    m AS (SELECT query_id, COUNT(*) AS n_cand_multi
+          FROM cand_multi GROUP BY query_id),
+    hs AS (SELECT t.query_id, COUNT(cs.neighbor_id) AS hits_single
+           FROM top5 t LEFT JOIN cand_single cs
+             ON cs.query_id = t.query_id
+            AND cs.neighbor_id = t.neighbor_id
+           GROUP BY t.query_id),
+    hm AS (SELECT t.query_id, COUNT(cm.neighbor_id) AS hits_multi
+           FROM top5 t LEFT JOIN cand_multi cm
+             ON cm.query_id = t.query_id
+            AND cm.neighbor_id = t.neighbor_id
+           GROUP BY t.query_id)
+    SELECT q.query_id,
+           COALESCE(s.n_cand_single, 0)::BIGINT AS n_cand_single,
+           COALESCE(m.n_cand_multi, 0)::BIGINT AS n_cand_multi,
+           COALESCE(hs.hits_single, 0)::BIGINT AS hits_single,
+           COALESCE(hm.hits_multi, 0)::BIGINT AS hits_multi,
+           COALESCE(hm.hits_multi, 0) >= COALESCE(hs.hits_single, 0)
+               AS multiprobe_dominates
+    FROM qrs q
+    LEFT JOIN s USING (query_id) LEFT JOIN m USING (query_id)
+    LEFT JOIN hs USING (query_id) LEFT JOIN hm USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="Multi-probe LSH audit, fully value-checked (Lv et al. '07) — "
+        "the memory lever a 100 TB ANN deployment pulls: instead of "
+        "adding hash TABLES (each one replicates the index), each query "
+        "also probes the buckets whose band code sits at hamming "
+        "distance 1 (4 extra probes per 4-bit band — flip one "
+        "hyperplane's sign), trading a few cheap bucket lookups for "
+        "table count. Built on the same LCG-hyperplane portable codes "
+        "as q_ann_lsh_portable, so probes and candidate sets are exact "
+        "integer arithmetic both engines reproduce bit-for-bit. Per "
+        "query it reports candidate volume and brute-force-top-5 hit "
+        "counts for single-probe vs multi-probe — hits_multi >= "
+        "hits_single BY CONSTRUCTION (probe sets nest), and the gate "
+        "value-checks the measured recall gain, all as integers (the "
+        "float truth ranking reuses the index-order discipline "
+        "q_ann_cosine_topk proves). Plan shape: probes explode a "
+        "16-row broadcast code table against the tiny query-code set; "
+        "candidate generation joins 8-byte (band, code) keys, never "
+        "vectors; the truth arm is the broadcast-query exact lane.",
+)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.vectors import cosine
+    from pyspark.sql.window import Window
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    codes = _portable_band_codes(
+        spark, _portable_bits(spark, e)).localCheckpoint(eager=False)
+    qc = (codes.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "band",
+                  F.col("code").alias("qcode")))
+    all16 = spark.range(16).select(F.col("id").cast("int").alias("code"))
+    probes = (qc.crossJoin(F.broadcast(all16))
+              .where(F.bit_count(F.expr("int(qcode) ^ int(code)")) <= 1)
+              .select("query_id", "band", "code"))
+    cc = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "code")
+    cand_multi = (probes.join(cc, ["band", "code"])
+                  .where(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id").distinct()
+                  .localCheckpoint(eager=False))
+    cand_single = (qc.withColumnRenamed("qcode", "code")
+                   .join(cc, ["band", "code"])
+                   .where(F.col("query_id") != F.col("neighbor_id"))
+                   .select("query_id", "neighbor_id").distinct()
+                   .localCheckpoint(eager=False))
+    qv = (e.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv")))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("_cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cs"), F.asc("neighbor_id"))
+    top5 = (cv.crossJoin(F.broadcast(qv))
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cs", cosine(F.col("_qv"), F.col("_cv")))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False))
+
+    def counts(df, name):
+        return df.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias(name))
+
+    def hits(cand, name):
+        return (top5.join(cand, ["query_id", "neighbor_id"], "left_semi")
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    qrs = qc.select("query_id").distinct()
+    out = (qrs
+           .join(counts(cand_single, "n_cand_single"), "query_id", "left")
+           .join(counts(cand_multi, "n_cand_multi"), "query_id", "left")
+           .join(hits(cand_single, "hits_single"), "query_id", "left")
+           .join(hits(cand_multi, "hits_multi"), "query_id", "left"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return (out.select(
+        "query_id",
+        z("n_cand_single").alias("n_cand_single"),
+        z("n_cand_multi").alias("n_cand_multi"),
+        z("hits_single").alias("hits_single"),
+        z("hits_multi").alias("hits_multi"),
+        (z("hits_multi") >= z("hits_single")).alias("multiprobe_dominates"))
+        .orderBy("query_id"))
