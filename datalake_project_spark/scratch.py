@@ -128,4 +128,16 @@ def prune_stale(root: str | None = None) -> list[str]:
             removed.append(d)
         except OSError:
             continue
+    # Repo-hygiene sweep that used to live in the session factory (a
+    # global side effect every get_spark paid): externally-created
+    # sessions (driver harness, bare pyspark in this cwd) materialize an
+    # EMPTY spark-warehouse/ at the checkout root before our conf routes
+    # it into scratch. rmdir refuses non-empty dirs, so a genuinely used
+    # warehouse is never touched.
+    try:
+        os.rmdir(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "spark-warehouse"))
+    except OSError:
+        pass
     return removed

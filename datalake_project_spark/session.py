@@ -78,19 +78,7 @@ def get_spark(app_name: str = "datalake_project_spark", master: str | None = Non
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    # Some externally-created sessions (driver harness, bare pyspark in
-    # this cwd) materialize an EMPTY spark-warehouse/ at the checkout
-    # root before our conf can route it to .scratch; sweep the husk so
-    # it never ships in a review diff. rmdir refuses non-empty dirs, so
-    # a genuinely used warehouse is never touched.
-    try:
-        os.rmdir(os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "spark-warehouse"))
-    except OSError:
-        pass
-    return spark
+    return builder.getOrCreate()
 
 
 def stop_spark() -> None:

@@ -314,6 +314,13 @@ class PagedJsonStreamWriter(DataSourceStreamWriter):
                 for tmp in done:
                     with open(tmp) as fh:
                         body = fh.read().strip()
+                    # fail BEFORE the atomic rename on a malformed page
+                    # (the pre-splice json.load concat crashed here too;
+                    # blind [1:-1] would instead publish a corrupt batch)
+                    if not (body.startswith("[") and body.endswith("]")):
+                        raise ValueError(
+                            f"task page {tmp} is not a JSON array "
+                            f"(starts {body[:20]!r}); refusing to splice")
                     body = body[1:-1].strip()  # drop the task page's [ ]
                     if not body:
                         continue

@@ -297,3 +297,32 @@ def test_stream_commit_publishes_batch_atomically(spark, tmp_path):
     assert {r["username"]
             for r in json.load(open(os.path.join(out, files[0])))} \
         == {"u0", "u1", "u2"}
+
+
+def test_stream_commit_rejects_corrupt_task_page(spark, tmp_path):
+    """The bracket-splice commit validates each task page is a JSON
+    array BEFORE the atomic rename: a corrupt page fails the whole
+    commit (crash-before-publish, replay re-runs the batch) instead of
+    silently splicing garbage into a published batch page — the
+    failure mode the pre-splice json.load concat had, preserved."""
+    import os
+
+    import pytest
+
+    from datalake_project_spark.sources.pydatasource import (
+        PageCommit, PagedJsonStreamWriter,
+    )
+
+    out = str(tmp_path / "corrupt_pages")
+    os.makedirs(out)
+    w = PagedJsonStreamWriter({"path": out})
+    good = os.path.join(out, "_tmp_good")
+    with open(good, "w") as fh:
+        json.dump([{"username": "ok", "full_name": "O"}], fh)
+    bad = os.path.join(out, "_tmp_bad")
+    with open(bad, "w") as fh:
+        fh.write('{"username": "not-an-array"}')
+    with pytest.raises(ValueError, match="not a JSON array"):
+        w.commit([PageCommit(good), PageCommit(bad)], 3)
+    # nothing published: the batch page does not exist
+    assert not [f for f in os.listdir(out) if f.endswith(".json")]

@@ -149,6 +149,12 @@ def build_scaled(base: str, factor: int, out: str) -> str:
                      f"read_parquet('{base}/customer.parquet')").fetchone()[0]
     assert max_ck < 10**6, (
         f"group-code fixture needs base custkey < 1e6, got {max_ck}")
+    # the group digit is k // 10 — a single character only while
+    # factor <= 100; beyond that substr() returns '' and copies
+    # silently collide (names shorten, cross-copy interaction returns)
+    assert factor <= 100, (
+        f"group-code customer fixture supports factor <= 100 "
+        f"(10 groups x 10 rotations), got {factor}")
     rep(f"""
         SELECT c_custkey + k * {STRIDE} AS c_custkey,
                CASE WHEN k = 0 THEN c_name
