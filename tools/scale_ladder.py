@@ -18,27 +18,32 @@ Replication design (copy k of F, stride-offset surrogate keys):
   distributions replicate per copy instead of inflating 10x. That is
   how a real 10x corpus grows: new content, same skew profile.
 - customer: copy k rewrites the name's 9-digit identifier block as
-  GROUP-CODE + ROTATION: the three leading (constant-'0' in base)
-  digits become the copy-group digit g = k//10 repeated three times,
-  and the six trailing digits rotate by k mod 10 (a bijection on the
-  digit alphabet). Within-copy edit distances — and therefore d<=2
-  record-linkage match AND blocking structure — are preserved exactly
-  (group code is copy-constant; rotation cannot change per-position
-  equality). Cross-copy pairs are BOTH non-matching and non-blocking:
-  different rotations disagree at every trailing digit position (>= 6
-  diffs — no 2-deletion key can align them), while same-rotation
-  pairs from different groups agree on the trailing digits but differ
-  at all three group positions — hamming 3, above the comparators'
-  d<=2 AND above what a 2-position mask can absorb. So candidates,
-  matches, and blocking keys all replicate exactly x F with ZERO
-  cross-copy interaction, for factor <= 100 (10 groups x 10
-  rotations). This generalizes the r6 rotation fixture (capped at
-  factor 10: rotations repeat mod 10, and the r7 first-cut affine
-  maps collided on the constant digits — same-offset copies agreed on
-  the '0'-image, measured shuffle exp 1.44).
-  (The r5 attempt used a suffix tag; that left the blocked digit
-  positions identical across copies and candidate volume went x F^2 —
-  the fixture must emulate NEW entities, not re-keyed old ones.)
+  GROUP-CODE + DISJOINT-ALPHABET TRAIL: the three leading
+  (constant-'0' in base) digits become group char g = k//5 (20
+  distinct symbols) repeated three times, and the six trailing digits
+  map through sub-alphabet s = k%5 — five pairwise-disjoint 10-char
+  alphabets (digits, a-j, k-t, A-J, K-T). Within-copy edit distances —
+  and therefore d<=2 record-linkage match AND deletion-neighborhood
+  blocking structure — are preserved exactly (common-prefix lemma
+  strips the constant group code; one character bijection covers the
+  whole trail; group-char deletions are fungible so variant equalities
+  re-split depth-for-depth). Cross-copy pairs are BOTH non-matching
+  (lev >= 3: three group subs, or >= 4 unmappable trail chars) and
+  non-blocking under TRUE deletion neighborhoods: across groups every
+  <=2-deletion variant still LEADS with its group char (>= 1 of 3
+  survives) so variants differ at char 1; within a group a variant
+  keeps >= 4 trail chars from its own alphabet, which the other
+  sub-copy's string cannot contain. So candidates, matches, and
+  blocking keys all replicate exactly x F with ZERO cross-copy
+  interaction, for factor <= 100 (20 groups x 5 subs). This replaces
+  the r7 rotation design (digit d -> d+k value shifts): position-mask
+  keys could never align a value shift, but true deletion keys bridge
+  one whenever the base digits run consecutively — measured 21.9%
+  cross-copy candidates at 10x. (Earlier failures, kept for the
+  record: the r5 suffix tag left blocked positions identical across
+  copies — candidates x F^2; the r7 first-cut affine maps collided on
+  the constant digits — shuffle exp 1.44. The fixture must emulate
+  NEW entities, not re-keyed old ones.)
 - lineitem: all graph-bearing keys (orderkey/partkey/suppkey) offset
   per copy -> F disjoint copies of the co-purchase graph: identical
   degree distribution, identical k-core peel depth, F x the edges.
@@ -141,8 +146,24 @@ def build_scaled(base: str, factor: int, out: str) -> str:
         FROM read_parquet('{base}/documents.parquet'),
              range(0, {factor}) r(k)
         """, "documents")
-    # copy k name = prefix + group code (k//10 three times, hamming 3
-    # between groups) + rotation k%10 of the six trailing digits.
+    # copy k name = prefix + GROUP code (char g = k//5 from a 20-symbol
+    # alphabet, repeated three times) + the six trailing digits mapped
+    # through SUB-alphabet s = k%5 (five pairwise-DISJOINT 10-char
+    # alphabets). r8 redesign: the r7 rotation copies were value-shifts
+    # (digit d -> d+k), which position-mask keys could never align but
+    # TRUE deletion-neighborhood keys can (deleting one char bridges a
+    # value-shift whenever the base digits run consecutively — measured
+    # 21.9% cross-copy candidates at 10x). The disjoint-alphabet form
+    # is deletion-proof: across groups, every <=2-deletion variant
+    # keeps >=1 of 3 group chars and group chars LEAD the string, so
+    # variants of different groups differ at char 1; within a group,
+    # a variant keeps >=4 of 6 trail chars, all from its own disjoint
+    # alphabet, which the other sub-copy's string cannot contain. And
+    # within-copy edit structure is EXACT: lev("GGG"+u1,"GGG"+u2) =
+    # lev(u1,u2) = lev(t1,t2) (common-prefix lemma + one character
+    # bijection over the whole trail), and the deletion-variant
+    # candidate set maps 1:1 (group-char deletions are fungible, so any
+    # cross-split variant equality re-splits to a same-depth one).
     # Overwriting the three leading digits is only injective while they
     # are constant-'0' in the base — assert it (base custkey < 10^6).
     max_ck = con.sql(f"SELECT MAX(c_custkey) FROM "
@@ -159,11 +180,14 @@ def build_scaled(base: str, factor: int, out: str) -> str:
         SELECT c_custkey + k * {STRIDE} AS c_custkey,
                CASE WHEN k = 0 THEN c_name
                     ELSE substr(c_name, 1, 9)
-                         || repeat(substr('0123456789',
-                                          CAST(k // 10 AS INT) + 1, 1), 3)
+                         || repeat(substr('0UVWXYZuvwxyz2345678',
+                                          CAST(k // 5 AS INT) + 1, 1), 3)
                          || translate(substr(c_name, 13, 6), '0123456789',
-                                      substr('01234567890123456789',
-                                             CAST(k % 10 + 1 AS INT), 10))
+                                      substr('0123456789abcdefghij'
+                                             || 'klmnopqrstABCDEFGHIJ'
+                                             || 'KLMNOPQRST',
+                                             CAST(k % 5 AS INT) * 10 + 1,
+                                             10))
                END AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM read_parquet('{base}/customer.parquet'),
