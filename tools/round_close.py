@@ -1,0 +1,151 @@
+"""One-command round-close evidence chain (r7 verdict task #7).
+
+Runs, STRICTLY SERIALIZED (the gates share .scratch build-once state —
+two concurrent Spark gates produce transient fails that vanish solo):
+
+  1. correctness gate   tools/check_correctness.py  (sf0.01, full registry)
+  2. plan-smell sweep   tools/plan_sweep.py
+  3. pytest             python -m pytest tests/ -q           (--no-pytest)
+  4. bench              bench.py (min-of-N-trials CORE)      (--no-bench)
+  5. bench diff         tools/bench_diff.py --old <ref>
+  6. ladder summary     SCALELADDER.json exponents re-stated
+
+then appends one receipts section to BENCHNOTES.md and prints it. Every
+step's full output lands in .scratch/round_close/<step>.log (the
+driver-tail-truncation lesson: grep the files, not a scrollback).
+
+Usage:
+  python tools/round_close.py [--old <git-ref>] [--no-pytest] [--no-bench]
+
+Exit status: 0 only if gate has 0 FAIL and sweep has 0 offenders
+(bench-diff regressions print but don't fail the close — the r7 series
+proved they are usually host noise; adjudicate them in the notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_step(name: str, cmd: list[str], log_dir: str,
+             env: dict | None = None) -> tuple[int, str]:
+    """Run one step, tee-ing output to its log file; returns (rc, text)."""
+    log = os.path.join(log_dir, f"{name}.log")
+    print(f"== {name}: {' '.join(cmd)}  (log: {log})", flush=True)
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    with open(log, "w") as fh:
+        proc = subprocess.run(cmd, cwd=ROOT, stdout=fh,
+                              stderr=subprocess.STDOUT, env=full_env)
+    with open(log) as fh:
+        text = fh.read()
+    print(f"   -> rc={proc.returncode}, {len(text.splitlines())} lines")
+    return proc.returncode, text
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", default="HEAD",
+                    help="git ref whose BENCHDETAIL.json to diff against")
+    ap.add_argument("--no-pytest", action="store_true")
+    ap.add_argument("--no-bench", action="store_true")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from datalake_project_spark.scratch import scratch_root
+    log_dir = os.path.join(scratch_root(), "round_close")
+    os.makedirs(log_dir, exist_ok=True)
+    py = sys.executable
+    lines: list[str] = []
+    ok = True
+
+    rc, text = run_step("gate", [py, "tools/check_correctness.py", args.sf],
+                        log_dir)
+    m = re.search(r"(\d+) pass, (\d+) fail, (\d+) rows-only", text)
+    fails = [ln for ln in text.splitlines() if ln.startswith("FAIL")]
+    lines.append(f"- gate ({args.sf}): "
+                 + (m.group(0) if m else f"UNPARSEABLE rc={rc}"))
+    for ln in fails[:20]:
+        lines.append(f"  - {ln}")
+    ok &= bool(m) and m.group(2) == "0"
+
+    rc, text = run_step("sweep", [py, "tools/plan_sweep.py", args.sf],
+                        log_dir)
+    m = re.search(r"(\d+) plans swept, (\d+) offenders", text)
+    lines.append("- plan sweep: " + (m.group(0) if m else
+                                     f"UNPARSEABLE rc={rc}"))
+    for ln in [x for x in text.splitlines() if x.startswith("SMELL")][:20]:
+        lines.append(f"  - {ln}")
+    ok &= bool(m) and m.group(2) == "0"
+
+    if not args.no_pytest:
+        rc, text = run_step("pytest", [py, "-m", "pytest", "tests/", "-q"],
+                            log_dir)
+        tail = [ln for ln in text.splitlines()
+                if re.search(r"\d+ (passed|failed)", ln)]
+        lines.append(f"- pytest: {tail[-1].strip() if tail else f'rc={rc}'}")
+        ok &= rc == 0
+
+    if not args.no_bench:
+        rc, text = run_step("bench", [py, "bench.py"], log_dir)
+        summary = None
+        for ln in text.splitlines():
+            if ln.startswith("{") and '"core26"' in ln:
+                summary = json.loads(ln)
+        if summary:
+            lines.append(
+                f"- bench: core26 {summary['core26']} s "
+                f"(min of {summary.get('core26_trials', 1)} trials), "
+                f"headline total {summary['value']} s, "
+                f"{summary['n_queries']} queries swept")
+        else:
+            lines.append(f"- bench: NO SUMMARY LINE rc={rc}")
+            ok = False
+
+        rc, text = run_step(
+            "bench_diff", [py, "tools/bench_diff.py", "--old", args.old],
+            log_dir)
+        moved = [ln for ln in text.splitlines()
+                 if re.match(r"\s+\w+: [\d.]+s -> [\d.]+s", ln)]
+        lines.append(f"- bench_diff vs {args.old}: rc={rc} "
+                     f"({len(moved)} movers — adjudicate, don't panic: "
+                     f"r6/r7 movers were host noise)")
+        for ln in moved[:15]:
+            lines.append(f"  - {ln.strip()}")
+
+    ladder_path = os.path.join(ROOT, "SCALELADDER.json")
+    if os.path.exists(ladder_path):
+        with open(ladder_path) as fh:
+            runs = json.load(fh).get("runs", [])
+        for r in runs:
+            worst = sorted(r.get("panel", []),
+                           key=lambda x: -max(x.get("time_exp", 0),
+                                              x.get("shuffle_exp", 0)))[:3]
+            worst_s = ", ".join(
+                f"{w['query']} t={w['time_exp']} s={w['shuffle_exp']}"
+                for w in worst)
+            lines.append(f"- ladder {r['factor']}x: "
+                         f"{len(r.get('panel', []))} queries; worst "
+                         f"exponents: {worst_s}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    block = (f"\n## Round close {stamp}\n\n"
+             + "\n".join(lines)
+             + f"\n\nOverall: {'GREEN' if ok else 'RED'}\n")
+    with open(os.path.join(ROOT, "BENCHNOTES.md"), "a") as fh:
+        fh.write(block)
+    print(block)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,9 +98,31 @@ PANEL = [
     # sink costs are measured, not argued. Sessionize emits real rows at
     # every factor (heavy-hitters' support threshold empties at sf0.1).
     "q_stream_sessionize",
+    # r8: the bench top-10 heavies that had no ladder row (r7 verdict
+    # task #2) — each carries a bounded-state claim the row verifies:
+    # unigram-EM state is the distinct-word table; knn-label has a
+    # FIXED 200-vector probe side (O(n*200), linear in n); the savings
+    # ladder re-runs the bucketed candidate arcs; the stream outer
+    # join's state is keyed and watermark-bounded; the bucketed join
+    # pays its shuffle at write time; equi-depth histogram is one
+    # approx-quantile pass.
+    "q_text_unigram_em_round",
+    "q_embed_knn_label_accuracy",
+    "q_dedup_savings_ladder",
+    "q_stream_outer_join",
+    "q_bucketed_join_roundtrip",
+    "q_stats_equidepth_histogram",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
+
+# build-once queries persist an index/layout into scratch keyed by the
+# fixture (bucket tables, IVF index): their FIRST run at a fresh factor
+# pays the one-time write. The 1x warmup already absorbs that at 1x;
+# these get an extra untimed warmup at Fx so the timed row measures the
+# steady-state query — which is the claim (pay the shuffle at write
+# time, amortize over every join after).
+WARMUP_AT_FX = {"q_bucketed_join_roundtrip"}
 
 FIELDS = ("shuffleReadBytes", "shuffleWriteBytes", "inputBytes",
           "memoryBytesSpilled", "diskBytesSpilled")
@@ -299,6 +321,10 @@ def main() -> int:
         registry[name].fn(spark, args.base).count()
 
     r1 = run_panel(spark, api, registry, args.base, names)
+    for name in sorted(WARMUP_AT_FX & set(names)):
+        print(f"# Fx build warmup (untimed): {name}",
+              file=sys.stderr, flush=True)
+        registry[name].fn(spark, scaled).count()
     rF = run_panel(spark, api, registry, scaled, names)
 
     rows = []
