@@ -50,58 +50,60 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-7 WINDOW ROTATION (the r6 judge's task #7): every previously
+    # ROUND-8 WINDOW ROTATION (the r7 judge's task #5): every previously
     # stamped query rotates to the tail; 49 of these 50 slots have NEVER
-    # carried a driver CORRECTNESS stamp in rounds 1-6 (the 246-query
-    # remainder), spread across every capability family, with this
-    # round's re-blocked / newly-valved queries placed in the window so
-    # each fix earns its own driver stamp (q_record_linkage,
-    # q_graph_kcore, q_corpus_sequential_poisson, q_shard_rendezvous,
-    # q_multimodal_dhash_near_dup, q_interval_bucket_join). The one
-    # stamped holdover is the flagship CDC diff (entry()'s query).
+    # carried a driver CORRECTNESS stamp in rounds 1-7 (the 200-query
+    # remainder), spread across every capability family. The blocking-
+    # recall audit leads the fresh slots — its mask-blocking bug slipped
+    # r7 precisely because it was outside the window; its n_missed=0 row
+    # is now checked against the unblocked truth arm every round. The
+    # one stamped holdover is the flagship CDC diff (entry()'s query).
     #
-    # Flagship + lake lifecycle / CDC
-    "q_snapshot_diff", "q_lake_erasure", "q_temporal_join",
-    "q_tuned_shuffle_join",
-    # This round's scale fixes
-    "q_record_linkage", "q_graph_kcore", "q_corpus_sequential_poisson",
-    "q_shard_rendezvous", "q_multimodal_dhash_near_dup",
-    # Relational / SQL surfaces
-    "q_star_schema_revenue", "q_sql_entrypoint_q1", "q_basket_rules",
-    "q_geo_radius_join", "q_approx_quantile_bound",
-    "q_linkage_qgram_filter",
-    # Events / sketches / experimentation
-    "q_interval_bucket_join", "q_events_markov_stationary",
-    "q_sketch_bloom_fpr", "q_sketch_kmv_distinct", "q_events_ab_cuped",
-    "q_bitmap_distinct_users",
+    # Flagship
+    "q_snapshot_diff",
+    # The r8 losslessness receipt + relational5 spread
+    "q_linkage_blocking_recall", "q11_important_parts",
+    "q12_priority_lines", "q16_supplier_relationship",
+    "q_udaf_weighted_avg", "q_null_safe_join",
+    # Audit / privacy
+    "q_data_quality_audit", "q_k_anonymity", "q_benford_audit",
+    "q_schema_contract_audit",
+    # CDC / corpus
+    "q_incremental_agg_refresh", "q_corpus_chunk",
+    "q_corpus_weighted_sample",
+    # Dedup
+    "q_dedup_containment", "q_dedup_incremental",
+    # Events
+    "q_group_zscore", "q_events_bot_detection", "q_events_attribution",
+    "q_events_session_window_native", "q_events_periodogram",
     # Formats
-    "q_orc_roundtrip", "q_log_parse",
+    "q_jsonl_roundtrip", "q_xml_roundtrip",
     # Graph
-    "q_graph_triangles", "q_graph_modularity",
+    "q_graph_degrees", "q_graph_personalized_pagerank",
+    "q_graph_local_clustering",
     # Inference / statistics
-    "q_stats_fisher_exact", "q_events_bh_fdr",
-    "q_feature_mutual_information", "q_events_diff_in_diff",
-    "q_stats_eb_shrinkage",
-    # ML / embeddings
-    "q_embed_pq_search", "q_classifier_conformal", "q_embed_silhouette",
-    "q_ols_multivariate",
-    # Multimodal
-    "q_multimodal_content_dedup", "q_multimodal_payload_entropy",
+    "q_stats_equidepth_histogram", "q_events_bayesian_ab",
+    "q_split_kfold_cv", "q_feature_target_encoding",
+    "q_sql_scripting_loop",
+    # ML / classifiers / embeddings
+    "q_classifier_calibration", "q_embed_pca_explained_variance",
+    "q_recs_als_halfstep",
+    # Multimodal (incl. the r7 valve audit, never stamped)
+    "q_multimodal_batch_bucketing", "q_multimodal_binary_ingest",
+    "q_multimodal_dhash_valve_audit",
     # Quality
-    "q_text_mojibake", "q_quality_threshold_sweep",
-    # Corpus assembly / splits
-    "q_corpus_quota_sample", "q_split_ngram_leakage",
-    # Dedup audits
-    "q_dedup_cluster_sizes", "q_dedup_dfcap_planner",
-    "q_dedup_simhash_portable",
-    # Retrieval + robust
-    "q_search_facets", "q_events_rolling_median",
-    # Similarity (the IVF portable twin)
-    "q_ann_ivf_portable",
-    # Streaming
-    "q_stream_static_join", "q_stream_psi_monitor",
-    # Substrings / text
-    "q_text_bpe_merge_counts", "q_text_langid_confusion",
+    "q_text_repetition", "q_filter_agreement",
+    # Relational misc / retrieval
+    "q_group_concat", "q_search_kwic",
+    # Robust
+    "q_events_ab_srm", "q_corpus_jsd_matrix",
+    # Similarity (incl. the r7 multi-probe LSH, never stamped)
+    "q_ann_lsh_multiprobe", "q_embed_matryoshka_recall",
+    # Substrings
+    "q_text_unigram_em_counts", "q_dedup_paragraphs",
+    "q_text_dsir_weights",
+    # Text
+    "q_text_heaps_law", "q_text_vocab_coverage",
 )
 
 
