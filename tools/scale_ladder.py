@@ -133,6 +133,13 @@ def build_scaled(base: str, factor: int, out: str) -> str:
     idempotent via a _READY marker."""
     import duckdb
 
+    # the group digit is k // 5 — one symbol from a 20-char alphabet,
+    # only while factor <= 100; beyond that substr() returns '' and
+    # copies silently collide (names shorten, cross-copy interaction
+    # returns). Checked before any table is written.
+    assert factor <= 100, (
+        f"group-code customer fixture supports factor <= 100 "
+        f"(20 groups x 5 sub-alphabets), got {factor}")
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
@@ -192,12 +199,6 @@ def build_scaled(base: str, factor: int, out: str) -> str:
                      f"read_parquet('{base}/customer.parquet')").fetchone()[0]
     assert max_ck < 10**6, (
         f"group-code fixture needs base custkey < 1e6, got {max_ck}")
-    # the group digit is k // 10 — a single character only while
-    # factor <= 100; beyond that substr() returns '' and copies
-    # silently collide (names shorten, cross-copy interaction returns)
-    assert factor <= 100, (
-        f"group-code customer fixture supports factor <= 100 "
-        f"(10 groups x 10 rotations), got {factor}")
     rep(f"""
         SELECT c_custkey + k * {STRIDE} AS c_custkey,
                CASE WHEN k = 0 THEN c_name
@@ -308,6 +309,13 @@ def main() -> int:
     spark = get_spark("scale-ladder", extra_conf={
         "spark.ui.enabled": "true",
         "spark.ui.port": "4049",
+        # the shuffle readings sum COMPLETED stages via the UI API; the
+        # default 1000-stage retention evicts early stages under many-
+        # job queries (the unigram-EM driver-stepped DP runs hundreds),
+        # making cumulative deltas go NEGATIVE mid-panel — retain
+        # enough history that sums are monotone for the whole run
+        "spark.ui.retainedStages": "300000",
+        "spark.ui.retainedJobs": "300000",
     })
     api = "http://localhost:4049/api/v1/applications"
     with urllib.request.urlopen(api, timeout=30) as r:
