@@ -2194,10 +2194,12 @@ def q_linkage_sorted_neighborhood(spark: SparkSession,
 
     c = Catalog(spark, sf_dir).table("customer").select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-    # Fixed-width names ('Customer#000000001'): the 3 high digits are a
-    # monotone prefix shard of the c_name sort order.
-    sharded = c.withColumn(
-        "shard", F.substring("c_name", 10, 3).cast("int"))
+    # Fixed-width names ('Customer#000000001'): the 3 chars after the
+    # constant prefix are a monotone prefix shard of the c_name sort
+    # order. Kept as a STRING — prefix order IS lexicographic name
+    # order, and casting assumed digits (the scale-ladder fixture
+    # writes letter group codes there; r8 crash).
+    sharded = c.withColumn("shard", F.substring("c_name", 10, 3))
     rn = F.row_number().over(
         Window.partitionBy("shard").orderBy("c_name"))
     intra = sharded.withColumn("rn_intra", rn)
