@@ -4198,3 +4198,229 @@ def q_stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("dof"),
                     F.round("g2", 4).alias("g_statistic"),
                     (F.col("g2") > 26.296).alias("dependent_at_5pct")))
+
+
+# --------------------------------------------------------------------------
+# Inverse-propensity weighting — the WEIGHTING causal estimator beside
+# q_events_matched_att's exact matching
+# --------------------------------------------------------------------------
+
+@register(
+    "q_events_propensity_ipw",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               LEAST(9, CAST(COUNT(*) // 20 AS INT)) AS stratum,
+               CASE WHEN SUM(CASE WHEN event_type = 'signup'
+                             THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS t,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    prop AS (
+        SELECT stratum, COUNT(*) AS n_s,
+               SUM(t) AS nt_s,
+               CAST(SUM(t) AS DOUBLE) / COUNT(*) AS e_s
+        FROM users GROUP BY stratum),
+    usable AS (
+        SELECT u.t, u.y, p.e_s
+        FROM users u JOIN prop p USING (stratum)
+        WHERE p.e_s > 0 AND p.e_s < 1),
+    sums AS (
+        SELECT
+            COUNT(*) AS n_used,
+            CAST(SUM(t) AS BIGINT) AS n_treated,
+            SUM(CASE WHEN t = 1 THEN y / e_s END) AS wy1,
+            SUM(CASE WHEN t = 1 THEN 1.0 / e_s END) AS w1,
+            SUM(CASE WHEN t = 0 THEN y / (1 - e_s) END) AS wy0,
+            SUM(CASE WHEN t = 0 THEN 1.0 / (1 - e_s) END) AS w0,
+            AVG(CASE WHEN t = 1 THEN y END)
+                - AVG(CASE WHEN t = 0 THEN y END) AS naive
+        FROM usable),
+    trim AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN e_s = 0 OR e_s = 1
+                                      THEN n_s END), 0) AS BIGINT)
+                   AS n_trimmed_users
+        FROM prop)
+    SELECT CAST(n_used AS BIGINT) AS n_users,
+           n_treated,
+           trim.n_trimmed_users,
+           ROUND(naive, 4) AS naive_diff,
+           ROUND(wy1 / w1 - wy0 / w0, 4) AS ipw_ate
+    FROM sums, trim
+    """,
+    doc="Average treatment effect by stratified-propensity inverse "
+        "weighting (Hajek/self-normalized IPW): treatment = 'user "
+        "fired >= 14 signup events', a covariate-CONFOUNDED exposure "
+        "(signup count is binomial in total activity, so more-active "
+        "users mechanically cross the threshold more often, and "
+        "activity also drives the total-value outcome), unlike the "
+        "randomized odd/even arm of q_events_matched_att. "
+        "Propensity e(s) = treated fraction within the same activity "
+        "strata the matching estimator uses; weights 1/e for treated, "
+        "1/(1-e) for controls, both self-normalized (the Hajek "
+        "estimator — plain Horvitz-Thompson is variance-fragile when "
+        "weights are skewed). Deterministic-overlap strata (e=0 or "
+        "e=1) are trimmed WITH a reported user count, never silently. "
+        "The naive treated-minus-control mean ships beside ipw_ate so "
+        "the row itself shows the confounding the weights remove. "
+        "Plan: one groupBy(user) corpus pass (map-side partials), a "
+        "<=10-row propensity table broadcast back, one final "
+        "aggregate — the same two-pass shape at any corpus scale. "
+        "Outcomes are cents-exact integers scaled once; the weighted "
+        "sums round at 4 dp on both engines (summation-order ulps).",
+)
+def q_events_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull()))
+    users = (e.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_ev"),
+                  F.when(F.sum(F.when(F.col("event_type") == "signup", 1)
+                               .otherwise(0)) >= 14, 1).otherwise(0)
+                  .alias("t"),
+                  (F.sum(F.round(F.col("value") * 100).cast("long"))
+                   / 100.0).alias("y"))
+             .select(F.least(F.lit(9), F.floor(F.col("n_ev") / 20)
+                             .cast("int")).alias("stratum"),
+                     "t", "y"))
+    prop = users.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("t").alias("nt_s"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("e_s"))
+    usable = (users.join(F.broadcast(prop), "stratum")
+              .where((F.col("e_s") > 0) & (F.col("e_s") < 1)))
+    t1 = F.col("t") == 1
+    sums = usable.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("t").cast("long").alias("n_treated"),
+        F.sum(F.when(t1, F.col("y") / F.col("e_s"))).alias("wy1"),
+        F.sum(F.when(t1, 1.0 / F.col("e_s"))).alias("w1"),
+        F.sum(F.when(~t1, F.col("y") / (1 - F.col("e_s")))).alias("wy0"),
+        F.sum(F.when(~t1, 1.0 / (1 - F.col("e_s")))).alias("w0"),
+        (F.avg(F.when(t1, F.col("y")))
+         - F.avg(F.when(~t1, F.col("y")))).alias("naive"))
+    trim = prop.agg(
+        F.coalesce(F.sum(F.when((F.col("e_s") == 0) | (F.col("e_s") == 1),
+                                F.col("n_s"))), F.lit(0))
+        .cast("long").alias("n_trimmed_users"))
+    return (sums.crossJoin(F.broadcast(trim))
+            .select(F.col("n_used").cast("long").alias("n_users"),
+                    "n_treated", "n_trimmed_users",
+                    F.round("naive", 4).alias("naive_diff"),
+                    F.round(F.col("wy1") / F.col("w1")
+                            - F.col("wy0") / F.col("w0"), 4)
+                    .alias("ipw_ate")))
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis — the distribution-free ANOVA
+# --------------------------------------------------------------------------
+
+@register(
+    "q_stats_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+    hist AS (SELECT c, COUNT(*) AS cnt FROM v GROUP BY c),
+    ranked AS (
+        SELECT c,
+               cnt,
+               SUM(cnt) OVER (ORDER BY c
+                              ROWS UNBOUNDED PRECEDING) - cnt
+                   + (cnt + 1) / 2.0 AS avg_rank
+        FROM hist),
+    grp AS (
+        SELECT v.g, COUNT(*) AS n_g, SUM(r.avg_rank) AS rsum
+        FROM v JOIN ranked r USING (c) GROUP BY v.g),
+    tot AS (SELECT SUM(n_g) AS n FROM grp),
+    ties AS (SELECT SUM(cnt * cnt * cnt - cnt) AS tie3 FROM hist),
+    h AS (
+        SELECT tot.n, ties.tie3,
+               12.0 / (tot.n * (tot.n + 1))
+               * SUM(grp.n_g * (grp.rsum / grp.n_g - (tot.n + 1) / 2.0)
+                             * (grp.rsum / grp.n_g - (tot.n + 1) / 2.0))
+                   AS h_raw,
+               COUNT(*) AS k
+        FROM grp CROSS JOIN tot CROSS JOIN ties
+        GROUP BY tot.n, ties.tie3)
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND(h_raw, 4) AS h_statistic,
+           ROUND(h_raw / (1 - CAST(tie3 AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n)), 4)
+               AS h_tie_corrected,
+           h_raw / (1 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)) > 9.488
+               AS reject_at_5pct
+    FROM h
+    """,
+    doc="Kruskal-Wallis rank test across the five event-type value "
+        "distributions — the distribution-free ANOVA (q_events_anova "
+        "assumes normality; when Levene rejects homoscedasticity or "
+        "tails are heavy, the rank statistic is the robust "
+        "alternative), with the standard tie correction "
+        "H / (1 - sum(t^3 - t)/(N^3 - N)). Ranks come from the VALUE "
+        "HISTOGRAM, never a corpus-wide sort: average tied rank = "
+        "cum_before + (t+1)/2 is a running sum over the distinct-cents "
+        "table (domain-bounded, ~10k rows at any corpus scale — the "
+        "same bounded-window discipline as q_stats_equidepth_"
+        "histogram), broadcast back onto the rows — and the running "
+        "sum itself uses the sharded-window discipline of "
+        "q_abc_classification (magnitude shard, monotone in the sort "
+        "key; broadcast cross-shard offsets), so no SinglePartition "
+        "exchange exists anywhere in the plan. Cross-engine exactness "
+        "is structural: tied ranks are HALF-INTEGERS, so every "
+        "per-group rank sum is exact in double regardless of "
+        "summation order — no pre-rounding needed anywhere; only the "
+        "final H is rounded. 9.488 = chi2(4) at 5%.",
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    v = (Catalog(spark, sf_dir).table("events")
+         .where(F.col("value").isNotNull())
+         .select(F.col("event_type").alias("g"),
+                 F.round(F.col("value") * 100).cast("long").alias("c")))
+    hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # Cumulative count over the distinct-cents histogram (domain-
+    # bounded, ~10k rows) via the sharded-window discipline: shard =
+    # bit-length of c, monotone ASC in c, ties share a shard.
+    sharded = hist.withColumn(
+        "shard", F.floor(F.log2(F.col("c") + 2)).cast("int"))
+    w_in = (Window.partitionBy("shard").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    intra = sharded.withColumn("cum_intra", F.sum("cnt").over(w_in))
+    stot = sharded.groupBy("shard").agg(F.sum("cnt").alias("s_n"))
+    below = (stot.alias("a")
+             .join(F.broadcast(stot.alias("b")),
+                   F.col("b.shard") < F.col("a.shard"), "left")
+             .groupBy(F.col("a.shard").alias("shard"))
+             .agg(F.coalesce(F.sum("b.s_n"), F.lit(0)).alias("cum_shards")))
+    ranked = (intra.join(F.broadcast(below), "shard")
+              .select("c", "cnt",
+                      (F.col("cum_shards") + F.col("cum_intra")
+                       - F.col("cnt")
+                       + (F.col("cnt") + 1) / 2.0).alias("avg_rank")))
+    grp = (v.join(F.broadcast(ranked), "c")
+           .groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_g"),
+                F.sum("avg_rank").alias("rsum")))
+    tot = grp.agg(F.sum("n_g").alias("n"))
+    ties = hist.agg(F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                          - F.col("cnt")).alias("tie3"))
+    dev = F.col("rsum") / F.col("n_g") - (F.col("n") + 1) / 2.0
+    h = (grp.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+         .groupBy("n", "tie3")
+         .agg((12.0 / (F.col("n") * (F.col("n") + 1))
+               * F.sum(F.col("n_g") * dev * dev)).alias("h_raw"),
+              F.count(F.lit(1)).alias("k")))
+    corr = 1 - F.col("tie3").cast("double") / (F.col("n").cast("double")
+                                               * F.col("n") * F.col("n")
+                                               - F.col("n"))
+    return h.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("h_raw", 4).alias("h_statistic"),
+        F.round(F.col("h_raw") / corr, 4).alias("h_tie_corrected"),
+        (F.col("h_raw") / corr > 9.488).alias("reject_at_5pct"))

@@ -119,3 +119,100 @@ def test_jl_distortion_concentrates(spark):
     assert row["n_pairs"] > 100
     assert 0.7 < row["mean_ratio"] < 1.3
     assert row["frac_within_50pct"] > 0.6
+
+
+def test_kruskal_wallis_matches_sort_based_ranks(spark):
+    """The sharded histogram-rank formulation must equal the classic
+    sort-based tied-rank algorithm (an independent third implementation
+    beside the Spark plan and the DuckDB oracle): average ranks from a
+    full sort of the values, H and the tie correction recomputed in
+    plain Python on the collected sf0.001 rows."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.queries.inference import (
+        q_stats_kruskal_wallis)
+
+    row = q_stats_kruskal_wallis(spark, SF).collect()[0]
+
+    vals = (Catalog(spark, SF).table("events")
+            .where(F.col("value").isNotNull())
+            .select("event_type",
+                    F.round(F.col("value") * 100).cast("long").alias("c"))
+            .collect())
+    # classic algorithm: sort, assign average rank per tie run
+    ordered = sorted(c for _, c in vals)
+    rank_of: dict[int, float] = {}
+    i = 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j] == ordered[i]:
+            j += 1
+        rank_of[ordered[i]] = (i + 1 + j) / 2.0   # mean of ranks i+1..j
+        i = j
+    rsum: dict[str, float] = defaultdict(float)
+    n_g: Counter = Counter()
+    for g, c in vals:
+        rsum[g] += rank_of[c]
+        n_g[g] += 1
+    n = len(vals)
+    h = (12.0 / (n * (n + 1))
+         * sum(n_g[g] * (rsum[g] / n_g[g] - (n + 1) / 2.0) ** 2
+               for g in n_g))
+    ties = Counter(ordered)
+    corr = 1 - sum(t ** 3 - t for t in ties.values()) / (n ** 3 - n)
+
+    assert row["n_rows"] == n
+    assert row["n_groups"] == len(n_g)
+    assert row["h_statistic"] == pytest.approx(h, abs=1e-3)
+    assert row["h_tie_corrected"] == pytest.approx(h / corr, abs=1e-3)
+
+
+def test_propensity_ipw_matches_python_replication(spark):
+    """Hajek IPW replicated in plain Python from the raw sf0.001 events:
+    strata, propensities, self-normalized weighted means, trim count —
+    every output column reproduced independently of both engines."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.queries.inference import (
+        q_events_propensity_ipw)
+
+    row = q_events_propensity_ipw(spark, SF).collect()[0]
+
+    ev = (Catalog(spark, SF).table("events")
+          .where(F.col("value").isNotNull())
+          .select("user_id", "event_type",
+                  F.round(F.col("value") * 100).cast("long").alias("cc"))
+          .collect())
+    per_user: dict = defaultdict(lambda: [0, 0, 0])   # n_ev, n_signup, cents
+    for r in ev:
+        u = per_user[r["user_id"]]
+        u[0] += 1
+        u[1] += r["event_type"] == "signup"
+        u[2] += r["cc"]
+    users = [(min(9, n // 20), 1 if s >= 14 else 0, c / 100.0)
+             for n, s, c in per_user.values()]
+    strat: dict = defaultdict(lambda: [0, 0])          # n, n_treated
+    for st, t, _ in users:
+        strat[st][0] += 1
+        strat[st][1] += t
+    e_s = {st: nt / ns for st, (ns, nt) in strat.items()}
+    usable = [(t, y, e_s[st]) for st, t, y in users if 0 < e_s[st] < 1]
+    trimmed = sum(ns for st, (ns, _) in strat.items()
+                  if e_s[st] in (0.0, 1.0))
+    wy1 = sum(y / e for t, y, e in usable if t == 1)
+    w1 = sum(1 / e for t, y, e in usable if t == 1)
+    wy0 = sum(y / (1 - e) for t, y, e in usable if t == 0)
+    w0 = sum(1 / (1 - e) for t, y, e in usable if t == 0)
+    y1 = [y for t, y, _ in usable if t == 1]
+    y0 = [y for t, y, _ in usable if t == 0]
+
+    assert row["n_users"] == len(usable)
+    assert row["n_treated"] == sum(t for t, _, _ in usable)
+    assert row["n_trimmed_users"] == trimmed
+    assert row["naive_diff"] == pytest.approx(
+        sum(y1) / len(y1) - sum(y0) / len(y0), abs=1e-3)
+    assert row["ipw_ate"] == pytest.approx(wy1 / w1 - wy0 / w0, abs=1e-3)
