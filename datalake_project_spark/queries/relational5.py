@@ -57,6 +57,28 @@ def _deletion_neighborhood(col, width: int, depth: int):
     return F.array_distinct(F.array(*variants))
 
 
+def _bounded_key_sample(df: DataFrame, key_col: str,
+                        min_mod: int, target_keys: int) -> DataFrame:
+    """Deterministic FIXED-SIZE key sample: rows with key ≡ 1 mod q,
+    q = GREATEST(min_mod, CEIL(n / target_keys)). A fixed-FRACTION
+    sample (constant modulus) keeps O(n²) pair mass in any
+    sample-side self-join — the 100x ladder measured the FS
+    u-sample's 1/8 keys at ~700M comparator pairs and a
+    broadcast-build OOM; scaling the modulus caps the sampled keys
+    at ~target_keys so sample pair volume is CONSTANT in n.
+    min_mod pins sf<=0.1 behavior bit-identical to the historic
+    constant modulus. CEIL over one exact IEEE division is
+    engine-deterministic (no log2/pow — transcendentals could round
+    a boundary differently across engines). The count rides a
+    broadcast 1-row crossJoin, so the sample is still one lazy DAG."""
+    n = df.agg(F.count(F.lit(1)).alias("_n_rows"))
+    q = F.greatest(F.lit(min_mod),
+                   F.ceil(F.col("_n_rows") / float(target_keys))
+                   ).cast("long")
+    return (df.crossJoin(F.broadcast(n))
+            .where(F.col(key_col) % q == 1).drop("_n_rows"))
+
+
 def _unit_cost(li: DataFrame) -> DataFrame:
     """lineitem-derived partsupp stand-in: per (part, supplier) the
     minimum observed unit price. MIN of exact per-row divisions — no
@@ -1820,6 +1842,9 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN ls = rs THEN 1 ELSE 0 END AS g2,
                CASE WHEN ABS(lb - rb) < 100.0 THEN 1 ELSE 0 END AS g3
         FROM cand),
+    smod AS (
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 1875.0) AS BIGINT)) AS q
+        FROM customer),
     sg AS (
         SELECT CASE WHEN levenshtein(a.c_name, b.c_name) <= 2
                     THEN 1 ELSE 0 END AS g1,
@@ -1829,8 +1854,8 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS g3
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey
-         AND a.c_custkey < b.c_custkey
-         AND a.c_custkey % 8 = 1 AND b.c_custkey % 8 = 1),
+         AND a.c_custkey < b.c_custkey, smod
+        WHERE a.c_custkey % smod.q = 1 AND b.c_custkey % smod.q = 1),
     u AS (
         SELECT GREATEST(LEAST(COALESCE(AVG(CAST(g1 AS DOUBLE)), 0.5),
                               1 - 1e-6), 1e-6) AS u1,
@@ -1880,10 +1905,15 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropped 13,520 true pairs and r5's 717,098 class candidates "
         "whose volume saturates quadratically. "
         "u-probabilities (P(agree | random pair)) are "
-        "estimated on a deterministic 1/64 pair SAMPLE (both keys "
-        "≡ 1 mod 8 within nation, COALESCE 0.5 on an empty sample) — "
-        "the fixed-fraction estimate production FS uses instead of "
-        "touching all pairs; m stays a stated prior. Multi-variant "
+        "estimated on a deterministic FIXED-SIZE pair sample: both "
+        "keys ≡ 1 mod q within nation with q = GREATEST(8, "
+        "CEIL(n/1875)), so the sampled key count is bounded at ~1875 "
+        "and the comparator pair mass stays ~constant at ANY corpus "
+        "scale (a fixed FRACTION of pairs is still O(n²) — the 1/8 "
+        "key sample of r7 meant ~700M sample pairs and a broadcast "
+        "OOM at the 100x ladder point; COALESCE 0.5 on an empty "
+        "sample). That is how production FS estimates u — a bounded "
+        "random sample, never all pairs; m stays a stated prior. Multi-variant "
         "hits dedup with one keys-only distinct before attributes "
         "re-join on the primary key; levenshtein uses the threshold "
         "form (early exit at distance 2, -1 = over, same predicate as "
@@ -1931,7 +1961,10 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ls_") == F.col("rs_")).cast("int").alias("g2"),
         (F.abs(F.col("lb_") - F.col("rb_")) < 100.0).cast("int").alias("g3"))
 
-    sa = base.where(F.col("c_custkey") % 8 == 1)
+    # u-sample bounded at ~1875 keys regardless of n (see
+    # _bounded_key_sample: fixed-size, not fixed-fraction; min_mod 8
+    # keeps sf<=0.1 bit-identical to the historic % 8 sample)
+    sa = _bounded_key_sample(base, "c_custkey", 8, 1875)
     sl = sa.select(F.col("c_custkey").alias("lk"),
                    F.col("c_nationkey").alias("nk"),
                    F.col("c_name").alias("ln_"),
@@ -2545,9 +2578,12 @@ def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_linkage_qgram_filter",
     oracle="""
-    WITH cust AS (
+    WITH smod AS (
+        SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 3750.0) AS BIGINT)) AS q
+        FROM customer),
+    cust AS (
         SELECT c_custkey AS key, c_nationkey AS nk, c_name AS nm
-        FROM customer WHERE c_custkey % 4 = 1),
+        FROM customer, smod WHERE c_custkey % smod.q = 1),
     prof AS (
         SELECT key, nk, substr(nm, CAST(p AS INT), 2) AS g,
                COUNT(*) AS cnt
@@ -2597,8 +2633,9 @@ def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_grams - 4). Candidates come from the nation-blocked "
         "inverted gram index with SUM(LEAST(cnt_a, cnt_b)) overlap; "
         "truth is the exhaustive nation-blocked levenshtein <= 2 pair "
-        "set on a deterministic 1/4 key sample (the documented bounded "
-        "audit leg, same discipline as the FS u-sample); "
+        "set on a deterministic FIXED-SIZE key sample (q = GREATEST(4, "
+        "CEIL(n/3750)) — ~3750 keys at any scale, the bounded audit "
+        "leg, same discipline as the FS u-sample); "
         "filter_complete value-checks zero lost true pairs. The "
         "full-index denominator is Sigma C(df,2) computed "
         "arithmetically from the df table — never materialized. At "
@@ -2607,8 +2644,8 @@ def q_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verification step pays levenshtein only on survivors.",
 )
 def q_linkage_qgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = (Catalog(spark, sf_dir).table("customer")
-         .where(F.col("c_custkey") % 4 == 1)
+    c = (_bounded_key_sample(Catalog(spark, sf_dir).table("customer"),
+                             "c_custkey", 4, 3750)
          .select(F.col("c_custkey").alias("key"),
                  F.col("c_nationkey").alias("nk"),
                  F.col("c_name").alias("nm"))
@@ -2667,9 +2704,12 @@ def q_linkage_qgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_linkage_blocking_recall",
     oracle="""
-    WITH s AS (
+    WITH smod AS (
+        SELECT GREATEST(4, CAST(CEIL(COUNT(*) / 3750.0) AS BIGINT)) AS q
+        FROM customer),
+    s AS (
         SELECT c_custkey, c_nationkey, c_name
-        FROM customer WHERE c_custkey % 4 = 1),
+        FROM customer, smod WHERE c_custkey % smod.q = 1),
     truth AS (
         SELECT a.c_custkey AS l, b.c_custkey AS r
         FROM s a JOIN s b
@@ -2716,12 +2756,15 @@ def q_linkage_qgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Blocking-recall audit — the losslessness claim as a MEASURED "
         "row, the receipt production entity resolution keeps next to "
-        "its blocker: on the deterministic 1/4 sample (custkey % 4 = "
-        "1, the fixed-fraction discipline of q_linkage_fellegi_sunter's "
-        "u-estimation), compute ground-truth matches (levenshtein <= 2 "
-        "within nation, brute force over the SAMPLE only — quadratic "
-        "in n/4 per nation, the price of a truth arm, bounded by "
-        "sampling exactly like production recall audits) and the "
+        "its blocker: on a deterministic FIXED-SIZE key sample "
+        "(custkey ≡ 1 mod q, q = GREATEST(4, CEIL(n/3750)) — ~3750 "
+        "keys at ANY scale, the bounded-sample discipline of "
+        "q_linkage_fellegi_sunter's u-estimation; a constant modulus "
+        "would keep the truth arm O(n²)), compute ground-truth "
+        "matches (levenshtein <= 2 within nation, brute force over "
+        "the SAMPLE only — the price of a truth arm, CONSTANT pair "
+        "mass by construction, exactly like production recall audits) "
+        "and the "
         "TRUE FastSS 2-deletion-neighborhood candidates on the same "
         "sample: each record keys on every string obtainable by "
         "REMOVING 0, 1, or 2 characters from the 9-digit id block "
@@ -2742,7 +2785,7 @@ def q_linkage_qgram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir).table("customer")
-    s = (c.where(F.col("c_custkey") % 4 == 1)
+    s = (_bounded_key_sample(c, "c_custkey", 4, 3750)
          .select("c_custkey", "c_nationkey", "c_name")
          .localCheckpoint(eager=False))
     ta = s.select(F.col("c_custkey").alias("l"),
