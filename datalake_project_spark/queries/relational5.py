@@ -79,6 +79,27 @@ def _bounded_key_sample(df: DataFrame, key_col: str,
             .where(F.col(key_col) % q == 1).drop("_n_rows"))
 
 
+def _attr_side(dim: DataFrame, sf_dir: str,
+               table: str = "customer") -> DataFrame:
+    """Attribute side of a candidate-key re-join, with the join
+    strategy gated on the dim's on-disk FOOTPRINT instead of Spark's
+    compressed-size estimate. Parquet under-estimates the built hash
+    relation ~10-20x on narrow string tables, so a dim that reads as
+    19 MB (under the 64 MB autoBroadcastJoinThreshold) builds to a
+    few hundred MB — twice, for left+right attributes — and the 100x
+    ladder leg died in BroadcastExchangeExec ('Not enough memory to
+    build and broadcast') inside the shared local JVM while the
+    candidate fanout was executing. Above 16 MB compressed the
+    broadcast win is gone anyway (the build cost rivals shuffling the
+    bounded candidate stream), so the re-join pins sort-merge via
+    hint; below it, broadcast stays (sf <= 0.1 plans unchanged)."""
+    from datalake_project_spark.tuning import dir_bytes
+
+    if dir_bytes(f"{sf_dir}/{table}.parquet") > (16 << 20):
+        return dim.hint("merge")
+    return dim
+
+
 def _unit_cost(li: DataFrame) -> DataFrame:
     """lineitem-derived partsupp stand-in: per (part, supplier) the
     minimum observed unit price. MIN of exact per-row divisions — no
@@ -407,14 +428,17 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(_deletion_neighborhood(
                         F.substring("c_name", 10, 9), 9, 1)).alias("seg"))
     a = segs.select(F.col("k").alias("left_key"), "_n", "seg")
-    b = segs.select(F.col("k").alias("right_key"), "_n", "seg")
+    # self-join never broadcasts (see q_linkage_fellegi_sunter: the
+    # exploded key stream's estimate rides the compressed scan)
+    b = _attr_side(
+        segs.select(F.col("k").alias("right_key"), "_n", "seg"), sf_dir)
     cand = (a.join(b, ["_n", "seg"])
             .where(F.col("left_key") < F.col("right_key"))
             .select("left_key", "right_key").distinct())
-    ln = c.select(F.col("c_custkey").alias("left_key"),
-                  F.col("c_name").alias("_ln"))
-    rn = c.select(F.col("c_custkey").alias("right_key"),
-                  F.col("c_name").alias("_rn"))
+    ln = _attr_side(c.select(F.col("c_custkey").alias("left_key"),
+                             F.col("c_name").alias("_ln")), sf_dir)
+    rn = _attr_side(c.select(F.col("c_custkey").alias("right_key"),
+                             F.col("c_name").alias("_rn")), sf_dir)
     return (cand.join(ln, "left_key").join(rn, "right_key")
             .withColumn("name_dist", F.levenshtein("_ln", "_rn"))
             .where(F.col("name_dist") <= 1)
@@ -1942,18 +1966,27 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("seg")) \
         .localCheckpoint(eager=False)
     a = segs.select(F.col("c_custkey").alias("left_key"), "nk", "seg")
-    b = segs.select(F.col("c_custkey").alias("right_key"), "nk", "seg")
+    # the variant self-join must never broadcast: Catalyst's size
+    # estimate rides the (compressed, pre-explode) customer scan, so
+    # the 46x-exploded key stream still reads "small" — at the 100x
+    # ladder point the planner built it as a 3.9 GiB broadcast
+    # relation and died; the same footprint gate pins sort-merge
+    b = _attr_side(
+        segs.select(F.col("c_custkey").alias("right_key"), "nk", "seg"),
+        sf_dir)
     cand_keys = (a.join(b, ["nk", "seg"])
                  .where(F.col("left_key") < F.col("right_key"))
                  .select("left_key", "right_key").distinct())
-    lattr = base.select(F.col("c_custkey").alias("left_key"),
-                        F.col("c_name").alias("ln_"),
-                        F.col("c_mktsegment").alias("ls_"),
-                        F.col("c_acctbal").alias("lb_"))
-    rattr = base.select(F.col("c_custkey").alias("right_key"),
-                        F.col("c_name").alias("rn_"),
-                        F.col("c_mktsegment").alias("rs_"),
-                        F.col("c_acctbal").alias("rb_"))
+    lattr = _attr_side(
+        base.select(F.col("c_custkey").alias("left_key"),
+                    F.col("c_name").alias("ln_"),
+                    F.col("c_mktsegment").alias("ls_"),
+                    F.col("c_acctbal").alias("lb_")), sf_dir)
+    rattr = _attr_side(
+        base.select(F.col("c_custkey").alias("right_key"),
+                    F.col("c_name").alias("rn_"),
+                    F.col("c_mktsegment").alias("rs_"),
+                    F.col("c_acctbal").alias("rb_")), sf_dir)
     cand = cand_keys.join(lattr, "left_key").join(rattr, "right_key")
     pairs = cand.select(
         "left_key", "right_key",
