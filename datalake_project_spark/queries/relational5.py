@@ -86,16 +86,24 @@ def _attr_side(dim: DataFrame, sf_dir: str,
     compressed-size estimate. Parquet under-estimates the built hash
     relation ~10-20x on narrow string tables, so a dim that reads as
     19 MB (under the 64 MB autoBroadcastJoinThreshold) builds to a
-    few hundred MB — twice, for left+right attributes — and the 100x
-    ladder leg died in BroadcastExchangeExec ('Not enough memory to
-    build and broadcast') inside the shared local JVM while the
-    candidate fanout was executing. Above 16 MB compressed the
-    broadcast win is gone anyway (the build cost rivals shuffling the
-    bounded candidate stream), so the re-join pins sort-merge via
-    hint; below it, broadcast stays (sf <= 0.1 plans unchanged)."""
+    few hundred MB — twice, for left+right attributes — and the
+    exploded variant self-join inherits the same pre-explode estimate
+    while actually building 3.9 GiB: the 100x ladder leg died in
+    BroadcastExchangeExec ('Not enough memory to build and
+    broadcast'). Above 1 MB compressed the re-join and the self-join
+    pin sort-merge via hint — the gate is MEASURED, not defensive:
+    the r8 ladder A/B showed SMJ strictly faster at every rung
+    (FS 16.5 vs 24.6 s at 10x, 34.8 vs 61.2 at 30x, 54.3 vs 101.7
+    at 60x; spill 36 MB vs 183 MB at 30x) because probing a
+    multi-hundred-MB broadcast hash relation from a 46x-fanout
+    stream costs more than shuffling the bounded candidate keys, and
+    a single plan across the ladder makes the shuffle exponents
+    directly comparable (1.02/0.89/1.00/1.00 — no strategy-flip leg
+    to adjudicate). Below 1 MB (sf <= 0.1, the bench/gate scales)
+    broadcast stays — plans and timings there are unchanged."""
     from datalake_project_spark.tuning import dir_bytes
 
-    if dir_bytes(f"{sf_dir}/{table}.parquet") > (16 << 20):
+    if dir_bytes(f"{sf_dir}/{table}.parquet") > (1 << 20):
         return dim.hint("merge")
     return dim
 
