@@ -80,7 +80,6 @@ PRIORITY: tuple[str, ...] = (
     "q_jsonl_roundtrip", "q_xml_roundtrip",
     # Graph
     "q_graph_degrees", "q_graph_personalized_pagerank",
-    "q_graph_local_clustering",
     # Inference / statistics
     "q_stats_equidepth_histogram", "q_events_bayesian_ab",
     "q_split_kfold_cv", "q_feature_target_encoding",
@@ -103,7 +102,14 @@ PRIORITY: tuple[str, ...] = (
     "q_text_unigram_em_counts", "q_dedup_paragraphs",
     "q_text_dsir_weights",
     # Text
-    "q_text_heaps_law", "q_text_vocab_coverage",
+    "q_text_heaps_law",
+    # Streaming + lake — the every-family window invariant
+    # (test_every_family_in_driver_window): every prior stream and lake
+    # query is driver-stamped, so the r8 rotation keeps streaming
+    # present with the NEW chained-windows query (never stamped) and
+    # lake with the cheapest stamped representative (the one deliberate
+    # re-stamp beside the flagship; 48/50 never-stamped, target >= 45)
+    "q_stream_chained_windows", "q_file_inventory",
 )
 
 

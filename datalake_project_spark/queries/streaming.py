@@ -639,3 +639,62 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(psi, 6).alias("psi"),
                  (psi >= 0.2).alias("drifted"))
             .orderBy("event_type"))
+
+
+@register(
+    "q_stream_chained_windows",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events),
+    hourly AS (
+        SELECT DATE_TRUNC('day', ts) AS day, DATE_TRUNC('hour', ts) AS hr,
+               event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM events GROUP BY 1, 2, 3),
+    daily AS (
+        SELECT day, event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               COUNT(*) AS n_hours,
+               ROUND(SUM(v), 2) AS total_value,
+               MAX(n) AS peak_hour_events
+        FROM hourly GROUP BY 1, 2)
+    SELECT STRFTIME(day, '%Y-%m-%d') AS day, event_type,
+           n_events, n_hours, total_value, peak_hour_events
+    FROM daily, wm WHERE day + INTERVAL 1 DAY <= wm.w
+    """,
+    doc="CHAINED event-time window aggregations in one streaming query "
+        "(hourly per-type counts/sums -> daily rollup with hour count "
+        "and peak hour) — the multiple-stateful-operators surface "
+        "Spark 3.5+/4.x added: the second groupBy windows directly "
+        "over the first's window STRUCT column (F.window(col('hw'), "
+        "'1 day')), which is how event-time and watermark propagate "
+        "between stateful operators; chained aggs REQUIRE append "
+        "mode, so unlike the complete-mode twins the watermark "
+        "withholding rule is part of the semantics and the oracle "
+        "states it verbatim: a day window is emitted iff its END <= "
+        "final watermark (max ts - 10 min), which withholds exactly "
+        "the last partial day. No hourly-level rule is needed — any "
+        "day passing the day filter has every hourly window end "
+        "before the day's end, hence before the watermark. At 100 TB "
+        "this pattern replaces the two-job pipeline (hourly stream -> "
+        "lake -> daily batch) with one query whose state is hour-"
+        "window-scale, then day-scale — both bounded by the time "
+        "domain, never the event count. The daily mean-hour decompose "
+        "is q_events_seasonal_decompose's batch shape; this is its "
+        "always-on form.",
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    hourly = (ev.groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("v")))
+    daily = (hourly
+             .groupBy(F.window(F.col("hw"), "1 day").alias("dw"),
+                      "event_type")
+             .agg(F.sum("n").alias("n_events"),
+                  F.count(F.lit(1)).alias("n_hours"),
+                  F.round(F.sum("v"), 2).alias("total_value"),
+                  F.max("n").alias("peak_hour_events")))
+    out = daily.select(F.date_format("dw.start", "yyyy-MM-dd").alias("day"),
+                       "event_type", "n_events", "n_hours", "total_value",
+                       "peak_hour_events")
+    return run_available_now(out, "append")
