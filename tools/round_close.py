@@ -33,6 +33,8 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)  # python tools/round_close.py puts tools/ on
+# sys.path, not the repo root — the package import below needs ROOT
 
 
 def run_step(name: str, cmd: list[str], log_dir: str,
