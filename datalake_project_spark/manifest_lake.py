@@ -378,6 +378,39 @@ class ManifestLake(Lake):
                    run_ts: str | None = None) -> DataFrame:
         return self.read_usage_at(table, None, ingest_date, run_ts)
 
+    # -- orphan reconciliation (Iceberg remove_orphan_files shape) ----------
+    def referenced_files(self, table: str) -> set[str]:
+        """Every data file referenced by ANY version manifest of
+        ``table`` — the time-travel-safe live set: a file superseded at
+        vN is still readable via ``read_usage_at(vN-1)``, so orphan
+        detection must union across the whole retained version chain,
+        exactly as Iceberg's remove_orphan_files respects retained
+        snapshots. Manifest-scale work (versions x entries x files),
+        independent of row count."""
+        out: set[str] = set()
+        for v in self._versions(table):
+            for e in self._load(table, v).get("entries", []):
+                out.update(e["files"])
+        return out
+
+    def orphan_files(self, table: str) -> tuple[list[str], list[str]]:
+        """Reconcile disk against the manifests: returns ``(orphans,
+        missing)`` — data files present on disk that no version
+        manifest references (failed-task leftovers and crashed stage
+        dirs: safe to vacuum, since readers only ever open
+        manifest-listed paths), and referenced files absent from disk
+        (storage corruption: must alert, never vacuum). The two lists
+        are the input to a table-maintenance service's delete/repair
+        decision."""
+        disk: set[str] = set()
+        for dirpath, _dirs, files in os.walk(self._data_dir(table)):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    disk.add(os.path.join(dirpath, f))
+        ref = self.referenced_files(table)
+        return (sorted(disk - ref),
+                sorted(r for r in ref if not os.path.exists(r)))
+
     def read_usage_at(self, table: str, version: int | None,
                       ingest_date: str | None = None,
                       run_ts: str | None = None) -> DataFrame:

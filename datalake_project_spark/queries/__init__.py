@@ -105,11 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "q_text_heaps_law",
     # Streaming + lake — the every-family window invariant
     # (test_every_family_in_driver_window): every prior stream and lake
-    # query is driver-stamped, so the r8 rotation keeps streaming
-    # present with the NEW chained-windows query (never stamped) and
-    # lake with the cheapest stamped representative (the one deliberate
-    # re-stamp beside the flagship; 48/50 never-stamped, target >= 45)
-    "q_stream_chained_windows", "q_file_inventory",
+    # query was driver-stamped, so the r8 rotation keeps both families
+    # present with NEW queries (chained-window streaming agg; orphan-
+    # file lake audit), themselves never stamped — 49/50 never-stamped
+    "q_stream_chained_windows", "q_lake_orphan_audit",
 )
 
 

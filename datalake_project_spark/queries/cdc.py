@@ -1224,6 +1224,76 @@ def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_orphan_audit",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_orphan_files,
+           (SELECT COUNT(*) FROM region)
+           + (SELECT COUNT(*) FROM nation) AS orphan_rows,
+           CAST(0 AS BIGINT) AS n_missing_files,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01') AS live_rows
+    """,
+    doc="Orphan-file audit — the reconciliation a table-maintenance "
+        "service runs before any vacuum (Iceberg remove_orphan_files, "
+        "Delta VACUUM's listing pass): the filesystem listing of the "
+        "table's data directory is diffed against the union of files "
+        "referenced by EVERY version manifest (not just the latest — "
+        "a file superseded at vN is still readable via time travel at "
+        "vN-1, so latest-only reconciliation would delete live "
+        "history). The fixture stages the three states the audit must "
+        "separate: two committed versions of the same partition "
+        "(supersession — old files REFERENCED by v1, not orphans), "
+        "two parquet files planted directly into the data dir "
+        "bypassing the manifest (failed-task leftovers — the orphans, "
+        "carrying region+nation rows so the orphaned ROW count is "
+        "source-checkable), and zero referenced-but-missing files "
+        "(the corruption arm that must alert rather than vacuum). "
+        "live_rows re-reads the latest snapshot through the manifest, "
+        "proving planted junk is INVISIBLE to readers — the property "
+        "that makes orphan deletion safe at all. Work is "
+        "manifest-scale (listing + set difference over file PATHS); "
+        "only the orphan row-count reads data, and it reads only the "
+        "orphans. Idempotent across gate re-runs: plants overwrite "
+        "fixed subdirs, re-commits grow the version chain without "
+        "changing either count.",
+)
+def q_lake_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    snap = (o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_totalprice"))
+
+    lake = ManifestLake(spark, scratch_dir("orphan_lake", sf_dir))
+    # two commits of the same partition key: v1's files become
+    # superseded-but-referenced — the case latest-only reconciliation
+    # gets wrong
+    lake.write_usage(snap, "orders_orphan", "1995-01-01", "r1")
+    lake.write_usage(snap, "orders_orphan", "1995-01-01", "r1")
+    # plant manifest-bypassing files (deterministic: coalesce(1) into
+    # fixed subdirs, overwrite => exactly one data file each on every
+    # gate re-run)
+    ddir = f"{lake.root}/data/orders_orphan"
+    cat.table("region").coalesce(1).write.mode("overwrite") \
+        .parquet(f"{ddir}/planted-a")
+    cat.table("nation").coalesce(1).write.mode("overwrite") \
+        .parquet(f"{ddir}/planted-b")
+
+    orphans, missing = lake.orphan_files("orders_orphan")
+    orphan_rows = (spark.read.parquet(*orphans).count() if orphans else 0)
+    live_rows = lake.read_usage("orders_orphan", "1995-01-01", "r1").count()
+    return spark.createDataFrame(
+        [(len(orphans), orphan_rows, len(missing), live_rows)],
+        "n_orphan_files long, orphan_rows long, "
+        "n_missing_files long, live_rows long")
+
+
+@register(
     "q_rollup_cascade",
     oracle="""
     SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,

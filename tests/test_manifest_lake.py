@@ -618,3 +618,37 @@ def test_upsert_rereads_head_when_base_expires_mid_merge(
     lake.upsert(_df(spark, [(1, "v1")]), "t", D, "T01", keys=["id"])
     assert calls["n"] >= 2, "upsert never retried after expiry"
     assert _state(lake, "T01") == {(1, "v1"), (2, "keep")}
+
+
+def test_orphan_files_three_way_reconciliation(spark, tmp_path):
+    """orphan_files must separate the three states: superseded files
+    stay REFERENCED (readable via time travel — latest-only
+    reconciliation would delete live history), manifest-bypassing
+    files are orphans, and a deleted referenced file lands in the
+    missing list (the corruption arm the registry query can't show
+    without destroying its own fixture)."""
+    import os
+
+    lake = ManifestLake(spark, str(tmp_path))
+    v1 = lake.write_usage(_df(spark, [(1, "a")]), "t", D, "T01")
+    lake.write_usage(_df(spark, [(1, "b")]), "t", D, "T01")  # supersede
+
+    orphans, missing = lake.orphan_files("t")
+    assert orphans == [] and missing == [], \
+        "supersession alone must produce neither orphans nor missing"
+
+    # plant a manifest-bypassing file
+    _df(spark, [(9, "junk")]).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{lake.root}/data/t/planted")
+    orphans, missing = lake.orphan_files("t")
+    assert len(orphans) == 1 and missing == []
+    # the orphan is invisible to every reader, including time travel
+    assert [r["v"] for r in lake.read_usage("t", D, "T01").collect()] == ["b"]
+    assert [r["v"] for r in
+            lake.read_usage_at("t", v1, D, "T01").collect()] == ["a"]
+
+    # corruption arm: delete one referenced file
+    victim = sorted(lake.referenced_files("t"))[0]
+    os.remove(victim)
+    orphans, missing = lake.orphan_files("t")
+    assert missing == [victim]
