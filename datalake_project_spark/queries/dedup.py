@@ -715,7 +715,8 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).table("documents")
-    pairs = (D.ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = (D.ngram_jaccard_pairs(d, threshold=0.5,
+                                   num_partitions=_pair_parts(spark, sf_dir))
              .orderBy(F.desc("jaccard"), "a_id", "b_id").limit(10)
              .localCheckpoint(eager=False))
     da = d.select(F.col("doc_id").alias("a_id"),
@@ -849,8 +850,12 @@ def q_dedup_savings_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where(F.col("doc_id") == F.col("_keep")).select("doc_id"))
     d1 = d.join(s1, "doc_id", "left_semi")
 
-    # stage 2: near-dup resolution on survivors
-    pairs = D.ngram_jaccard_pairs(d1, threshold=0.5)
+    # stage 2: near-dup resolution on survivors (footprint-sized pair
+    # exchanges — the r8 attribution found the UNSIZED call here was the
+    # query's entire 610 MB 30x spill: one 33.8M-row pair-count
+    # HashAggregate on AQE-coalesced session width)
+    pairs = D.ngram_jaccard_pairs(d1, threshold=0.5,
+                                  num_partitions=_pair_parts(spark, sf_dir))
     comp = D.connected_components(pairs)
     non_reps = comp.where(F.col("id") != F.col("rep")).select("id")
     s2 = s1.join(non_reps, s1.doc_id == non_reps.id, "left_anti")
@@ -862,6 +867,9 @@ def q_dedup_savings_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = sp.withColumn("h", F.xxhash64("span")).localCheckpoint(eager=False)
     surv = (h.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
             .where(F.col("nd") >= 2).select("h"))
+    # (the r8 spill attribution cleared this distinct: the left-semi
+    # keeps only repeated-span positions, a small stream — the query's
+    # 30x spill lived entirely in the unsized jaccard call above)
     cov = (h.join(surv, "h", "left_semi")
            .select("doc_id", F.explode(
                F.sequence(F.col("pos") + 1, F.col("pos") + 8)).alias("p"))
@@ -1426,7 +1434,8 @@ def q_dedup_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     B, P = 16, 2147483647
     d = Catalog(spark, sf_dir).table("documents")
-    truth = (D.ngram_jaccard_pairs(d, threshold=0.5)
+    truth = (D.ngram_jaccard_pairs(d, threshold=0.5,
+                                   num_partitions=_pair_parts(spark, sf_dir))
              .select("a_id", "b_id", "jaccard")
              .localCheckpoint(eager=False))
     ids = (truth.select(F.col("a_id").alias("_id"))
