@@ -645,11 +645,7 @@ class ManifestLake(Lake):
         come from the manifests, no data file is opened."""
         import shutil
 
-        referenced: set[str] = set()
-        for v in self._versions(table):
-            m = self._load(table, v)
-            for e in m.get("entries", []):
-                referenced.update(e["files"])
+        referenced = self.referenced_files(table)
         ddir = self._data_dir(table)
         if not os.path.isdir(ddir):
             return []

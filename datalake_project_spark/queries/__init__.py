@@ -50,65 +50,59 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-8 WINDOW ROTATION (the r7 judge's task #5): every previously
+    # ROUND-9 WINDOW ROTATION (the r8 judge's task #1): every previously
     # stamped query rotates to the tail; 49 of these 50 slots have NEVER
-    # carried a driver CORRECTNESS stamp in rounds 1-7 (the 200-query
-    # remainder), spread across every capability family. The blocking-
-    # recall audit leads the fresh slots — its mask-blocking bug slipped
-    # r7 precisely because it was outside the window; its n_missed=0 row
-    # is now checked against the unblocked truth arm every round. The
+    # carried a driver CORRECTNESS stamp in rounds 1-8 (the 155-query
+    # remainder plus four new-this-round queries), weighted toward the
+    # biggest never-stamped backlogs (inference 38, events 27,
+    # relational5 23) while keeping one representative per family. The
     # one stamped holdover is the flagship CDC diff (entry()'s query).
     #
     # Flagship
     "q_snapshot_diff",
-    # The r8 losslessness receipt + relational5 spread
-    "q_linkage_blocking_recall", "q11_important_parts",
-    "q12_priority_lines", "q16_supplier_relationship",
-    "q_udaf_weighted_avg", "q_null_safe_join",
-    # Audit / privacy
-    "q_data_quality_audit", "q_k_anonymity", "q_benford_audit",
-    "q_schema_contract_audit",
-    # CDC / corpus
-    "q_incremental_agg_refresh", "q_corpus_chunk",
-    "q_corpus_weighted_sample",
-    # Dedup
-    "q_dedup_containment", "q_dedup_incremental",
+    # NEW this round: the Arrow/BLAS exact-kNN lane (r8 task 4), the
+    # manifest-lake crash-recovery drill (r8 task 6), bounded-state
+    # streaming dedup, and sub-payload chunk dedup — the latter three
+    # keep the ann/lake/streaming/multimodal families in the window
+    # with never-stamped entries (every prior member is stamped).
+    "q_ann_cosine_topk_arrow", "q_lake_crash_recovery",
+    "q_stream_dedup_within_watermark", "q_multimodal_chunk_dedup",
+    # Inference / statistics (incl. the shard-totality fix from the r8
+    # advisor: kruskal-wallis is stamped the round its shard became
+    # total over negative keys)
+    "q_stats_kruskal_wallis", "q_stats_moments", "q_stats_kendall_tau",
+    "q_stats_mann_kendall", "q_stats_cramers_v",
+    "q_stats_permutation_test", "q_stats_odds_ratio", "q_stats_hill_tail",
     # Events
-    "q_group_zscore", "q_events_bot_detection", "q_events_attribution",
-    "q_events_session_window_native", "q_events_periodogram",
-    # Formats
-    "q_jsonl_roundtrip", "q_xml_roundtrip",
-    # Graph
-    "q_graph_degrees", "q_graph_personalized_pagerank",
-    # Inference / statistics
-    "q_stats_equidepth_histogram", "q_events_bayesian_ab",
-    "q_split_kfold_cv", "q_feature_target_encoding",
-    "q_sql_scripting_loop",
-    # ML / classifiers / embeddings
-    "q_classifier_calibration", "q_embed_pca_explained_variance",
-    "q_recs_als_halfstep",
-    # Multimodal (incl. the r7 valve audit, never stamped)
-    "q_multimodal_batch_bucketing", "q_multimodal_binary_ingest",
-    "q_multimodal_dhash_valve_audit",
-    # Quality
-    "q_text_repetition", "q_filter_agreement",
-    # Relational misc / retrieval
-    "q_group_concat", "q_search_kwic",
-    # Robust
-    "q_events_ab_srm", "q_corpus_jsd_matrix",
-    # Similarity (incl. the r7 multi-probe LSH, never stamped)
-    "q_ann_lsh_multiprobe", "q_embed_matryoshka_recall",
-    # Substrings
-    "q_text_unigram_em_counts", "q_dedup_paragraphs",
-    "q_text_dsir_weights",
+    "q_events_gapfill_interpolate", "q_events_anomaly_zscore",
+    "q_events_active_users", "q_events_interarrival", "q_events_streaks",
+    "q_events_ewma", "q_events_seasonal_decompose",
+    "q_events_retention_halflife",
+    # Relational
+    "q_basket_pairs", "q_window_lead_lag_family", "q_customer_cohort_ltv",
+    "q_revenue_concentration", "q_json_variant", "q_try_functions",
+    "q_supplier_scorecard",
+    # ML / classifiers / embeddings (incl. the intrinsic-dimension
+    # probe, now on the Arrow kNN lane — stamped the round it moved)
+    "q_embed_covariance", "q_embed_cluster_purity", "q_classifier_pr_auc",
+    "q_classifier_mcc", "q_embed_intrinsic_dimension",
     # Text
-    "q_text_heaps_law",
-    # Streaming + lake — the every-family window invariant
-    # (test_every_family_in_driver_window): every prior stream and lake
-    # query was driver-stamped, so the r8 rotation keeps both families
-    # present with NEW queries (chained-window streaming agg; orphan-
-    # file lake audit), themselves never stamped — 49/50 never-stamped
-    "q_stream_chained_windows", "q_lake_orphan_audit",
+    "q_text_unicode_tokens", "q_text_hash_features",
+    "q_text_vocab_coverage", "q_text_readability",
+    # Corpus
+    "q_corpus_sample_fixed", "q_corpus_card",
+    # Substrings / LM
+    "q_text_char_entropy", "q_text_unigram_forward",
+    # Graph
+    "q_graph_adamic_adar", "q_graph_hits",
+    # Audit / privacy
+    "q_table_profile", "q_l_diversity",
+    # Dedup observability
+    "q_dedup_impact_by_source", "q_dedup_threshold_sweep",
+    # Robust stats
+    "q_stats_cohens_kappa", "q_stats_mcnemar",
+    # Retrieval
+    "q_retrieval_rbo",
 )
 
 

@@ -8,6 +8,8 @@ snapshots of the same logical table. Here the star schema stands in:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -1254,11 +1256,16 @@ def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that makes orphan deletion safe at all. Work is "
         "manifest-scale (listing + set difference over file PATHS); "
         "only the orphan row-count reads data, and it reads only the "
-        "orphans. Idempotent across gate re-runs: plants overwrite "
-        "fixed subdirs, re-commits grow the version chain without "
-        "changing either count.",
+        "orphans. Idempotent across gate re-runs AND crash-safe: the "
+        "fixture lake is reset to an empty slate up front, so a prior "
+        "run that died between stage and commit (or a concurrent run "
+        "over the same fixture) can't leave an extra staged dir that "
+        "flips the orphan count, and the version chain doesn't grow "
+        "without bound across re-runs.",
 )
 def q_lake_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     from datalake_project_spark.manifest_lake import ManifestLake
     from datalake_project_spark.scratch import scratch_dir
 
@@ -1269,7 +1276,13 @@ def q_lake_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
         .select("o_orderkey", "o_totalprice"))
 
-    lake = ManifestLake(spark, scratch_dir("orphan_lake", sf_dir))
+    root = scratch_dir("orphan_lake", sf_dir)
+    # Clean slate: this query ASSERTS exact orphan counts, so the
+    # fixture lake must not inherit staged-but-uncommitted leftovers
+    # from a crashed prior run, nor an ever-growing manifest chain.
+    for sub in ("data", "_manifests"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    lake = ManifestLake(spark, root)
     # two commits of the same partition key: v1's files become
     # superseded-but-referenced — the case latest-only reconciliation
     # gets wrong
@@ -1291,6 +1304,76 @@ def q_lake_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(orphans), orphan_rows, len(missing), live_rows)],
         "n_orphan_files long, orphan_rows long, "
         "n_missing_files long, live_rows long")
+
+
+@register(
+    "q_lake_crash_recovery",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_orphans_found,
+           CAST(1 AS BIGINT) AS n_swept,
+           CAST(0 AS BIGINT) AS n_orphans_after,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(2 AS BIGINT) AS version,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01') AS live_rows
+    """,
+    doc="Crash-recovery drill for the manifest lake — the full "
+        "stage / kill-mid-commit / reconcile / sweep / read cycle a "
+        "table-maintenance service must survive: v1 and v2 of the same "
+        "partition are committed (so superseded-but-referenced v1 "
+        "files exist — the files a naive latest-only sweep would "
+        "wrongly delete), then a writer is killed BETWEEN staging and "
+        "commit (its coalesce(1) stage dir holds exactly one parquet "
+        "file no manifest references). orphan_files() must report "
+        "exactly that one orphan and zero missing; vacuum_orphans("
+        "min_age=0) must sweep exactly it and nothing else; a second "
+        "reconcile proves convergence to zero; and the post-sweep "
+        "snapshot read proves live data was untouched (n_missing = 0 "
+        "also proves v1's superseded files survived, since they are "
+        "still referenced by the retained version chain — the "
+        "time-travel-safety property). Runs on a clean-slate fixture "
+        "lake so prior crashed runs can't inflate the counts — the "
+        "same idempotency discipline as q_lake_orphan_audit. "
+        "Metadata-scale throughout: the decision set is file PATHS "
+        "from manifests + one directory walk; only the final "
+        "snapshot read touches data.",
+)
+def q_lake_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    snap = (cat.table("orders")
+            .where((F.col("o_orderdate")
+                    >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("o_orderdate")
+                      < F.lit("1996-07-01").cast("timestamp")))
+            .select("o_orderkey", "o_totalprice"))
+
+    root = scratch_dir("crash_lake", sf_dir)
+    for sub in ("data", "_manifests"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    lake = ManifestLake(spark, root)
+
+    # v1 then v2 of the same partition: v1's files become
+    # superseded-but-referenced (the sweep must keep them)
+    lake.write_usage(snap, "orders_cr", "1996-01-01", "r1")
+    version = lake.write_usage(snap, "orders_cr", "1996-01-01", "r1")
+    # the crashed writer: staged, never committed — exactly one file
+    lake._stage(snap.limit(10).coalesce(1), "orders_cr")
+
+    orphans, missing = lake.orphan_files("orders_cr")
+    swept = lake.vacuum_orphans("orders_cr", min_age_seconds=0.0)
+    orphans_after, missing_after = lake.orphan_files("orders_cr")
+    live_rows = lake.read_usage("orders_cr", "1996-01-01", "r1").count()
+    return spark.createDataFrame(
+        [(len(orphans), len(swept), len(orphans_after),
+          len(missing) + len(missing_after), version, live_rows)],
+        "n_orphans_found long, n_swept long, n_orphans_after long, "
+        "n_missing long, version long, live_rows long")
 
 
 @register(

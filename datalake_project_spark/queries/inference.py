@@ -4385,9 +4385,18 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
     # Cumulative count over the distinct-cents histogram (domain-
     # bounded, ~10k rows) via the sharded-window discipline: shard =
-    # bit-length of c, monotone ASC in c, ties share a shard.
-    sharded = hist.withColumn(
-        "shard", F.floor(F.log2(F.col("c") + 2)).cast("int"))
+    # bit-length of (c - min_c), monotone ASC in c, ties share a
+    # shard. The min_c offset (broadcast 1-row scalar) keeps log2's
+    # argument >= 2 for EVERY key, so the shard is total over the
+    # whole long domain — a raw log2(c + 2) would be NULL for
+    # c <= -2 and silently drop negative-value rows from the
+    # shard equi-joins.
+    min_c = hist.agg(F.min("c").alias("min_c"))
+    sharded = (hist.crossJoin(F.broadcast(min_c))
+               .withColumn("shard",
+                           F.floor(F.log2(F.col("c") - F.col("min_c")
+                                          + 2)).cast("int"))
+               .drop("min_c"))
     w_in = (Window.partitionBy("shard").orderBy("c")
             .rowsBetween(Window.unboundedPreceding, 0))
     intra = sharded.withColumn("cum_intra", F.sum("cnt").over(w_in))

@@ -88,6 +88,64 @@ def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_chunk_dedup",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id,
+               md5(substr(text, i * 64 + 1, 64)) AS chunk_md5,
+               length(substr(text, i * 64 + 1, 64)) AS chunk_bytes
+        FROM documents,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i)
+        WHERE length(text) > 0)
+    SELECT chunk_md5,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MAX(chunk_bytes) AS BIGINT) AS chunk_bytes
+    FROM ch GROUP BY chunk_md5
+    """,
+    doc="Sub-payload (chunk-level) dedup of a BINARY media column: "
+        "payloads are split into fixed 64-byte chunks, each chunk is "
+        "content-addressed by md5, and the chunk index carries copy "
+        "counts + distinct-owner counts — the storage-dedup / "
+        "video-segment-dedup primitive (two near-identical payloads "
+        "share every chunk except where they differ, so chunk-level "
+        "savings exist where payload-level md5 dedup finds nothing). "
+        "Pure-codegen plan: sequence+explode over ceil(len/64) chunk "
+        "indexes, substring on the BINARY column (byte semantics), "
+        "md5 at the scan — so the single shuffle moves 16-byte "
+        "digests, never payload bytes, exactly the "
+        "q_multimodal_content_dedup discipline one level finer. The "
+        "oracle reuses the fixture-payload-is-text bridge (and the "
+        "fixture is pure ASCII, so DuckDB's char substr equals byte "
+        "substr; Spark still runs the real binary path).",
+)
+def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = as_media(docs)
+    n_chunks = F.ceil(F.octet_length("payload") / F.lit(64.0))
+    chunks = (media
+              .where(F.octet_length("payload") > 0)
+              .select("doc_id",
+                      F.explode(F.sequence(F.lit(0).cast("long"),
+                                           n_chunks.cast("long") - 1))
+                      .alias("i"),
+                      F.col("payload")))
+    ch = chunks.select(
+        "doc_id",
+        F.md5(F.substring(F.col("payload"),
+                          (F.col("i") * 64 + 1).cast("int"),
+                          64)).alias("chunk_md5"),
+        F.octet_length(F.substring(F.col("payload"),
+                                   (F.col("i") * 64 + 1).cast("int"),
+                                   64)).alias("chunk_bytes"))
+    return (ch.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.max("chunk_bytes").cast("long").alias("chunk_bytes")))
+
+
+@register(
     "q_multimodal_batch_bucketing",
     oracle="""
     WITH sz AS (

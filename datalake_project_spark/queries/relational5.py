@@ -1957,9 +1957,29 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixture.",
 )
 def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.tuning import dir_bytes, suggest_for_stage
+
     c = Catalog(spark, sf_dir).table("customer")
     base = c.select("c_custkey", "c_nationkey", "c_name",
                     "c_mktsegment", "c_acctbal")
+    # Sized exchanges for the candidate/verify arms (r8 ladder: the
+    # 69.5M-candidate SMJ+levenshtein verify arm spilled 4.5 GB disk
+    # at 100x because its sorts ran at AQE-coalesced session width —
+    # the same unsized-call-site failure as the savings-ladder fix).
+    # expansion 200 ≈ measured verify-arm working set / customer
+    # footprint (46x keys-only fanout -> ~46x candidate pairs, each
+    # re-joined to two name+segment+balance attribute sides); 32 MB
+    # sort-input targets keep every SMJ sort buffer in memory. Gated
+    # on the same >1 MB footprint as _attr_side so bench-scale plans
+    # (broadcast, no exchange) are untouched.
+    _big = dir_bytes(f"{sf_dir}/customer.parquet") > (1 << 20)
+    if _big:
+        n_pair = suggest_for_stage(spark, f"{sf_dir}/customer.parquet",
+                                   expansion=200.0,
+                                   target_partition_bytes=32 << 20)
+
+    def sized(df, *cols):
+        return df.repartition(n_pair, *cols) if _big else df
     # FastSS 2-deletion neighborhood over the 9-digit suffix: 46 keys
     # per record (0/1/2 characters removed; variant length encodes
     # depth, so the string-equality join pairs every depth combination
@@ -1973,18 +1993,26 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.substring("c_name", 10, 9), 9, 2))
                        .alias("seg")) \
         .localCheckpoint(eager=False)
-    a = segs.select(F.col("c_custkey").alias("left_key"), "nk", "seg")
+    a = sized(segs.select(F.col("c_custkey").alias("left_key"),
+                          "nk", "seg"), "nk", "seg")
     # the variant self-join must never broadcast: Catalyst's size
     # estimate rides the (compressed, pre-explode) customer scan, so
     # the 46x-exploded key stream still reads "small" — at the 100x
     # ladder point the planner built it as a 3.9 GiB broadcast
     # relation and died; the same footprint gate pins sort-merge
     b = _attr_side(
-        segs.select(F.col("c_custkey").alias("right_key"), "nk", "seg"),
+        sized(segs.select(F.col("c_custkey").alias("right_key"),
+                          "nk", "seg"), "nk", "seg"),
         sf_dir)
-    cand_keys = (a.join(b, ["nk", "seg"])
-                 .where(F.col("left_key") < F.col("right_key"))
-                 .select("left_key", "right_key").distinct())
+    # co-partitioned (nk, seg) at n_pair on both sides: the SMJ reuses
+    # the distribution, so its sorts run at the SIZED width; the
+    # left_key repartition below is likewise reused by BOTH the
+    # distinct (hash(left_key) satisfies the (left_key, right_key)
+    # clustering) and the first verify join
+    cand_keys = sized((a.join(b, ["nk", "seg"])
+                       .where(F.col("left_key") < F.col("right_key"))
+                       .select("left_key", "right_key")),
+                      "left_key").distinct()
     lattr = _attr_side(
         base.select(F.col("c_custkey").alias("left_key"),
                     F.col("c_name").alias("ln_"),
@@ -1995,7 +2023,8 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c_name").alias("rn_"),
                     F.col("c_mktsegment").alias("rs_"),
                     F.col("c_acctbal").alias("rb_")), sf_dir)
-    cand = cand_keys.join(lattr, "left_key").join(rattr, "right_key")
+    cand = sized(cand_keys.join(lattr, "left_key"),
+                 "right_key").join(rattr, "right_key")
     pairs = cand.select(
         "left_key", "right_key",
         (F.levenshtein("ln_", "rn_", 2) >= 0).cast("int").alias("g1"),

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.operators.similarity import (
-    build_ivf_index, cosine_topk, cosine_topk_lsh, ivf_probe,
+    _arrow_knn, build_ivf_index, cosine_topk, cosine_topk_arrow,
+    cosine_topk_lsh, ivf_probe,
 )
 from datalake_project_spark.queries import register
 
@@ -41,6 +42,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     q = e.where(F.col("vec_id") < 10)
     return cosine_topk(q, e, k=5)
+
+
+@register(
+    "q_ann_cosine_topk_arrow",
+    oracle="""
+    SELECT query_id, neighbor_id, rank, ROUND(cos_sim, 6) AS cos_sim
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id ASC) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id) t
+    WHERE rank <= 5
+    """,
+    doc="Exact brute-force cosine top-5 — the Arrow/BLAS lane: the "
+        "bounded probe set is one normalized numpy matrix, and each "
+        "candidate Arrow batch is scored by a single "
+        "(batch x dim) @ (dim x q) matmul inside mapInPandas, emitting "
+        "only batch-local top-k rows (top-k is monotone, so global "
+        "winners are a subset of batch winners). Same oracle and "
+        "deterministic (cos DESC, id ASC) contract as "
+        "q_ann_cosine_topk, which stays as the pure-codegen twin; this "
+        "lane is ~10x on the scan side because one BLAS call replaces "
+        "batch x q per-row F.aggregate folds — at 100 TB the candidate "
+        "scan IS the cost, so the matmul lane is the one the kNN-eval "
+        "and intrinsic-dimension probes reuse.",
+)
+def q_ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return cosine_topk_arrow(q, e, k=5)
 
 
 @register(
@@ -231,14 +266,16 @@ def q_embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(does each vector's nearest neighbor share its label?) — the "
         "standard cheap eval of an embedding table before it is trusted "
         "for semantic dedup or retrieval. Reuses the exact brute-force "
-        "top-k (broadcast query side, deterministic sim-desc/id-asc "
-        "tie-break); the integer match counts make the probe fully "
-        "value-checkable, no float thresholds in the output.",
+        "top-k on its Arrow/BLAS lane (one matmul per candidate batch "
+        "against the 200-probe matrix — same deterministic "
+        "sim-desc/id-asc tie-break as the codegen twin); the integer "
+        "match counts make the probe fully value-checkable, no float "
+        "thresholds in the output.",
 )
 def q_embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("embeddings")
     q = e.where(F.col("vec_id") < 200)
-    nn1 = (cosine_topk(q, e, k=1)
+    nn1 = (cosine_topk_arrow(q, e, k=1)
            .select("query_id", "neighbor_id"))
     labels = e.select("vec_id", "label")
     joined = (nn1
@@ -497,25 +534,15 @@ def q_embed_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one candidate scan, never n^2.",
 )
 def q_embed_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from datalake_project_spark.functions.vectors import cosine
-
     e = Catalog(spark, sf_dir).table("embeddings")
-    q = (e.where(F.col("vec_id") < 100)
-         .select(F.col("vec_id").alias("qid"),
-                 F.col("embedding").alias("qv")))
-    c = e.select(F.col("vec_id").alias("cid"),
-                 F.col("embedding").alias("cv"))
-    d = (c.crossJoin(F.broadcast(q))
-         .where(F.col("cid") != F.col("qid"))
-         .select("qid", "cid",
-                 F.round(1 - cosine(F.col("qv"), F.col("cv")), 6)
-                 .alias("dist")))
-    w = Window.partitionBy("qid").orderBy("dist", "cid")
-    nn2 = (d.withColumn("rn", F.row_number().over(w))
-           .where(F.col("rn") <= 2)
-           .groupBy("qid")
+    q = e.where(F.col("vec_id") < 100)
+    # Arrow/BLAS kNN lane: dist = 1 - cos is HALF-UP rounded to 6 dp
+    # INSIDE the kernel before ranking — the same round-before-rank
+    # contract the oracle pins (ulp-safe argmax).
+    nn2 = (_arrow_knn(q, e, k=2, query_id="vec_id", cand_id="vec_id",
+                      vec_col="embedding", exclude_self=True,
+                      distance=True, round_dp=6)
+           .groupBy(F.col("query_id").alias("qid"))
            .agg(F.min("dist").alias("r1"), F.max("dist").alias("r2")))
     mu = (nn2.where(F.col("r1") > 0)
           .select(F.log(F.col("r2") / F.col("r1")).alias("lnmu")))

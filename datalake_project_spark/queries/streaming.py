@@ -105,6 +105,33 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Bounded-state streaming dedup via dropDuplicatesWithinWatermark "
+        "(Spark 3.5+): unlike plain dropDuplicates, key state is "
+        "EVICTED once the watermark passes it, so a 24/7 stream's "
+        "dedup state is bounded by the watermark horizon instead of "
+        "the key cardinality — the only deployable form at 100 TB/day. "
+        "The semantic price is that a re-occurrence arriving after its "
+        "key's eviction is emitted again; the oracle arm therefore "
+        "sets the watermark beyond the fixture's whole event-time span "
+        "(no eviction fires), where the operator's output is provably "
+        "exact DISTINCT — value-checking the full plumbing (watermark "
+        "propagation, state store, append drain) while unit tests "
+        "exercise the short-horizon eviction behavior. Distinct from "
+        "q_stream_dedup, which pins the UNBOUNDED-state exact variant "
+        "(backfill use).",
+)
+def q_stream_dedup_within_watermark(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    out = (events_stream(spark, sf_dir)
+           .withWatermark("ts", "3650 days")
+           .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+           .select("user_id", "event_type"))
+    return run_available_now(out, "append")
+
+
+@register(
     "q_stream_stream_join",
     oracle="""
     SELECT s.event_id AS signup_event_id,

@@ -112,6 +112,13 @@ PANEL = [
     "q_stream_outer_join",
     "q_bucketed_join_roundtrip",
     "q_stats_equidepth_histogram",
+    # r9: the last unmeasured bench heavies (r8 verdict task #5) —
+    # stream-stream interval join (state keyed + watermark-bounded),
+    # TwoNN intrinsic dimension (fixed 100-probe Arrow matmul scan),
+    # dedup-resolved-by-quality (bucketed candidates + one quality agg).
+    "q_stream_stream_join",
+    "q_embed_intrinsic_dimension",
+    "q_dedup_resolved_by_quality",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
