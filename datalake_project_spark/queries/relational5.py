@@ -1968,15 +1968,20 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same unsized-call-site failure as the savings-ladder fix).
     # expansion 200 ≈ measured verify-arm working set / customer
     # footprint (46x keys-only fanout -> ~46x candidate pairs, each
-    # re-joined to two name+segment+balance attribute sides); 32 MB
-    # sort-input targets keep every SMJ sort buffer in memory. Gated
-    # on the same >1 MB footprint as _attr_side so bench-scale plans
-    # (broadcast, no exchange) are untouched.
+    # re-joined to two name+segment+balance attribute sides). The 8 MB
+    # per-partition target is deliberately small: the verify stage
+    # PIPELINES the candidate distinct's final HashAggregate, the SMJ
+    # sort, and the join in one task, so the three consumers share one
+    # task's slice of executor memory — the r9 attribution measured
+    # 32 MB targets still spilling ~50+97 MB/task of inflated
+    # UnsafeRow state across exactly those nodes. Gated on the same
+    # >1 MB footprint as _attr_side so bench-scale plans (broadcast,
+    # no exchange) are untouched.
     _big = dir_bytes(f"{sf_dir}/customer.parquet") > (1 << 20)
     if _big:
         n_pair = suggest_for_stage(spark, f"{sf_dir}/customer.parquet",
                                    expansion=200.0,
-                                   target_partition_bytes=32 << 20)
+                                   target_partition_bytes=8 << 20)
 
     def sized(df, *cols):
         return df.repartition(n_pair, *cols) if _big else df
