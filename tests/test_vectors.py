@@ -129,3 +129,72 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     assert deq[2] == [0.0, 0.0, 0.0, 0.0]
     for r in qz.collect():
         assert all(-127 <= q <= 127 for q in r["qvec"])
+
+
+def test_arrow_topk_equals_bruteforce(spark):
+    """The Arrow/BLAS lane must return the exact brute-force answer:
+    same neighbors, same ranks, same 6-dp cosines (global top-k is a
+    subset of every batch's local top-k — monotonicity)."""
+    from datalake_project_spark.operators.similarity import cosine_topk_arrow
+
+    e = _clustered(spark, n_clusters=4, per_cluster=25, dim=32, seed=11)
+    q = e.where(F.col("vec_id") < 7)
+    exact = sorted(map(tuple, cosine_topk(q, e, k=5).collect()))
+    arrow = sorted(map(tuple, cosine_topk_arrow(q, e, k=5).collect()))
+    assert len(exact) == 7 * 5
+    assert [r[:3] for r in exact] == [r[:3] for r in arrow]
+    for x, a in zip(exact, arrow):
+        assert a[3] == pytest.approx(x[3], abs=2e-6)  # 6-dp round seam
+
+
+def test_arrow_topk_batch_locality_invariance(spark):
+    """Repartitioning the candidate side (different Arrow batch splits)
+    must not change the result — batch-local top-k is a pure refinement."""
+    from datalake_project_spark.operators.similarity import cosine_topk_arrow
+
+    e = _clustered(spark, n_clusters=3, per_cluster=30, dim=16, seed=5)
+    q = e.where(F.col("vec_id") < 5)
+    one = sorted(map(tuple, cosine_topk_arrow(q, e.coalesce(1), k=4).collect()))
+    many = sorted(map(tuple, cosine_topk_arrow(q, e.repartition(13), k=4).collect()))
+    assert one == many
+
+
+def test_arrow_topk_exclude_self_and_string_ids(spark):
+    """exclude_self masks identity matches by ID (not by value), and the
+    kernel preserves non-numeric id types end-to-end."""
+    from datalake_project_spark.operators.similarity import cosine_topk_arrow
+
+    vecs = [("a", [1.0, 0.0]), ("b", [1.0, 0.0]),  # exact dup of a
+            ("c", [0.0, 1.0]), ("d", [0.7, 0.7])]
+    e = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+    out = cosine_topk_arrow(e.where(F.col("vec_id") == "a"), e, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in
+           out.orderBy("rank").collect()]
+    # self excluded; the exact dup 'b' wins rank 1 at cos 1.0
+    assert got == [("b", 1), ("d", 2)]
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+
+
+def test_arrow_knn_distance_round_before_rank(spark):
+    """distance=True with round_dp ranks by the ROUNDED distance with id
+    tie-break — two candidates whose distances differ only past 6 dp
+    must resolve by id, the ulp-safe argmax contract TwoNN pins."""
+    import numpy as np
+
+    from datalake_project_spark.operators.similarity import _arrow_knn
+
+    base = np.array([1.0, 0.0, 0.0])
+    # two candidates at numerically near-identical angles: ids decide
+    tilt = 1e-9
+    vecs = [(0, base.tolist()),
+            (5, [np.cos(0.3), np.sin(0.3), 0.0]),
+            (3, [np.cos(0.3 + tilt), np.sin(0.3 + tilt), 0.0]),
+            (9, [0.0, 1.0, 0.0])]
+    e = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in vecs],
+                              "vec_id long, embedding array<float>")
+    out = _arrow_knn(e.where(F.col("vec_id") == 0), e, k=2,
+                     query_id="vec_id", cand_id="vec_id",
+                     vec_col="embedding", exclude_self=True,
+                     distance=True, round_dp=6)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (5, 2)]  # equal rounded dist -> id asc
