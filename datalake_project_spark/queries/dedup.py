@@ -1176,8 +1176,16 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every wide exchange in the audit (token-df join, per-doc ranking
     # window, prefix self-join, truth arm) takes the footprint width:
     # the 30x ladder measured 7.3 GB spilled with these on the static
-    # session setting
-    nparts = _pair_parts(spark, sf_dir)
+    # session setting. r9: the width uses an 8 MB per-partition target
+    # (vs _pair_parts' 128 MB default) because the pair stage pipelines
+    # the self-join SMJ sort WITH the pair-distinct aggregate in one
+    # task's memory slice — the same co-resident-consumer sizing the
+    # FS verify arm needed; the r8 receipt measured ~5 MB/task of sort
+    # spill at the 64-task width that this deletes.
+    from datalake_project_spark.tuning import suggest_for_stage
+    nparts = suggest_for_stage(spark, f"{sf_dir}/documents.parquet",
+                               expansion=48.0,
+                               target_partition_bytes=8 << 20)
     sh = D._doc_shingles(d, "doc_id", "text", 3)
     toks = (sh.select(F.col("_id").alias("doc_id"),
                       F.explode("_shingles").alias("tok"))
