@@ -198,3 +198,20 @@ def test_arrow_knn_distance_round_before_rank(spark):
                      distance=True, round_dp=6)
     got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
     assert got == [(3, 1), (5, 2)]  # equal rounded dist -> id asc
+
+
+def test_arrow_topk_empty_probes_and_null_vectors(spark):
+    """Empty probe set returns an empty, correctly-typed frame; null
+    candidate embeddings are excluded instead of crashing the matmul
+    (the codegen twin null-scores them past top-k)."""
+    from datalake_project_spark.operators.similarity import cosine_topk_arrow
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    none = cosine_topk_arrow(e.where("vec_id < 0"), e, k=2)
+    assert none.count() == 0
+    assert [f[0] for f in none.dtypes] == \
+        ["query_id", "neighbor_id", "rank", "cos_sim"]
+    out = cosine_topk_arrow(e.where("vec_id = 1"), e, k=3).collect()
+    assert sorted(r["neighbor_id"] for r in out) == [3]  # null excluded
