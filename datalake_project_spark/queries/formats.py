@@ -109,6 +109,37 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_gzip_jsonl_roundtrip",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+    doc="COMPRESSED text-format round-trip: per-(source, lang) document "
+        "aggregate written as GZIP JSON-lines and re-read with an "
+        "explicit schema — the codec seam every log/export ingest "
+        "crosses (most raw corpus drops arrive .jsonl.gz). Write-side "
+        "codec is the per-file option; read-side decompression is "
+        "extension-dispatched. The 100 TB caveat this query documents "
+        "by existing: gzip files are NOT splittable, so one file = one "
+        "scan task — raw drops must arrive as MANY files (this write "
+        "inherits the aggregate's parallelism) or be re-staged to a "
+        "splittable layout before heavy scans; the engine's lake "
+        "re-stages to parquet for exactly that reason.",
+)
+def q_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("gzjsonl_rt", sf_dir)
+    d = Catalog(spark, sf_dir).table("documents")
+    agg = (d.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars")))
+    agg.write.mode("overwrite").option("compression", "gzip").json(path)
+    return spark.read.schema(
+        "source string, lang string, n_docs bigint, total_chars bigint") \
+        .json(path)
+
+
+@register(
     "q_schema_evolution",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

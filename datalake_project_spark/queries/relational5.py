@@ -493,6 +493,49 @@ def q_sql_entrypoint_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_scalar_udf",
+    oracle="""
+    SELECT CASE WHEN l_tax < 0.03 THEN 'low'
+                WHEN l_tax < 0.06 THEN 'mid'
+                ELSE 'high' END AS tax_bucket,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="SQL-defined scalar UDFs (Spark 4 'CREATE TEMPORARY FUNCTION "
+        "... RETURNS ... RETURN <expr>'): disc_price and tax_bucket are "
+        "declared in SQL and used from a SQL query over the registered "
+        "views — the governed-UDF surface that lets analysts share "
+        "logic WITHOUT Python: the body is a catalyst EXPRESSION, so "
+        "it inlines into whole-stage codegen (zero serialization "
+        "boundary, unlike any Python UDF) and predicate/column pruning "
+        "see through it. The oracle states the inlined expressions "
+        "verbatim, proving the UDF layer adds no semantic drift.",
+)
+def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION tax_bucket(t DOUBLE)
+        RETURNS STRING RETURN CASE WHEN t < 0.03 THEN 'low'
+                                   WHEN t < 0.06 THEN 'mid'
+                                   ELSE 'high' END
+    """)
+    return cat.sql("""
+        SELECT tax_bucket(l_tax) AS tax_bucket,
+               COUNT(*) AS n_items,
+               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                   AS revenue
+        FROM lineitem
+        GROUP BY tax_bucket(l_tax)
+    """)
+
+
+@register(
     "q_null_semantics",
     oracle="""
     WITH t AS (
