@@ -1377,6 +1377,86 @@ def q_lake_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lake_cdf_between_versions",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-02-01'),
+    nw AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-02-01'
+          AND o_orderdate <  TIMESTAMP '1995-03-01'),
+    ch AS (SELECT COUNT(*) AS c FROM b WHERE o_orderkey % 10 = 0)
+    SELECT 'added' AS change,
+           (SELECT COUNT(*) FROM nw) + ch.c AS n_rows,
+           (SELECT COUNT(*) FROM nw) + ch.c AS n_keys
+    FROM ch
+    UNION ALL
+    SELECT 'deleted', ch.c, ch.c FROM ch
+    """,
+    doc="Change-data-feed BETWEEN manifest versions — the Delta CDF / "
+        "Iceberg changelog-scan equivalent (docs/DELTA_ICEBERG_MAPPING"
+        ".md): v1 commits the 1995-01 order rows (integer-cents "
+        "prices), v2 MERGEs an update set (every key % 10 = 0 gets "
+        "+100 cents) plus the disjoint 1995-02 inserts, and the feed "
+        "is snapshot_diff(read_usage_at(v2), read_usage_at(v1)) keyed "
+        "on the FULL row — an update therefore surfaces as one "
+        "'added' (new image) plus one 'deleted' (old image), exactly "
+        "Delta CDF's update_postimage/update_preimage pair collapsed "
+        "to add/delete semantics, and pure inserts surface as 'added' "
+        "only. Time travel supplies both endpoints from the retained "
+        "manifest chain — no change log is stored; the diff IS the "
+        "log, computed on demand (two snapshot-isolated reads + the "
+        "flagship anti-join diff, bloom-pruned at scale). Integer "
+        "cents make full-row equality exact across engines. Clean-"
+        "slate fixture lake (the crash-recovery discipline) so "
+        "version numbers are deterministic.",
+)
+def q_lake_cdf_between_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate")
+    base = (o.where((F.col("o_orderdate")
+                     >= F.lit("1995-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate")
+                       < F.lit("1995-02-01").cast("timestamp")))
+            .drop("o_orderdate"))
+    news = (o.where((F.col("o_orderdate")
+                     >= F.lit("1995-02-01").cast("timestamp"))
+                    & (F.col("o_orderdate")
+                       < F.lit("1995-03-01").cast("timestamp")))
+            .drop("o_orderdate"))
+
+    root = scratch_dir("cdf_lake", sf_dir)
+    for sub in ("data", "_manifests"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    lake = ManifestLake(spark, root)
+
+    v1 = lake.write_usage(base, "orders_cdf", "1995-01-01", "r1")
+    updates = (base.where(F.col("o_orderkey") % 10 == 0)
+               .withColumn("cents", F.col("cents") + 100))
+    v2 = lake.upsert(updates.unionByName(news), "orders_cdf",
+                     "1995-01-01", "r1", keys=["o_orderkey"])
+
+    def snap(v):
+        return (lake.read_usage_at("orders_cdf", v, "1995-01-01", "r1")
+                .select("o_orderkey", "cents"))
+
+    feed = snapshot_diff(snap(v2), snap(v1), keys=["o_orderkey", "cents"])
+    return (feed.groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("o_orderkey").alias("n_keys")))
+
+
+@register(
     "q_rollup_cascade",
     oracle="""
     SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,

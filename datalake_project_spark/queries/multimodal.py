@@ -146,6 +146,63 @@ def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_chunk_near_dup",
+    oracle="""
+    WITH ch AS (
+        SELECT DISTINCT doc_id,
+               md5(substr(text, i * 64 + 1, 64)) AS chunk_md5
+        FROM documents,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i)
+        WHERE length(text) > 0)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           COUNT(*) AS n_shared_chunks
+    FROM ch a JOIN ch b
+      ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Chunk-level NEAR-duplicate pairs over the binary media column: "
+        "payload pairs sharing >= 2 distinct 64-byte content-addressed "
+        "chunks — the storage-dedup candidate generator one level above "
+        "q_multimodal_chunk_dedup's chunk index (two payloads that "
+        "differ by a small edit still share every chunk outside the "
+        "edited window, so this finds what payload-level md5 cannot). "
+        "Same inverted-index discipline as every dedup candidate "
+        "generator in the engine: the self-join key is the 16-byte "
+        "chunk digest (payload bytes never shuffle), per-digest "
+        "occupancy is doc-count-per-chunk (duplicate-driven, not "
+        "corpus-driven), and the >= 2 threshold is an integer HAVING — "
+        "hash-exact. The distinct (doc, digest) projection caps any "
+        "one document's contribution per chunk at 1, so repeated "
+        "boilerplate INSIDE a payload can't inflate pair counts.",
+)
+def q_multimodal_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = as_media(docs)
+    n_chunks = F.ceil(F.octet_length("payload") / F.lit(64.0))
+    ch = (media
+          .where(F.octet_length("payload") > 0)
+          .select("doc_id",
+                  F.explode(F.sequence(F.lit(0).cast("long"),
+                                       n_chunks.cast("long") - 1))
+                  .alias("i"),
+                  F.col("payload"))
+          .select("doc_id",
+                  F.md5(F.substring(F.col("payload"),
+                                    (F.col("i") * 64 + 1).cast("int"),
+                                    64)).alias("chunk_md5"))
+          .distinct())
+    a = ch.select(F.col("doc_id").alias("a_id"), "chunk_md5")
+    b = ch.select(F.col("doc_id").alias("b_id"), "chunk_md5")
+    return (a.join(b, "chunk_md5")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+            .where(F.col("n_shared_chunks") >= 2))
+
+
+@register(
     "q_multimodal_batch_bucketing",
     oracle="""
     WITH sz AS (

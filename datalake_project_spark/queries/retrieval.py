@@ -718,3 +718,59 @@ def q_retrieval_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(RBO_DEPTH).cast("int").alias("depth"),
                     F.col("xd").cast("long").alias("overlap_at_depth"),
                     "rbo"))
+
+
+@register(
+    "q_search_phrase",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter({_SQL_TOKS}, w -> w <> '') AS ws
+        FROM documents),
+    bg AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM words, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        WHERE len(ws) >= 2),
+    top AS (SELECT bigram FROM bg
+            GROUP BY bigram ORDER BY COUNT(*) DESC, bigram LIMIT 1),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_occurrences,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM bg JOIN top USING (bigram) GROUP BY doc_id)
+    SELECT doc_id, n_occurrences, first_pos
+    FROM hits ORDER BY n_occurrences DESC, doc_id LIMIT 10
+    """,
+    doc="Positional phrase search — the inverted-index primitive BM25's "
+        "bag-of-words ranking cannot express (adjacency matters): the "
+        "POSITIONAL index (doc_id, pos, bigram) is built by one "
+        "posexplode over the zip_with bigram array, the probe phrase "
+        "is the corpus' most frequent bigram under the deterministic "
+        "(count DESC, bigram) total order (self-contained at any "
+        "fixture scale — no hardcoded vocabulary), and matches rank "
+        "docs by occurrence count with first-match position for "
+        "snippeting. Plan shape: one corpus explode, a 1-row broadcast "
+        "probe, one per-doc aggregate, top-10 via "
+        "TakeOrderedAndProject — at 100 TB this is the same "
+        "index-then-semi-join discipline as BM25 next door, with "
+        "positions carried as a long instead of re-tokenizing at "
+        "match time. A k-word phrase generalizes to the k-gram array "
+        "or a pos+1 self-join of the unigram index; the bigram form "
+        "pins the adjacency semantics the oracle can state exactly.",
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("ws"))
+    n = F.size("ws")
+    bg_arr = F.zip_with(
+        F.slice("ws", 1, n - 1), F.slice(F.col("ws"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    bg = (tok.where(n >= 2)
+          .select("doc_id", F.posexplode(bg_arr).alias("pos", "bigram"))
+          .localCheckpoint(eager=False))
+    top = (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), "bigram").limit(1).select("bigram"))
+    return (bg.join(F.broadcast(top), "bigram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("pos").cast("long").alias("first_pos"))
+            .orderBy(F.desc("n_occurrences"), "doc_id").limit(10))

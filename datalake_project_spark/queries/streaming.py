@@ -105,6 +105,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_multi_batch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Multi-micro-batch state accumulation: the events table is "
+        "re-staged as FOUR parquet files and streamed with "
+        "maxFilesPerTrigger=1, so the availableNow drain runs four "
+        "separate micro-batches through the stateful aggregate — the "
+        "complete-mode result must equal the one-shot batch aggregate "
+        "EXACTLY, which is the state-merge contract every 24/7 "
+        "deployment depends on (each trigger merges partial counts/"
+        "sums/distinct-sets into the state store; nothing is lost or "
+        "double-counted at batch boundaries). The single-file fixture "
+        "twins (q_stream_tumbling_window et al.) drain in ONE batch "
+        "and so never exercise cross-batch merge; this query pins it. "
+        "Throttling via maxFilesPerTrigger is also the production "
+        "backfill pattern — bound per-trigger input so a month of "
+        "backlog replays at bounded state/shuffle per micro-batch.",
+)
+def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.scratch import scratch_dir
+
+    staged = scratch_dir("stream_multibatch", sf_dir)
+    ev = Catalog(spark, sf_dir).table("events") \
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    agg = (stream.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.size(F.collect_set("user_id")).alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    return run_available_now(agg, "complete")
+
+
+@register(
     "q_stream_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     doc="Bounded-state streaming dedup via dropDuplicatesWithinWatermark "
