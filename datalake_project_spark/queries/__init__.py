@@ -50,59 +50,65 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-9 WINDOW ROTATION (the r8 judge's task #1): every previously
-    # stamped query rotates to the tail; 49 of these 50 slots have NEVER
-    # carried a driver CORRECTNESS stamp in rounds 1-8 (the 155-query
-    # remainder plus four new-this-round queries), weighted toward the
-    # biggest never-stamped backlogs (inference 38, events 27,
-    # relational5 23) while keeping one representative per family. The
-    # one stamped holdover is the flagship CDC diff (entry()'s query).
+    # ROUND-10 WINDOW ROTATION (the r9 judge's task #1): every
+    # previously stamped query rotates to the tail; 49 of these 50
+    # slots have NEVER carried a driver CORRECTNESS stamp in rounds
+    # 1-9 (drawn from the 116-query never-stamped remainder plus the
+    # new-this-round range-search, which keeps the ann family in the
+    # window now every prior q_ann_* member is stamped), weighted
+    # toward the biggest backlogs (inference 30, events 20,
+    # relational5 17) while keeping one representative per family.
+    # The one stamped holdover is the flagship CDC diff (entry()'s
+    # query). The r9 seeds (q_search_phrase, q_lake_cdf_between_
+    # versions, q_stream_multi_batch, q_multimodal_chunk_near_dup,
+    # q_sql_scalar_udf, q_gzip_jsonl_roundtrip) are all in.
     #
     # Flagship
     "q_snapshot_diff",
-    # NEW this round: the Arrow/BLAS exact-kNN lane (r8 task 4), the
-    # manifest-lake crash-recovery drill (r8 task 6), bounded-state
-    # streaming dedup, and sub-payload chunk dedup — the latter three
-    # keep the ann/lake/streaming/multimodal families in the window
-    # with never-stamped entries (every prior member is stamped).
-    "q_ann_cosine_topk_arrow", "q_lake_crash_recovery",
-    "q_stream_dedup_within_watermark", "q_multimodal_chunk_dedup",
-    # Inference / statistics (incl. the shard-totality fix from the r8
-    # advisor: kruskal-wallis is stamped the round its shard became
-    # total over negative keys)
-    "q_stats_kruskal_wallis", "q_stats_moments", "q_stats_kendall_tau",
-    "q_stats_mann_kendall", "q_stats_cramers_v",
-    "q_stats_permutation_test", "q_stats_odds_ratio", "q_stats_hill_tail",
+    # NEW this round: fixed-radius range search (map-only, no-shuffle
+    # scan plan — the all-within-tau companion to top-k)
+    "q_ann_range_search",
+    # r9 seeds: lake CDF, multi-batch streaming, sub-payload chunk
+    # near-dup (now df-capped), SQL-declared scalar UDFs, gzip JSONL,
+    # positional phrase search
+    "q_lake_cdf_between_versions", "q_stream_multi_batch",
+    "q_multimodal_chunk_near_dup", "q_gzip_jsonl_roundtrip",
+    "q_search_phrase",
+    # Inference / statistics
+    "q_stats_jackknife_ratio", "q_orders_theil_sen_trend",
+    "q_text_keyphrase_rake", "q_classifier_isotonic",
+    "q_events_holt_forecast", "q_stats_median_ci", "q_events_psi_drift",
+    "q_customer_gini_spend", "q_events_dtw_similarity",
+    "q_text_wordpiece_merge_scores",
     # Events
-    "q_events_gapfill_interpolate", "q_events_anomaly_zscore",
-    "q_events_active_users", "q_events_interarrival", "q_events_streaks",
-    "q_events_ewma", "q_events_seasonal_decompose",
-    "q_events_retention_halflife",
-    # Relational
-    "q_basket_pairs", "q_window_lead_lag_family", "q_customer_cohort_ltv",
-    "q_revenue_concentration", "q_json_variant", "q_try_functions",
-    "q_supplier_scorecard",
-    # ML / classifiers / embeddings (incl. the intrinsic-dimension
-    # probe, now on the Arrow kNN lane — stamped the round it moved)
-    "q_embed_covariance", "q_embed_cluster_purity", "q_classifier_pr_auc",
-    "q_classifier_mcc", "q_embed_intrinsic_dimension",
+    "q_events_ab_ttest", "q_events_lateness_profile",
+    "q_feature_point_in_time", "q_events_pmi",
+    "q_events_markov_baseline_accuracy", "q_events_chi_squared",
+    "q_events_time_to_convert",
+    # Relational (relational5 backlog; q_sql_scalar_udf above is the
+    # r9 seed from this module)
+    "q_sql_scalar_udf", "q_stats_correlation", "q_winsorize",
+    "q_price_trend_regression", "q_forecast_seasonal_naive",
+    "q_market_concentration_hhi",
+    # ML / classifiers / embeddings
+    "q_embed_norm_outliers", "q_classifier_lift_gains",
+    "q_embed_label_centroids", "q_embed_farthest_point_init",
+    "q_embed_hubness",
     # Text
-    "q_text_unicode_tokens", "q_text_hash_features",
-    "q_text_vocab_coverage", "q_text_readability",
+    "q_text_tokenizer_fertility", "q_text_oov_rate",
+    # Robust
+    "q_text_ttr_hapax", "q_events_ab_uplift_ci",
     # Corpus
-    "q_corpus_sample_fixed", "q_corpus_card",
+    "q_corpus_overlap_matrix", "q_corpus_length_histogram",
     # Substrings / LM
-    "q_text_char_entropy", "q_text_unigram_forward",
+    "q_dedup_substring_spans_hashed", "q_text_length_ks_drift",
     # Graph
-    "q_graph_adamic_adar", "q_graph_hits",
+    "q_graph_trade_balance", "q_graph_shortest_cost",
     # Audit / privacy
-    "q_table_profile", "q_l_diversity",
-    # Dedup observability
-    "q_dedup_impact_by_source", "q_dedup_threshold_sweep",
-    # Robust stats
-    "q_stats_cohens_kappa", "q_stats_mcnemar",
-    # Retrieval
-    "q_retrieval_rbo",
+    "q_pseudonymize_join_integrity", "q_privacy_t_closeness",
+    "q_privacy_randomized_response",
+    # Dedup
+    "q_dedup_review_sample", "q_dedup_winnow_params",
 )
 
 

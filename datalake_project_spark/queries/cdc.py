@@ -1451,9 +1451,22 @@ def q_lake_cdf_between_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("o_orderkey", "cents"))
 
     feed = snapshot_diff(snap(v2), snap(v1), keys=["o_orderkey", "cents"])
-    return (feed.groupBy("change")
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.countDistinct("o_orderkey").alias("n_keys")))
+    agg = (feed.groupBy("change")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys")))
+    # The oracle emits BOTH change labels unconditionally; groupBy would
+    # drop an empty category (e.g. a fixture month where no key % 10 = 0,
+    # so the update set is empty and no 'deleted' rows exist). Left-join
+    # the aggregate onto a literal label frame so the empty category
+    # surfaces as an explicit zero row on the Spark side too.
+    labels = spark.createDataFrame([("added",), ("deleted",)],
+                                   "change string")
+    return (labels.join(F.broadcast(agg), "change", "left")
+            .select("change",
+                    F.coalesce("n_rows", F.lit(0)).cast("long")
+                     .alias("n_rows"),
+                    F.coalesce("n_keys", F.lit(0)).cast("long")
+                     .alias("n_keys")))
 
 
 @register(

@@ -148,13 +148,19 @@ def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_multimodal_chunk_near_dup",
     oracle="""
-    WITH ch AS (
+    WITH ch0 AS (
         SELECT DISTINCT doc_id,
                md5(substr(text, i * 64 + 1, 64)) AS chunk_md5
         FROM documents,
              LATERAL (SELECT unnest(range(0,
                  CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i)
-        WHERE length(text) > 0)
+        WHERE length(text) > 0),
+    keep AS (
+        SELECT chunk_md5 FROM ch0 GROUP BY chunk_md5
+        HAVING COUNT(*) <= 500),
+    ch AS (
+        SELECT ch0.doc_id, ch0.chunk_md5
+        FROM ch0 JOIN keep ON ch0.chunk_md5 = keep.chunk_md5)
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            COUNT(*) AS n_shared_chunks
     FROM ch a JOIN ch b
@@ -175,7 +181,13 @@ def q_multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus-driven), and the >= 2 threshold is an integer HAVING — "
         "hash-exact. The distinct (doc, digest) projection caps any "
         "one document's contribution per chunk at 1, so repeated "
-        "boilerplate INSIDE a payload can't inflate pair counts.",
+        "boilerplate INSIDE a payload can't inflate pair counts — but "
+        "a corpus-common chunk (template boilerplate, padding runs) "
+        "is still corpus-driven, so a max_df=500 occupancy valve "
+        "(the dhash-bucket / shingle-index cap, applied identically "
+        "in the oracle) vetoes any digest owned by >500 documents "
+        "before the self-join: per-key fanout is bounded at "
+        "C(500,2) and an O(n_docs^2) hot key cannot form.",
 )
 def q_multimodal_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
@@ -193,6 +205,14 @@ def q_multimodal_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     (F.col("i") * 64 + 1).cast("int"),
                                     64)).alias("chunk_md5"))
           .distinct())
+    # max_df occupancy valve: a digest owned by >500 distinct documents
+    # would fan out O(df^2) pairs from one shuffle key; veto it before
+    # the self-join (oracle applies the same HAVING COUNT(*) <= 500).
+    keep = (ch.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= 500)
+            .select("chunk_md5"))
+    ch = ch.join(keep, "chunk_md5", "left_semi")
     a = ch.select(F.col("doc_id").alias("a_id"), "chunk_md5")
     b = ch.select(F.col("doc_id").alias("b_id"), "chunk_md5")
     return (a.join(b, "chunk_md5")

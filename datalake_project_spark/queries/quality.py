@@ -598,3 +598,89 @@ def q_text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("mojibake_rate",
                         F.round(F.col("n_mojibake").cast("double")
                                 / F.col("n_docs"), 4) + F.lit(0.0)))
+
+
+@register(
+    "q_quality_dup_ngram_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    g AS (
+        SELECT doc_id, source, i AS s,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                     || ws[i+3] || ' ' || ws[i+4] AS gram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i)
+        WHERE len(ws) >= 5),
+    dupg AS (
+        SELECT doc_id, gram FROM g
+        GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+    dstart AS (
+        SELECT g.doc_id, g.s
+        FROM g JOIN dupg ON g.doc_id = dupg.doc_id AND g.gram = dupg.gram),
+    cov AS (
+        SELECT doc_id, COUNT(*) AS covered FROM (
+            SELECT DISTINCT doc_id, s + o AS p
+            FROM dstart, LATERAL (SELECT unnest(range(0, 5)) AS o))
+        GROUP BY doc_id),
+    per AS (
+        SELECT t.doc_id, t.source, len(t.ws) AS n,
+               COALESCE(c.covered, 0) AS covered
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+        WHERE len(t.ws) >= 1)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(covered::DOUBLE / n), 4) + 0.0 AS avg_dup5_frac,
+           CAST(COUNT(CASE WHEN covered::DOUBLE / n > 0.2 THEN 1 END)
+                AS BIGINT) AS n_flagged
+    FROM per GROUP BY source
+    """,
+    doc="Gopher's duplicate-ngram COVERAGE filter (Rae 2021 Table A1, "
+        "dup_5gram fraction): per document, the fraction of token "
+        "positions covered by at least one 5-gram that occurs >= 2 "
+        "times within the document — a span-coverage measure, not the "
+        "top-ngram frequency q_text_repetition already reports (a doc "
+        "can have a low top-5gram share yet be 60% covered by many "
+        "distinct repeated spans). Exact overlapping-span coverage via "
+        "the engine's explode discipline: posexplode the 5-gram "
+        "starts, keyed groupBy finds in-doc duplicate grams (map-side "
+        "combine on (doc, gram-hash)), duplicate starts explode their "
+        "5 covered offsets, and a distinct-positions count per doc "
+        "yields coverage — every shuffle key is doc-bounded, so skew "
+        "is capped by document length and the plan is explode + three "
+        "keyed aggregates, no window, no Python. Aggregated per source "
+        "with a 0.2 coverage flag threshold.",
+)
+def q_quality_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", "source", tokens("text").alias("ws"))
+    starts = toks.where(F.size("ws") >= 5).select(
+        "doc_id", "ws",
+        F.expr("posexplode(slice(ws, 1, size(ws) - 4))").alias("s0", "_w"))
+    gram = F.concat_ws(" ", F.slice("ws", F.col("s0") + 1, 5))
+    g = starts.select("doc_id", F.col("s0").alias("s"), gram.alias("gram"))
+    dupg = (g.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("doc_id", "gram"))
+    dstart = g.join(dupg, ["doc_id", "gram"], "left_semi")
+    cov = (dstart
+           .select("doc_id", F.explode(F.sequence(F.col("s"),
+                                                  F.col("s") + 4))
+                   .alias("p"))
+           .distinct()
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("covered")))
+    per = (toks.where(F.size("ws") >= 1)
+           .select("doc_id", "source", F.size("ws").alias("n"))
+           .join(cov, "doc_id", "left")
+           .withColumn("covered", F.coalesce("covered", F.lit(0))))
+    frac = F.col("covered").cast("double") / F.col("n")
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 (F.round(F.avg(frac), 4) + F.lit(0.0))
+                 .alias("avg_dup5_frac"),
+                 F.count(F.when(frac > 0.2, 1)).cast("long")
+                 .alias("n_flagged")))

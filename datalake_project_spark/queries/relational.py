@@ -599,3 +599,65 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("k").alias("max_k"),
              F.round(F.avg("k"), 4).alias("avg_k"))
     )
+
+
+@register(
+    "q_sql_not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+        SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE o_custkey END AS pk
+        FROM orders),
+    nulled AS (SELECT COUNT(*) AS n FROM customer
+               WHERE c_custkey NOT IN (SELECT pk FROM probe)),
+    cleaned AS (SELECT COUNT(*) AS n FROM customer
+                WHERE c_custkey NOT IN (SELECT pk FROM probe
+                                        WHERE pk IS NOT NULL)),
+    anti_cnt AS (SELECT COUNT(*) AS n FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM probe p
+                               WHERE p.pk = c.c_custkey))
+    SELECT (SELECT n FROM nulled)  AS n_not_in_with_nulls,
+           (SELECT n FROM cleaned) AS n_not_in_cleaned,
+           (SELECT n FROM anti_cnt)    AS n_not_exists
+    """,
+    doc="Three-valued-logic contract of NOT IN vs NOT EXISTS under "
+        "NULLs — the classic silent-wrong-answer trap in migrated "
+        "SQL: a probe list containing even one NULL makes every "
+        "``x NOT IN (list)`` predicate UNKNOWN (never TRUE), so the "
+        "count collapses to 0, while NOT EXISTS / anti-join ignores "
+        "the NULLs and returns the real complement. The query pins "
+        "all three counts side by side (poisoned NOT IN, null-"
+        "filtered NOT IN, NOT EXISTS) and both engines must agree on "
+        "each. Plan shape: Spark compiles NOT IN to a null-aware "
+        "anti join (broadcast at this scale) and NOT EXISTS to a "
+        "plain left-anti hash join — the null-aware variant is the "
+        "expensive one at 100 TB (it must check the whole build side "
+        "for NULL), which is exactly why the cleaned/NOT EXISTS "
+        "formulations are the recommended rewrite; this query is the "
+        "standing receipt that the rewrite is semantics-preserving "
+        "when (and only when) the probe side is null-filtered.",
+)
+def q_sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    probe = o.select(
+        F.when(F.col("o_orderkey") % 1000 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("pk"))
+    probe.createOrReplaceTempView("_notin_probe")
+    c.createOrReplaceTempView("_notin_customer")
+    return spark.sql("""
+        WITH nulled AS (
+            SELECT COUNT(*) AS n FROM _notin_customer
+            WHERE c_custkey NOT IN (SELECT pk FROM _notin_probe)),
+        cleaned AS (
+            SELECT COUNT(*) AS n FROM _notin_customer
+            WHERE c_custkey NOT IN (SELECT pk FROM _notin_probe
+                                    WHERE pk IS NOT NULL)),
+        anti_cnt AS (
+            SELECT COUNT(*) AS n FROM _notin_customer c
+            WHERE NOT EXISTS (SELECT 1 FROM _notin_probe p
+                              WHERE p.pk = c.c_custkey))
+        SELECT (SELECT n FROM nulled)  AS n_not_in_with_nulls,
+               (SELECT n FROM cleaned) AS n_not_in_cleaned,
+               (SELECT n FROM anti_cnt)    AS n_not_exists
+    """)

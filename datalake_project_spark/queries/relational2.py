@@ -463,3 +463,49 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_nations"),
                  F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
                  .alias("nations")))
+
+
+@register(
+    "q_customer_mode_priority",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (SELECT seg, pri, COUNT(*) AS c FROM joined GROUP BY seg, pri),
+    ranked AS (
+        SELECT seg, pri, c,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY c DESC, pri ASC) AS rn
+        FROM cnt)
+    SELECT seg AS c_mktsegment, pri AS modal_priority,
+           CAST(c AS BIGINT) AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Exact per-group MODE via the count-then-argmax pattern: the "
+        "modal order priority per market segment, deterministic tie-"
+        "break (count DESC, value ASC). This is THE scalable exact-"
+        "mode shape at 100 TB: a map-side-combined groupBy collapses "
+        "the data to |groups| x |distinct values| rows (here 5 x 5), "
+        "and the argmax window runs over that TINY aggregate — never "
+        "over raw rows — so the only full-data exchange is the keyed "
+        "count. (Spark's built-in F.mode is non-deterministic on ties "
+        "and single-valued; the explicit form pins the tie-break and "
+        "exposes the count, which is what a data audit wants.) The "
+        "customer dim joins broadcast, so the fact side never "
+        "shuffles for the join either.",
+)
+def q_customer_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("pri"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("seg").orderBy(F.desc("c"), F.asc("pri"))
+    return (cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("seg").alias("c_mktsegment"),
+                    F.col("pri").alias("modal_priority"),
+                    F.col("c").cast("long").alias("n_orders")))

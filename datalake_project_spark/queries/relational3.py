@@ -498,3 +498,45 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("lang") != "en") & (F.col("doc_id") % 10 == 0))
     )
     return d.where(keep).select("doc_id", "lang")
+
+
+@register(
+    "q_window_interval_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_30d,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS spend_trailing_30d
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                           AND CURRENT ROW)
+    """,
+    doc="Time-INTERVAL RANGE window frame: per customer, rolling count "
+        "and spend over the trailing 30 calendar days of each order — "
+        "ordered by the raw TIMESTAMP with an INTERVAL bound, not a "
+        "precomputed day number (q_window_range_frame covers the "
+        "numeric-bound variant; this pins the calendar-typed frame "
+        "the SQL surface must accept, where month/day arithmetic "
+        "can't be reduced to a constant integer offset in general). "
+        "One shuffle+sort on the partition key serves both "
+        "aggregates; RANGE frames evaluate by bound-seeking in the "
+        "sorted run, so the frame cost is O(rows) amortized per "
+        "partition regardless of frame width — the property that "
+        "makes trailing-window features tractable at 100 TB. Ties on "
+        "o_orderdate share a frame in BOTH engines by RANGE "
+        "semantics, so results are order-deterministic without a "
+        "tie-break column.",
+)
+def q_window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    o.createOrReplaceTempView("_ivl_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_30d,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS spend_trailing_30d
+        FROM _ivl_orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                               AND CURRENT ROW)
+    """)

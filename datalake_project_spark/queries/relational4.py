@@ -208,3 +208,80 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
     )
+
+
+def _partitioned_orders_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once year-partitioned copy of orders (partition column
+    ``o_year``), keyed by the source file's (size, mtime) — the IVF-
+    index lifecycle: a regenerated fixture triggers a rebuild, and
+    stale siblings are pruned so scratch never accumulates."""
+    import os
+    import shutil
+
+    from datalake_project_spark.scratch import scratch_dir
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    st = os.stat(src)
+    root = scratch_dir("dpp_orders", sf_dir)
+    path = f"{root}/{st.st_size}_{int(st.st_mtime)}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        if os.path.isdir(root):
+            for stale in os.listdir(root):
+                shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        o = Catalog(spark, sf_dir).table("orders")
+        (o.withColumn("o_year", F.year("o_orderdate"))
+         .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    return path
+
+
+@register(
+    "q_join_dpp_partitioned",
+    oracle="""
+    WITH yrs AS (
+        SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)
+            AS o_year
+        FROM orders),
+    dim AS (SELECT o_year FROM yrs
+            WHERE o_year >= (SELECT MAX(o_year) - 1 FROM yrs))
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN dim t ON CAST(EXTRACT(year FROM o.o_orderdate) AS INT) = t.o_year
+    GROUP BY 1
+    """,
+    doc="Dynamic partition pruning round-trip: orders is persisted "
+        "PARTITIONED BY its order year (build-once scratch copy, "
+        "(size, mtime)-keyed like the IVF index), then joined on the "
+        "partition column against a runtime-computed dimension (the "
+        "last two order years, via a scalar subquery on MAX(o_year) — "
+        "unknowable at plan time, so STATIC pruning is impossible). "
+        "Catalyst's DPP inserts the dim's broadcast result as a "
+        "dynamicpruning expression in the fact scan's "
+        "PartitionFilters, so only 2 of ~7 year-directories are read "
+        "— at 100 TB this is the difference between scanning two "
+        "partitions and scanning the table; tests/test_plans.py pins "
+        "the dynamicpruning filter in the scan. The dim's >= filter "
+        "is a comparison predicate BECAUSE DPP's isLikelySelective "
+        "gate ignores limit/aggregate-only dims (a LIMIT 2 dim "
+        "silently skips pruning — found by reading the executed "
+        "plan, the .explain discipline). Revenue rounded once at the "
+        "end.",
+)
+def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_orders_for(spark, sf_dir)
+    spark.read.parquet(path).createOrReplaceTempView("_dpp_fact")
+    (Catalog(spark, sf_dir).table("orders")
+     .select(F.year("o_orderdate").alias("o_year"))
+     .distinct().createOrReplaceTempView("_dpp_years"))
+    return spark.sql("""
+        SELECT f.o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(f.o_totalprice), 2) AS revenue
+        FROM _dpp_fact f
+        JOIN (SELECT o_year FROM _dpp_years
+              WHERE o_year >= (SELECT MAX(o_year) - 1 FROM _dpp_years)) t
+          ON f.o_year = t.o_year
+        GROUP BY f.o_year
+    """).select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "revenue")

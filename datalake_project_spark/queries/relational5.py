@@ -2021,13 +2021,16 @@ def q_linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >1 MB footprint as _attr_side so bench-scale plans (broadcast,
     # no exchange) are untouched.
     _big = dir_bytes(f"{sf_dir}/customer.parquet") > (1 << 20)
-    if _big:
-        n_pair = suggest_for_stage(spark, f"{sf_dir}/customer.parquet",
-                                   expansion=200.0,
-                                   target_partition_bytes=8 << 20)
+    # n_pair is bound unconditionally (None when small) so sized() can
+    # never hit an unbound name if a future call site escapes the _big
+    # gate — it degrades to a no-op instead of NameError.
+    n_pair = (suggest_for_stage(spark, f"{sf_dir}/customer.parquet",
+                                expansion=200.0,
+                                target_partition_bytes=8 << 20)
+              if _big else None)
 
     def sized(df, *cols):
-        return df.repartition(n_pair, *cols) if _big else df
+        return df.repartition(n_pair, *cols) if n_pair else df
     # FastSS 2-deletion neighborhood over the 9-digit suffix: 46 keys
     # per record (0/1/2 characters removed; variant length encodes
     # depth, so the string-equality join pairs every depth combination

@@ -79,6 +79,38 @@ def q_ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_range_search",
+    oracle="""
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                   AS cos_sim
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id) t
+    WHERE cos_sim >= 0.3
+    """,
+    doc="Fixed-radius (range) search: every candidate within cosine >= "
+        "0.3 of each of 10 probe vectors — the all-within-tau companion "
+        "to q_ann_cosine_topk (near-dup audits and recall@radius evals "
+        "ask for radius membership, not closest-k). No window and no "
+        "shuffle anywhere: probes broadcast, each candidate partition "
+        "scores in codegen and filters AT THE SCAN, so the plan is one "
+        "map-only pass over the big side. Both engines round the score "
+        "HALF-UP to 6 dp BEFORE the tau comparison, so an ulp wobble at "
+        "the boundary cannot flip membership between Spark and the "
+        "oracle. operators/similarity.py:cosine_range.",
+)
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.similarity import cosine_range
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return cosine_range(q, e, threshold=0.3)
+
+
+@register(
     "q_ann_lsh_topk",
     oracle=None,  # approximate by design; recall asserted in unit tests
     doc="LSH-bucketed approximate top-5 (16 random hyperplanes, 4 bands): "

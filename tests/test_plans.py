@@ -525,3 +525,22 @@ def test_rank_windows_run_over_limit_survivors_only(spark, registry):
             f"{name}: window no longer fed by the top-20 limit:\n{plan}"
         # and the limit bound is the documented 20
         assert "20" in below
+
+
+def test_dpp_prunes_fact_partitions(spark, registry):
+    """q_join_dpp_partitioned: the year-partitioned fact scan must carry
+    a dynamicpruning expression in its PartitionFilters — the receipt
+    that Catalyst prunes partitions at runtime from the dim's result
+    (a LIMIT-2 dim silently skips DPP; the >= comparison dim is load-
+    bearing). Also pins the range-search plan as shuffle-free."""
+    df = registry["q_join_dpp_partitioned"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire"
+
+
+def test_range_search_no_shuffle(spark, registry):
+    """q_ann_range_search is a map-only scan: probes broadcast, scoring
+    and the tau filter run at the scan — zero exchanges besides the
+    broadcast itself."""
+    df = registry["q_ann_range_search"].fn(spark, SF)
+    assert exchange_count(df) == 0

@@ -215,3 +215,23 @@ def test_arrow_topk_empty_probes_and_null_vectors(spark):
         ["query_id", "neighbor_id", "rank", "cos_sim"]
     out = cosine_topk_arrow(e.where("vec_id = 1"), e, k=3).collect()
     assert sorted(r["neighbor_id"] for r in out) == [3]  # null excluded
+
+
+def test_arrow_knn_probe_cap_fails_fast(spark, monkeypatch):
+    """An oversized probe side raises a clear ValueError instead of
+    silently collecting an unbounded matrix to the driver (the
+    _ARROW_KNN_MAX_PROBES contract). Patched cap keeps the fixture
+    tiny; the limit(cap+1) guard means only cap+1 rows ever collect."""
+    import pytest
+
+    import datalake_project_spark.operators.similarity as sim
+
+    e = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(sim, "_ARROW_KNN_MAX_PROBES", 4, raising=True)
+    with pytest.raises(ValueError, match="probe side exceeds"):
+        sim.cosine_topk_arrow(e, e, k=2)
+    # at or under the cap the lane still works
+    monkeypatch.setattr(sim, "_ARROW_KNN_MAX_PROBES", 8, raising=True)
+    assert sim.cosine_topk_arrow(e, e, k=2).count() == 16
