@@ -664,8 +664,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_partkey").alias("p")).distinct() \
         .localCheckpoint(eager=False)
     pdeg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
-    a = bip.select(F.col("s").alias("u"), "p")
-    b = bip.select(F.col("s").alias("v"), "p")
+    # The wedge SMJ's INPUT sorts are sized too: at session width the
+    # two bip sorts share one task's memory slice with the join and the
+    # downstream exchange writer, and the r10 solo attribution showed
+    # exactly that stage spilling 40 MiB x 32 tasks (1.28 GB) at the
+    # 30x rung while every aggregate stayed clean. An 8 MB on-disk
+    # target keeps each sorted slice a few MB in unsafe-row form at
+    # any scale; the floor keeps small fixtures at 2x cores.
+    nparts_p = suggest_for_stage(spark, f"{sf_dir}/lineitem.parquet",
+                                 target_partition_bytes=8 << 20)
+    a = bip.select(F.col("s").alias("u"), "p").repartition(nparts_p, "p")
+    b = bip.select(F.col("s").alias("v"), "p").repartition(nparts_p, "p")
     # Wedge join emits each undirected edge ONCE (u < v) and mirrors
     # after the distinct — identical edge set to the oracle's u <> v
     # formulation at half the pre-distinct shuffle/aggregate volume

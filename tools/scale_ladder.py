@@ -123,6 +123,55 @@ PANEL = [
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
 
+# Queries whose 1x plan differs STRUCTURALLY from their at-scale plan
+# (bench-scale inputs broadcast / skip the sized exchanges entirely), so
+# a 1x-anchored exponent measures the plan FLIP, not the scaling law —
+# the r8/r9 adjudications measured both linkage queries at 1.02-1.13
+# between plan-consistent rungs while the 1x-anchored headline printed
+# 1.4-1.9. Rows at factors ABOVE the anchor get their headline
+# time/shuffle exponents recomputed INCREMENTALLY against the anchor
+# rung (same plan both sides); the 1x-anchored values stay in
+# *_vs_1x so nothing is hidden.
+PLAN_FLIP_ANCHOR = {
+    "q_record_linkage": 10,
+    "q_linkage_fellegi_sunter": 10,
+}
+
+
+def apply_plan_flip_anchors(runs: list[dict]) -> None:
+    """Recompute anchored exponents for every stored run, idempotently,
+    from the raw per-row byte/time measurements."""
+    import math
+
+    by_factor = {r["factor"]: {row["query"]: row for row in r["panel"]}
+                 for r in runs}
+    for r in runs:
+        fac = r["factor"]
+        for row in r["panel"]:
+            anchor = PLAN_FLIP_ANCHOR.get(row["query"])
+            if not anchor or fac <= anchor or anchor not in by_factor:
+                continue
+            base = by_factor[anchor].get(row["query"])
+            if not base:
+                continue
+            s_a = max(base["shufW_Fx"], 1)
+            s_f = max(row["shufW_Fx"], 1)
+            t_a = max(base["sec_Fx"], 0.05)
+            t_f = max(row["sec_Fx"], 0.05)
+            # original 1x-anchored values, recomputed from raw fields so
+            # repeated passes never compound
+            t1 = max(row["sec_1x"], 0.05)
+            s1 = max(row["shufW_1x"], 1)
+            row["time_exp_vs_1x"] = round(
+                math.log(max(row["sec_Fx"], 0.05) / t1) / math.log(fac), 2)
+            row["shuffle_exp_vs_1x"] = round(
+                math.log(s_f / s1) / math.log(fac), 2)
+            row["anchored_at"] = anchor
+            row["time_exp"] = round(
+                math.log(t_f / t_a) / math.log(fac / anchor), 2)
+            row["shuffle_exp"] = round(
+                math.log(s_f / s_a) / math.log(fac / anchor), 2)
+
 # build-once queries persist an index/layout into scratch keyed by the
 # fixture (bucket tables, IVF index): their FIRST run at a fresh factor
 # pays the one-time write. The 1x warmup already absorbs that at 1x;
@@ -388,6 +437,7 @@ def main() -> int:
     runs = [r for r in runs if r.get("factor") != args.factor]
     runs.append(result)
     runs.sort(key=lambda r: r.get("factor", 0))
+    apply_plan_flip_anchors(runs)
     with open(out_path, "w") as fh:
         json.dump({"runs": runs}, fh, indent=1)
         fh.write("\n")
