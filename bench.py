@@ -391,6 +391,7 @@ def main() -> None:
     # so a sustained load burst can't inflate one query's all three
     # trials while sparing its neighbors'.
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    load_start = os.getloadavg()[0]
     trials: dict[str, list[float]] = {name: [] for name in CORE}
     for t in range(n_trials):
         for name in CORE:
@@ -403,6 +404,32 @@ def main() -> None:
                   f"({n} rows)", file=sys.stderr)
     for name in CORE:
         timings[name] = min(trials[name])
+    # Load receipt (r9 verdict task #4): the committed number must be
+    # distinguishable from a capture under background load. Spread is
+    # measured over the POST-WARMUP trials only (trial 1 carries
+    # JIT/codegen warmup up to 3x even on a quiet host); on a quiet
+    # host the steady-state trials agree within a few percent, so a
+    # median steady-spread well above 1 is the load signature
+    # round_close uses to re-run the capture.
+    load_end = os.getloadavg()[0]
+    steady = [sorted(v[1:]) for v in trials.values() if len(v) >= 3]
+    spreads = sorted(v[-1] / max(v[0], 1e-9) for v in steady)
+    spread_median = (round(spreads[len(spreads) // 2], 3)
+                     if spreads else None)
+    # The re-run trigger: on a quiet host trials keep IMPROVING across
+    # passes (JIT warmup continues into pass 2), so spread alone over-
+    # fires; what background load uniquely produces is LAST trials that
+    # REGRESS vs the pass before (measured: 0/26 regress >10% on a
+    # quiet host, many under a noisy neighbor).
+    raw = [v for v in trials.values() if len(v) >= 3]
+    regress_frac = (round(sum(1 for v in raw if v[-1] > 1.10 * v[-2])
+                          / len(raw), 3) if raw else None)
+    load_receipt = {
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(load_end, 2),
+        "steady_spread_median": spread_median,
+        "last_trial_regress_frac": regress_frac,
+    }
     for name in ADDITIONS:
         spec = registry[name]
         t0 = time.perf_counter()
@@ -428,6 +455,7 @@ def main() -> None:
         "core26_trials": n_trials,
         "queries": {n: timings[n] for n in CORE},
         "trials": {n: trials[n] for n in CORE},
+        "load": load_receipt,
         "n_queries": len(timings),
         "sf": sf,
     }
@@ -465,6 +493,7 @@ def main() -> None:
                    "unit": "sec", "core26": core26,
                    "core26_trials": n_trials,
                    "queries": timings, "trials": trials,
+                   "load": load_receipt,
                    "n_queries": len(timings), "sf": sf}, fh, indent=1)
         fh.write("\n")
     spark.stop()

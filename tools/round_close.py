@@ -98,17 +98,59 @@ def main() -> int:
         ok &= rc == 0
 
     if not args.no_bench:
-        rc, text = run_step("bench", [py, "bench.py"], log_dir)
-        summary = None
-        for ln in text.splitlines():
-            if ln.startswith("{") and '"core26"' in ln:
-                summary = json.loads(ln)
-        if summary:
+        # Load-aware capture (r9 verdict task #4): a close that runs
+        # right after pytest + the gate inherits residual host load and
+        # commits an inflated core26 (r9: close 24.3 s vs solo 19.6 s
+        # on identical code). The bench summary now carries a load
+        # receipt — loadavg at capture, the median post-warmup trial
+        # spread, and the fraction of CORE queries whose LAST trial
+        # regressed >10% vs the pass before (0/26 on a quiet host —
+        # warmup only ever speeds later passes up; a noisy neighbor
+        # inflates them). When that fraction exceeds REGRESS_MAX the
+        # capture re-runs (once) and the attempt with the lower core26
+        # is kept, BENCHDETAIL.json included. Threshold calibration on
+        # this host: a quiet capture measured 0/26 regressing, a
+        # contaminated one (core26 +22%) measured 4/26 = 0.154 — the
+        # trigger sits below the contaminated reading with margin.
+        REGRESS_MAX = 0.12
+        attempts = []
+        detail_path = os.path.join(ROOT, "BENCHDETAIL.json")
+        for attempt in (1, 2):
+            rc, text = run_step(f"bench{'' if attempt == 1 else attempt}",
+                                [py, "bench.py"], log_dir)
+            summary = None
+            for ln in text.splitlines():
+                if ln.startswith("{") and '"core26"' in ln:
+                    summary = json.loads(ln)
+            if not summary:
+                break
+            with open(detail_path) as fh:
+                attempts.append((summary, fh.read()))
+            load = summary.get("load", {})
+            regress = load.get("last_trial_regress_frac")
+            if regress is None or regress <= REGRESS_MAX:
+                break
+            print(f"   -> last-trial regress frac {regress} > "
+                  f"{REGRESS_MAX} (loadavg {load.get('load_avg_start')} "
+                  f"-> {load.get('load_avg_end')}): re-running capture",
+                  flush=True)
+        if attempts:
+            summary, detail = min(
+                attempts, key=lambda a: a[0]["core26"])
+            if len(attempts) > 1:
+                with open(detail_path, "w") as fh:
+                    fh.write(detail)  # keep the kept attempt's artifact
+            load = summary.get("load", {})
             lines.append(
                 f"- bench: core26 {summary['core26']} s "
-                f"(min of {summary.get('core26_trials', 1)} trials), "
+                f"(min of {summary.get('core26_trials', 1)} trials"
+                f"{', kept best of ' + str(len(attempts)) + ' captures' if len(attempts) > 1 else ''}), "
                 f"headline total {summary['value']} s, "
-                f"{summary['n_queries']} queries swept")
+                f"{summary['n_queries']} queries swept; "
+                f"load receipt: avg {load.get('load_avg_start')} -> "
+                f"{load.get('load_avg_end')}, steady spread "
+                f"{load.get('steady_spread_median')}, regress frac "
+                f"{load.get('last_trial_regress_frac')}")
         else:
             lines.append(f"- bench: NO SUMMARY LINE rc={rc}")
             ok = False
