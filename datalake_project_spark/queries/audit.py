@@ -732,3 +732,55 @@ def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(est, 6).alias("estimated_rate"),
         F.round(F.abs(est - true_rate), 6).alias("abs_error"),
         F.round(F.log(F.lit(3.0)), 6).alias("epsilon_ldp"))
+
+
+@register(
+    "q_observe_scan_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               AS n_nonpositive_price,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS n_null_custkey,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    """,
+    doc="Side-channel scan metrics via pyspark.sql.Observation "
+        "(df.observe): data-quality counters — row count, constraint "
+        "violations, null counts, a control total, a distinct count — "
+        "collected DURING the pass that materializes the data, not by "
+        "a second scan. This is the Deequ-style 'metrics repository' "
+        "pattern at 100 TB: the promotion job already reads every row "
+        "once, so quality counters must ride that scan for free; "
+        "observe() attaches AggregateExpressions to the plan and the "
+        "listener hands back one metrics row after the action, zero "
+        "extra jobs. The query materializes the observed row as its "
+        "result so the driver's oracle can value-check the metrics "
+        "themselves. (DISTINCT aggregates are rejected inside "
+        "observe() even in batch — INVALID_OBSERVED_METRICS — so the "
+        "cardinality-style metric here is a MAX control value; "
+        "approx_count_distinct is the observe-compatible distinct.)",
+)
+def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = Catalog(spark, sf_dir).table("orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+         .alias("n_nonpositive_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+         .alias("n_null_custkey"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"))
+    # the action that drives the scan; metrics land on the Observation
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive_price"], m["n_null_custkey"],
+          float(m["total_price"]), float(m["max_price"]))],
+        "n_rows long, n_nonpositive_price long, n_null_custkey long, "
+        "total_price double, max_price double")
