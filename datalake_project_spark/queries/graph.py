@@ -660,9 +660,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 3
     li = Catalog(spark, sf_dir).table("lineitem")
-    bip = li.select(F.col("l_suppkey").alias("s"),
-                    F.col("l_partkey").alias("p")).distinct() \
-        .localCheckpoint(eager=False)
+    # bip's distinct is sized too: at session width the dedup hash table
+    # of 36M (s, p) pairs at the 60x rung spilled 92 MiB x 6 tasks (the
+    # r10 attribution); the keyed repartition gives the aggregate the
+    # same footprint-scaled width as every other exchange in the query.
+    from datalake_project_spark.tuning import suggest_for_stage as _sfs
+    nparts_bip = _sfs(spark, f"{sf_dir}/lineitem.parquet",
+                      target_partition_bytes=8 << 20)
+    bip = (li.select(F.col("l_suppkey").alias("s"),
+                     F.col("l_partkey").alias("p"))
+           .repartition(nparts_bip, "s", "p").distinct()
+           .localCheckpoint(eager=False))
     pdeg = bip.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
     # The wedge SMJ's INPUT sorts are sized too: at session width the
     # two bip sorts share one task's memory slice with the join and the
@@ -671,8 +679,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 30x rung while every aggregate stayed clean. An 8 MB on-disk
     # target keeps each sorted slice a few MB in unsafe-row form at
     # any scale; the floor keeps small fixtures at 2x cores.
+    # 4 MB target, not 8: this width is ALSO the wedge stage's task
+    # count, i.e. the MAP side of the big dedup exchange — each map
+    # task's shuffle writer buffers its whole wedge slice, and 8 MB
+    # input slices fan out to ~5M-row writer buffers, which crosses
+    # the local-mode writer's spill cliff at the 60x rung (4.7 GB of
+    # writer spill; the r10 adjudication). Halving the slice keeps
+    # ~2.5M wedge rows per map task — under the cliff at every rung —
+    # without doubling the task count the way 2 MB slices did (which
+    # cost ~30% wall at 30x in scheduling overhead).
     nparts_p = suggest_for_stage(spark, f"{sf_dir}/lineitem.parquet",
-                                 target_partition_bytes=8 << 20)
+                                 target_partition_bytes=4 << 20)
     a = bip.select(F.col("s").alias("u"), "p").repartition(nparts_p, "p")
     b = bip.select(F.col("s").alias("v"), "p").repartition(nparts_p, "p")
     # Wedge join emits each undirected edge ONCE (u < v) and mirrors
@@ -704,19 +721,35 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(pdeg.where(F.col("np").between(2, 1000)), "p")
             .select("u", "v").repartition(nparts, "u", "v").distinct()
             .localCheckpoint(eager=False))
-    edges = half.union(half.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
+    base = half.union(half.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+    # Peel rounds checkpoint only the NODE sets (the tiny side of the
+    # Pregel node-vs-edge asymmetry) and re-derive each round's edge
+    # subgraph from the ONE checkpointed base by broadcast semi-joins.
+    # The r10 60x attribution showed why: checkpointing the ~GB edge
+    # list every round stacked three near-full copies of the graph in
+    # block storage on top of the wedge stage's working set — eviction
+    # pressure turned a 39 s 30x run into 157 s with 5 GB of disk spill
+    # at 60x. Keep sets shrink monotonically (a peeled node never
+    # returns), so round i's subgraph needs only the LATEST keep set:
+    # edges_i = base ⋉ keep(u) ⋉ keep(v) — one broadcast filter pair
+    # over a scan, no shuffle, re-derived per round (3 fixed rounds).
+    # The degree count stays a PLAIN groupBy: map-side combine
+    # compresses the edge stream to node-scale partials before the
+    # exchange (an explicit pre-repartition would ship raw edges —
+    # measured 71 s -> 126 s at 30x before this was reverted).
+    keep = None
     counts = []
     for i in range(1, 4):
-        # degree count stays a PLAIN groupBy: map-side combine compresses
-        # the edge stream to at most (nodes x partitions) partial rows
-        # before the exchange, so the shuffle is node-scale — an explicit
-        # pre-repartition would ship raw edges instead (measured 71 s ->
-        # 126 s at the 30x point before this was reverted). Survivor-set
-        # semi-joins BROADCAST the node list — nodes are orders of
-        # magnitude fewer than edges at every scale (the Pregel
-        # node-table-vs-edge-table asymmetry), so the per-round edge
-        # re-sorts of the r6 formulation disappear
+        edges = base
+        if keep is not None:
+            edges = (base
+                     .join(F.broadcast(keep.select(F.col("node")
+                                                   .alias("u"))),
+                           "u", "left_semi")
+                     .join(F.broadcast(keep.select(F.col("node")
+                                                   .alias("v"))),
+                           "v", "left_semi"))
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = (deg.where(F.col("d") >= K)
                 .select(F.col("u").alias("node"))
@@ -724,13 +757,6 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.append(keep.agg(
             F.lit(i).alias("iteration"),
             F.count(F.lit(1)).alias("n_nodes")))
-        edges = (edges
-                 .join(F.broadcast(keep.select(F.col("node").alias("u"))),
-                       "u", "left_semi")
-                 .join(F.broadcast(keep.select(F.col("node").alias("v"))),
-                       "v", "left_semi")
-                 .select("u", "v")
-                 .localCheckpoint(eager=False))
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)

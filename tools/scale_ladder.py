@@ -365,6 +365,16 @@ def main() -> int:
     spark = get_spark("scale-ladder", extra_conf={
         "spark.ui.enabled": "true",
         "spark.ui.port": "4049",
+        # Ladder rungs hold up to 100x sf0.1 in ONE local[32] JVM; the
+        # session default (8g) models 32 executors sharing 8 GB — a
+        # memory-starvation artifact no real deployment has (each
+        # executor owns its heap). 24g keeps per-task execution memory
+        # at a realistic ~450 MB so the ladder measures SCALING, not
+        # single-JVM heap contention (kcore at 60x threw
+        # UNABLE_TO_ACQUIRE_MEMORY under 8g while the identical plan
+        # ran clean solo). Spill accounting is unaffected — a plan
+        # that needs to spill still spills and is still recorded.
+        "spark.driver.memory": "24g",
         # the shuffle readings sum COMPLETED stages via the UI API; the
         # default 1000-stage retention evicts early stages under many-
         # job queries (the unigram-EM driver-stepped DP runs hundreds),
