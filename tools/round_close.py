@@ -113,6 +113,22 @@ def main() -> int:
         # contaminated one (core26 +22%) measured 4/26 = 0.154 — the
         # trigger sits below the contaminated reading with margin.
         REGRESS_MAX = 0.12
+        # Settle residual load FIRST: the close's own pytest/gate steps
+        # leave the 1-min loadavg at 10+ for a couple of minutes, and a
+        # DECAYING load inflates every trial monotonically — which the
+        # regress-frac detector (built for load arriving mid-capture)
+        # cannot see (r10: capture at loadavg 14.59 printed core26
+        # 26.3 s vs 22.5 s solo with regress frac 0.0). Wait for the
+        # 1-min average to drop below 2 before the first attempt,
+        # bounded at 5 minutes.
+        import time as _time
+        waited = 0
+        while os.getloadavg()[0] > 2.0 and waited < 300:
+            _time.sleep(15)
+            waited += 15
+        if waited:
+            print(f"   -> waited {waited}s for load to settle "
+                  f"(loadavg now {os.getloadavg()[0]:.2f})", flush=True)
         attempts = []
         detail_path = os.path.join(ROOT, "BENCHDETAIL.json")
         for attempt in (1, 2):
