@@ -37,6 +37,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_features_arrow",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) - length(replace(text, 'e', '')) AS n_e,
+           length(text) - length(replace(text, ' ', '')) AS n_space
+    FROM documents
+    """,
+    doc="mapInArrow twin of q_multimodal_features: identical feature "
+        "contract and oracle, but the Python worker operates on the "
+        "raw Arrow RecordBatch — pyarrow.compute kernels "
+        "(binary_length / count_substring, C++-vectorized) run "
+        "directly on the BinaryArray buffers, skipping the "
+        "Arrow->pandas->Arrow materialization mapInPandas pays twice "
+        "per batch. At a 100 TB media scan that conversion is pure "
+        "overhead whenever the per-batch work is itself Arrow-kernel "
+        "expressible; codecs that need numpy/PIL buffers keep the "
+        "pandas seam. functions/multimodal.py:extract_features_arrow.",
+)
+def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.multimodal import (
+        extract_features_arrow,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return extract_features_arrow(as_media(docs))
+
+
+@register(
     "q_multimodal_frame_sample",
     oracle="""
     SELECT doc_id,
