@@ -123,3 +123,25 @@ def test_dhash_chunk_valve_fires_on_degenerate_corpus(spark):
     uncapped, no_veto = dhash_chunk_candidates(h, max_df=None)
     assert no_veto.count() == 0
     assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_extract_features_arrow_equals_pandas_lane(spark):
+    """The mapInArrow feature lane must agree row-for-row with the
+    mapInPandas twin (same FEATURES_SCHEMA contract), including
+    payloads with no hits, empty payloads, and multi-byte UTF-8 where
+    octet length differs from character count."""
+    from datalake_project_spark.functions.multimodal import (
+        as_media, extract_features, extract_features_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello e e"), (2, "  spaced out  "), (3, ""),
+         (4, "naïve café"), (5, "eeee")],
+        "doc_id long, text string")
+    media = as_media(docs)
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features_arrow(media).collect()))
+    assert a == b
+    # multi-byte check: 'naïve café' is 10 chars but 12 UTF-8 bytes
+    row = dict((r[0], r) for r in b)[4]
+    assert row[1] == 12
