@@ -68,6 +68,74 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     return matched.select(*out_cols)
 
 
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: list[str],
+                      left_ts: str, right_ts: str,
+                      right_cols: list[str] | None = None,
+                      suffix: str = "_right",
+                      tolerance_seconds: float | None = None) -> DataFrame:
+    """NEAREST as-of: for each left row, the right row minimizing
+    ``|right.ts - left.ts|`` within the ``on`` group (pandas
+    ``merge_asof(direction='nearest')``; :func:`asof_join` is the
+    backward-only variant). Tie at equal distance — including the
+    exact-timestamp case — resolves BACKWARD (the row at-or-before
+    wins), so results are deterministic whenever the right side's
+    output columns are unique per (group, ts).
+
+    Same single-shuffle shape as the backward join: right and left
+    rows union-tag into one stream partitioned by the group key; a
+    backward window (last right at-or-before) and a forward window
+    (first right at-or-after) share the exchange and differ only in
+    sort direction of the tie-break column, then one expression picks
+    the closer side. ``tolerance_seconds`` nulls matches farther than
+    the bound. At 100 TB this is one keyed exchange + two in-partition
+    sorts — no join blow-up, no per-row subquery.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in on]
+    if right_ts not in right_cols:
+        right_cols = [right_ts, *right_cols]
+
+    l_tagged = left.select(
+        *on, F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"))
+    r_tagged = right.select(
+        *on, F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"))
+    u = r_tagged.unionByName(l_tagged, allowMissingColumns=True)
+
+    # backward: right rows sort BEFORE left at equal _ts -> inclusive
+    wb = (Window.partitionBy(*on).orderBy("_ts", "_is_left")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # forward: right rows sort AFTER left at equal _ts -> inclusive
+    wf = (Window.partitionBy(*on).orderBy("_ts", F.desc("_is_left"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    matched = (u
+               .withColumn("_back", F.last("_rrow", ignorenulls=True).over(wb))
+               .withColumn("_fwd", F.first("_rrow", ignorenulls=True).over(wf))
+               .where(F.col("_is_left") == 1))
+
+    d_back = (F.unix_micros(F.col("_ts"))
+              - F.unix_micros(F.col(f"_back.{right_ts}")))
+    d_fwd = (F.unix_micros(F.col(f"_fwd.{right_ts}"))
+             - F.unix_micros(F.col("_ts")))
+    # nearest, backward on ties; NULL side loses automatically
+    take_back = (F.col("_fwd").isNull()
+                 | (F.col("_back").isNotNull() & (d_back <= d_fwd)))
+    matched = matched.withColumn(
+        "_match", F.when(take_back, F.col("_back")).otherwise(F.col("_fwd")))
+    if tolerance_seconds is not None:
+        dist = F.abs(F.unix_micros(F.col(f"_match.{right_ts}"))
+                     - F.unix_micros(F.col("_ts")))
+        in_tol = (F.col("_match").isNotNull()
+                  & (dist <= F.lit(int(tolerance_seconds * 1_000_000))))
+        matched = matched.withColumn("_match",
+                                     F.when(in_tol, F.col("_match")))
+
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_match.{c}").alias(f"{c}{suffix}")
+                 for c in right_cols]
+    return matched.select(*out_cols)
+
+
 def range_join(left: DataFrame, right: DataFrame, condition: Column,
                how: str = "inner", on: list[str] | None = None) -> DataFrame:
     """Equi-keys + range condition join.

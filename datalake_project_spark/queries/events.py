@@ -258,6 +258,69 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND user_id % 20 = 0),
+    purch AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    cand AS (
+        SELECT c.event_id, c.user_id, c.ts, p.ts AS pts,
+               ABS(epoch_us(c.ts) - epoch_us(p.ts)) AS d_us,
+               CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END AS side
+        FROM clicks c JOIN purch p USING (user_id)),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY d_us, side) AS rn
+        FROM cand)
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(b.pts) AS purchase_ts_us,
+           CAST(b.d_us AS BIGINT) AS dist_us
+    FROM clicks c
+    LEFT JOIN (SELECT * FROM best
+               WHERE rn = 1 AND d_us <= CAST(86400 AS BIGINT) * 1000000) b
+      USING (event_id)
+    """,
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'; "
+        "q_asof_join is the backward variant): each sampled click "
+        "matched to the same user's CLOSEST purchase in either time "
+        "direction, within a 24 h tolerance — the feature-attachment "
+        "shape when causality can run both ways (a purchase shortly "
+        "BEFORE a click is as relevant as one after). Distance ties "
+        "resolve backward (at-or-before wins), pinned identically in "
+        "the oracle's (distance, side) ranking. One exchange on "
+        "user_id serves both the backward and forward windows (they "
+        "differ only in the tie-column sort direction); the oracle "
+        "states the same nearest-row semantics as a candidate "
+        "self-join + rank, which is O(clicks x purchases-per-user) — "
+        "fine for DuckDB at sf0.01, while the engine's window form is "
+        "the 100 TB-safe O(n log n). "
+        "operators/joins.py:asof_join_nearest.",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.operators.joins import asof_join_nearest
+
+    e = Catalog(spark, sf_dir).table("events")
+    clicks = (e.where((F.col("event_type") == "click")
+                      & (F.col("user_id") % 20 == 0))
+              .select("event_id", "user_id", "ts"))
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts"))
+    joined = asof_join_nearest(clicks, purch, on=["user_id"],
+                               left_ts="ts", right_ts="ts",
+                               right_cols=["ts"], suffix="_p",
+                               tolerance_seconds=86400)
+    return joined.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.unix_micros("ts_p").alias("purchase_ts_us"),
+        F.abs(F.unix_micros("ts_p") - F.unix_micros("ts"))
+        .alias("dist_us"))
+
+
+@register(
     "q_range_join",
     oracle="""
     SELECT s.event_id AS signup_event_id,

@@ -58,3 +58,34 @@ def test_range_join_window(spark):
         & (F.col("r.ts") < F.col("l.ts") + F.expr("INTERVAL 2 HOURS")),
     ).select(F.col("l.id"), F.col("r.rid"))
     assert rows(got) == [(1, 101), (3, 102), (4, 103)]
+
+
+def test_asof_join_nearest_directions_ties_tolerance(spark):
+    """Nearest as-of: forward-only match works, backward wins exact
+    distance ties, and tolerance (100s) nulls far matches — the pandas
+    merge_asof(direction='nearest') contract."""
+    from datalake_project_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "a", 205.0), (3, "b", 50.0), (4, "c", 10.0)],
+        "id long, k string, t double").select(
+        "id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        # k=a: 110 (fwd of 100 by 10; back of 205 by 95) and 300 (fwd
+        # of 205 by 95 -> exact tie, backward 110 must win)
+        # k=b: only a forward row at 60 (backward-only join would miss)
+        # k=c: nearest is 500s away -> outside 60s tolerance
+        [("a", 110.0), ("a", 300.0), ("b", 60.0), ("c", 510.0)],
+        "k string, t double").select(
+        "k", F.timestamp_seconds("t").alias("ts"))
+
+    out = {r["id"]: r for r in asof_join_nearest(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["ts"], suffix="_r",
+        tolerance_seconds=100).collect()}
+    get = lambda i: (out[i]["ts_r"].timestamp()
+                     if out[i]["ts_r"] is not None else None)
+    assert get(1) == 110.0          # forward match (10s) beats back (none)
+    assert get(2) == 110.0          # 95s tie both ways -> backward wins
+    assert get(3) == 60.0           # forward-only group still matches
+    assert get(4) is None           # 500s > 100s tolerance -> null
