@@ -536,6 +536,40 @@ def q_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_identifier_param",
+    oracle="""
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="Parameterized SQL + the IDENTIFIER() clause (Spark 4): table "
+        "and column names arrive as named PARAMETERS (spark.sql(..., "
+        "args={...})) and bind through IDENTIFIER(:name), values "
+        "through plain :name — the injection-safe way to template the "
+        "per-table jobs the reference builds with f-strings "
+        "(script_api_apify_to_spark.py interpolates table names "
+        "directly into SQL text; one hostile account name away from "
+        "SQL injection). IDENTIFIER resolves at analysis time, so the "
+        "plan is byte-identical to the literal query — pruning, "
+        "pushdown, and codegen are unaffected; the oracle states the "
+        "resolved query verbatim.",
+)
+def q_sql_identifier_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(IDENTIFIER(:val_col)), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={"grp_col": "o_orderpriority",
+              "val_col": "o_totalprice", "tbl": "orders"})
+
+
+@register(
     "q_null_semantics",
     oracle="""
     WITH t AS (
