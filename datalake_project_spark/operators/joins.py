@@ -29,10 +29,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same ``on`` group (backward as-of,
     inclusive). Right columns come back suffixed; unmatched -> NULL.
+
+    NULL timestamps: pandas ``merge_asof`` (the stated contract)
+    rejects NaT keys outright; a distributed plan can't raise per-row,
+    so the defined semantics here are the closest total extension —
+    a NULL-ts RIGHT row never matches anything (dropped before the
+    union), and a NULL-ts LEFT row is kept in the output with a NULL
+    match. Without this guard a null ts sorts FIRST in the window
+    ordering and silently produces an arbitrary match.
     """
     right_cols = right_cols or [c for c in right.columns if c not in on]
     if right_ts not in right_cols:
         right_cols = [right_ts, *right_cols]
+    right = right.where(F.col(right_ts).isNotNull())
 
     l_tagged = left.select(
         *on,
@@ -89,10 +98,20 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: list[str],
     the closer side. ``tolerance_seconds`` nulls matches farther than
     the bound. At 100 TB this is one keyed exchange + two in-partition
     sorts — no join blow-up, no per-row subquery.
+
+    NULL timestamps: NULL-ts right rows never match (filtered before
+    the union); NULL-ts left rows are kept with a NULL match — the
+    deterministic total extension of merge_asof's reject-NaT contract.
     """
     right_cols = right_cols or [c for c in right.columns if c not in on]
     if right_ts not in right_cols:
         right_cols = [right_ts, *right_cols]
+    # NULL-ts guard (same contract as asof_join): merge_asof rejects
+    # NaT keys; here a NULL-ts right row is dropped (never a match) and
+    # a NULL-ts left row yields a NULL match — without this, a null ts
+    # sorts FIRST in both window orderings and the forward window hands
+    # such a left row an arbitrary first-right-row match.
+    right = right.where(F.col(right_ts).isNotNull())
 
     l_tagged = left.select(
         *on, F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
@@ -122,6 +141,10 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: list[str],
                  | (F.col("_back").isNotNull() & (d_back <= d_fwd)))
     matched = matched.withColumn(
         "_match", F.when(take_back, F.col("_back")).otherwise(F.col("_fwd")))
+    # NULL-ts left rows: defined as no-match (see docstring), not the
+    # arbitrary forward row the null-first sort would otherwise pick.
+    matched = matched.withColumn(
+        "_match", F.when(F.col("_ts").isNotNull(), F.col("_match")))
     if tolerance_seconds is not None:
         dist = F.abs(F.unix_micros(F.col(f"_match.{right_ts}"))
                      - F.unix_micros(F.col("_ts")))

@@ -74,7 +74,7 @@ def test_asof_join_nearest_directions_ties_tolerance(spark):
         # k=a: 110 (fwd of 100 by 10; back of 205 by 95) and 300 (fwd
         # of 205 by 95 -> exact tie, backward 110 must win)
         # k=b: only a forward row at 60 (backward-only join would miss)
-        # k=c: nearest is 500s away -> outside 60s tolerance
+        # k=c: nearest is 500s away -> outside 100s tolerance
         [("a", 110.0), ("a", 300.0), ("b", 60.0), ("c", 510.0)],
         "k string, t double").select(
         "k", F.timestamp_seconds("t").alias("ts"))
@@ -89,3 +89,29 @@ def test_asof_join_nearest_directions_ties_tolerance(spark):
     assert get(2) == 110.0          # 95s tie both ways -> backward wins
     assert get(3) == 60.0           # forward-only group still matches
     assert get(4) is None           # 500s > 100s tolerance -> null
+
+
+def test_asof_null_timestamps_defined_semantics(spark):
+    """NULL-ts guard (r10 advice): a NULL-ts right row must never match
+    (it used to sort first and become an arbitrary backward/forward
+    match) and a NULL-ts left row is kept with a NULL match — for BOTH
+    the backward and the nearest variant."""
+    from datalake_project_spark.operators.joins import (
+        asof_join, asof_join_nearest)
+
+    left = spark.createDataFrame(
+        [(1, "a", 100.0), (2, "a", None)],
+        "id long, k string, t double").select(
+        "id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", None, "bogus"), ("a", 90.0, "real")],
+        "k string, t double, tag string").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "tag")
+
+    for fn in (asof_join, asof_join_nearest):
+        out = {r["id"]: r for r in fn(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["ts", "tag"], suffix="_r").collect()}
+        assert len(out) == 2, fn.__name__      # null-ts left row kept
+        assert out[1]["tag_r"] == "real", fn.__name__
+        assert out[2]["tag_r"] is None, fn.__name__

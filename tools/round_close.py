@@ -139,6 +139,12 @@ def main() -> int:
                 if ln.startswith("{") and '"core26"' in ln:
                     summary = json.loads(ln)
             if not summary:
+                # a crashed RE-RUN must not masquerade as a clean
+                # single-capture close (r10 advice): note it in the
+                # round log before falling through to the kept attempt
+                if attempt > 1:
+                    lines.append("- bench: re-run attempt failed "
+                                 "(no summary line); keeping attempt 1")
                 break
             with open(detail_path) as fh:
                 attempts.append((summary, fh.read()))
@@ -186,16 +192,33 @@ def main() -> int:
     if os.path.exists(ladder_path):
         with open(ladder_path) as fh:
             runs = json.load(fh).get("runs", [])
+        # rows AT a plan-flip anchor rung measure the 1x->anchor plan
+        # FLIP, not a scaling law (tools/scale_ladder.PLAN_FLIP_ANCHOR)
+        # — keep them out of the headline "worst exponents" sort and
+        # tag them instead, so the committed close never leads with a
+        # retired pre-flip number (r10 verdict task #3)
+        try:
+            from tools.scale_ladder import PLAN_FLIP_ANCHOR
+        except ImportError:
+            PLAN_FLIP_ANCHOR = {}
         for r in runs:
-            worst = sorted(r.get("panel", []),
+            fac = r["factor"]
+            panel = r.get("panel", [])
+            flips = [x for x in panel
+                     if fac <= PLAN_FLIP_ANCHOR.get(x["query"], 0)]
+            ranked = [x for x in panel if x not in flips]
+            worst = sorted(ranked,
                            key=lambda x: -max(x.get("time_exp", 0),
                                               x.get("shuffle_exp", 0)))[:3]
             worst_s = ", ".join(
                 f"{w['query']} t={w['time_exp']} s={w['shuffle_exp']}"
                 for w in worst)
-            lines.append(f"- ladder {r['factor']}x: "
-                         f"{len(r.get('panel', []))} queries; worst "
-                         f"exponents: {worst_s}")
+            flip_s = ("" if not flips else "; PLAN_FLIP(at-anchor, see "
+                      "anchored rows above this rung): "
+                      + ", ".join(x["query"] for x in flips))
+            lines.append(f"- ladder {fac}x: "
+                         f"{len(panel)} queries; worst "
+                         f"exponents: {worst_s}{flip_s}")
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
     block = (f"\n## Round close {stamp}\n\n"

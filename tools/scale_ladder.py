@@ -149,6 +149,23 @@ def apply_plan_flip_anchors(runs: list[dict]) -> None:
         fac = r["factor"]
         for row in r["panel"]:
             anchor = PLAN_FLIP_ANCHOR.get(row["query"])
+            if not anchor and "anchored_at" in row:
+                # query was REMOVED from PLAN_FLIP_ANCHOR: restore the
+                # 1x-anchored exponents from the raw per-row fields so
+                # a stale persisted row can't keep a retired anchor
+                # forever (r10 advice)
+                t1 = max(row["sec_1x"], 0.05)
+                s1 = max(row["shufW_1x"], 1)
+                row["time_exp"] = round(
+                    math.log(max(row["sec_Fx"], 0.05) / t1)
+                    / math.log(fac), 2)
+                row["shuffle_exp"] = round(
+                    math.log(max(row["shufW_Fx"], 1) / s1)
+                    / math.log(fac), 2)
+                for k in ("anchored_at", "time_exp_vs_1x",
+                          "shuffle_exp_vs_1x"):
+                    row.pop(k, None)
+                continue
             if not anchor or fac <= anchor or anchor not in by_factor:
                 continue
             base = by_factor[anchor].get(row["query"])
