@@ -232,21 +232,37 @@ def q_multimodal_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id",
                   F.md5(F.substring(F.col("payload"),
                                     (F.col("i") * 64 + 1).cast("int"),
-                                    64)).alias("chunk_md5"))
-          .distinct())
-    # max_df occupancy valve: a digest owned by >500 distinct documents
-    # would fan out O(df^2) pairs from one shuffle key; veto it before
-    # the self-join (oracle applies the same HAVING COUNT(*) <= 500).
-    keep = (ch.groupBy("chunk_md5")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= 500)
-            .select("chunk_md5"))
-    ch = ch.join(keep, "chunk_md5", "left_semi")
-    a = ch.select(F.col("doc_id").alias("a_id"), "chunk_md5")
-    b = ch.select(F.col("doc_id").alias("b_id"), "chunk_md5")
-    return (a.join(b, "chunk_md5")
-            .where(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
+                                    64)).alias("chunk_md5")))
+    # max_df occupancy valve, ONE-EXCHANGE form (r10 verdict task #5):
+    # the r10 semi-join leg recomputed the whole chunk/md5 scan a
+    # second time (0.63 -> 1.1 s at sf0.1). Instead, ONE repartition on
+    # the digest up front; every downstream step — the (doc, digest)
+    # dedupe, the df <= 500 window valve, and the per-digest bucket
+    # group — clusters on chunk_md5, so Catalyst plans them all inside
+    # that single exchange. Pairs then expand from the per-digest
+    # sorted id array (bounded at 500 ids -> <= C(500,2) structs, JVM
+    # expression, no self-join legs). The window frame is unbounded-
+    # over-partition, which WindowExec buffers spill-safely even on a
+    # degenerate hot digest — unlike a collect_set-first plan, the
+    # valve never sees an uncapped array. Oracle applies the same
+    # HAVING COUNT(*) <= 500.
+    from pyspark.sql.window import Window
+    kept = (ch
+            .repartition(F.col("chunk_md5"))
+            .dropDuplicates(["doc_id", "chunk_md5"])
+            .withColumn("_df", F.count(F.lit(1))
+                        .over(Window.partitionBy("chunk_md5")))
+            .where(F.col("_df") <= 500))
+    pair = F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS a_id, b AS b_id))))")).alias("p")
+    return (kept.groupBy("chunk_md5")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(pair)
+            .groupBy(F.col("p.a_id").alias("a_id"),
+                     F.col("p.b_id").alias("b_id"))
             .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
             .where(F.col("n_shared_chunks") >= 2))
 
