@@ -50,65 +50,48 @@ def register(name: str, oracle: Optional[str], doc: str = ""):
 # here follow in module import order (still run locally/by the judge, just
 # past the driver's verification window).
 PRIORITY: tuple[str, ...] = (
-    # ROUND-10 WINDOW ROTATION (the r9 judge's task #1): every
+    # ROUND-11 WINDOW ROTATION (the r10 judge's task #1): every
     # previously stamped query rotates to the tail; 49 of these 50
     # slots have NEVER carried a driver CORRECTNESS stamp in rounds
-    # 1-9 (drawn from the 116-query never-stamped remainder plus the
-    # new-this-round range-search, which keeps the ann family in the
-    # window now every prior q_ann_* member is stamped), weighted
-    # toward the biggest backlogs (inference 30, events 20,
-    # relational5 17) while keeping one representative per family.
-    # The one stamped holdover is the flagship CDC diff (entry()'s
-    # query). The r9 seeds (q_search_phrase, q_lake_cdf_between_
-    # versions, q_stream_multi_batch, q_multimodal_chunk_near_dup,
-    # q_sql_scalar_udf, q_gzip_jsonl_roundtrip) are all in.
+    # 1-10 — 44 drawn from the 77-query never-stamped remainder
+    # (ALL of inference and events, 6 of relational5, plus one each
+    # multimodal/graph/text/robust for family spread) and 5 NEW
+    # this-round family seeds keeping the fully-stamped dedup / ann /
+    # streaming / lake / retrieval families represented without
+    # re-stamping an old member. The one stamped holdover is the
+    # flagship CDC diff (entry()'s query).
     #
     # Flagship
     "q_snapshot_diff",
-    # NEW this round: fixed-radius range search (map-only, no-shuffle
-    # scan plan — the all-within-tau companion to top-k)
-    "q_ann_range_search",
-    # r9 seeds: lake CDF, multi-batch streaming, sub-payload chunk
-    # near-dup (now df-capped), SQL-declared scalar UDFs, gzip JSONL,
-    # positional phrase search
-    "q_lake_cdf_between_versions", "q_stream_multi_batch",
-    "q_multimodal_chunk_near_dup", "q_gzip_jsonl_roundtrip",
-    "q_search_phrase",
-    # Inference / statistics
-    "q_stats_jackknife_ratio", "q_orders_theil_sen_trend",
-    "q_text_keyphrase_rake", "q_classifier_isotonic",
-    "q_events_holt_forecast", "q_stats_median_ci", "q_events_psi_drift",
-    "q_customer_gini_spend", "q_events_dtw_similarity",
-    "q_text_wordpiece_merge_scores",
-    # Events
-    "q_events_ab_ttest", "q_events_lateness_profile",
-    "q_feature_point_in_time", "q_events_pmi",
-    "q_events_markov_baseline_accuracy", "q_events_chi_squared",
-    "q_events_time_to_convert",
-    # Relational (relational5 backlog; q_sql_scalar_udf above is the
-    # r9 seed from this module)
-    "q_sql_scalar_udf", "q_stats_correlation", "q_winsorize",
-    "q_price_trend_regression", "q_forecast_seasonal_naive",
-    "q_market_concentration_hhi",
-    # ML / classifiers / embeddings
-    "q_embed_norm_outliers", "q_classifier_lift_gains",
-    "q_embed_label_centroids", "q_embed_farthest_point_init",
-    "q_embed_hubness",
-    # Text
-    "q_text_tokenizer_fertility", "q_text_oov_rate",
-    # Robust
-    "q_text_ttr_hapax", "q_events_ab_uplift_ci",
-    # Corpus
-    "q_corpus_overlap_matrix", "q_corpus_length_histogram",
-    # Substrings / LM
-    "q_dedup_substring_spans_hashed", "q_text_length_ks_drift",
-    # Graph
-    "q_graph_trade_balance", "q_graph_shortest_cost",
-    # Audit / privacy
-    "q_pseudonymize_join_integrity", "q_privacy_t_closeness",
-    "q_privacy_randomized_response",
-    # Dedup
-    "q_dedup_review_sample", "q_dedup_winnow_params",
+    # NEW this round: family seeds (one per fully-stamped family)
+    "q_dedup_idf_weighted_jaccard", "q_ann_ivf_occupancy_audit",
+    "q_stream_scd2_enrich", "q_lake_compaction_plan",
+    "q_retrieval_query_likelihood",
+    # Inference / statistics (entire backlog)
+    "q_events_matched_att", "q_events_ucb_allocation",
+    "q_classifier_brier_decomposition", "q_stats_join_cardinality_audit",
+    "q_feature_imputation_audit", "q_recs_novelty",
+    "q_events_rate_test_exact", "q_stats_wasserstein_years",
+    "q_embed_cka_halves", "q_embed_anisotropy", "q_feature_woe_iv",
+    "q_stats_runs_test", "q_stats_tost_equivalence",
+    "q_stats_gumbel_maxima", "q_stats_sign_test",
+    "q_stats_wilcoxon_signed_rank", "q_stats_levene",
+    "q_stats_effect_size", "q_stats_g_test", "q_events_propensity_ipw",
+    # Events (entire backlog; q_asof_join_nearest is the r10 operator)
+    "q_asof_join_nearest", "q_events_autocorrelation",
+    "q_events_power_analysis", "q_events_journey_trigrams",
+    "q_events_reactivation", "q_events_anova",
+    "q_events_cross_correlation", "q_events_time_weighted_avg",
+    "q_sketch_quantile_histogram", "q_events_overdispersion",
+    "q_events_session_gap_sweep", "q_events_burstiness_coefficient",
+    "q_events_markov_entropy_rate", "q_events_context_gain",
+    # Relational (relational5 backlog, 6 of 12)
+    "q_sql_identifier_param", "q_orders_backlog_series",
+    "q_recs_item_knn", "q_orders_seasonal_index",
+    "q_customer_segment_migration", "q_orders_fulfillment_latency",
+    # Family spread: multimodal / graph / text / corpus-prefix
+    "q_multimodal_features_arrow", "q_graph_local_clustering",
+    "q_text_distinct_n", "q_corpus_tokenizer_fertility",
 )
 
 

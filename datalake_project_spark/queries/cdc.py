@@ -2025,3 +2025,83 @@ def q_lake_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total long, n_erased long, n_after long, "
         "absent_in_table boolean, absent_on_disk boolean, "
         "versions_after int")
+
+
+@register(
+    "q_lake_compaction_plan",
+    oracle="""
+    WITH frag AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               CAST((EXTRACT(day FROM o_orderdate) - 1) // 7 AS BIGINT)
+                   AS wk,
+               COUNT(*) AS n_rows
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2),
+    packed AS (
+        SELECT month, wk, n_rows,
+               COALESCE(SUM(n_rows) OVER (
+                   PARTITION BY month ORDER BY wk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM frag)
+    SELECT month, CAST(cum_before // 400 AS BIGINT) AS bucket,
+           COUNT(*) AS n_frags,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_out,
+           MIN(wk) AS first_wk, MAX(wk) AS last_wk,
+           ROUND(SUM(n_rows)::DOUBLE / 400.0, 4) AS fill_ratio
+    FROM packed
+    GROUP BY month, CAST(cum_before // 400 AS BIGINT)
+    ORDER BY month, bucket
+    """,
+    doc="Compaction (OPTIMIZE bin-packing) PLANNER — the maintenance "
+        "step between q_file_inventory's listing and q_compact_"
+        "roundtrip's rewrite, and the lake member of the planner-"
+        "receipt family (q_dedup_dfcap_planner's discipline: plan "
+        "from the stats relation alone, never by moving data). Input "
+        "is the per-partition fragment histogram (partition=month, "
+        "fragment=week-of-month, n_rows) — the shape a ManifestLake "
+        "entry-stats scan or an Iceberg manifest yields for a "
+        "fragmented 1995 orders table; here it derives "
+        "deterministically from the rows so every packed bucket is "
+        "value-checked. The pack is the standard cumulative-sum "
+        "first-fit: fragments orderered within their partition, "
+        "bucket = floor(cumsum-before / target_rows=400) — one "
+        "window + one groupBy, both keyed by the PARTITION column, "
+        "so at 100 TB the plan costs one manifest-scale pass with no "
+        "cross-partition shuffle wider than the file-stats relation. "
+        "A fragment larger than the target keeps its own bucket "
+        "(first-fit never splits a file); fill_ratio flags both "
+        "under-filled tails and oversize buckets for the executor "
+        "(compact() / rewrite) to act on.",
+)
+def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (Catalog(spark, sf_dir).table("orders")
+         .where((F.col("o_orderdate") >= F.lit("1995-01-01")
+                 .cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01")
+                   .cast("timestamp"))))
+    frag = (o.select(
+                F.date_format(F.date_trunc("month", "o_orderdate"),
+                              "yyyy-MM").alias("month"),
+                ((F.dayofmonth("o_orderdate") - 1).cast("long") / 7)
+                .cast("long").alias("wk"))
+            .groupBy("month", "wk")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = (Window.partitionBy("month").orderBy("wk")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = frag.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+    return (packed
+            .groupBy("month",
+                     (F.col("cum_before") / 400).cast("long")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_frags"),
+                 F.sum("n_rows").alias("rows_out"),
+                 F.min("wk").alias("first_wk"),
+                 F.max("wk").alias("last_wk"),
+                 F.round(F.sum("n_rows").cast("double") / 400.0, 4)
+                 .alias("fill_ratio"))
+            .orderBy("month", "bucket"))

@@ -1479,3 +1479,85 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "hamming16",
                     (F.col("hamming16") <= 3).alias("near_dup"))
             .orderBy("a_id", "b_id"))
+
+
+@register(
+    "q_dedup_idf_weighted_jaccard",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS shingles
+        FROM words WHERE len(ws) >= 3),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    n AS (SELECT COUNT(*) AS n_docs FROM sh),
+    idf AS (
+        SELECT s, ln(n.n_docs::DOUBLE / COUNT(*)::DOUBLE) AS idf
+        FROM inv, n GROUP BY s, n.n_docs
+        HAVING COUNT(*) <= 500),
+    wv AS (SELECT inv.doc_id, inv.s, idf.idf
+           FROM inv JOIN idf USING (s)),
+    docw AS (SELECT doc_id, SUM(idf) AS w FROM wv GROUP BY doc_id),
+    iw AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.idf) AS iw
+        FROM wv a JOIN wv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT iw.a_id, iw.b_id,
+           ROUND(iw.iw / (wa.w + wb.w - iw.iw), 4) AS w_jaccard
+    FROM iw
+    JOIN docw wa ON wa.doc_id = iw.a_id
+    JOIN docw wb ON wb.doc_id = iw.b_id
+    WHERE iw.iw / (wa.w + wb.w - iw.iw) >= 0.5
+    ORDER BY a_id, b_id
+    """,
+    doc="IDF-WEIGHTED Jaccard near-dup pairs: sim(A,B) = "
+        "sum(idf over A∩B) / sum(idf over A∪B) with idf(s) = "
+        "ln(N/df(s)) over 3-gram shingles — the weighted-set member "
+        "of the dedup family (unweighted Jaccard, containment, "
+        "MinHash, SimHash are all unweighted). Two docs sharing RARE "
+        "content score high even when their boilerplate differs, and "
+        "two docs sharing only corpus-common chrome score ~0 — the "
+        "signal plain Jaccard dilutes in both directions. Same "
+        "inverted-index plan as q_dedup_ngram_jaccard (self-join on "
+        "xxhash64'd shingle keys; df and hence idf are preserved "
+        "under hashing), with the standard max_df=500 occupancy valve "
+        "defining the similarity over the capped vocabulary on BOTH "
+        "engines, so the valve is part of the spec, not a recall "
+        "leak. Intersection weight rides the index join (SUM(idf) "
+        "per pair); per-doc total weight is one groupBy off the same "
+        "checkpointed index — one corpus pass, cost ~ sum(df^2) over "
+        "kept shingles, never n^2.",
+)
+def q_dedup_idf_weighted_jaccard(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    sh = D._doc_shingles(Catalog(spark, sf_dir).table("documents"),
+                         "doc_id", "text", 3)
+    inv = (sh.select("_id", F.explode(
+               F.transform("_shingles", lambda s: F.xxhash64(s)))
+               .alias("_s"))
+           .localCheckpoint(eager=False))
+    n_docs = sh.select(F.count(F.lit(1)).alias("_n"))
+    idf = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") <= 500)
+           .crossJoin(F.broadcast(n_docs))
+           .select("_s", F.log(F.col("_n").cast("double")
+                               / F.col("_df").cast("double")).alias("_idf")))
+    wv = inv.join(idf, "_s")
+    docw = wv.groupBy("_id").agg(F.sum("_idf").alias("_w"))
+    a = wv.select(F.col("_id").alias("a_id"), "_s", "_idf")
+    b = wv.select(F.col("_id").alias("b_id"), "_s")
+    iw = (a.join(b, "_s")
+          .where(F.col("a_id") < F.col("b_id"))
+          .groupBy("a_id", "b_id").agg(F.sum("_idf").alias("_iw")))
+    wa = docw.select(F.col("_id").alias("a_id"), F.col("_w").alias("_wa"))
+    wb = docw.select(F.col("_id").alias("b_id"), F.col("_w").alias("_wb"))
+    sim = F.col("_iw") / (F.col("_wa") + F.col("_wb") - F.col("_iw"))
+    return (iw.join(wa, "a_id").join(wb, "b_id")
+            .where(sim >= 0.5)
+            .select("a_id", "b_id", F.round(sim, 4).alias("w_jaccard"))
+            .orderBy("a_id", "b_id"))

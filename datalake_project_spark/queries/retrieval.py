@@ -774,3 +774,76 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.min("pos").cast("long").alias("first_pos"))
             .orderBy(F.desc("n_occurrences"), "doc_id").limit(10))
+
+
+MU = 2000.0  # Dirichlet prior mass (Zhai & Lafferty 2001's default range)
+
+
+@register(
+    "q_retrieval_query_likelihood",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tot AS (SELECT SUM(len(toks))::DOUBLE AS ctoks FROM tok),
+    cf AS (
+        SELECT t AS term, COUNT(*)::DOUBLE AS cf
+        FROM (SELECT unnest(toks) AS t FROM tok)
+        WHERE t IN ({_TERMS_SQL}) GROUP BY t),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM (SELECT doc_id, unnest(toks) AS t, len(toks) AS dl FROM tok)
+        WHERE t IN ({_TERMS_SQL})
+        GROUP BY doc_id, t),
+    cand AS (SELECT doc_id, ANY_VALUE(dl) AS dl FROM tf GROUP BY doc_id),
+    scored AS (
+        SELECT g.doc_id,
+               SUM(ln((COALESCE(tf.tf, 0) + {MU} * g.cf / t.ctoks)
+                      / (g.dl + {MU}))) AS s
+        FROM (SELECT c.doc_id, c.dl, f.term, f.cf
+              FROM cand c CROSS JOIN cf f) g
+        LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term,
+        tot t
+        GROUP BY g.doc_id)
+    SELECT doc_id, ROUND(s, 4) + 0.0 AS ql
+    FROM scored ORDER BY ql DESC, doc_id LIMIT 10
+    """,
+    doc="Query-likelihood retrieval with DIRICHLET smoothing (Zhai & "
+        "Lafferty 2001), mu=2000 — the language-model ranking family "
+        "next to q_text_bm25_topk's probabilistic-IR one: score(d) = "
+        "sum over query terms of log((tf + mu*P(t|C)) / (dl + mu)), "
+        "where P(t|C) is the collection unigram model, so a doc "
+        "missing a query term still pays the smoothed background "
+        "cost instead of multiplying in a zero. Candidates are docs "
+        "containing >= 1 probe term (the inverted-index probe BM25 "
+        "uses; the 3-term query grid is a bounded x3 broadcast "
+        "fanout over that candidate set, never the corpus), collection "
+        "stats are two broadcast scalars, and the top-10 is "
+        "TakeOrderedAndProject over the ROUNDED score with doc_id "
+        "tie-break — the same total-order discipline as every top-k "
+        "oracle in the engine.",
+)
+def q_retrieval_query_likelihood(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select("doc_id", T.tokens("text").alias("toks"))
+    tok = tok.select("doc_id", "toks", F.size("toks").alias("dl"))
+    tot = tok.agg(F.sum("dl").cast("double").alias("ctoks"))
+    terms = (tok.select(F.explode("toks").alias("term"))
+             .where(F.col("term").isin(*PROBE_TERMS)))
+    cf = terms.groupBy("term").agg(F.count(F.lit(1)).cast("double")
+                                   .alias("cf"))
+    tf = (tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+          .where(F.col("term").isin(*PROBE_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"),
+               F.any_value("dl").alias("dl")))
+    cand = tf.groupBy("doc_id").agg(F.any_value("dl").alias("dl"))
+    grid = cand.crossJoin(F.broadcast(cf))  # bounded x|Q| fanout
+    term_s = F.log((F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + MU * F.col("cf") / F.col("ctoks"))
+                   / (F.col("dl").cast("double") + MU))
+    return (grid.join(tf.select("doc_id", "term", "tf"),
+                      ["doc_id", "term"], "left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(term_s), 4).alias("ql"))
+            .orderBy(F.desc("ql"), "doc_id").limit(10))

@@ -1049,3 +1049,68 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         z("hits_multi").alias("hits_multi"),
         (z("hits_multi") >= z("hits_single")).alias("multiprobe_dominates"))
         .orderBy("query_id"))
+
+
+@register(
+    "q_ann_ivf_occupancy_audit",
+    oracle="""
+    WITH """ + _PORTABLE_CTES + """,
+    cells AS (SELECT vec_id, code AS cell FROM codes WHERE band = 0),
+    occ AS (SELECT cell, COUNT(*) AS sz FROM cells GROUP BY cell),
+    ranked AS (SELECT cell, sz,
+                      ROW_NUMBER() OVER (ORDER BY sz DESC, cell ASC) AS r
+               FROM occ)
+    SELECT COUNT(*)::BIGINT AS n_cells_occupied,
+           CAST(SUM(sz) AS BIGINT) AS n_vectors,
+           CAST(MAX(sz) AS BIGINT) AS max_cell,
+           CAST(MIN(sz) AS BIGINT) AS min_cell,
+           ROUND(MAX(sz)::DOUBLE * 16.0 / SUM(sz)::DOUBLE, 4)
+               AS imbalance,
+           CAST(SUM(CASE WHEN r <= 4 THEN sz ELSE 0 END) AS BIGINT)
+               AS worst_probe_rows,
+           ROUND(SUM(CASE WHEN r <= 4 THEN sz ELSE 0 END)::DOUBLE
+                 / SUM(sz)::DOUBLE, 4) AS worst_probe_frac
+    FROM ranked
+    """,
+    doc="IVF index-build BALANCE audit — the ANN member of the "
+        "engine's valve-receipt family (q_dedup_dfcap_planner, "
+        "q_multimodal_dhash_valve_audit): the cell-occupancy profile "
+        "of the 16-cell portable coarse quantizer (band-0 LCG sign "
+        "code, the q_ann_ivf_portable assignment — pure integer "
+        "arithmetic, so every count is bit-identical across engines), "
+        "the imbalance factor max_cell/(N/16), and the worst-case "
+        "4-probe scan mass (sum of the 4 largest cells) against the "
+        "uniform ideal of 4/16. This is the number a 100 TB index "
+        "build must check BEFORE shipping: partition-pruned probes "
+        "only deliver their n_probe/n_cells scan bound when occupancy "
+        "is balanced, and a skewed quantizer shows up here as "
+        "worst_probe_frac >> 0.25 from the frequency table alone — "
+        "never by materializing probe results. The top-4 mass is a "
+        "TakeOrdered over at most 16 cell rows + broadcast scalar "
+        "join, not a global window.",
+)
+def q_ann_ivf_occupancy_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings")
+    cells = (_portable_band_codes(spark, _portable_bits(spark, e))
+             .where(F.col("band") == 0)
+             .select("vec_id", F.col("code").alias("cell")))
+    occ = (cells.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+           .localCheckpoint(eager=False))  # <=16 rows, feeds both aggs
+    totals = occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_occupied"),
+        F.sum("sz").cast("long").alias("n_vectors"),
+        F.max("sz").cast("long").alias("max_cell"),
+        F.min("sz").cast("long").alias("min_cell"))
+    top4 = (occ.orderBy(F.desc("sz"), F.asc("cell")).limit(4)
+            .agg(F.sum("sz").cast("long").alias("worst_probe_rows")))
+    return (totals.crossJoin(F.broadcast(top4))
+            .select("n_cells_occupied", "n_vectors", "max_cell",
+                    "min_cell",
+                    F.round(F.col("max_cell").cast("double") * 16.0
+                            / F.col("n_vectors").cast("double"), 4)
+                    .alias("imbalance"),
+                    "worst_probe_rows",
+                    F.round(F.col("worst_probe_rows").cast("double")
+                            / F.col("n_vectors").cast("double"), 4)
+                    .alias("worst_probe_frac")))

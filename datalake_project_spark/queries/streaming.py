@@ -765,3 +765,77 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "event_type", "n_events", "n_hours", "total_value",
                        "peak_hour_events")
     return run_available_now(out, "append")
+
+
+@register(
+    "q_stream_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS user_id, 1 AS version,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '2024-01-16 00:00:00' AS valid_to,
+               CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'standard' END
+                   AS tier
+        FROM customer WHERE c_custkey <= 150
+        UNION ALL
+        SELECT c_custkey, 2,
+               TIMESTAMP '2024-01-16 00:00:00',
+               TIMESTAMP '2024-02-01 00:00:00',
+               CASE WHEN c_acctbal >= 2500 THEN 'high' ELSE 'standard' END
+        FROM customer WHERE c_custkey <= 150)
+    SELECT CAST(d.version AS BIGINT) AS version, d.tier,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.version, d.tier
+    """,
+    doc="Streaming POINT-IN-TIME enrichment against an SCD2 dimension "
+        "— the temporal upgrade of q_stream_static_join's current-"
+        "snapshot join: the customer-tier dim carries two validity-"
+        "bounded versions (a mid-month re-segmentation at 2024-01-16 "
+        "lowers the 'high' threshold 5000 -> 2500), and each event "
+        "joins the version whose [valid_from, valid_to) interval "
+        "contains its EVENT time, not the dim's latest state — the "
+        "as-of discipline q_feature_point_in_time proves in batch, "
+        "here on the always-on path. The static side is broadcast per "
+        "micro-batch with the range predicate evaluated inside the "
+        "broadcast hash join on the user_id equality (never a "
+        "nested-loop: the equi-key anchors the join, the interval is "
+        "a post-filter), so the stream shuffles only for the final "
+        "aggregate. availableNow drain in complete mode equals the "
+        "batch temporal join exactly.",
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.catalog import Catalog
+
+    ev = events_stream(spark, sf_dir)
+    cust = (Catalog(spark, sf_dir).table("customer")
+            .where(F.col("c_custkey") <= 150))
+    versions = F.explode(F.array(
+        F.struct(F.lit(1).cast("long").alias("version"),
+                 F.lit("2024-01-01 00:00:00").cast("timestamp")
+                 .alias("valid_from"),
+                 F.lit("2024-01-16 00:00:00").cast("timestamp")
+                 .alias("valid_to"),
+                 F.when(F.col("c_acctbal") >= 5000, "high")
+                 .otherwise("standard").alias("tier")),
+        F.struct(F.lit(2).cast("long").alias("version"),
+                 F.lit("2024-01-16 00:00:00").cast("timestamp")
+                 .alias("valid_from"),
+                 F.lit("2024-02-01 00:00:00").cast("timestamp")
+                 .alias("valid_to"),
+                 F.when(F.col("c_acctbal") >= 2500, "high")
+                 .otherwise("standard").alias("tier")))).alias("v")
+    dim = (cust.select(F.col("c_custkey").alias("user_id"), versions)
+           .select("user_id", "v.version", "v.valid_from", "v.valid_to",
+                   "v.tier"))
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev["user_id"] == dim["user_id"])
+        & (ev["ts"] >= dim["valid_from"]) & (ev["ts"] < dim["valid_to"]))
+    agg = (joined.groupBy("version", "tier")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    return run_available_now(agg, "complete")
