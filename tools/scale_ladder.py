@@ -119,6 +119,14 @@ PANEL = [
     "q_stream_stream_join",
     "q_embed_intrinsic_dimension",
     "q_dedup_resolved_by_quality",
+    # r11: the two r10 operators with data-dependent output (r10
+    # verdict task #6) — the nearest as-of join must keep its window
+    # keyed by user_id (candidates replicate xF under the disjoint
+    # per-copy user offsets), and the fixed-radius range search must
+    # stay a zero-exchange probe-broadcast scan whose only growth is
+    # the result set.
+    "q_asof_join_nearest",
+    "q_ann_range_search",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
@@ -340,13 +348,32 @@ def _stage_totals(api: str) -> dict[str, int]:
     return out
 
 
+def drain(df) -> int:
+    """Materialize EVERY output column (one JVM hash-agg), returning the
+    row count. A bare ``count()`` lets Catalyst prune unreferenced
+    columns — for attach-a-column shapes (left-join as-of: output rows =
+    left rows regardless of match) that deletes the window/join work
+    entirely and the 'measurement' reads 59 bytes of shuffle for a plan
+    whose real exchange is megabytes. Hashing a struct of all columns
+    pins the full delivered plan; for aggregate-shaped queries the added
+    cost is one expression over an already-computed result."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # XOR fold, not SUM: summing 2^63-scale hashes overflows under
+        # ANSI mode; XOR is closed over long and still pins every column
+        F.expr("bit_xor(xxhash64(struct(*)))").alias("h")).collect()[0]
+    return row["n"]
+
+
 def run_panel(spark, api: str, registry, sf_dir: str,
               names: list[str]) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for name in names:
         before = _stage_totals(api)
         t0 = time.perf_counter()
-        n = registry[name].fn(spark, sf_dir).count()
+        n = drain(registry[name].fn(spark, sf_dir))
         dt = round(time.perf_counter() - t0, 3)
         after = _stage_totals(api)
         delta = {f: after[f] - before[f] for f in FIELDS}
@@ -409,13 +436,13 @@ def main() -> int:
     # exponent down (or negative) — the same discipline bench.py applies.
     print("# warmup pass (untimed)", file=sys.stderr, flush=True)
     for name in names:
-        registry[name].fn(spark, args.base).count()
+        drain(registry[name].fn(spark, args.base))
 
     r1 = run_panel(spark, api, registry, args.base, names)
     for name in sorted(WARMUP_AT_FX & set(names)):
         print(f"# Fx build warmup (untimed): {name}",
               file=sys.stderr, flush=True)
-        registry[name].fn(spark, scaled).count()
+        drain(registry[name].fn(spark, scaled))
     rF = run_panel(spark, api, registry, scaled, names)
 
     rows = []
