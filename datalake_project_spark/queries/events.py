@@ -3447,3 +3447,103 @@ def q_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").cast("long").alias("n_users"),
                  F.round(F.sum("value"), 2).alias("total_value"))
             .orderBy("campaign"))
+
+
+@register(
+    "q_events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               ts AS s,
+               LEAST(ts + INTERVAL 15 MINUTE,
+                     date_trunc('day', ts) + INTERVAL 1 DAY) AS e
+        FROM events WHERE event_type = 'click'),
+    pts AS (
+        SELECT day, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, e AS t, -1 AS delta FROM iv),
+    sweep AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS conc
+        FROM pts)
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY day ORDER BY day
+    """,
+    doc="Peak CONCURRENCY per day by sweep-line: every click opens a "
+        "15-minute presence interval (clipped at midnight so each "
+        "day's sweep is self-contained), intervals become +1/-1 "
+        "boundary points, and the running sum's maximum is the "
+        "highest number of simultaneously-open intervals — the "
+        "capacity-planning number sessionize's per-user view cannot "
+        "give. Half-open intervals pin the tie order (an end at time "
+        "t sorts before a start at t, so touching intervals never "
+        "count as concurrent) — deterministic in both engines. The "
+        "sweep window is PARTITIONED BY DAY, never global: at 100 TB "
+        "each day's boundary points sort within their partition, and "
+        "the midnight clip is exactly what makes that partitioning "
+        "sound (an unclipped interval would need cross-partition "
+        "carry state).",
+)
+def q_events_peak_concurrency(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    iv = (e.where(F.col("event_type") == "click")
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"),
+                  F.col("ts").alias("s"),
+                  F.least(F.col("ts") + F.expr("INTERVAL 15 MINUTES"),
+                          F.date_trunc("day", "ts")
+                          + F.expr("INTERVAL 1 DAY")).alias("e")))
+    pts = (iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta"))
+           .unionByName(iv.select("day", F.col("e").alias("t"),
+                                  F.lit(-1).alias("delta"))))
+    w = (Window.partitionBy("day").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (pts.withColumn("conc", F.sum("delta").over(w))
+            .groupBy("day")
+            .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+            .orderBy("day"))
+
+
+@register(
+    "q_events_hour_dow_profile",
+    oracle="""
+    SELECT CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(COUNT(*)::DOUBLE
+                 / (SELECT COUNT(*) FROM events)::DOUBLE, 6) AS frac
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 10
+    ORDER BY dow, hour
+    """,
+    doc="Hour-of-day x day-of-week traffic PROFILE — the seasonality "
+        "fingerprint (168 cells max) that q_events_seasonal_decompose "
+        "reads one axis of and every anomaly baseline conditions on. "
+        "ISO day numbering (Mon=1) pinned identically on both "
+        "engines; the >= 10 support floor keeps the profile "
+        "publishable under the same small-cell discipline as the "
+        "privacy queries. One groupBy of extracted keys — map-side "
+        "combinable to 168 partial cells per task, so the shuffle is "
+        "constant-width no matter the corpus size; the corpus total "
+        "rides the same pass as a broadcast scalar.",
+)
+def q_events_hour_dow_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    tot = e.agg(F.count(F.lit(1)).alias("_tot"))
+    return (e.groupBy(F.dayofweek("ts").alias("_dw"),
+                      F.hour("ts").cast("long").alias("hour"))
+            # Spark dayofweek: Sun=1..Sat=7 -> ISO Mon=1..Sun=7
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .where(F.col("n_events") >= 10)
+            .crossJoin(F.broadcast(tot))
+            .select(((F.col("_dw") + 5) % 7 + 1).cast("long").alias("dow"),
+                    "hour", "n_events",
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("_tot").cast("double"), 6).alias("frac"))
+            .orderBy("dow", "hour"))

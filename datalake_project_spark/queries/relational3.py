@@ -540,3 +540,59 @@ def q_window_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
                                AND CURRENT ROW)
     """)
+
+
+@register(
+    "q_window_distinct_running",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1),
+    firstm AS (
+        SELECT o_custkey,
+               MIN(strftime(date_trunc('month', o_orderdate), '%Y-%m'))
+                   AS first_month
+        FROM orders GROUP BY 1),
+    news AS (
+        SELECT first_month AS month, COUNT(*) AS n_new
+        FROM firstm GROUP BY 1)
+    SELECT m.month, m.n_orders,
+           COALESCE(CAST((SELECT SUM(n.n_new) FROM news n
+                          WHERE n.month <= m.month) AS BIGINT), 0)
+               AS running_distinct_customers
+    FROM m ORDER BY m.month
+    """,
+    doc="Running DISTINCT-customer count per order month — the "
+        "COUNT(DISTINCT) OVER (ORDER BY month) window SQL defines "
+        "but Spark does not implement. The scalable rewrite is the "
+        "first-seen identity: a customer enters the running distinct "
+        "count exactly once, in their FIRST month, so the expanding "
+        "distinct count equals the cumulative sum of new-customer "
+        "arrivals — two keyed aggregates (per-month orders, per-"
+        "customer min month) and a cumulative fold over the BOUNDED "
+        "month table (~84 rows), done as a broadcast <=-self-join "
+        "rather than an empty-partition-spec window (the engine's "
+        "standing discipline). At 100 TB the expensive parts stay "
+        "map-side-combinable groupBys on o_custkey / month; nothing "
+        "corpus-sized ever sorts globally — the naive dense_rank-"
+        "over-everything workaround would.",
+)
+def q_window_distinct_running(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+    m = (o.groupBy(month.alias("month"))
+         .agg(F.count(F.lit(1)).alias("n_orders")))
+    firstm = (o.groupBy("o_custkey")
+              .agg(F.min(month).alias("first_month")))
+    news = (firstm.groupBy(F.col("first_month").alias("nm"))
+            .agg(F.count(F.lit(1)).alias("n_new")))
+    return (m.join(F.broadcast(news), F.col("nm") <= F.col("month"),
+                   "left")
+            .groupBy("month")
+            .agg(F.any_value("n_orders").alias("n_orders"),
+                 F.coalesce(F.sum("n_new"), F.lit(0)).cast("long")
+                 .alias("running_distinct_customers"))
+            .orderBy("month"))

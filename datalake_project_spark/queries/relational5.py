@@ -2981,3 +2981,68 @@ def q_linkage_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_nation_pairs").cast("double")
                             / F.col("n_candidates"), 2)
                     .alias("reduction_x")))
+
+
+@register(
+    "q_segment_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               SUM(o.o_totalprice) AS rev
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT segment, c_custkey, rev,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY rev DESC, c_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY segment) AS n,
+               SUM(rev) OVER (PARTITION BY segment) AS seg_rev
+        FROM rev)
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(SUM(CASE WHEN rk <= CEIL(n * 0.2) THEN rev
+                          ELSE 0 END) / MAX(seg_rev), 4) AS top20_share,
+           ROUND(MAX(CASE WHEN rk = 1 THEN rev ELSE 0 END)
+                 / MAX(seg_rev), 4) AS top1_share
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="Revenue CONCENTRATION per market segment — the Pareto "
+        "receipt next to q_customer_gini_spend's single coefficient: "
+        "what share of a segment's revenue its top-20%% (and single "
+        "top) customers carry, with the (revenue DESC, custkey) rank "
+        "pinned as a total order. Every window is PARTITIONED BY "
+        "SEGMENT — concentration is a within-partition prefix "
+        "question, so the plan is one join-aggregate plus keyed "
+        "windows sharing one exchange, no global sort and no "
+        "empty-partition-spec window anywhere; at 100 TB each "
+        "segment's customer list sorts inside its own partition "
+        "(salt a mega-segment before the window if one ever "
+        "dominates).",
+)
+def q_segment_revenue_concentration(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    rev = (c.join(o, o["o_custkey"] == c["c_custkey"])
+           .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+           .agg(F.sum("o_totalprice").alias("rev")))
+    wseg = Window.partitionBy("segment")
+    ranked = (rev
+              .withColumn("rk", F.row_number().over(
+                  wseg.orderBy(F.desc("rev"), "c_custkey")))
+              .withColumn("n", F.count(F.lit(1)).over(wseg))
+              .withColumn("seg_rev", F.sum("rev").over(wseg)))
+    return (ranked.groupBy("segment")
+            .agg(F.max("n").cast("long").alias("n_customers"),
+                 F.round(F.sum(F.when(
+                     F.col("rk") <= F.ceil(F.col("n") * 0.2),
+                     F.col("rev")).otherwise(0.0))
+                     / F.max("seg_rev"), 4).alias("top20_share"),
+                 F.round(F.max(F.when(F.col("rk") == 1, F.col("rev"))
+                               .otherwise(0.0))
+                         / F.max("seg_rev"), 4).alias("top1_share"))
+            .orderBy("segment"))
