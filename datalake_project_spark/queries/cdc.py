@@ -2105,3 +2105,104 @@ def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("n_rows").cast("double") / 400.0, 4)
                  .alias("fill_ratio"))
             .orderBy("month", "bucket"))
+
+
+@register(
+    "q_cdc_update_column_profile",
+    oracle="""
+    WITH s95 AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               COUNT(DISTINCT strftime(date_trunc('month', o_orderdate),
+                                       '%Y-%m')) AS n_months,
+               MAX(o_orderpriority) AS max_priority,
+               MAX(strftime(date_trunc('month', o_orderdate), '%Y-%m'))
+                   AS last_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1),
+    s96 AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+               COUNT(DISTINCT strftime(date_trunc('month', o_orderdate),
+                                       '%Y-%m')) AS n_months,
+               MAX(o_orderpriority) AS max_priority,
+               MAX(strftime(date_trunc('month', o_orderdate), '%Y-%m'))
+                   AS last_month
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1),
+    j AS (SELECT a.custkey,
+                 a.n_orders AS a1, b.n_orders AS b1,
+                 a.n_months AS a2, b.n_months AS b2,
+                 a.max_priority AS a3, b.max_priority AS b3,
+                 a.last_month AS a4, b.last_month AS b4
+          FROM s95 a JOIN s96 b USING (custkey))
+    SELECT col, n_changed, n_compared,
+           ROUND(n_changed::DOUBLE / n_compared::DOUBLE, 4) AS frac
+    FROM (
+        SELECT 'n_orders' AS col,
+               CAST(SUM(CASE WHEN a1 <> b1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed, COUNT(*) AS n_compared FROM j
+        UNION ALL
+        SELECT 'n_months',
+               CAST(SUM(CASE WHEN a2 <> b2 THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) FROM j
+        UNION ALL
+        SELECT 'max_priority',
+               CAST(SUM(CASE WHEN a3 <> b3 THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) FROM j
+        UNION ALL
+        SELECT 'last_month',
+               CAST(SUM(CASE WHEN a4 <> b4 THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*) FROM j)
+    ORDER BY col
+    """,
+    doc="Column-level UPDATE profile between two snapshots — the CDC "
+        "observability layer above q_snapshot_diff's row-level "
+        "added/deleted: for keys present in BOTH years' customer-"
+        "activity snapshots, how many rows changed EACH attribute "
+        "(order count, active-month count, max priority, last active "
+        "month) — the 'what actually drifts' receipt that sizes an "
+        "SCD2 dimension's churn per column before anyone builds it. "
+        "All compared attributes are integers/strings, so the change "
+        "flags are bit-exact across engines. One inner join of two "
+        "keyed aggregates; the per-column fold is an explode over a "
+        "4-element literal array (constant width), aggregated "
+        "map-side to 4 cells — nothing row-scale crosses the wire "
+        "after the join.",
+)
+def q_cdc_update_column_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+
+    def snap(year: int) -> DataFrame:
+        return (o.where(
+                    (F.col("o_orderdate")
+                     >= F.lit(f"{year}-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate")
+                       < F.lit(f"{year + 1}-01-01").cast("timestamp")))
+                .groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.countDistinct(month).alias("n_months"),
+                     F.max("o_orderpriority").alias("max_priority"),
+                     F.max(month).alias("last_month")))
+
+    a, b = snap(1995).alias("a"), snap(1996).alias("b")
+    j = a.join(b, "custkey")
+    cols = ["n_orders", "n_months", "max_priority", "last_month"]
+    flags = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 (F.col(f"a.{c}") != F.col(f"b.{c}")).cast("int")
+                 .alias("chg"))
+        for c in cols])
+    return (j.select(F.explode(flags).alias("f"))
+            .groupBy(F.col("f.col").alias("col"))
+            .agg(F.sum("f.chg").cast("long").alias("n_changed"),
+                 F.count(F.lit(1)).alias("n_compared"))
+            .select("col", "n_changed", "n_compared",
+                    F.round(F.col("n_changed").cast("double")
+                            / F.col("n_compared").cast("double"), 4)
+                    .alias("frac"))
+            .orderBy("col"))

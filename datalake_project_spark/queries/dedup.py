@@ -1561,3 +1561,78 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
             .where(sim >= 0.5)
             .select("a_id", "b_id", F.round(sim, 4).alias("w_jaccard"))
             .orderBy("a_id", "b_id"))
+
+
+@register(
+    "q_dedup_bag_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        FROM documents),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    keep AS (SELECT t FROM tf GROUP BY t HAVING COUNT(*) <= 500),
+    tfk AS (SELECT tf.* FROM tf JOIN keep USING (t)),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfk GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               SUM(LEAST(a.tf, b.tf)) AS i
+        FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    bj AS (
+        SELECT a_id, b_id,
+               i::DOUBLE / (da.dl + db.dl - i)::DOUBLE AS bj
+        FROM inter
+        JOIN dl da ON da.doc_id = a_id
+        JOIN dl db ON db.doc_id = b_id)
+    SELECT a_id, b_id, ROUND(bj, 4) AS bag_jaccard
+    FROM bj WHERE bj >= 0.8
+    ORDER BY a_id, b_id
+    """,
+    doc="BAG (multiset) Jaccard near-dup pairs over word unigrams: "
+        "B(A,B) = sum min(tf_A, tf_B) / sum max(tf_A, tf_B), with "
+        "sum-max rewritten exactly as dl_A + dl_B - sum-min (max = "
+        "a + b - min summed over the union) so the pair aggregate "
+        "only ever sums the SHARED-token minima — the word-order-"
+        "insensitive member of the dedup family: it catches "
+        "shuffled/reordered rewrites that shingle-based Jaccard "
+        "misses (every 3-gram breaks) while still weighting repeated "
+        "words, which set semantics flatten. Same inverted-index "
+        "discipline as q_dedup_ngram_jaccard: per-(doc, xxhash64 "
+        "token) tf index, max_df=500 occupancy valve defining the "
+        "similarity over the capped vocabulary on BOTH engines "
+        "(unigram df is corpus-driven — 'the' would otherwise own a "
+        "sum-df^2 hot key), pair cost ~ sum df^2 over KEPT tokens. "
+        "Every similarity is a ratio of integers — hash-exact with "
+        "no float-order risk; only the display column rounds.",
+)
+def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import tokens
+
+    d = Catalog(spark, sf_dir).table("documents")
+    tf = (d.select("doc_id",
+                   F.explode(tokens("text")).alias("t"))
+          .select("doc_id", F.xxhash64("t").alias("t"))
+          .groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))  # one tokenize pass feeds all
+    keep = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= 500).select("t"))
+    tfk = tf.join(keep, "t", "left_semi").localCheckpoint(eager=False)
+    dl = tfk.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    a = tfk.select(F.col("doc_id").alias("a_id"), "t",
+                   F.col("tf").alias("tfa"))
+    b = tfk.select(F.col("doc_id").alias("b_id"), "t",
+                   F.col("tf").alias("tfb"))
+    inter = (a.join(b, "t")
+             .where(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id")
+             .agg(F.sum(F.least("tfa", "tfb")).alias("i")))
+    da = dl.select(F.col("doc_id").alias("a_id"), F.col("dl").alias("dla"))
+    db = dl.select(F.col("doc_id").alias("b_id"), F.col("dl").alias("dlb"))
+    bj = (F.col("i").cast("double")
+          / (F.col("dla") + F.col("dlb") - F.col("i")).cast("double"))
+    return (inter.join(da, "a_id").join(db, "b_id")
+            .where(bj >= 0.8)
+            .select("a_id", "b_id", F.round(bj, 4).alias("bag_jaccard"))
+            .orderBy("a_id", "b_id"))

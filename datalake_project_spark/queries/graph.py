@@ -1157,3 +1157,63 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         / (F.col("d") * (F.col("d") - 1)),
                                         4)).alias("local_cc"))
             .orderBy("name"))
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle="WITH" + _EDGES_SQL + """,
+    d AS (SELECT src, dst, w FROM edges WHERE src <> dst),
+    r AS (
+        SELECT a.src, a.dst, a.w, b.w AS w_rev
+        FROM d a LEFT JOIN d b ON b.src = a.dst AND b.dst = a.src)
+    SELECT COUNT(*) AS n_edges,
+           CAST(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocated,
+           ROUND(SUM(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+                 ::DOUBLE / COUNT(*)::DOUBLE, 4) AS reciprocity,
+           ROUND(CAST(SUM(LEAST(w, COALESCE(w_rev, 0))) AS DOUBLE)
+                 / CAST(SUM(w) AS DOUBLE), 4) AS weighted_reciprocity
+    FROM r
+    """,
+    doc="Edge RECIPROCITY of the directed nation-trade graph — the "
+        "directionality diagnostic beside assortativity/PageRank on "
+        "the same edge derivation: the fraction of non-loop directed "
+        "edges whose reverse edge exists, plus Squartini-style "
+        "weighted reciprocity sum(min(w_uv, w_vu)) / sum(w_uv) (the "
+        "share of flow that is bilaterally matched). One broadcast "
+        "self-join of the nation-pair edge table against its own "
+        "transpose — edge construction is the only fact-table work, "
+        "and the reciprocity join runs on the nation-pair-sized "
+        "aggregate (<= |nations|^2 rows), never on lineitem.",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, c, li, s, n = (cat.table(t) for t in
+                      ("orders", "customer", "lineitem", "supplier",
+                       "nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("dst"))
+    edges = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+             .join(li, F.col("l_orderkey") == o.o_orderkey)
+             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+             .where(F.col("src") != F.col("dst")))
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"),
+                       F.col("w").alias("w_rev"))
+    r = edges.join(F.broadcast(rev), ["src", "dst"], "left")
+    recip = F.sum(F.when(F.col("w_rev").isNotNull(), 1).otherwise(0))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        recip.cast("long").alias("n_reciprocated"),
+        F.round(recip.cast("double")
+                / F.count(F.lit(1)).cast("double"), 4).alias("reciprocity"),
+        F.round(F.sum(F.least(F.col("w"), F.coalesce(F.col("w_rev"),
+                                                     F.lit(0))))
+                .cast("double")
+                / F.sum("w").cast("double"), 4)
+        .alias("weighted_reciprocity"))
