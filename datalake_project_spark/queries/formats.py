@@ -409,3 +409,58 @@ def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~bad, 1)).alias("n_good"),
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("n"))).cast("long").alias("total_n"))
+
+
+@register(
+    "q_fixedwidth_parse",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY segment
+    """,
+    doc="FIXED-WIDTH record sink + source round-trip — the mainframe/"
+        "EDI interchange format Spark has no native reader for: each "
+        "customer serializes to one 36-byte line (custkey as 12 "
+        "zero-padded digits, segment space-padded to 12, acctbal in "
+        "signed zero-padded cents of width 12), written via the text "
+        "sink; the reader is spark.read.text plus SUBSTRING slicing "
+        "at the declared offsets with trim/casts — column boundaries "
+        "live in the schema registry, not the bytes, exactly like a "
+        "COBOL copybook. The oracle recomputes the per-segment "
+        "aggregate from Parquet, so the proof is that padding, sign "
+        "handling, and offset arithmetic round-trip every record "
+        "bit-exactly (cents as integers — no float text risk). Scale "
+        "path: text source splits by line on byte ranges, so the "
+        "parse stays embarrassingly parallel with pushed-down column "
+        "pruning irrelevant (one physical column) and the aggregate "
+        "map-side combinable.",
+)
+def q_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.scratch import scratch_dir
+
+    c = Catalog(spark, sf_dir).table("customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+        F.rpad(F.col("c_mktsegment"), 12, " "),
+        F.when(cents < 0, F.concat(F.lit("-"),
+                                   F.lpad((-cents).cast("string"), 11,
+                                          "0")))
+        .otherwise(F.concat(F.lit("+"),
+                            F.lpad(cents.cast("string"), 11, "0"))))
+    path = scratch_dir("fixedwidth_rt", sf_dir)
+    c.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("custkey"),
+        F.trim(F.substring("value", 13, 12)).alias("segment"),
+        (F.when(F.substring("value", 25, 1) == "-", -1).otherwise(1)
+         * F.substring("value", 26, 11).cast("long")).alias("cents"))
+    return (parsed.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").cast("long").alias("total_cents"))
+            .orderBy("segment"))

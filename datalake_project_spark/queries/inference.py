@@ -4433,3 +4433,76 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_raw", 4).alias("h_statistic"),
         F.round(F.col("h_raw") / corr, 4).alias("h_tie_corrected"),
         (F.col("h_raw") / corr > 9.488).alias("reject_at_5pct"))
+
+
+@register(
+    "q_stats_cusum_monitor",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    st AS (
+        SELECT event_type, COUNT(*) AS n_days,
+               AVG(n)::DOUBLE AS mu, STDDEV_SAMP(n)::DOUBLE AS sd
+        FROM daily GROUP BY 1),
+    cus AS (
+        SELECT d.event_type, d.day,
+               SUM(d.n - s.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s_t,
+               s.sd, s.n_days
+        FROM daily d JOIN st s USING (event_type)),
+    peak AS (
+        SELECT event_type, day, s_t, sd, n_days,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ABS(s_t) DESC, day) AS rk
+        FROM cus)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           day AS peak_day,
+           ROUND(ABS(s_t), 4) AS cusum_max,
+           ROUND(ABS(s_t) / (sd * SQRT(n_days)), 4) AS cusum_stat
+    FROM peak WHERE rk = 1
+    ORDER BY event_type
+    """,
+    doc="CUSUM change-point MONITOR per event type: the cumulative "
+        "sum of daily-count deviations from the type's mean, its "
+        "peak day (the classic argmax |S_t| change-point estimate) "
+        "and the normalized statistic |S|max / (sd*sqrt(n)) whose "
+        "large values reject 'no change' — the sequential-monitoring "
+        "member of the drift family (PSI/KS/JSD measure distribution "
+        "shift between two windows; CUSUM localizes WHEN the level "
+        "shifted). Every window is PARTITIONED BY EVENT TYPE over the "
+        "bounded daily table (30 rows per type), deviations derive "
+        "from integer daily counts so both engines accumulate "
+        "identical doubles in identical day order, and the peak pick "
+        "uses an (|S|, day) total order.",
+)
+def q_stats_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy("event_type",
+                       F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    st = (daily.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_days"),
+               F.avg("n").alias("mu"),
+               F.stddev_samp("n").alias("sd")))
+    wc = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cus = (daily.join(F.broadcast(st), "event_type")
+           .withColumn("s_t", F.sum(F.col("n") - F.col("mu")).over(wc)))
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s_t"))), "day")
+    return (cus.withColumn("rk", F.row_number().over(wp))
+            .where(F.col("rk") == 1)
+            .select("event_type",
+                    F.col("n_days").cast("long").alias("n_days"),
+                    F.col("day").alias("peak_day"),
+                    F.round(F.abs(F.col("s_t")), 4).alias("cusum_max"),
+                    F.round(F.abs(F.col("s_t"))
+                            / (F.col("sd") * F.sqrt(F.col("n_days"))), 4)
+                    .alias("cusum_stat"))
+            .orderBy("event_type"))

@@ -847,3 +847,57 @@ def q_retrieval_query_likelihood(spark: SparkSession,
             .groupBy("doc_id")
             .agg(F.round(F.sum(term_s), 4).alias("ql"))
             .orderBy(F.desc("ql"), "doc_id").limit(10))
+
+
+@register(
+    "q_search_proximity",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, list_filter({_SQL_TOKS}, w -> w <> '') AS ws
+        FROM documents),
+    pos AS (
+        SELECT doc_id, ws[i] AS term, i - 1 AS pos
+        FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+        WHERE ws[i] IN ('hash', 'join')),
+    prox AS (
+        SELECT a.doc_id,
+               COUNT(*) AS n_pairs,
+               CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_dist
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND a.term = 'hash' AND b.term = 'join'
+         AND ABS(a.pos - b.pos) <= 5
+        GROUP BY a.doc_id)
+    SELECT doc_id, n_pairs, min_dist
+    FROM prox ORDER BY n_pairs DESC, min_dist ASC, doc_id LIMIT 10
+    """,
+    doc="PROXIMITY search — the windowed relaxation between "
+        "q_search_phrase's exact adjacency and BM25's bag-of-words: "
+        "docs where 'hash' and 'join' co-occur within 5 token "
+        "positions, ranked by qualifying position-pair count with the "
+        "minimum distance for snippeting and a (count, distance, id) "
+        "total order. The POSITIONAL index (doc_id, term, pos) keeps "
+        "only the probe terms (the isin filter rides the explode — at "
+        "100 TB the index is probe-sized, not corpus-sized), and the "
+        "pair join is per-document on that filtered index, so its "
+        "fanout is occurrences(hash) x occurrences(join) per doc — "
+        "document-bounded, never corpus-quadratic. Top-10 via "
+        "TakeOrderedAndProject.",
+)
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    pos = (d.select("doc_id",
+                    F.posexplode(T.tokens("text")).alias("pos", "term"))
+           .where(F.col("term").isin("hash", "join")))
+    a = (pos.where(F.col("term") == "hash")
+         .select("doc_id", F.col("pos").alias("pa")))
+    b = (pos.where(F.col("term") == "join")
+         .select("doc_id", F.col("pos").alias("pb")))
+    return (a.join(b, "doc_id")
+            .where(F.abs(F.col("pa") - F.col("pb")) <= 5)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long")
+                 .alias("min_dist"))
+            .orderBy(F.desc("n_pairs"), F.asc("min_dist"), "doc_id")
+            .limit(10))

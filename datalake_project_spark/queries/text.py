@@ -1458,3 +1458,75 @@ def q_text_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(head.cast("double") / F.col("n"), 4)
                         .alias("coverage"))
             .orderBy("k"))
+
+
+@register(
+    "q_text_word_shape_profile",
+    oracle="""
+    WITH src AS (
+        SELECT text FROM documents
+        UNION ALL SELECT c_name FROM customer
+        UNION ALL SELECT o_orderstatus FROM orders
+        UNION ALL SELECT o_orderpriority FROM orders),
+    toks AS (
+        SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w
+        FROM src),
+    shaped AS (
+        SELECT w,
+               CASE
+                 WHEN regexp_full_match(w, '[0-9]+') THEN 'digits'
+                 WHEN regexp_full_match(w, '[a-z]+') THEN 'lower'
+                 WHEN regexp_full_match(w, '[A-Z]+') THEN 'upper'
+                 WHEN regexp_full_match(w, '[A-Z][a-z]+') THEN 'title'
+                 ELSE 'mixed'
+               END AS shape
+        FROM toks),
+    tot AS (SELECT COUNT(*)::DOUBLE AS t FROM shaped)
+    SELECT shape, COUNT(*) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(*)::DOUBLE / tot.t, 6) AS frac
+    FROM shaped, tot
+    GROUP BY shape, tot.t
+    ORDER BY shape
+    """,
+    doc="Word-SHAPE profile of the raw (case-preserving) token "
+        "stream over every text-bearing column (documents, customer "
+        "names, order statuses and priorities): every [A-Za-z0-9]+ token classified as digits / "
+        "lower / UPPER / Title / mixed, with token mass, distinct "
+        "vocabulary, and corpus fraction per class — the "
+        "tokenizer-design receipt the case-insensitive queries "
+        "cannot give (casing decides vocabulary size: a cased BPE "
+        "pays for Title and UPPER variants; shape skew flags "
+        "OCR/shouting/code-heavy sources before training). First-"
+        "match CASE ordering pins ambiguous classes identically on "
+        "both engines. One explode + one groupBy over five cells "
+        "(map-side combinable to constant width); the corpus total "
+        "rides as a broadcast scalar.",
+)
+def q_text_word_shape_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.table("documents").select(F.col("text"))
+    c = cat.table("customer").select(F.col("c_name").alias("text"))
+    o = cat.table("orders")
+    src = (d.unionByName(c)
+           .unionByName(o.select(F.col("o_orderstatus").alias("text")))
+           .unionByName(o.select(F.col("o_orderpriority").alias("text"))))
+    toks = src.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+        .alias("w"))
+    shape = (F.when(F.col("w").rlike("^[0-9]+$"), "digits")
+             .when(F.col("w").rlike("^[a-z]+$"), "lower")
+             .when(F.col("w").rlike("^[A-Z]+$"), "upper")
+             .when(F.col("w").rlike("^[A-Z][a-z]+$"), "title")
+             .otherwise("mixed"))
+    shaped = toks.select("w", shape.alias("shape"))
+    tot = shaped.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (shaped.groupBy("shape")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("w").cast("long").alias("n_distinct"))
+            .crossJoin(F.broadcast(tot))
+            .select("shape", "n_tokens", "n_distinct",
+                    F.round(F.col("n_tokens").cast("double") / F.col("t"),
+                            6).alias("frac"))
+            .orderBy("shape"))
