@@ -680,3 +680,65 @@ def q_multimodal_dhash_valve_audit(spark: SparkSession,
         .alias("kept_pair_slots"),
         F.sum(F.when(F.col("df") > 500, slots).otherwise(0)).cast("long")
         .alias("vetoed_pair_slots"))
+
+
+@register(
+    "q_multimodal_byte_histogram",
+    oracle="""
+    WITH pre AS (
+        SELECT source, substr(text, 1, 64) AS p
+        FROM documents WHERE length(text) > 0),
+    b AS (
+        SELECT source, (ord(substr(p, CAST(i AS INT), 1)) // 16) AS nib
+        FROM pre,
+             LATERAL (SELECT unnest(range(1, length(p) + 1)) AS i))
+    SELECT source, CAST(nib AS BIGINT) AS nibble, COUNT(*) AS n_bytes
+    FROM b GROUP BY 1, 2
+    ORDER BY source, nibble
+    """,
+    doc="Byte-value HISTOGRAM (high nibble, 16 cells) over each "
+        "payload's first 64 bytes, per source — the binary-column "
+        "format/corruption fingerprint: container formats have "
+        "characteristic leading-byte distributions (magic numbers, "
+        "headers), so a source whose profile drifts is the earliest "
+        "signal of a codec or pipeline change, before any decode is "
+        "attempted. Computed in the Arrow seam: mapInPandas emits "
+        "PARTIAL per-batch histograms (<= 16 cells x sources per "
+        "batch — the Python worker ships counts, never bytes), and a "
+        "constant-width groupBy folds them; at 100 TB the shuffle is "
+        "sources x 16 rows. The oracle reads the same prefix "
+        "character-wise (this fixture's payloads are pure ASCII, so "
+        "byte == codepoint; a real binary corpus keeps the Spark "
+        "side unchanged and swaps the oracle for a blob-aware "
+        "check).",
+)
+def q_multimodal_byte_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = (as_media(docs)
+             .join(docs.select("doc_id", "source"), "doc_id")
+             .where(F.octet_length("payload") > 0)
+             .select("source", "payload"))
+
+    def hist_batches(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            acc = {}
+            for src, payload in zip(pdf["source"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                nib = np.frombuffer(payload[:64], dtype=np.uint8) >> 4
+                cnt = acc.setdefault(src, np.zeros(16, dtype=np.int64))
+                cnt += np.bincount(nib, minlength=16)
+            if acc:
+                yield pd.DataFrame(
+                    [(s, i, int(c[i])) for s, c in acc.items()
+                     for i in range(16) if c[i]],
+                    columns=["source", "nibble", "n_bytes"])
+
+    part = media.mapInPandas(
+        hist_batches, "source string, nibble long, n_bytes long")
+    return (part.groupBy("source", "nibble")
+            .agg(F.sum("n_bytes").alias("n_bytes"))
+            .orderBy("source", "nibble"))

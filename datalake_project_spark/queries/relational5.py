@@ -3046,3 +3046,75 @@ def q_segment_revenue_concentration(spark: SparkSession,
                                .otherwise(0.0))
                          / F.max("seg_rev"), 4).alias("top1_share"))
             .orderBy("segment"))
+
+
+@register(
+    "q_recs_association_rules",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        FROM lineitem),
+    supp AS (SELECT item, COUNT(*) AS s FROM basket GROUP BY item),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM basket),
+    pair AS (
+        SELECT a.item AS ante, b.item AS cons, COUNT(*) AS s_ab
+        FROM basket a JOIN basket b
+          ON a.ok = b.ok AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3),
+    rules AS (
+        SELECT p.ante, p.cons, p.s_ab,
+               ROUND(p.s_ab::DOUBLE / sa.s::DOUBLE, 4) AS confidence,
+               ROUND((p.s_ab * n.n_baskets)::DOUBLE
+                     / (sa.s * sb.s)::DOUBLE, 4) AS lift
+        FROM pair p
+        JOIN supp sa ON sa.item = p.ante
+        JOIN supp sb ON sb.item = p.cons, n)
+    SELECT ante, cons, CAST(s_ab AS BIGINT) AS support, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, ante, cons LIMIT 20
+    """,
+    doc="ASSOCIATION RULES over co-purchase baskets (order = basket, "
+        "item = part): directed rules A->B with support >= 3, "
+        "confidence supp(AB)/supp(A) and lift confidence / "
+        "base-rate(B) — the market-basket member of the recs family "
+        "(q_recs_item_knn is the embedding-side analog; this is the "
+        "count-side one). Candidate pairs come from the WITHIN-BASKET "
+        "self-join, so the fanout is sum over baskets of "
+        "items-per-basket^2 (order-bounded, ~4 items avg on this "
+        "fixture), never catalog^2; item supports and the basket "
+        "total are broadcast joins onto the pair aggregate. All "
+        "measures are ratios of integers — hash-exact; top-20 by the "
+        "(lift, ante, cons) total order via TakeOrderedAndProject.",
+)
+def q_recs_association_rules(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    basket = (li.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("item"))
+              .distinct()
+              .localCheckpoint(eager=False))  # feeds pairs + supports
+    supp = basket.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    n = basket.agg(F.countDistinct("ok").alias("n_baskets"))
+    a = basket.select("ok", F.col("item").alias("ante"))
+    b = basket.select("ok", F.col("item").alias("cons"))
+    pair = (a.join(b, "ok")
+            .where(F.col("ante") != F.col("cons"))
+            .groupBy("ante", "cons")
+            .agg(F.count(F.lit(1)).alias("s_ab"))
+            .where(F.col("s_ab") >= 3))
+    sa = supp.select(F.col("item").alias("ante"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("item").alias("cons"), F.col("s").alias("sb"))
+    conf = F.col("s_ab").cast("double") / F.col("sa").cast("double")
+    # single-division form: integer products are exact in double, so
+    # both engines produce the identical quotient (a conf/(sb/n) chain
+    # differed in the 4th decimal from associativity alone)
+    lift = ((F.col("s_ab") * F.col("n_baskets")).cast("double")
+            / (F.col("sa") * F.col("sb")).cast("double"))
+    return (pair.join(sa, "ante").join(sb, "cons")
+            .crossJoin(F.broadcast(n))
+            .select("ante", "cons",
+                    F.col("s_ab").cast("long").alias("support"),
+                    F.round(conf, 4).alias("confidence"),
+                    F.round(lift, 4).alias("lift"))
+            .orderBy(F.desc("lift"), "ante", "cons").limit(20))
