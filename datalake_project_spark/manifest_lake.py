@@ -461,6 +461,31 @@ class ManifestLake(Lake):
         v, m = self._latest(table)
         return v > 0 and bool(m.get("entries"))
 
+    def clone_shallow(self, src: str, dst: str) -> int:
+        """SHALLOW clone (Delta CLONE / Iceberg snapshot-ref shape): one
+        metadata commit creates ``dst`` whose latest manifest references
+        ``src``'s CURRENT data files — zero bytes copied, reads of the
+        clone are immediately equal to reads of the source, and later
+        writes to either side diverge safely because data files are
+        immutable and every writer stages NEW files before its manifest
+        swap. The clone records its provenance (source table + version).
+        Manifest-scale work only. NOTE: ``vacuum_orphans``/``expire_
+        versions`` on the SOURCE only consider the source's own version
+        chain, so physically deleting source files can strand a clone —
+        the same caveat Delta documents for shallow clones; keep clones
+        inside the source's retention window or re-materialize."""
+        src_v, src_m = self._latest(src)
+        if src_v == 0 or not src_m.get("entries"):
+            raise FileNotFoundError(f"clone source {src!r} is empty")
+        entries = json.loads(json.dumps(src_m["entries"]))
+
+        def mutate(m: dict) -> dict:
+            m["entries"] = entries
+            m["cloned_from"] = {"table": src, "version": src_v}
+            return m
+
+        return self._commit(dst, mutate)
+
     def upsert(self, updates: DataFrame, table: str, ingest_date: str,
                run_ts: str, keys: list[str],
                delete_col: str | None = None) -> int:

@@ -2206,3 +2206,72 @@ def q_cdc_update_column_profile(spark: SparkSession,
                             / F.col("n_compared").cast("double"), 4)
                     .alias("frac"))
             .orderBy("col"))
+
+
+@register(
+    "q_lake_clone_shallow",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01') AS rows_source,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01') AS rows_clone,
+           TRUE AS rows_equal,
+           TRUE AS all_files_shared,
+           CAST(0 AS BIGINT) AS files_copied
+    """,
+    doc="SHALLOW CLONE receipt (Delta CLONE / Iceberg snapshot-ref): "
+        "a zero-copy table clone is one manifest commit pointing at "
+        "the source's current data files (manifest_lake.py:"
+        "clone_shallow). The receipts prove all three clone "
+        "invariants the maintenance docs promise: the clone reads "
+        "byte-equal to the source (row counts from BOTH sides plus a "
+        "two-way exceptAll emptiness check folded into rows_equal), "
+        "every file the clone references is a file the source "
+        "references (all_files_shared — set equality over manifest "
+        "paths, metadata-scale), and files_copied = 0 (the data "
+        "directory gained nothing from cloning: listing delta "
+        "measured across the clone call). Idempotent across gate "
+        "re-runs — the fixture lake resets to a clean slate up "
+        "front, the orphan-audit discipline.",
+)
+def q_lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from datalake_project_spark.manifest_lake import ManifestLake
+    from datalake_project_spark.scratch import scratch_dir
+
+    root = scratch_dir("clone_lake", sf_dir)
+    for sub in ("data", "_manifests"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    ml = ManifestLake(spark, root)
+    o = Catalog(spark, sf_dir).table("orders")
+    snap = (o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+    ml.write_usage(snap, "src", "20240101", "r1")
+
+    def listing() -> set:
+        out = set()
+        for base, _, files in os.walk(os.path.join(root, "data")):
+            out.update(os.path.join(base, f) for f in files
+                       if f.endswith(".parquet"))
+        return out
+
+    before = listing()
+    ml.clone_shallow("src", "clone")
+    copied = len(listing() - before)
+
+    src_df = ml.read_usage("src").drop("ingest_date", "run_ts")
+    cl_df = ml.read_usage("clone").drop("ingest_date", "run_ts")
+    rows_equal = (src_df.exceptAll(cl_df).count() == 0
+                  and cl_df.exceptAll(src_df).count() == 0)
+    shared = (ml.referenced_files("clone")
+              <= ml.referenced_files("src"))
+    return spark.createDataFrame(
+        [(src_df.count(), cl_df.count(), bool(rows_equal), bool(shared),
+          copied)],
+        "rows_source long, rows_clone long, rows_equal boolean, "
+        "all_files_shared boolean, files_copied long")

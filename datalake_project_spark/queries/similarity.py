@@ -1114,3 +1114,146 @@ def q_ann_ivf_occupancy_audit(spark: SparkSession,
                     F.round(F.col("worst_probe_rows").cast("double")
                             / F.col("n_vectors").cast("double"), 4)
                     .alias("worst_probe_frac")))
+
+
+@register(
+    "q_ann_recall_vs_probes",
+    oracle="""
+    WITH """ + _PORTABLE_CTES + """,
+    cells AS (SELECT vec_id, code AS cell FROM codes WHERE band = 0),
+    cellbits AS (
+        SELECT c, j, (c >> CAST(j AS INT)) & 1 AS cbit
+        FROM (SELECT unnest(range(0, 16)) AS c),
+             (SELECT unnest(range(0, 4)) AS j)),
+    prank AS (
+        SELECT query_id, c AS cell, rnk FROM (
+            SELECT b.vec_id AS query_id, cb.c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY SUM(CASE WHEN b.bit <> cb.cbit
+                                         THEN 1 ELSE 0 END) ASC, cb.c ASC
+                   ) AS rnk
+            FROM bits b JOIN cellbits cb ON cb.j = b.j
+            WHERE b.vec_id < 10 AND b.j < 4
+            GROUP BY b.vec_id, cb.c) t),
+    budgets AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+    cand AS (
+        SELECT DISTINCT bu.n_probe, p.query_id, cl.vec_id AS neighbor_id
+        FROM prank p
+        JOIN budgets bu ON p.rnk <= bu.n_probe
+        JOIN cells cl ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.query_id),
+    scored AS (
+        SELECT c.n_probe, c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.n_probe, c.query_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       DESC, c.neighbor_id) AS rk
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.query_id
+        JOIN embeddings b ON b.vec_id = c.neighbor_id),
+    exact AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                       DESC, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10),
+    hits AS (
+        SELECT s.n_probe, COUNT(*) AS n_hits
+        FROM scored s JOIN exact e
+          ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+         AND e.rk <= 5
+        WHERE s.rk <= 5
+        GROUP BY s.n_probe),
+    cn AS (SELECT n_probe, COUNT(*) AS n_candidates
+           FROM cand GROUP BY n_probe)
+    SELECT CAST(cn.n_probe AS BIGINT) AS n_probe,
+           CAST(cn.n_candidates AS BIGINT) AS n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS hits,
+           ROUND(COALESCE(h.n_hits, 0)::DOUBLE / 50.0, 4) AS recall
+    FROM cn LEFT JOIN hits h ON h.n_probe = cn.n_probe
+    ORDER BY n_probe
+    """,
+    doc="IVF probe-budget RECALL SWEEP — the tuning curve behind "
+        "q_ann_ivf_topk's fixed n_probe=4 and the companion to "
+        "q_ann_ivf_occupancy_audit's cost side: recall@5 and "
+        "candidate mass at n_probe in {1,2,4,8} over the portable "
+        "16-cell quantizer (LCG sign bits — assignment, probe "
+        "ranking, and candidate sets are pure integer arithmetic "
+        "both engines reproduce bit-for-bit; only the final cosine "
+        "rescoring touches doubles, rounded at 6 dp before ranking "
+        "with an id tie-break). This is THE operating decision an "
+        "index owner makes — probes bought vs recall gained — and "
+        "the nested budgets share one cell-ranking pass: candidates "
+        "carry their cell rank, each budget is a filter on that "
+        "rank, so the sweep costs one probe-union scan, not four. "
+        "Recall is hits/50 (10 probes x top-5), a ratio of integers.",
+)
+def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.functions.vectors import cosine
+
+    e = Catalog(spark, sf_dir).table("embeddings")
+    bits = _portable_bits(spark, e).localCheckpoint(eager=False)
+    cells = (_portable_band_codes(spark, bits)
+             .where(F.col("band") == 0)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("code").alias("cell")))
+    cellbits = spark.createDataFrame(
+        [(c, j, (c >> j) & 1) for c in range(16) for j in range(4)],
+        "c long, j long, cbit long")
+    prank = (bits.where((F.col("vec_id") < 10) & (F.col("j") < 4))
+             .join(F.broadcast(cellbits), "j")
+             .groupBy(F.col("vec_id").alias("query_id"), "c")
+             .agg(F.sum((F.col("bit") != F.col("cbit")).cast("int"))
+                  .alias("d"))
+             .withColumn("rnk", F.row_number().over(
+                 Window.partitionBy("query_id").orderBy("d", "c")))
+             .select("query_id", F.col("c").alias("cell"), "rnk"))
+    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)],
+                                    "n_probe long")
+    cand = (prank.join(F.broadcast(budgets),
+                       F.col("rnk") <= F.col("n_probe"))
+            .join(cells, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("n_probe", "query_id", "neighbor_id").distinct()
+            .localCheckpoint(eager=False))
+    qv = (e.where(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("_qv")))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("_cv"))
+    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+              .withColumn("cs", F.round(cosine(F.col("_qv"),
+                                               F.col("_cv")), 6))
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("n_probe", "query_id")
+                  .orderBy(F.desc("cs"), "neighbor_id"))))
+    exact = (qv.crossJoin(cv)
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cs", F.round(cosine(F.col("_qv"),
+                                              F.col("_cv")), 6))
+             .withColumn("rk", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.desc("cs"), "neighbor_id")))
+             .where(F.col("rk") <= 5)
+             .select("query_id", "neighbor_id"))
+    hits = (scored.where(F.col("rk") <= 5)
+            .join(exact, ["query_id", "neighbor_id"])
+            .groupBy("n_probe").agg(F.count(F.lit(1)).alias("n_hits")))
+    cn = cand.groupBy("n_probe").agg(F.count(F.lit(1))
+                                     .alias("n_candidates"))
+    return (cn.join(hits, "n_probe", "left")
+            .select(F.col("n_probe").cast("long").alias("n_probe"),
+                    F.col("n_candidates").cast("long")
+                    .alias("n_candidates"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            .cast("double") / 50.0, 4).alias("recall"))
+            .orderBy("n_probe"))

@@ -839,3 +839,86 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value")))
     return run_available_now(agg, "complete")
+
+
+@register(
+    "q_stream_incremental_topk",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    ORDER BY value DESC, event_id LIMIT 10
+    """,
+    doc="Incrementally-MAINTAINED top-k via foreachBatch: the sink "
+        "state is exactly the current top-10 (event_id, value) rows, "
+        "and each micro-batch folds in as state = top10(state UNION "
+        "batch_top10) — sound because top-k of per-row scores is a "
+        "monoid (unlike top-k of running per-key sums, which needs "
+        "the full key state q_stream_merge_upsert maintains). The "
+        "events fixture streams as two time-split files "
+        "(maxFilesPerTrigger=1 -> two ordered micro-batches, the "
+        "merge-upsert staging discipline), each batch contributes a "
+        "TakeOrderedAndProject of itself, and the fold touches only "
+        "2k rows — so the state a 100 TB stream carries is k rows, "
+        "not a key table. Atomic state swap (write tmp, rename) "
+        "keeps a crashed fold from truncating state. Final state "
+        "equals the batch top-10 under the (value DESC, event_id) "
+        "total order regardless of how rows split across batches.",
+)
+def q_stream_incremental_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from datalake_project_spark.catalog import Catalog
+    from datalake_project_spark.scratch import scratch_dir
+
+    K = 10
+    root = scratch_dir("stream_topk", sf_dir)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    st = os.stat(src)
+    in_dir = os.path.join(root, f"in_{st.st_size}_{int(st.st_mtime)}")
+    e = Catalog(spark, sf_dir).table("events")
+
+    if not os.path.isdir(in_dir):
+        if os.path.isdir(root):  # stale-key cleanup
+            for stale in os.listdir(root):
+                if stale.startswith("in_"):
+                    shutil.rmtree(os.path.join(root, stale),
+                                  ignore_errors=True)
+        med = e.agg(F.percentile_approx(F.unix_micros("ts"), 0.5)
+                    .alias("m")).first()["m"]
+        os.makedirs(in_dir)
+        halves = (F.unix_micros("ts") <= med, F.unix_micros("ts") > med)
+        for i, pred in enumerate(halves):
+            tmp = os.path.join(root, f"_stage{i}")
+            e.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"half{i}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (st.st_mtime + i, st.st_mtime + i))
+
+    state_dir = os.path.join(root, "state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        top = (batch.select("event_id", "value")
+               .orderBy(F.desc("value"), "event_id").limit(K))
+        if os.path.isdir(state_dir):
+            prev = batch.sparkSession.read.parquet(state_dir)
+            top = (prev.unionByName(top)
+                   .orderBy(F.desc("value"), "event_id").limit(K))
+        tmp = state_dir + "_tmp"
+        top.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    stream = (spark.readStream.schema(e.schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    q = (stream.writeStream.foreachBatch(fold)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(state_dir)
+            .select("event_id", "value")
+            .orderBy(F.desc("value"), "event_id"))

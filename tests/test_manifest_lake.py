@@ -652,3 +652,39 @@ def test_orphan_files_three_way_reconciliation(spark, tmp_path):
     os.remove(victim)
     orphans, missing = lake.orphan_files("t")
     assert missing == [victim]
+
+
+def test_clone_shallow_zero_copy_and_divergence(spark, tmp_path):
+    """clone_shallow: reads equal immediately, zero data files copied,
+    and post-clone writes to either side diverge without touching the
+    other (immutable files + independent manifest chains)."""
+    ml = ManifestLake(spark, str(tmp_path))
+    ml.write_usage(_df(spark, [(1, "a"), (2, "b")]), "t", D, "r1")
+
+    def files():
+        out = set()
+        for base, _, fs in os.walk(str(tmp_path)):
+            out.update(os.path.join(base, f) for f in fs
+                       if f.endswith(".parquet"))
+        return out
+
+    before = files()
+    ml.clone_shallow("t", "t2")
+    assert files() == before                      # zero-copy
+    assert _state(ml, "r1") == {(1, "a"), (2, "b")}
+    assert ml.referenced_files("t2") <= ml.referenced_files("t")
+    got = {(r["id"], r["v"]) for r in
+           ml.read_usage("t2", D, "r1").select("id", "v").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # divergence: upsert into the CLONE only
+    ml.upsert(_df(spark, [(2, "B2"), (3, "c")]), "t2", D, "r1",
+              keys=["id"])
+    got2 = {(r["id"], r["v"]) for r in
+            ml.read_usage("t2", D, "r1").select("id", "v").collect()}
+    assert got2 == {(1, "a"), (2, "B2"), (3, "c")}
+    assert _state(ml, "r1") == {(1, "a"), (2, "b")}   # source untouched
+
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        ml.clone_shallow("nope", "x")
