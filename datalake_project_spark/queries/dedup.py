@@ -1547,7 +1547,9 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
            .crossJoin(F.broadcast(n_docs))
            .select("_s", F.log(F.col("_n").cast("double")
                                / F.col("_df").cast("double")).alias("_idf")))
-    wv = inv.join(idf, "_s")
+    # wv feeds the per-doc weights AND both self-join legs: checkpoint
+    # so the inv-idf join runs once, not three times
+    wv = inv.join(idf, "_s").localCheckpoint(eager=False)
     docw = wv.groupBy("_id").agg(F.sum("_idf").alias("_w"))
     a = wv.select(F.col("_id").alias("a_id"), "_s", "_idf")
     b = wv.select(F.col("_id").alias("b_id"), "_s")
@@ -1566,18 +1568,24 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
 @register(
     "q_dedup_bag_jaccard",
     oracle="""
-    WITH toks AS (
+    WITH words AS (
         SELECT doc_id,
-               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
         FROM documents),
-    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    keep AS (SELECT t FROM tf GROUP BY t HAVING COUNT(*) <= 500),
-    tfk AS (SELECT tf.* FROM tf JOIN keep USING (t)),
+    sh AS (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       FOR i IN range(1, len(ws) - 1)]) AS s
+        FROM words WHERE len(ws) >= 3),
+    tf AS (SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY 1, 2),
+    keep AS (SELECT s FROM tf GROUP BY s HAVING COUNT(*) <= 500),
+    tfk AS (SELECT tf.* FROM tf JOIN keep USING (s)),
     dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfk GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                SUM(LEAST(a.tf, b.tf)) AS i
-        FROM tfk a JOIN tfk b ON a.t = b.t AND a.doc_id < b.doc_id
+        FROM tfk a JOIN tfk b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
     bj AS (
         SELECT a_id, b_id,
@@ -1586,45 +1594,49 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
         JOIN dl da ON da.doc_id = a_id
         JOIN dl db ON db.doc_id = b_id)
     SELECT a_id, b_id, ROUND(bj, 4) AS bag_jaccard
-    FROM bj WHERE bj >= 0.8
+    FROM bj WHERE bj >= 0.5
     ORDER BY a_id, b_id
     """,
-    doc="BAG (multiset) Jaccard near-dup pairs over word unigrams: "
+    doc="BAG (multiset) Jaccard near-dup pairs over 3-gram shingles: "
         "B(A,B) = sum min(tf_A, tf_B) / sum max(tf_A, tf_B), with "
         "sum-max rewritten exactly as dl_A + dl_B - sum-min (max = "
         "a + b - min summed over the union) so the pair aggregate "
-        "only ever sums the SHARED-token minima — the word-order-"
-        "insensitive member of the dedup family: it catches "
-        "shuffled/reordered rewrites that shingle-based Jaccard "
-        "misses (every 3-gram breaks) while still weighting repeated "
-        "words, which set semantics flatten. Same inverted-index "
-        "discipline as q_dedup_ngram_jaccard: per-(doc, xxhash64 "
-        "token) tf index, max_df=500 occupancy valve defining the "
-        "similarity over the capped vocabulary on BOTH engines "
-        "(unigram df is corpus-driven — 'the' would otherwise own a "
-        "sum-df^2 hot key), pair cost ~ sum df^2 over KEPT tokens. "
-        "Every similarity is a ratio of integers — hash-exact with "
-        "no float-order risk; only the display column rounds.",
+        "only ever sums the SHARED-shingle minima — the REPEAT-"
+        "SENSITIVE member of the dedup family: q_dedup_ngram_jaccard "
+        "dedupes each doc's shingle set, so a document repeating a "
+        "boilerplate paragraph ten times scores identically to one "
+        "containing it once; bag semantics count those repeats, which "
+        "is exactly the template/spam-inflation signal set Jaccard "
+        "flattens. Same inverted-index discipline as the set query "
+        "(per-(doc, xxhash64 shingle) tf index, max_df=500 occupancy "
+        "valve on BOTH engines — armed, df max 25 on this corpus — "
+        "pair cost ~ sum df^2 over kept shingles); an earlier unigram "
+        "formulation collapsed under the valve (the fixture has a "
+        "~31-token vocabulary, so every token is corpus-common and "
+        "99.9%% of mass was vetoed) — shingle df is duplicate-driven, "
+        "not vocabulary-driven, which is the property the whole dedup "
+        "family relies on. Every similarity is a ratio of integers — "
+        "hash-exact; only the display column rounds.",
 )
 def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalake_project_spark.functions.text import tokens
+    from datalake_project_spark.functions.text import span_list, tokens
 
     d = Catalog(spark, sf_dir).table("documents")
     tf = (d.select("doc_id",
-                   F.explode(tokens("text")).alias("t"))
-          .select("doc_id", F.xxhash64("t").alias("t"))
-          .groupBy("doc_id", "t")
+                   F.explode(span_list(tokens("text"), 3)).alias("s"))
+          .select("doc_id", F.xxhash64("s").alias("s"))
+          .groupBy("doc_id", "s")
           .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=False))  # one tokenize pass feeds all
-    keep = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= 500).select("t"))
-    tfk = tf.join(keep, "t", "left_semi").localCheckpoint(eager=False)
+          .localCheckpoint(eager=False))  # one shingle pass feeds all
+    keep = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= 500).select("s"))
+    tfk = tf.join(keep, "s", "left_semi").localCheckpoint(eager=False)
     dl = tfk.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    a = tfk.select(F.col("doc_id").alias("a_id"), "t",
+    a = tfk.select(F.col("doc_id").alias("a_id"), "s",
                    F.col("tf").alias("tfa"))
-    b = tfk.select(F.col("doc_id").alias("b_id"), "t",
+    b = tfk.select(F.col("doc_id").alias("b_id"), "s",
                    F.col("tf").alias("tfb"))
-    inter = (a.join(b, "t")
+    inter = (a.join(b, "s")
              .where(F.col("a_id") < F.col("b_id"))
              .groupBy("a_id", "b_id")
              .agg(F.sum(F.least("tfa", "tfb")).alias("i")))
@@ -1633,6 +1645,7 @@ def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bj = (F.col("i").cast("double")
           / (F.col("dla") + F.col("dlb") - F.col("i")).cast("double"))
     return (inter.join(da, "a_id").join(db, "b_id")
-            .where(bj >= 0.8)
+            .where(bj >= 0.5)
             .select("a_id", "b_id", F.round(bj, 4).alias("bag_jaccard"))
             .orderBy("a_id", "b_id"))
+
