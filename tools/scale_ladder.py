@@ -127,6 +127,12 @@ PANEL = [
     # the result set.
     "q_asof_join_nearest",
     "q_ann_range_search",
+    # r11: the two new inverted-index dedup members — bag (multiset)
+    # trigram Jaccard and idf-weighted Jaccard — same sum-df^2
+    # candidate discipline as q_dedup_ngram_jaccard, measured rather
+    # than argued.
+    "q_dedup_bag_jaccard",
+    "q_dedup_idf_weighted_jaccard",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
