@@ -1550,17 +1550,36 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
     # wv feeds the per-doc weights AND both self-join legs: checkpoint
     # so the inv-idf join runs once, not three times
     wv = inv.join(idf, "_s").localCheckpoint(eager=False)
-    docw = wv.groupBy("_id").agg(F.sum("_idf").alias("_w"))
-    a = wv.select(F.col("_id").alias("a_id"), "_s", "_idf")
-    b = wv.select(F.col("_id").alias("b_id"), "_s")
+    # Per-doc total weight rides the INDEX LEGS (one keyed window over
+    # the 16 M-row index), so the sum-df^2 pair aggregate finishes the
+    # similarity with any_value() and needs NO post-aggregate join —
+    # the 60x attribution put 1.3 GB of disk spill in the two SMJ
+    # sorts that joined the 67.8 M-row pair table to the per-doc
+    # weight table (tools/spill_attr.py). Exchanges are footprint-
+    # sized at the kcore-style 16 MB per-partition target (the default
+    # 128 MB target leaves the width at the 2x-cores floor).
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.tuning import suggest_for_stage
+    n_parts = suggest_for_stage(
+        spark, f"{sf_dir}/documents.parquet", expansion=48.0,
+        target_partition_bytes=16 * 1024 * 1024)
+    wv2 = wv.withColumn("_w", F.sum("_idf").over(
+        Window.partitionBy("_id")))
+    wvs = wv2.repartition(n_parts, "_s")
+    a = wvs.select(F.col("_id").alias("a_id"), "_s", "_idf",
+                   F.col("_w").alias("_wa"))
+    b = wvs.select(F.col("_id").alias("b_id"), "_s",
+                   F.col("_w").alias("_wb"))
     iw = (a.join(b, "_s")
           .where(F.col("a_id") < F.col("b_id"))
-          .groupBy("a_id", "b_id").agg(F.sum("_idf").alias("_iw")))
-    wa = docw.select(F.col("_id").alias("a_id"), F.col("_w").alias("_wa"))
-    wb = docw.select(F.col("_id").alias("b_id"), F.col("_w").alias("_wb"))
+          .repartition(n_parts, "a_id", "b_id")
+          .groupBy("a_id", "b_id")
+          .agg(F.sum("_idf").alias("_iw"),
+               F.any_value("_wa").alias("_wa"),
+               F.any_value("_wb").alias("_wb")))
     sim = F.col("_iw") / (F.col("_wa") + F.col("_wb") - F.col("_iw"))
-    return (iw.join(wa, "a_id").join(wb, "b_id")
-            .where(sim >= 0.5)
+    return (iw.where(sim >= 0.5)
             .select("a_id", "b_id", F.round(sim, 4).alias("w_jaccard"))
             .orderBy("a_id", "b_id"))
 
@@ -1631,20 +1650,38 @@ def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= 500).select("s"))
     tfk = tf.join(keep, "s", "left_semi").localCheckpoint(eager=False)
-    dl = tfk.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    a = tfk.select(F.col("doc_id").alias("a_id"), "s",
-                   F.col("tf").alias("tfa"))
-    b = tfk.select(F.col("doc_id").alias("b_id"), "s",
-                   F.col("tf").alias("tfb"))
+    # Per-doc bag size rides the INDEX LEGS (one keyed window over the
+    # index) so the sum-df^2 pair aggregate finishes the similarity
+    # with any_value() and needs NO post-aggregate join — the idf twin
+    # measured 1.3 GB of 60x spill in exactly those SMJ sorts before
+    # this shape. Exchanges footprint-sized at a 16 MB per-partition
+    # target (128 MB leaves the width at the 2x-cores floor, where the
+    # pair partial-aggregate hash tables spilled 1.2 GB).
+    from pyspark.sql.window import Window
+
+    from datalake_project_spark.tuning import suggest_for_stage
+    n_parts = suggest_for_stage(
+        spark, f"{sf_dir}/documents.parquet", expansion=48.0,
+        target_partition_bytes=16 * 1024 * 1024)
+    tfk2 = tfk.withColumn("dl", F.sum("tf").over(
+        Window.partitionBy("doc_id")))
+    tfs = tfk2.repartition(n_parts, "s")
+    a = tfs.select(F.col("doc_id").alias("a_id"), "s",
+                   F.col("tf").alias("tfa"),
+                   F.col("dl").alias("dla"))
+    b = tfs.select(F.col("doc_id").alias("b_id"), "s",
+                   F.col("tf").alias("tfb"),
+                   F.col("dl").alias("dlb"))
     inter = (a.join(b, "s")
              .where(F.col("a_id") < F.col("b_id"))
+             .repartition(n_parts, "a_id", "b_id")
              .groupBy("a_id", "b_id")
-             .agg(F.sum(F.least("tfa", "tfb")).alias("i")))
-    da = dl.select(F.col("doc_id").alias("a_id"), F.col("dl").alias("dla"))
-    db = dl.select(F.col("doc_id").alias("b_id"), F.col("dl").alias("dlb"))
+             .agg(F.sum(F.least("tfa", "tfb")).alias("i"),
+                  F.any_value("dla").alias("dla"),
+                  F.any_value("dlb").alias("dlb")))
     bj = (F.col("i").cast("double")
           / (F.col("dla") + F.col("dlb") - F.col("i")).cast("double"))
-    return (inter.join(da, "a_id").join(db, "b_id")
+    return (inter
             .where(bj >= 0.5)
             .select("a_id", "b_id", F.round(bj, 4).alias("bag_jaccard"))
             .orderBy("a_id", "b_id"))
