@@ -1547,9 +1547,8 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
            .crossJoin(F.broadcast(n_docs))
            .select("_s", F.log(F.col("_n").cast("double")
                                / F.col("_df").cast("double")).alias("_idf")))
-    # wv feeds the per-doc weights AND both self-join legs: checkpoint
-    # so the inv-idf join runs once, not three times
-    wv = inv.join(idf, "_s").localCheckpoint(eager=False)
+    wv = inv.join(idf, "_s")  # single consumer since the leg-carry
+    # restructure (the window chain below) — no checkpoint needed
     # Per-doc total weight rides the INDEX LEGS (one keyed window over
     # the 16 M-row index), so the sum-df^2 pair aggregate finishes the
     # similarity with any_value() and needs NO post-aggregate join —
@@ -1649,7 +1648,7 @@ def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
           .localCheckpoint(eager=False))  # one shingle pass feeds all
     keep = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= 500).select("s"))
-    tfk = tf.join(keep, "s", "left_semi").localCheckpoint(eager=False)
+    tfk = tf.join(keep, "s", "left_semi")  # single consumer now
     # Per-doc bag size rides the INDEX LEGS (one keyed window over the
     # index) so the sum-df^2 pair aggregate finishes the similarity
     # with any_value() and needs NO post-aggregate join — the idf twin
