@@ -4506,3 +4506,234 @@ def q_stats_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("sd") * F.sqrt(F.col("n_days"))), 4)
                     .alias("cusum_stat"))
             .orderBy("event_type"))
+
+
+@register(
+    "q_stats_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    mu AS (SELECT event_type, AVG(n)::DOUBLE AS mu,
+                  COUNT(*) AS nd
+           FROM daily GROUP BY 1),
+    lagd AS (
+        SELECT d.event_type, d.n, m.mu, m.nd,
+               LAG(d.n, 1) OVER w AS l1,
+               LAG(d.n, 2) OVER w AS l2,
+               LAG(d.n, 3) OVER w AS l3,
+               LAG(d.n, 4) OVER w AS l4,
+               LAG(d.n, 5) OVER w AS l5
+        FROM daily d JOIN mu m USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+    acf AS (
+        SELECT event_type, ANY_VALUE(nd) AS nd,
+               SUM((n - mu) * (n - mu)) AS den,
+               SUM(CASE WHEN l1 IS NOT NULL
+                        THEN (n - mu) * (l1 - mu) ELSE 0 END) AS c1,
+               SUM(CASE WHEN l2 IS NOT NULL
+                        THEN (n - mu) * (l2 - mu) ELSE 0 END) AS c2,
+               SUM(CASE WHEN l3 IS NOT NULL
+                        THEN (n - mu) * (l3 - mu) ELSE 0 END) AS c3,
+               SUM(CASE WHEN l4 IS NOT NULL
+                        THEN (n - mu) * (l4 - mu) ELSE 0 END) AS c4,
+               SUM(CASE WHEN l5 IS NOT NULL
+                        THEN (n - mu) * (l5 - mu) ELSE 0 END) AS c5
+        FROM lagd GROUP BY event_type)
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           ROUND(nd * (nd + 2) * (
+               (c1/den)*(c1/den)/(nd-1) + (c2/den)*(c2/den)/(nd-2)
+             + (c3/den)*(c3/den)/(nd-3) + (c4/den)*(c4/den)/(nd-4)
+             + (c5/den)*(c5/den)/(nd-5)), 4) AS lb_q,
+           (ROUND(nd * (nd + 2) * (
+               (c1/den)*(c1/den)/(nd-1) + (c2/den)*(c2/den)/(nd-2)
+             + (c3/den)*(c3/den)/(nd-3) + (c4/den)*(c4/den)/(nd-4)
+             + (c5/den)*(c5/den)/(nd-5)), 4) > 11.0705)
+               AS reject_white_noise
+    FROM acf ORDER BY event_type
+    """,
+    doc="Ljung-Box portmanteau test per event type: Q = n(n+2) * "
+        "sum_k rho_k^2/(n-k) over lags 1..5 of the daily-count "
+        "series, against the chi-square(5) 95% critical value "
+        "(11.0705) — the 'is this series white noise at all' gate a "
+        "forecasting pipeline runs before fitting anything, and the "
+        "aggregate companion to q_events_autocorrelation's per-lag "
+        "rho readout. Lags come from 5 LAG columns over one "
+        "type-keyed window (the daily table is ~30 rows per type); "
+        "autocovariances build from integer counts and one per-type "
+        "mean, so both engines accumulate identical doubles in "
+        "identical day order. All windows keyed by event_type.",
+)
+def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy("event_type",
+                       F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    mu = (daily.groupBy("event_type")
+          .agg(F.avg("n").alias("mu"), F.count(F.lit(1)).alias("nd")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.join(F.broadcast(mu), "event_type")
+    for k in range(1, 6):
+        lagd = lagd.withColumn(f"l{k}", F.lag("n", k).over(w))
+    covs = [F.sum(F.when(F.col(f"l{k}").isNotNull(),
+                         (F.col("n") - F.col("mu"))
+                         * (F.col(f"l{k}") - F.col("mu")))
+                  .otherwise(0.0)).alias(f"c{k}")
+            for k in range(1, 6)]
+    acf = (lagd.groupBy("event_type")
+           .agg(F.any_value("nd").alias("nd"),
+                F.sum((F.col("n") - F.col("mu"))
+                      * (F.col("n") - F.col("mu"))).alias("den"),
+                *covs))
+    q = (F.col("nd") * (F.col("nd") + 2)
+         * sum((F.col(f"c{k}") / F.col("den"))
+               * (F.col(f"c{k}") / F.col("den"))
+               / (F.col("nd") - k) for k in range(1, 6)))
+    return (acf.select("event_type",
+                       F.col("nd").cast("long").alias("n_days"),
+                       F.round(q, 4).alias("lb_q"),
+                       (F.round(q, 4) > 11.0705)
+                       .alias("reject_white_noise"))
+            .orderBy("event_type"))
+
+
+@register(
+    "q_stats_capture_recapture",
+    oracle="""
+    WITH c95 AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01'),
+    c96 AS (SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'),
+    m AS (SELECT COUNT(*) AS m FROM c95 JOIN c96 USING (k)),
+    s AS (SELECT (SELECT COUNT(*) FROM c95) AS n1,
+                 (SELECT COUNT(*) FROM c96) AS n2,
+                 (SELECT m FROM m) AS m,
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS truth)
+    SELECT CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(FLOOR((n1 + 1) * (n2 + 1) / (m + 1)) - 1 AS BIGINT)
+               AS chapman_estimate,
+           CAST(truth AS BIGINT) AS true_population,
+           ROUND((FLOOR((n1 + 1) * (n2 + 1) / (m + 1)) - 1)::DOUBLE
+                 / truth::DOUBLE, 4) AS estimate_ratio
+    FROM s
+    """,
+    doc="Capture-recapture population estimate (Chapman-corrected "
+        "Lincoln-Petersen): customers active in 1995 are the 'marked' "
+        "sample, 1996 actives the recapture, and N-hat = "
+        "(n1+1)(n2+1)/(m+1) - 1 estimates the total customer universe "
+        "— the estimator a coverage audit runs when the full registry "
+        "is unobservable (how many entities exist that we have never "
+        "seen?), here value-checked against the ground truth the "
+        "fixture CAN compute (estimate_ratio ~ 1 iff the two periods "
+        "sample independently — churn correlation shows up as bias, "
+        "which is the diagnostic). Three distinct-key aggregates and "
+        "one key-join overlap count; the quotient is FLOORed "
+        "explicitly on both engines (Spark's double-to-bigint cast "
+        "truncates where DuckDB's rounds).",
+)
+def q_stats_capture_recapture(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def actives(year: int) -> DataFrame:
+        return (o.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01")
+             .cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01")
+               .cast("timestamp")))
+            .select(F.col("o_custkey").alias("k")).distinct())
+
+    c95, c96 = actives(1995), actives(1996)
+    n1 = c95.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c96.agg(F.count(F.lit(1)).alias("n2"))
+    m = c95.join(c96, "k").agg(F.count(F.lit(1)).alias("m"))
+    truth = o.agg(F.countDistinct("o_custkey").alias("truth"))
+    est = (F.floor((F.col("n1") + 1) * (F.col("n2") + 1)
+                   / (F.col("m") + 1)) - 1)
+    return (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(truth))
+            .select(F.col("n1").cast("long").alias("n_first"),
+                    F.col("n2").cast("long").alias("n_second"),
+                    F.col("m").cast("long").alias("n_both"),
+                    est.cast("long").alias("chapman_estimate"),
+                    F.col("truth").cast("long").alias("true_population"),
+                    F.round(est.cast("double")
+                            / F.col("truth").cast("double"), 4)
+                    .alias("estimate_ratio")))
+
+
+@register(
+    "q_stats_theil_index",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, c.c_custkey,
+               SUM(o.o_totalprice)::DOUBLE AS x
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx, AVG(x) AS mu FROM rev),
+    grp AS (
+        SELECT nation, COUNT(*) AS ng, SUM(x) AS sg, AVG(x) AS mug,
+               SUM((x / (SELECT mu FROM tot))
+                   * ln(x / (SELECT mu FROM tot))) AS tsum
+        FROM rev GROUP BY nation),
+    parts AS (
+        SELECT
+            (SELECT SUM((x / t.mu) * ln(x / t.mu)) / t.n
+             FROM rev, tot t GROUP BY t.n, t.mu) AS t_total,
+            (SELECT SUM((g.sg / t.sx) * ln((g.mug / t.mu)))
+             FROM grp g, tot t) AS t_between
+        )
+    SELECT ROUND(t_total, 6) AS theil_total,
+           ROUND(t_between, 6) AS theil_between,
+           ROUND(t_total - t_between, 6) AS theil_within,
+           ROUND(t_between / t_total, 4) AS between_share
+    FROM parts
+    """,
+    doc="Theil T inequality index of customer spend with the "
+        "between/within-nation DECOMPOSITION — the property that "
+        "makes Theil the inequality measure for grouped data (Gini "
+        "next door does not decompose additively): T = (1/n) "
+        "sum (x/mu) ln(x/mu), T_between = sum_g (share_g) "
+        "ln(mu_g/mu), T_within = T - T_between, and between_share "
+        "says how much spend inequality is explained by WHICH nation "
+        "a customer is in versus dispersion inside nations. One "
+        "per-customer aggregate, one 25-row per-nation aggregate, "
+        "and broadcast scalar totals; every term derives from the "
+        "same DECIMAL spend sums on both engines, rounded at 6 dp.",
+)
+def q_stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, n, o = (cat.table(t) for t in ("customer", "nation", "orders"))
+    rev = (c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+           .join(o, o["o_custkey"] == c["c_custkey"])
+           .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+           .agg(F.sum("o_totalprice").cast("double").alias("x"))
+           .localCheckpoint(eager=False))  # feeds total + group + term
+    tot = rev.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                  F.avg("x").alias("mu"))
+    t_total = (rev.crossJoin(F.broadcast(tot))
+               .agg((F.sum((F.col("x") / F.col("mu"))
+                           * F.log(F.col("x") / F.col("mu")))
+                     / F.any_value("n")).alias("t_total")))
+    grp = (rev.groupBy("nation")
+           .agg(F.sum("x").alias("sg"), F.avg("x").alias("mug")))
+    t_between = (grp.crossJoin(F.broadcast(tot))
+                 .agg(F.sum((F.col("sg") / F.col("sx"))
+                            * F.log(F.col("mug") / F.col("mu")))
+                      .alias("t_between")))
+    return (t_total.crossJoin(F.broadcast(t_between))
+            .select(F.round(F.col("t_total"), 6).alias("theil_total"),
+                    F.round(F.col("t_between"), 6).alias("theil_between"),
+                    F.round(F.col("t_total") - F.col("t_between"), 6)
+                    .alias("theil_within"),
+                    F.round(F.col("t_between") / F.col("t_total"), 4)
+                    .alias("between_share")))

@@ -3118,3 +3118,132 @@ def q_recs_association_rules(spark: SparkSession,
                     F.round(conf, 4).alias("confidence"),
                     F.round(lift, 4).alias("lift"))
             .orderBy(F.desc("lift"), "ante", "cons").limit(20))
+
+
+@register(
+    "q_orders_bullwhip",
+    oracle="""
+    WITH demand AS (
+        SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m')
+                   AS month,
+               SUM(l.l_quantity) AS qty,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1),
+    st AS (
+        SELECT COUNT(*) AS n_months,
+               AVG(qty)::DOUBLE AS mu_q, STDDEV_SAMP(qty)::DOUBLE AS sd_q,
+               AVG(n_orders)::DOUBLE AS mu_o,
+               STDDEV_SAMP(n_orders)::DOUBLE AS sd_o
+        FROM demand)
+    SELECT CAST(n_months AS BIGINT) AS n_months,
+           ROUND(sd_o / mu_o, 6) AS cv_orders,
+           ROUND(sd_q / mu_q, 6) AS cv_quantity,
+           ROUND((sd_o / mu_o) / (sd_q / mu_q), 4) AS bullwhip_ratio,
+           ((sd_o / mu_o) / (sd_q / mu_q) > 1.0) AS amplifying
+    FROM st
+    """,
+    doc="BULLWHIP ratio over the monthly series: the coefficient of "
+        "variation of upstream signal (order counts) over the CV of "
+        "downstream demand (total line quantity) — Lee et al.'s "
+        "demand-amplification diagnostic; > 1 means order placement "
+        "is NOISIER than the demand it serves (batching/panic "
+        "ordering), the classic supply-chain instability smell. One "
+        "fact join collapsed to a ~84-row monthly table, then a "
+        "single global aggregate of that bounded table; all moments "
+        "derive from integer monthly sums so both engines agree to "
+        "the rounding.",
+)
+def q_orders_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    demand = (o.join(li, li["l_orderkey"] == o["o_orderkey"])
+              .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                     "yyyy-MM").alias("month"))
+              .agg(F.sum("l_quantity").alias("qty"),
+                   F.countDistinct("o_orderkey").alias("n_orders")))
+    st = demand.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.avg("qty").alias("mu_q"), F.stddev_samp("qty").alias("sd_q"),
+        F.avg("n_orders").alias("mu_o"),
+        F.stddev_samp("n_orders").alias("sd_o"))
+    cv_o = F.col("sd_o") / F.col("mu_o")
+    cv_q = F.col("sd_q") / F.col("mu_q")
+    return st.select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.round(cv_o, 6).alias("cv_orders"),
+        F.round(cv_q, 6).alias("cv_quantity"),
+        F.round(cv_o / cv_q, 4).alias("bullwhip_ratio"),
+        (cv_o / cv_q > 1.0).alias("amplifying"))
+
+
+@register(
+    "q_customer_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, c.c_custkey,
+               SUM(o.o_totalprice) AS rev
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT nation, rev,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY rev, c_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY nation) AS n,
+               SUM(rev) OVER (PARTITION BY nation) AS tot
+        FROM rev),
+    cum AS (
+        SELECT nation, rk, n, tot,
+               SUM(rev) OVER (PARTITION BY nation ORDER BY rk
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS crev
+        FROM ranked)
+    SELECT nation, CAST(d AS BIGINT) AS decile,
+           ROUND(MAX(crev / tot), 6) AS cum_rev_share
+    FROM (SELECT nation, crev, tot,
+                 CAST(CEIL(rk * 10.0 / n) AS BIGINT) AS d
+          FROM cum) t
+    GROUP BY nation, d
+    ORDER BY nation, decile
+    """,
+    doc="LORENZ CURVE points per nation — the full concentration "
+        "curve behind q_customer_gini_spend's single coefficient: "
+        "customers ranked ASCENDING by spend inside their nation "
+        "((rev, custkey) total order), cumulative revenue share "
+        "sampled at each within-nation decile boundary (the max "
+        "cumulative share inside decile d). Reading: row (n, 5, "
+        "0.18) = the bottom half of nation n's customers carry 18% "
+        "of its revenue; the gap to the diagonal IS the Gini. Every "
+        "window keyed by nation (25 bounded partitions); the decile "
+        "fold is one groupBy over the ranked rows. Shares are "
+        "DECIMAL-sum ratios rounded at 6 dp.",
+)
+def q_customer_lorenz_curve(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cat = Catalog(spark, sf_dir)
+    c, n, o = (cat.table(t) for t in ("customer", "nation", "orders"))
+    rev = (c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+           .join(o, o["o_custkey"] == c["c_custkey"])
+           .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+           .agg(F.sum("o_totalprice").alias("rev")))
+    wn = Window.partitionBy("nation")
+    ranked = (rev
+              .withColumn("rk", F.row_number().over(
+                  wn.orderBy("rev", "c_custkey")))
+              .withColumn("n", F.count(F.lit(1)).over(wn))
+              .withColumn("tot", F.sum("rev").over(wn)))
+    cum = ranked.withColumn(
+        "crev", F.sum("rev").over(
+            wn.orderBy("rk").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)))
+    return (cum.withColumn("decile",
+                           F.ceil(F.col("rk") * 10.0 / F.col("n"))
+                           .cast("long"))
+            .groupBy("nation", "decile")
+            .agg(F.round(F.max(F.col("crev") / F.col("tot")), 6)
+                 .alias("cum_rev_share"))
+            .orderBy("nation", "decile"))
