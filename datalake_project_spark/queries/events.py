@@ -3547,3 +3547,75 @@ def q_events_hour_dow_profile(spark: SparkSession,
                     F.round(F.col("n_events").cast("double")
                             / F.col("_tot").cast("double"), 6).alias("frac"))
             .orderBy("dow", "hour"))
+
+
+@register(
+    "q_events_surprisal_outliers",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    trans AS (SELECT prev AS a, event_type AS b FROM seq
+              WHERE prev IS NOT NULL),
+    cnt AS (SELECT a, b, COUNT(*) AS n FROM trans GROUP BY a, b),
+    froms AS (SELECT a, SUM(n) AS na FROM cnt GROUP BY a),
+    model AS (
+        SELECT c.a, c.b, -ln(c.n::DOUBLE / f.na::DOUBLE) AS surprisal
+        FROM cnt c JOIN froms f USING (a)),
+    per_user AS (
+        SELECT s.user_id, COUNT(*) AS n_trans,
+               AVG(m.surprisal) AS mean_surprisal
+        FROM seq s JOIN model m
+          ON m.a = s.prev AND m.b = s.event_type
+        WHERE s.prev IS NOT NULL
+        GROUP BY s.user_id
+        HAVING COUNT(*) >= 5)
+    SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+           ROUND(mean_surprisal, 6) AS mean_surprisal
+    FROM per_user
+    ORDER BY mean_surprisal DESC, user_id LIMIT 10
+    """,
+    doc="SURPRISAL outlier users: each transition in a user's "
+        "(ts, event_id)-ordered event sequence scores -ln P(b|a) "
+        "under the GLOBAL first-order Markov model, and users with "
+        ">= 5 transitions rank by mean surprisal — the "
+        "sequence-level anomaly readout the Markov family was "
+        "missing (entropy rate scores the MODEL, baseline-accuracy "
+        "scores prediction; this scores each USER against the crowd, "
+        "the bot/fraud-shaped question). The model is a 25-cell "
+        "broadcast; per-user sequencing is one user-keyed lag "
+        "window; surprisals are -ln of ratios of integer counts, so "
+        "both engines average identical doubles in identical "
+        "(within-user) order. Top-10 via the (surprisal, user) total "
+        "order.",
+)
+def q_events_surprisal_outliers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (e.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev"))
+           .where(F.col("prev").isNotNull())
+           .localCheckpoint(eager=False))  # feeds model + scoring
+    cnt = (seq.groupBy(F.col("prev").alias("a"),
+                       F.col("event_type").alias("b"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    froms = cnt.groupBy("a").agg(F.sum("n").alias("na"))
+    model = (cnt.join(froms, "a")
+             .select("a", "b",
+                     (-F.log(F.col("n").cast("double")
+                             / F.col("na").cast("double")))
+                     .alias("surprisal")))
+    return (seq.join(F.broadcast(model),
+                     (seq["prev"] == model["a"])
+                     & (seq["event_type"] == model["b"]))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_trans"),
+                 F.avg("surprisal").alias("mean_surprisal"))
+            .where(F.col("n_trans") >= 5)
+            .select("user_id",
+                    F.col("n_trans").cast("long").alias("n_trans"),
+                    F.round("mean_surprisal", 6).alias("mean_surprisal"))
+            .orderBy(F.desc("mean_surprisal"), "user_id").limit(10))

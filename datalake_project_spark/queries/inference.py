@@ -4737,3 +4737,74 @@ def q_stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("theil_within"),
                     F.round(F.col("t_between") / F.col("t_total"), 4)
                     .alias("between_share")))
+
+
+@register(
+    "q_stats_friedman_test",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    ranked AS (
+        SELECT day, event_type,
+               RANK() OVER (PARTITION BY day ORDER BY n) AS rmin,
+               COUNT(*) OVER (PARTITION BY day, n) AS ties
+        FROM daily),
+    avg_rank AS (
+        SELECT event_type, COUNT(*) AS n_days,
+               AVG(rmin + (ties - 1) / 2.0) AS rbar
+        FROM ranked GROUP BY event_type),
+    k AS (SELECT COUNT(*) AS k, ANY_VALUE(n_days) AS n FROM avg_rank),
+    stat AS (
+        SELECT k.n, k.k,
+               12.0 * k.n / (k.k * (k.k + 1))
+               * SUM((a.rbar - (k.k + 1) / 2.0)
+                     * (a.rbar - (k.k + 1) / 2.0)) AS q
+        FROM avg_rank a, k GROUP BY k.n, k.k)
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_groups,
+           ROUND(q, 4) AS friedman_q,
+           (ROUND(q, 4) > 9.4877) AS reject_equal_ranks
+    FROM stat
+    """,
+    doc="Friedman rank test: do the event types keep the same volume "
+        "ORDERING day after day, or does their within-day ranking "
+        "vary? Blocks = days, treatments = the 5 event types, "
+        "average ranks under ties (rmin + (ties-1)/2 — the standard "
+        "midrank), Q = 12n/(k(k+1)) sum (rbar_j - (k+1)/2)^2 against "
+        "the chi-square(4) 95% value (9.4877). The nonparametric "
+        "repeated-measures ANOVA — the right test when daily volumes "
+        "are non-normal but blocked by day, completing the "
+        "rank-statistics arc beside Kruskal-Wallis (independent "
+        "groups) and Wilcoxon (paired). Windows keyed by day; "
+        "everything from integer counts -> midranks are exact "
+        "halves, identical on both engines.",
+)
+def q_stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    daily = (e.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"),
+                       "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    ranked = (daily
+              .withColumn("rmin", F.rank().over(
+                  Window.partitionBy("day").orderBy("n")))
+              .withColumn("ties", F.count(F.lit(1)).over(
+                  Window.partitionBy("day", "n"))))
+    avg_rank = (ranked.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_days"),
+                     F.avg(F.col("rmin")
+                           + (F.col("ties") - 1) / 2.0).alias("rbar")))
+    k = avg_rank.agg(F.count(F.lit(1)).alias("k"),
+                     F.any_value("n_days").alias("n"))
+    q = (12.0 * F.col("n") / (F.col("k") * (F.col("k") + 1))
+         * F.sum((F.col("rbar") - (F.col("k") + 1) / 2.0)
+                 * (F.col("rbar") - (F.col("k") + 1) / 2.0)))
+    return (avg_rank.crossJoin(F.broadcast(k))
+            .groupBy("n", "k")
+            .agg(q.alias("q"))
+            .select(F.col("n").cast("long").alias("n_blocks"),
+                    F.col("k").cast("long").alias("k_groups"),
+                    F.round(F.col("q"), 4).alias("friedman_q"),
+                    (F.round(F.col("q"), 4) > 9.4877)
+                    .alias("reject_equal_ranks")))

@@ -2361,3 +2361,99 @@ def _install_bland_altman_oracle() -> None:
 
 
 _install_bland_altman_oracle()
+
+
+@register(
+    "q_ml_decision_stump",
+    oracle="""
+    WITH lab AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               CASE WHEN COALESCE(SUM(o.o_totalprice), 0) >= 150000
+                    THEN 1 ELSE 0 END AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+    thr AS (SELECT unnest(range(-1000, 10500, 500))::DOUBLE AS t),
+    split AS (
+        SELECT t,
+               SUM(CASE WHEN c_acctbal < t THEN 1 ELSE 0 END) AS nl,
+               SUM(CASE WHEN c_acctbal < t THEN y ELSE 0 END) AS pl,
+               SUM(CASE WHEN c_acctbal >= t THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN c_acctbal >= t THEN y ELSE 0 END) AS pr,
+               COUNT(*) AS n, SUM(y) AS p
+        FROM lab CROSS JOIN thr GROUP BY t),
+    scored AS (
+        SELECT t, nl, nr,
+               ROUND((nl::DOUBLE / n)
+                     * (2.0 * (CASE WHEN nl = 0 THEN 0
+                               ELSE pl::DOUBLE / nl END)
+                        * (1 - CASE WHEN nl = 0 THEN 0
+                               ELSE pl::DOUBLE / nl END))
+                   + (nr::DOUBLE / n)
+                     * (2.0 * (CASE WHEN nr = 0 THEN 0
+                               ELSE pr::DOUBLE / nr END)
+                        * (1 - CASE WHEN nr = 0 THEN 0
+                               ELSE pr::DOUBLE / nr END)), 6)
+                   AS split_gini,
+               ROUND(2.0 * (p::DOUBLE / n) * (1 - p::DOUBLE / n), 6)
+                   AS parent_gini
+        FROM split)
+    SELECT t AS threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right, split_gini, parent_gini,
+           ROUND(parent_gini - split_gini, 6) AS gain
+    FROM scored
+    ORDER BY split_gini ASC, t ASC LIMIT 1
+    """,
+    doc="DECISION STUMP learner: the best single acctbal threshold "
+        "for predicting the heavy-buyer label (lifetime spend >= "
+        "150k) by weighted Gini impurity over a fixed literal "
+        "threshold grid (-1000..10000 step 500) — the depth-1 "
+        "tree-induction primitive (and the split-finding inner loop "
+        "of every gradient-boosted tree): candidate x threshold "
+        "evaluation as ONE conditional-aggregate pass, argmin with a "
+        "threshold tie-break. The grid is a 23-row broadcast, so the "
+        "scan is read once with 23 conditional sums per row group — "
+        "at 100 TB this is the histogram-based split search XGBoost/"
+        "LightGBM run, with the bin boundaries as the grid. All "
+        "impurities are ratios of integer counts, rounded at 6 dp.",
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    lab = (c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+           .groupBy("c_custkey", "c_acctbal")
+           .agg(F.when(F.coalesce(F.sum("o_totalprice"), F.lit(0))
+                       >= 150000, 1).otherwise(0).alias("y")))
+    thr = spark.createDataFrame(
+        [(float(t),) for t in range(-1000, 10500, 500)], "t double")
+    left = F.col("c_acctbal") < F.col("t")
+    split = (lab.crossJoin(F.broadcast(thr))
+             .groupBy("t")
+             .agg(F.sum(F.when(left, 1).otherwise(0)).alias("nl"),
+                  F.sum(F.when(left, F.col("y")).otherwise(0))
+                  .alias("pl"),
+                  F.sum(F.when(~left, 1).otherwise(0)).alias("nr"),
+                  F.sum(F.when(~left, F.col("y")).otherwise(0))
+                  .alias("pr"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.sum("y").alias("p")))
+
+    def gini(pos, tot):
+        frac = F.when(tot == 0, 0.0).otherwise(
+            pos.cast("double") / tot.cast("double"))
+        return 2.0 * frac * (1 - frac)
+
+    split_gini = F.round(
+        (F.col("nl").cast("double") / F.col("n")) * gini(F.col("pl"),
+                                                         F.col("nl"))
+        + (F.col("nr").cast("double") / F.col("n")) * gini(F.col("pr"),
+                                                           F.col("nr")),
+        6)
+    parent = F.round(gini(F.col("p"), F.col("n")), 6)
+    return (split
+            .select(F.col("t").alias("threshold"),
+                    F.col("nl").cast("long").alias("n_left"),
+                    F.col("nr").cast("long").alias("n_right"),
+                    split_gini.alias("split_gini"),
+                    parent.alias("parent_gini"),
+                    F.round(parent - split_gini, 6).alias("gain"))
+            .orderBy(F.asc("split_gini"), F.asc("threshold")).limit(1))
