@@ -377,3 +377,68 @@ def test_manifest_lifecycle_matches_version_model(spark, tmp_path_factory,
             raise AssertionError(f"expired v{v} still resolves")
         except FileNotFoundError:
             pass
+
+
+# --- as-of joins vs pandas merge_asof (the stated contract) -----------
+
+_asof_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),          # group key
+              st.integers(min_value=0, max_value=50)),  # seconds
+    min_size=0, max_size=10)
+
+
+@given(left=_asof_rows, right=_asof_rows,
+       tol=st.sampled_from([None, 7.0]))
+@_PROP
+def test_asof_joins_match_pandas_merge_asof(spark, left, right, tol):
+    """Backward and nearest as-of joins must equal pandas
+    merge_asof(direction='backward'/'nearest') on arbitrary small
+    inputs — including duplicate timestamps, empty sides, and
+    tolerance. Right-side ts values are unique per (group, ts) (pandas
+    tie order among equal right keys is positional, ours is value-
+    deterministic), which is the documented determinism condition."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datalake_project_spark.operators.joins import (
+        asof_join, asof_join_nearest)
+
+    right = list({(k, t) for k, t in right})  # unique per (group, ts)
+    lpdf = pd.DataFrame(
+        [(i, k, pd.Timestamp(t, unit="s")) for i, (k, t) in
+         enumerate(left)], columns=["id", "k", "ts"])
+    rpdf = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s")) for k, t in right],
+        columns=["k", "ts"]).astype({"k": "object",
+                                     "ts": "datetime64[ns]"})
+    ldf = spark.createDataFrame(
+        [(int(i), k, int(t)) for i, (k, t) in enumerate(left)],
+        "id long, k string, t long").select(
+        "id", "k", F.timestamp_seconds("t").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(k, int(t)) for k, t in right] or [("zz", 0)],
+        "k string, t long").select(
+        "k", F.timestamp_seconds("t").alias("ts"))
+    if not right:
+        rdf = rdf.where(F.col("k") != "zz")
+
+    kw = {} if tol is None else {"tolerance": pd.Timedelta(seconds=tol)}
+    for direction, fn in (("backward", asof_join),
+                          ("nearest", asof_join_nearest)):
+        if len(lpdf):
+            # recover the matched right ts via an explicit value column
+            rpdf2 = rpdf.assign(rv=rpdf["ts"])
+            exp = pd.merge_asof(
+                lpdf.sort_values(["ts", "id"]), rpdf2.sort_values("ts"),
+                on="ts", by="k", direction=direction, **kw)
+            expected = {int(r.id): (None if pd.isna(r.rv)
+                                    else r.rv.timestamp())
+                        for r in exp.itertuples()}
+        else:
+            expected = {}
+        got_rows = fn(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+                      right_cols=["ts"], suffix="_r",
+                      tolerance_seconds=tol).collect()
+        got = {r["id"]: (None if r["ts_r"] is None
+                         else r["ts_r"].timestamp()) for r in got_rows}
+        assert got == expected, direction
