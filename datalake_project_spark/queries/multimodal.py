@@ -858,3 +858,117 @@ def q_multimodal_cdc_chunking(spark: SparkSession,
         F.round(1.0 - F.countDistinct("cmd5").cast("double")
                 / F.count(F.lit(1)).cast("double"), 4)
         .alias("dedup_ratio"))
+
+
+@register(
+    "q_multimodal_cdc_near_dup",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE length(text) > 0),
+    pos AS (
+        SELECT doc_id, i,
+               list_reduce(list_prepend(0, list_transform(
+                   split(substr(text, CAST(i - 15 AS INT), 16), ''),
+                   x -> ord(x))),
+                   (a, b) -> (a * 31 + b) % 1000003) AS h
+        FROM d, LATERAL (SELECT unnest(range(16, n + 1)) AS i)),
+    bnd AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos WHERE h % 64 = 0
+        UNION ALL SELECT doc_id, n FROM d),
+    ub AS (SELECT DISTINCT doc_id, b FROM bnd),
+    cuts AS (
+        SELECT doc_id,
+               COALESCE(LAG(b) OVER (PARTITION BY doc_id ORDER BY b), 0)
+                   + 1 AS s,
+               b AS e
+        FROM ub),
+    ch AS (
+        SELECT DISTINCT c.doc_id,
+               md5(substr(d.text, CAST(c.s AS INT),
+                          CAST(c.e - c.s + 1 AS INT))) AS cmd5
+        FROM cuts c JOIN d USING (doc_id) WHERE c.e >= c.s),
+    keep AS (
+        SELECT cmd5 FROM ch GROUP BY cmd5 HAVING COUNT(*) <= 500),
+    chk AS (SELECT ch.* FROM ch JOIN keep USING (cmd5))
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           COUNT(*) AS n_shared_chunks
+    FROM chk a JOIN chk b
+      ON a.cmd5 = b.cmd5 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY a_id, b_id
+    """,
+    doc="Near-duplicate payload pairs by SHARED CONTENT-DEFINED "
+        "chunks (>= 2) — the shift-robust twin of "
+        "q_multimodal_chunk_near_dup: under the fixed 64-byte grid, "
+        "one inserted byte shifts every downstream chunk and a "
+        "near-identical pair loses all shared digests, while CDC "
+        "boundaries re-synchronize one chunk after the edit, so the "
+        "pair keeps nearly its full overlap — the property that "
+        "makes rolling-hash chunking the dedup-candidate generator "
+        "for mutated/patched payloads. Chunking runs in the same "
+        "vectorized Arrow kernel as q_multimodal_cdc_chunking "
+        "(workers return (doc, digest) rows only), then the standard "
+        "inverted-index discipline: one repartition on the digest "
+        "carries the max_df=500 window valve and the per-digest "
+        "bucket group, pairs expand from the bounded sorted id array "
+        "(<= C(500,2)), and the >= 2 threshold is an integer HAVING "
+        "— hash-exact, no self-join legs.",
+)
+def q_multimodal_cdc_near_dup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = (as_media(docs).select("doc_id", "payload")
+             .where(F.octet_length("payload") > 0))
+
+    def cdc_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        P, W = 1000003, 16
+        kern = np.array([pow(31, j, P) for j in range(W)],
+                        dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                c = np.frombuffer(payload, dtype=np.uint8) \
+                    .astype(np.int64)
+                n = len(c)
+                ends = [n]
+                if n >= W:
+                    conv = np.convolve(c, kern, mode="valid") % P
+                    pos = np.nonzero(conv % 64 == 0)[0] + W
+                    ends = sorted(set(pos.tolist()) | {n})
+                st, seen = 0, set()
+                for e in ends:
+                    if e > st:
+                        seen.add(hashlib.md5(payload[st:e]).hexdigest())
+                        st = e
+                out.extend((int(doc_id), h) for h in seen)
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "cmd5"])
+
+    ch = media.mapInPandas(cdc_batches, "doc_id long, cmd5 string")
+    kept = (ch.repartition(F.col("cmd5"))
+            .withColumn("_df", F.count(F.lit(1))
+                        .over(Window.partitionBy("cmd5")))
+            .where(F.col("_df") <= 500))
+    pair = F.explode(F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS a_id, b AS b_id))))")).alias("p")
+    return (kept.groupBy("cmd5")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(pair)
+            .groupBy(F.col("p.a_id").alias("a_id"),
+                     F.col("p.b_id").alias("b_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+            .where(F.col("n_shared_chunks") >= 2)
+            .orderBy("a_id", "b_id"))
