@@ -4808,3 +4808,71 @@ def q_stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("q"), 4).alias("friedman_q"),
                     (F.round(F.col("q"), 4) > 9.4877)
                     .alias("reject_equal_ranks")))
+
+
+@register(
+    "q_stats_icc",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, COUNT(*) AS ni, AVG(value) AS mi,
+               SUM(value) AS si
+        FROM events GROUP BY user_id),
+    tot AS (
+        SELECT COUNT(*) AS n, AVG(value) AS mu FROM events),
+    ssb AS (
+        SELECT SUM(ni * (mi - t.mu) * (mi - t.mu)) AS ssb,
+               COUNT(*) AS k, SUM(ni * ni) AS sn2
+        FROM g, tot t GROUP BY t.mu),
+    ssw AS (
+        SELECT SUM((e.value - g.mi) * (e.value - g.mi)) AS ssw
+        FROM events e JOIN g USING (user_id)),
+    parts AS (
+        SELECT b.k, t.n,
+               b.ssb / (b.k - 1) AS msb,
+               w.ssw / (t.n - b.k) AS msw,
+               (t.n - b.sn2::DOUBLE / t.n) / (b.k - 1) AS n0
+        FROM ssb b, ssw w, tot t)
+    SELECT CAST(k AS BIGINT) AS n_users, CAST(n AS BIGINT) AS n_events,
+           ROUND(msb, 6) AS ms_between, ROUND(msw, 6) AS ms_within,
+           ROUND((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc
+    FROM parts
+    """,
+    doc="Intraclass correlation ICC(1) of event values grouped by "
+        "user — the one-way random-effects variance decomposition "
+        "((MSB - MSW) / (MSB + (n0-1) MSW) with the unbalanced-"
+        "design n0 = (N - sum ni^2/N)/(k-1)): how much of the value "
+        "variance is BETWEEN users versus noise within a user. The "
+        "number that decides whether per-user features carry signal "
+        "(ICC ~ 0: user identity explains nothing; high ICC: "
+        "user-level aggregates are predictive and clustered standard "
+        "errors are mandatory in the A/B family next door). Two "
+        "keyed aggregates (per-user moments, then the within-sum via "
+        "one broadcast join back) and 1-row scalars; every term "
+        "derives from the same doubles in the same per-group order "
+        "on both engines, rounded at 6 dp.",
+)
+def q_stats_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("events")
+    g = (e.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("ni"), F.avg("value").alias("mi"))
+         .localCheckpoint(eager=False))  # feeds SSB + the SSW join
+    tot = e.agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mu"))
+    ssb = (g.crossJoin(F.broadcast(tot))
+           .agg(F.sum(F.col("ni") * (F.col("mi") - F.col("mu"))
+                      * (F.col("mi") - F.col("mu"))).alias("ssb"),
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.col("ni") * F.col("ni")).alias("sn2")))
+    ssw = (e.join(g.select("user_id", "mi"), "user_id")
+           .agg(F.sum((F.col("value") - F.col("mi"))
+                      * (F.col("value") - F.col("mi"))).alias("ssw")))
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    n0 = ((F.col("n") - F.col("sn2").cast("double") / F.col("n"))
+          / (F.col("k") - 1))
+    return (ssb.crossJoin(F.broadcast(ssw)).crossJoin(F.broadcast(tot))
+            .select(F.col("k").cast("long").alias("n_users"),
+                    F.col("n").cast("long").alias("n_events"),
+                    F.round(msb, 6).alias("ms_between"),
+                    F.round(msw, 6).alias("ms_within"),
+                    F.round((msb - msw) / (msb + (n0 - 1) * msw), 6)
+                    .alias("icc")))
