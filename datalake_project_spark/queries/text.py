@@ -1530,3 +1530,208 @@ def q_text_word_shape_profile(spark: SparkSession,
                     F.round(F.col("n_tokens").cast("double") / F.col("t"),
                             6).alias("frac"))
             .orderBy("shape"))
+
+
+@register(
+    "q_text_self_bleu",
+    oracle="""
+    WITH docs20 AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents WHERE doc_id < 20),
+    uni AS (
+        SELECT doc_id, t, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS t FROM docs20)
+        GROUP BY 1, 2),
+    big AS (
+        SELECT doc_id, g, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i+1]
+                             FOR i IN range(1, len(ws))]) AS g
+              FROM docs20 WHERE len(ws) >= 2)
+        GROUP BY 1, 2),
+    lens AS (SELECT doc_id, len(ws) AS n FROM docs20),
+    p1 AS (
+        SELECT h.doc_id AS h_id, r.doc_id AS r_id,
+               SUM(LEAST(h.tf, r.tf)) AS clip1
+        FROM uni h JOIN uni r ON h.t = r.t AND h.doc_id <> r.doc_id
+        GROUP BY 1, 2),
+    p2 AS (
+        SELECT h.doc_id AS h_id, r.doc_id AS r_id,
+               SUM(LEAST(h.tf, r.tf)) AS clip2
+        FROM big h JOIN big r ON h.g = r.g AND h.doc_id <> r.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.doc_id AS h_id, b.doc_id AS r_id,
+               la.n AS lh, lb.n AS ln_r,
+               COALESCE(p1.clip1, 0) AS c1, COALESCE(p2.clip2, 0) AS c2
+        FROM docs20 a JOIN docs20 b ON a.doc_id <> b.doc_id
+        JOIN lens la ON la.doc_id = a.doc_id
+        JOIN lens lb ON lb.doc_id = b.doc_id
+        LEFT JOIN p1 ON p1.h_id = a.doc_id AND p1.r_id = b.doc_id
+        LEFT JOIN p2 ON p2.h_id = a.doc_id AND p2.r_id = b.doc_id),
+    bleu AS (
+        SELECT h_id,
+               AVG(CASE WHEN c1 = 0 OR c2 = 0 OR lh < 2 THEN 0.0
+                   ELSE LEAST(1.0, exp(1.0 - ln_r::DOUBLE / lh))
+                        * exp(0.5 * (ln(c1::DOUBLE / lh)
+                                     + ln(c2::DOUBLE / (lh - 1))))
+                   END) AS sb
+        FROM pairs GROUP BY h_id)
+    SELECT h_id AS doc_id, ROUND(sb, 6) AS self_bleu2
+    FROM bleu ORDER BY doc_id
+    """,
+    doc="SELF-BLEU (BLEU-2, uniform weights, standard brevity "
+        "penalty) of each sampled document against every other — the "
+        "corpus DIVERSITY metric from the text-generation literature "
+        "(Zhu et al. 2018): high self-BLEU means documents are "
+        "near-paraphrases of each other, the mode-collapse smell a "
+        "synthetic-data pipeline must watch that token-distribution "
+        "divergence (the JSD matrix) cannot see because it ignores "
+        "ORDER. Clipped n-gram precisions are the bag-intersection "
+        "sums the dedup family already uses (sum min(tf_h, tf_r)), "
+        "computed by two inverted-index self-joins over the 20-doc "
+        "receipt sample (380 ordered pairs — the metric is "
+        "inherently O(sample^2), so the sample is the knob, exactly "
+        "how Self-BLEU is reported in practice). Precisions are "
+        "ratios of integers; the geometric mean and brevity penalty "
+        "are identical IEEE exp/ln on both engines, rounded 6 dp.",
+)
+def q_text_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import span_list, tokens
+
+    d = (Catalog(spark, sf_dir).table("documents")
+         .where(F.col("doc_id") < 20)
+         .select("doc_id", tokens("text").alias("ws"))
+         .localCheckpoint(eager=False))  # feeds uni/big/lens
+    uni = (d.select("doc_id", F.explode("ws").alias("t"))
+           .groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")))
+    big = (d.select("doc_id", F.explode(span_list(F.col("ws"), 2))
+                    .alias("g"))
+           .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("tf")))
+    lens = d.select("doc_id", F.size("ws").alias("n"))
+
+    def clipped(tf: DataFrame, key: str, out: str) -> DataFrame:
+        h = tf.select(F.col("doc_id").alias("h_id"), key,
+                      F.col("tf").alias("htf"))
+        r = tf.select(F.col("doc_id").alias("r_id"), key,
+                      F.col("tf").alias("rtf"))
+        return (h.join(r, key)
+                .where(F.col("h_id") != F.col("r_id"))
+                .groupBy("h_id", "r_id")
+                .agg(F.sum(F.least("htf", "rtf")).alias(out)))
+
+    p1 = clipped(uni, "t", "c1")
+    p2 = clipped(big, "g", "c2")
+    a = lens.select(F.col("doc_id").alias("h_id"), F.col("n").alias("lh"))
+    b = lens.select(F.col("doc_id").alias("r_id"),
+                    F.col("n").alias("ln_r"))
+    pairs = (a.crossJoin(b).where(F.col("h_id") != F.col("r_id"))
+             .join(p1, ["h_id", "r_id"], "left")
+             .join(p2, ["h_id", "r_id"], "left")
+             .select("h_id", "lh", "ln_r",
+                     F.coalesce("c1", F.lit(0)).alias("c1"),
+                     F.coalesce("c2", F.lit(0)).alias("c2")))
+    bp = F.least(F.lit(1.0),
+                 F.exp(1.0 - F.col("ln_r").cast("double") / F.col("lh")))
+    geo = F.exp(0.5 * (F.log(F.col("c1").cast("double") / F.col("lh"))
+                       + F.log(F.col("c2").cast("double")
+                               / (F.col("lh") - 1))))
+    score = F.when((F.col("c1") == 0) | (F.col("c2") == 0)
+                   | (F.col("lh") < 2), 0.0).otherwise(bp * geo)
+    return (pairs.groupBy(F.col("h_id").alias("doc_id"))
+            .agg(F.round(F.avg(score), 6).alias("self_bleu2"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "q_text_cross_entropy_matrix",
+    oracle="""
+    WITH words AS (
+        SELECT source,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(ws) AS t FROM words)),
+    bg AS (
+        SELECT source, u, g, COUNT(*) AS tf
+        FROM (SELECT source, ws[i] AS u, ws[i] || ' ' || ws[i+1] AS g
+              FROM words, LATERAL (SELECT unnest(range(1, len(ws)))
+                                   AS i)
+              WHERE len(ws) >= 2)
+        GROUP BY 1, 2, 3),
+    fromc AS (SELECT source, u, SUM(tf) AS cu FROM bg GROUP BY 1, 2),
+    models AS (SELECT DISTINCT source AS m FROM bg),
+    scored AS (
+        SELECT e.source AS eval_source, mo.m AS model_source,
+               SUM(e.tf) AS n_bigrams,
+               -SUM(e.tf * ln((COALESCE(mb.tf, 0) + 1.0)
+                              / (COALESCE(mf.cu, 0) + v.v)))
+                   / SUM(e.tf) AS h
+        FROM bg e
+        CROSS JOIN models mo
+        LEFT JOIN bg mb ON mb.source = mo.m AND mb.g = e.g
+        LEFT JOIN fromc mf ON mf.source = mo.m AND mf.u = e.u,
+        v
+        GROUP BY 1, 2, v.v)
+    SELECT model_source, eval_source,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(h, 4) AS cross_entropy,
+           ROUND(exp(h), 2) AS perplexity
+    FROM scored ORDER BY model_source, eval_source
+    """,
+    doc="Bigram cross-entropy TRANSFER MATRIX between sources: an "
+        "add-one-smoothed bigram LM per source (shared corpus "
+        "vocabulary V in the smoothing denominator so cells are "
+        "comparable) evaluated on every source's bigram stream — "
+        "H(eval | model) per (model, eval) cell, with perplexity. "
+        "The diagonal is each source's in-domain entropy; "
+        "off-diagonal asymmetries say which sources are "
+        "linguistically CLOSE in sequence structure — the "
+        "domain-transfer view the token-distribution JSD matrix "
+        "cannot give because it ignores order, and the measurement "
+        "behind 'train on A, deploy on B' data-mixing calls. Plan: "
+        "one bigram count per source, a x5 broadcast model fanout "
+        "over the distinct-bigram table (never the corpus), two "
+        "left joins against model counts. Probabilities are ratios "
+        "of integers; ln sums rounded at 4 dp.",
+)
+def q_text_cross_entropy_matrix(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from datalake_project_spark.functions.text import span_list, tokens
+
+    d = (Catalog(spark, sf_dir).table("documents")
+         .select("source", tokens("text").alias("ws")))
+    v = (d.select(F.explode("ws").alias("t"))
+         .agg(F.countDistinct("t").alias("v")))
+    bg = (d.select("source", F.explode(span_list(F.col("ws"), 2))
+                   .alias("g"))
+          .select("source", F.split("g", " ").getItem(0).alias("u"), "g")
+          .groupBy("source", "u", "g")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))  # feeds eval + model + fromc
+    fromc = bg.groupBy("source", "u").agg(F.sum("tf").alias("cu"))
+    models = bg.select(F.col("source").alias("m")).distinct()
+    mb = bg.select(F.col("source").alias("m_b"),
+                   F.col("g").alias("mg"), F.col("tf").alias("mtf"))
+    mf = fromc.select(F.col("source").alias("m_f"),
+                      F.col("u").alias("mu"), F.col("cu").alias("mcu"))
+    e = (bg.crossJoin(F.broadcast(models))
+         .join(mb, (F.col("m") == F.col("m_b"))
+               & (F.col("g") == F.col("mg")), "left")
+         .drop("m_b", "mg")
+         .join(mf, (F.col("m") == F.col("m_f"))
+               & (F.col("u") == F.col("mu")), "left")
+         .drop("m_f", "mu")
+         .crossJoin(F.broadcast(v)))
+    lp = F.log((F.coalesce(F.col("mtf"), F.lit(0)) + 1.0)
+               / (F.coalesce(F.col("mcu"), F.lit(0)) + F.col("v")))
+    h = -F.sum(F.col("tf") * lp) / F.sum("tf")
+    return (e.groupBy(F.col("m").alias("model_source"),
+                      F.col("source").alias("eval_source"))
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.round(h, 4).alias("cross_entropy"),
+                 F.round(F.exp(h), 2).alias("perplexity"))
+            .orderBy("model_source", "eval_source"))
