@@ -756,8 +756,17 @@ def q_multimodal_byte_histogram(spark: SparkSession,
                    x -> ord(x))),
                    (a, b) -> (a * 31 + b) % 1000003) AS h
         FROM d, LATERAL (SELECT unnest(range(16, n + 1)) AS i)),
+    raw AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos
+        WHERE h % 64 = 0),
+    kept AS (
+        SELECT doc_id, b FROM (
+            SELECT doc_id, b,
+                   b - COALESCE(LAG(b) OVER (PARTITION BY doc_id
+                                             ORDER BY b), 0) AS gap
+            FROM raw) g WHERE gap >= 16),
     bnd AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos WHERE h % 64 = 0
+        SELECT doc_id, b FROM kept
         UNION ALL SELECT doc_id, n FROM d),
     ub AS (SELECT DISTINCT doc_id, b FROM bnd),
     ch AS (
@@ -838,7 +847,16 @@ def q_multimodal_cdc_chunking(spark: SparkSession,
                 if n >= W:
                     conv = np.convolve(c, kern, mode="valid") % P
                     pos = np.nonzero(conv % 64 == 0)[0] + W
-                    ends = sorted(set(pos.tolist()) | {n})
+                    # local min-gap guard (production CDC's min chunk
+                    # size): drop a hash boundary closer than 16 bytes
+                    # to the PREVIOUS RAW boundary — kills the tiny
+                    # chunks whose digests collide across unrelated
+                    # payloads; the trailing end-of-payload cut is
+                    # always kept
+                    raw = pos.tolist()
+                    keep = [e for j, e in enumerate(raw)
+                            if (e if j == 0 else e - raw[j - 1]) >= 16]
+                    ends = sorted(set(keep) | {n})
                 st = 0
                 for e in ends:
                     if e > st:
@@ -872,8 +890,17 @@ def q_multimodal_cdc_chunking(spark: SparkSession,
                    x -> ord(x))),
                    (a, b) -> (a * 31 + b) % 1000003) AS h
         FROM d, LATERAL (SELECT unnest(range(16, n + 1)) AS i)),
+    raw AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos
+        WHERE h % 64 = 0),
+    kept AS (
+        SELECT doc_id, b FROM (
+            SELECT doc_id, b,
+                   b - COALESCE(LAG(b) OVER (PARTITION BY doc_id
+                                             ORDER BY b), 0) AS gap
+            FROM raw) g WHERE gap >= 16),
     bnd AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS b FROM pos WHERE h % 64 = 0
+        SELECT doc_id, b FROM kept
         UNION ALL SELECT doc_id, n FROM d),
     ub AS (SELECT DISTINCT doc_id, b FROM bnd),
     cuts AS (
@@ -944,7 +971,16 @@ def q_multimodal_cdc_near_dup(spark: SparkSession,
                 if n >= W:
                     conv = np.convolve(c, kern, mode="valid") % P
                     pos = np.nonzero(conv % 64 == 0)[0] + W
-                    ends = sorted(set(pos.tolist()) | {n})
+                    # local min-gap guard (production CDC's min chunk
+                    # size): drop a hash boundary closer than 16 bytes
+                    # to the PREVIOUS RAW boundary — kills the tiny
+                    # chunks whose digests collide across unrelated
+                    # payloads; the trailing end-of-payload cut is
+                    # always kept
+                    raw = pos.tolist()
+                    keep = [e for j, e in enumerate(raw)
+                            if (e if j == 0 else e - raw[j - 1]) >= 16]
+                    ends = sorted(set(keep) | {n})
                 st, seen = 0, set()
                 for e in ends:
                     if e > st:

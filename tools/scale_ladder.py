@@ -133,6 +133,11 @@ PANEL = [
     # than argued.
     "q_dedup_bag_jaccard",
     "q_dedup_idf_weighted_jaccard",
+    # r11b: content-defined chunking — the Arrow convolution kernel's
+    # linearity receipt (workers return digests only), and its
+    # near-dup companion's one-exchange digest discipline.
+    "q_multimodal_cdc_chunking",
+    "q_multimodal_cdc_near_dup",
 ]
 
 SYMLINK_TABLES = ["region", "nation", "supplier", "part", "orders"]
