@@ -131,6 +131,20 @@ class Lake:
                   .drop("ingest_date", "run_ts"))
         keep = target.join(touched, keys, "left_anti")
         merged = keep.unionByName(ups).localCheckpoint(eager=True)
+        if not merged.take(1):
+            # A merge that tombstones EVERY surviving row produces an
+            # empty frame, and a dynamic partition overwrite with zero
+            # rows names no partitions — it replaces nothing, silently
+            # resurrecting the old data (hypothesis-found: base={k},
+            # updates=one tombstone for k). Overwrite the partition
+            # DIRECTORY with the empty-but-schema'd frame instead:
+            # readers see zero rows for this partition and the file
+            # schema matches the partitionBy layout (partition columns
+            # are directory-encoded, never in the files).
+            part_dir = (f"{self.usage_path(table)}/"
+                        f"ingest_date={ingest_date}/run_ts={run_ts}")
+            merged.write.mode("overwrite").parquet(part_dir)
+            return
         self.write_usage(merged, table, ingest_date, run_ts)
 
     def write_audit_publish(self, df: DataFrame, table: str, ingest_date: str,

@@ -78,3 +78,31 @@ def test_windowed_diff_equals_pairwise(spark):
 def test_windowed_diff_single_snapshot_empty(spark):
     snaps = spark.createDataFrame([(1, "a")], "ts int, username string")
     assert snapshot_diff_windowed(snaps, keys=["username"], ts_col="ts").count() == 0
+
+
+def test_upsert_all_tombstones_clears_partition(spark, tmp_path):
+    """Regression (hypothesis-found): a MERGE whose tombstones delete
+    EVERY surviving row must leave an empty partition — the dynamic
+    overwrite path writes zero rows and names no partitions, which
+    used to resurrect the old data."""
+    from pyspark.sql import functions as F
+
+    from datalake_project_spark.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake"))
+    lake.write_usage(spark.createDataFrame([(0, "a"), (1, "b")],
+                                           "k long, v string"),
+                     "t", "20260814", "r1")
+    tomb = spark.createDataFrame([(0, None, True), (1, None, True)],
+                                 "k long, v string, del boolean")
+    lake.upsert(tomb, "t", "20260814", "r1", keys=["k"],
+                delete_col="del")
+    assert lake.read_usage("t", "20260814", "r1").count() == 0
+    # and a later partial re-insert works on the cleared partition
+    lake.upsert(spark.createDataFrame([(2, "c", False)],
+                                      "k long, v string, del boolean"),
+                "t", "20260814", "r1", keys=["k"], delete_col="del")
+    got = {(r["k"], r["v"]) for r in
+           lake.read_usage("t", "20260814", "r1")
+           .select("k", "v").collect()}
+    assert got == {(2, "c")}
