@@ -343,7 +343,35 @@ ADDITIONS = [
 HEADLINE = CORE + ADDITIONS
 
 
+def _settle_load(threshold: float = 2.0, max_wait_s: float = 120.0,
+                 poll_s: float = 5.0) -> dict:
+    """Bounded wait for ambient load to settle before timing anything.
+
+    r11 lesson (VERDICT task 2): the driver invokes bench.py directly, and
+    BENCH_r11 was captured at loadavg 4.78->7.85 — a uniform ~1.3x
+    inflation recorded as the round's official number. round_close.py
+    already settles below loadavg 2 before benching; this ports the same
+    bounded wait into bench.py itself so the receipt travels with every
+    capture: wait up to ``max_wait_s`` for 1-min loadavg < ``threshold``,
+    then proceed either way and record what happened.
+    """
+    t0 = time.monotonic()
+    waited = 0.0
+    start = os.getloadavg()[0]
+    while os.getloadavg()[0] >= threshold:
+        waited = time.monotonic() - t0
+        if waited >= max_wait_s:
+            break
+        time.sleep(poll_s)
+    return {
+        "settle_load_initial": round(start, 2),
+        "settle_waited_s": round(waited, 1),
+        "settle_timed_out": bool(os.getloadavg()[0] >= threshold),
+    }
+
+
 def main() -> None:
+    settle_receipt = _settle_load()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     # sf encoded in the directory name, e.g. .../sf0.1 -> 0.1
     base = os.path.basename(sf_dir)
@@ -429,6 +457,7 @@ def main() -> None:
         "load_avg_end": round(load_end, 2),
         "steady_spread_median": spread_median,
         "last_trial_regress_frac": regress_frac,
+        **settle_receipt,
     }
     for name in ADDITIONS:
         spec = registry[name]

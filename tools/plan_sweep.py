@@ -36,10 +36,11 @@ from datalake_project_spark.session import get_spark  # noqa: E402
 
 SKIP = {
     "q_text_bpe_train", "q_text_bpe_encode",        # driver loop by design
-    "q_text_unigram_viterbi",                        # driver-stepped DP
-    "q_text_unigram_forward",                        # driver-stepped DP
-    "q_text_unigram_em_counts",                      # driver-stepped DP
-    "q_text_unigram_em_round",                       # driver-stepped DP
+    # r12: viterbi/forward/em_counts became one-pass mapInPandas plans
+    # and are now swept like any other query; em_round alone still runs
+    # jobs at construction time (its M-step collects the bounded piece
+    # table to renormalize), so it stays skipped.
+    "q_text_unigram_em_round",                       # M-step collect at build
     "q_bucketed_join_roundtrip",                     # builds scratch tables
     "q_ann_ivf_topk", "q_ann_ivf_recall",            # builds IVF index
 }
