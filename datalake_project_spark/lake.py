@@ -141,6 +141,11 @@ class Lake:
             # readers see zero rows for this partition and the file
             # schema matches the partitionBy layout (partition columns
             # are directory-encoded, never in the files).
+            # CONSTRAINT: this hand-built leaf path skips Spark's
+            # partition-value escaping (ExternalCatalogUtils
+            # escapePathName), so ingest_date/run_ts must be path-safe
+            # tokens — the lake writes them as fixed-width yyyy-MM-dd /
+            # HHmm strings, which never contain escaped characters.
             part_dir = (f"{self.usage_path(table)}/"
                         f"ingest_date={ingest_date}/run_ts={run_ts}")
             merged.write.mode("overwrite").parquet(part_dir)

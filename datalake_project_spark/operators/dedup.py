@@ -18,6 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -37,10 +38,73 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[Column] | None = 
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def _parse_bytes(v: str) -> int:
+    """'134217728' / '128m' / '128MB' -> bytes (Spark conf size forms)."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def _scan_fan_out(docs: DataFrame) -> int | None:
+    """Width to spread a CPU-heavy per-row pass over, or None when the
+    source scan already parallelizes.
+
+    Guide §2.5 input-skew case: a fixture-scale parquet arrives as ONE
+    input split (file bytes < maxPartitionBytes), so everything until
+    the first exchange — here the tokenize+shingle+hash pass, the most
+    CPU-expensive per-row work in the dedup family — runs on a single
+    core (r12 profile: 2 of 5.8 s warm wall in one 1-task stage). At
+    production scale the scan has >> cores splits and this returns
+    None, so no extra exchange of the text payload is ever introduced;
+    the fan-out only fires when the scan undershoots the cluster's
+    parallelism, and then the shuffled bytes are at most
+    cores x maxPartitionBytes."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = docs.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    mpb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    total = 0
+    splits = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if not os.path.exists(p):
+            return None  # non-local source: trust its split planning
+        sz = os.path.getsize(p)
+        total += sz
+        splits += max(1, -(-sz // mpb))
+    if splits >= cores:
+        return None
+    return 2 * cores
+
+
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    sh = shingles(tokens(text_col), n=n)
-    return (docs.select(F.col(id_col).alias("_id"), sh.alias("_shingles"))
-            .where(F.size("_shingles") >= 1))
+    """(_id, _shingles) for every document — including empty arrays for
+    docs shorter than ``n`` tokens (r12 contract change: the old
+    ``size >= 1`` filter inlined the whole shingle expression into a
+    scan-stage predicate, which both defeated the fan-out below and
+    evaluated the tokenizer twice; empty arrays vanish at the explode
+    every consumer performs, and consumers that count documents count
+    distinct ids on the exploded index instead)."""
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_text"))
+    w = _scan_fan_out(docs)
+    if w is not None:
+        # spread the tokenize+shingle pass across the cluster BEFORE the
+        # expensive expressions run (projection stays above the exchange;
+        # the id hash is deterministic, so retries are safe)
+        base = base.repartition(w, "_id")
+    sh = shingles(tokens(F.col("_text")), n=n)
+    return base.select("_id", sh.alias("_shingles"))
 
 
 def _verify_pairs_exact(hashed: DataFrame, cands: DataFrame,
@@ -117,12 +181,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             cands = cands.repartition(num_partitions, "a_id", "b_id")
         return _verify_pairs_exact(hashed, cands.distinct(), threshold)
 
-    sizes = sh.select("_id", F.size("_shingles").alias("_n"))
-    # the inverted index feeds BOTH sides of the self-join; lazy
-    # localCheckpoint materializes the explode+hash corpus pass once
-    inv = sh.select("_id", F.explode(
-        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s")) \
+    # one tokenize+shingle+hash pass for the WHOLE query: the compact
+    # (_id, hash-array) table is lazily checkpointed and feeds the
+    # inverted index (both self-join sides) AND the size legs — before
+    # r12 the sizes leg re-ran the tokenizer from the parquet in its
+    # own (single-task at fixture scale) stage
+    hashed = sh.select("_id", F.transform(
+        "_shingles", lambda s: F.xxhash64(s)).alias("_hs")) \
         .localCheckpoint(eager=False)
+    sizes = hashed.select("_id", F.size("_hs").alias("_n"))
+    inv = hashed.select("_id", F.explode("_hs").alias("_s"))
     if num_partitions is not None:
         # widen the shingle-keyed exchange so the join (and the pair
         # partial-aggregates running on its output partitions) split
@@ -205,11 +273,13 @@ def ngram_containment_pairs(docs: DataFrame, id_col: str = "doc_id",
     values are engine-exact.
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.select("_id", F.size("_shingles").alias("_n"))
-    # self-joined index: lazy localCheckpoint, same as ngram_jaccard_pairs
-    inv = sh.select("_id", F.explode(
-        F.transform("_shingles", lambda s: F.xxhash64(s))).alias("_s")) \
+    # one tokenize pass: hashed arrays checkpointed, index + size legs
+    # both derive from it (same r12 restructure as ngram_jaccard_pairs)
+    hashed = sh.select("_id", F.transform(
+        "_shingles", lambda s: F.xxhash64(s)).alias("_hs")) \
         .localCheckpoint(eager=False)
+    sizes = hashed.select("_id", F.size("_hs").alias("_n"))
+    inv = hashed.select("_id", F.explode("_hs").alias("_s"))
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") != F.col("b._id")))
@@ -386,8 +456,16 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # distinct tokens, hash each once, and take the 64 per-bit sums as
     # groupBy aggregates (one shuffle, map-side partials, small codegen
     # expressions) instead of 64 array folds per row.
-    inv = (docs.select(F.col(id_col).alias("_id"),
-                       F.explode(F.array_distinct(tokens(text_col))).alias("_t"))
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_text"))
+    w = _scan_fan_out(docs)
+    if w is not None:
+        # single-split fixture scan: spread the tokenize pass (see
+        # _scan_fan_out — a no-op at production scan widths)
+        base = base.repartition(w, "_id")
+    inv = (base.select("_id",
+                       F.explode(F.array_distinct(tokens(F.col("_text"))))
+                       .alias("_t"))
            .select("_id", F.xxhash64("_t").alias("_h")))
     contribs = inv.groupBy("_id").agg(*[
         F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_c{b}")
@@ -445,15 +523,20 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     labels = (edges.select("u").distinct()
               .withColumn("label", F.col("u")))
     for _ in range(max_iter):
-        neighbor_labels = (
+        # r12 round shape: carry the OLD label through the min-update so
+        # convergence detection is a filter over the checkpointed round
+        # output instead of a second join+shuffle job per round (the r11
+        # form ran new⋈old as its own 2-exchange job every iteration)
+        neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
-            .select("u", "label"))
-        new_labels = (labels.union(neighbor_labels)
-                      .groupBy("u").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "u")
-                   .where(F.col("label") != F.col("old")).count())
-        labels = new_labels
+            .groupBy("u").agg(F.min("label").alias("_nl")))
+        upd = (labels.join(neighbor_min, "u", "left")
+               .select("u", F.col("label").alias("_old"),
+                       F.least("label", F.coalesce("_nl", "label"))
+                       .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = upd.where(F.col("label") != F.col("_old")).count()
+        labels = upd.select("u", "label")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("id"), F.col("label").alias("rep"))

@@ -1225,7 +1225,10 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = F.broadcast(dfreq.agg(
         F.sum(F.expr("df * (df - 1) DIV 2")).cast("long")
         .alias("n_full_pair_slots")))
-    return (sh.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # docs with >= 1 shingle == distinct ids in the checkpointed index
+    # (r12: _doc_shingles no longer filters empties; counting off toks
+    # avoids a second corpus tokenize pass)
+    return (toks.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
             .crossJoin(slots)
             .crossJoin(one(cand_pref, "n_prefix_pairs"))
             .crossJoin(one(truth, "n_true_pairs"))
@@ -1541,7 +1544,9 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
                F.transform("_shingles", lambda s: F.xxhash64(s)))
                .alias("_s"))
            .localCheckpoint(eager=False))
-    n_docs = sh.select(F.count(F.lit(1)).alias("_n"))
+    # docs with >= 1 shingle == distinct ids in the checkpointed index
+    # (r12: _doc_shingles no longer filters empties)
+    n_docs = inv.agg(F.count_distinct("_id").alias("_n"))
     idf = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
            .where(F.col("_df") <= 500)
            .crossJoin(F.broadcast(n_docs))

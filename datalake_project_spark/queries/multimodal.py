@@ -813,7 +813,6 @@ def q_multimodal_byte_histogram(spark: SparkSession,
 )
 def q_multimodal_cdc_chunking(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
 
     docs = Catalog(spark, sf_dir).table("documents")
     media = (as_media(docs).select("payload")
@@ -841,7 +840,8 @@ def q_multimodal_cdc_chunking(spark: SparkSession,
             for payload in pdf["payload"]:
                 if not payload:
                     continue
-                c = np.frombuffer(payload, dtype=np.uint8)                     .astype(np.int64)
+                c = np.frombuffer(payload, dtype=np.uint8) \
+                      .astype(np.int64)
                 n = len(c)
                 ends = [n]
                 if n >= W:

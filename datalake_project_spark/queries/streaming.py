@@ -19,6 +19,16 @@ from datalake_project_spark.streaming import (
 )
 
 
+def _sparts(spark: SparkSession, sf_dir: str) -> int:
+    """Footprint-derived state-store partition count for every drain in
+    this module (r12: the session's batch shuffle width gave 32-128
+    state-store instances per stateful operator at fixture scale, and
+    ~95% of stream-join wall went to per-instance commit overhead —
+    see tuning.suggest_stream_state_partitions)."""
+    from datalake_project_spark.tuning import suggest_stream_state_partitions
+    return suggest_stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+
+
 @register(
     "q_stream_tumbling_window",
     oracle="""
@@ -35,7 +45,8 @@ from datalake_project_spark.streaming import (
 )
 def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
-        windowed_agg(events_stream(spark, sf_dir), "1 hour"), "complete")
+        windowed_agg(events_stream(spark, sf_dir), "1 hour"), "complete",
+        state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -58,7 +69,7 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         windowed_agg(events_stream(spark, sf_dir), "1 hour", slide="15 minutes"),
-        "complete")
+        "complete", state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -89,7 +100,8 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
-        sessionized_agg(events_stream(spark, sf_dir), "30 minutes"), "complete")
+        sessionized_agg(events_stream(spark, sf_dir), "30 minutes"), "complete",
+        state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -101,7 +113,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stream_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"]),
-        "append")
+        "append", state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -141,7 +153,8 @@ def q_stream_multi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.size(F.collect_set("user_id")).alias("n_users"),
                 F.round(F.sum("value"), 2).alias("total_value")))
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -168,7 +181,8 @@ def q_stream_dedup_within_watermark(spark: SparkSession,
            .withWatermark("ts", "3650 days")
            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
            .select("user_id", "event_type"))
-    return run_available_now(out, "append")
+    return run_available_now(out, "append",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -209,7 +223,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(
         "l.signup_event_id", "r.err_event_id", F.col("l.user_id").alias("user_id"),
         (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts")).alias("lag_us"))
-    return run_available_now(out, "append")
+    return run_available_now(out, "append",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -231,7 +246,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
-        user_profile_stream(events_stream(spark, sf_dir)), "append")
+        user_profile_stream(events_stream(spark, sf_dir)), "append",
+        state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -298,7 +314,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     PHI_INV = 200
     cands = (run_available_now(
         mg_candidate_stream(events_stream(spark, sf_dir),
-                            n_shards=8, k=2 * PHI_INV), "update")
+                            n_shards=8, k=2 * PHI_INV), "update",
+        state_partitions=_sparts(spark, sf_dir))
         .select("user_id").distinct())
     e = Catalog(spark, sf_dir).table("events")
     tot = e.agg(F.count(F.lit(1)).alias("n_total"))
@@ -348,7 +365,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (joined.groupBy("tier")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value")))
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -502,7 +520,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l.user_id").alias("user_id"),
                    (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts"))
                    .alias("lag_us")))
-    return run_available_now(out, "append")
+    return run_available_now(out, "append",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -553,7 +572,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         sessionized_agg(events_stream(spark, sf_dir), "30 minutes",
-                        watermark="2 hours"), "append")
+                        watermark="2 hours"), "append",
+        state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -601,7 +621,8 @@ def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.streaming.ops import rolling_median_stream
 
     drained = run_available_now(
-        rolling_median_stream(events_stream(spark, sf_dir)), "append")
+        rolling_median_stream(events_stream(spark, sf_dir)), "append",
+        state_partitions=_sparts(spark, sf_dir))
     n = F.count(F.lit(1))
     return (drained.groupBy("event_type")
             .agg(n.alias("n_windows"),
@@ -674,7 +695,8 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.floor(F.col("value") / 50.0)
                                    .cast("int")).alias("bucket"))
                   .agg(F.count(F.lit(1)).alias("n")))
-    cur = run_available_now(cur_stream, "complete") \
+    cur = run_available_now(cur_stream, "complete",
+                            state_partitions=_sparts(spark, sf_dir)) \
         .withColumn("win", F.lit("cur"))
     base = (Catalog(spark, sf_dir).table("events")
             .where(F.col("value").isNotNull()
@@ -764,7 +786,8 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = daily.select(F.date_format("dw.start", "yyyy-MM-dd").alias("day"),
                        "event_type", "n_events", "n_hours", "total_value",
                        "peak_hour_events")
-    return run_available_now(out, "append")
+    return run_available_now(out, "append",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(
@@ -838,7 +861,8 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (joined.groupBy("version", "tier")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value")))
-    return run_available_now(agg, "complete")
+    return run_available_now(agg, "complete",
+                             state_partitions=_sparts(spark, sf_dir))
 
 
 @register(

@@ -30,18 +30,38 @@ from pyspark.sql.types import (
 _query_seq = itertools.count()
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(stream_df: DataFrame, output_mode: str,
+                      state_partitions: int | None = None) -> DataFrame:
     """Drain a streaming DataFrame to a batch result: process every
     available file with ``trigger(availableNow=True)``, sink to memory,
     return the sink table. Test/backfill entry point — the SAME streaming
-    plan that would run continuously, executed to exhaustion."""
+    plan that would run continuously, executed to exhaustion.
+
+    ``state_partitions`` (derive it with
+    ``tuning.suggest_stream_state_partitions``) sizes the stateful
+    shuffle — and with it the state-store instance count — for THIS
+    query only: the conf is set for the ``start()`` call, which freezes
+    it into the query's (ephemeral) checkpoint, and restored right
+    after the drain. Without it the query inherits the session's batch
+    shuffle width, which at fixture scale means 32-128 state-store
+    instances each paying fixed per-commit overhead for a few KB of
+    state (the r12 diagnosis: ~95% of stream-join wall in state
+    commits; see the tuning helper's docstring for numbers)."""
+    spark = stream_df.sparkSession
     name = f"dlps_stream_sink_{next(_query_seq)}"
-    q = (
-        stream_df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour",

@@ -75,6 +75,37 @@ def apply_shuffle_sizing(spark, *paths: str,
     return n
 
 
+def suggest_stream_state_partitions(spark, *paths: str,
+                                    expansion: float = 4.0,
+                                    target_partition_bytes: int = 64 << 20,
+                                    min_partitions: int = 8,
+                                    max_partitions: int = MAX_PARTITIONS) -> int:
+    """Streaming state-store partition count from the input footprint.
+
+    The stateful-shuffle partition count is ALSO the number of state-
+    store instances (x2-4 per stateful operator: a symmetric hash join
+    keeps 4 stores per partition), and every instance pays fixed
+    per-micro-batch commit overhead regardless of how little state it
+    holds. The r12 diagnosis measured a 32-partition (128-instance)
+    stream-stream interval join spending ~95% of its wall in state
+    commits over a 40k-row state (sum commitTimeMs ~500 s, wall ~9 s);
+    the same drain at 8 partitions committed in 8.5 s total and ran in
+    3.7 s. So, unlike batch exchanges, there is NO cores floor here: a
+    bounded backfill with tiny state wants FEW instances, while at
+    production scale the byte-derived count exceeds any cluster's core
+    count long before per-partition state reaches the target
+    (``expansion`` ~ state-bytes / compressed-input-bytes). The
+    partition count is frozen into a checkpoint at first start; that
+    caveat doesn't bind availableNow drains (ephemeral checkpoints) —
+    a continuous 24/7 deployment should size from projected PEAK state
+    and keep that number for the checkpoint's life.
+    """
+    total = int(sum(dir_bytes(p) for p in paths) * expansion)
+    return suggest_shuffle_partitions(
+        total, target_partition_bytes=target_partition_bytes,
+        min_partitions=min_partitions, max_partitions=max_partitions)
+
+
 def suggest_for_stage(spark, *paths: str, expansion: float = 1.0,
                       **kwargs) -> int:
     """Per-STAGE partition count for one heavy exchange, derived from the

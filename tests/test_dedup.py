@@ -169,3 +169,40 @@ def test_incremental_exact_dup_is_jaccard_one(spark):
     corpus = d.where(F.col("doc_id") == 1)
     got = rows(D.ngram_jaccard_pairs_between(batch, corpus, threshold=0.5))
     assert got == [(2, 1, 1.0)]
+
+
+def test_scan_fan_out_fires_only_on_narrow_scans(spark, tmp_path):
+    """_scan_fan_out spreads a single-split fixture scan across the
+    cluster (r12: the tokenize+shingle pass otherwise runs on ONE core)
+    and must be a no-op for in-memory frames and wide-enough scans."""
+    from pyspark.sql import functions as F
+
+    from datalake_project_spark.operators.dedup import (
+        _doc_shingles, _scan_fan_out,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    # tiny parquet -> one split -> fan out to 2x cores
+    p = tmp_path / "docs"
+    spark.range(50).coalesce(1) \
+        .select(F.col("id").alias("doc_id"),
+                F.lit("alpha beta gamma delta").alias("text")) \
+        .write.mode("overwrite").parquet(str(p))
+    docs = spark.read.parquet(str(p))
+    assert _scan_fan_out(docs) == 2 * cores
+    # in-memory frame: no input files -> no fan-out
+    mem = spark.range(5).select(F.col("id").alias("doc_id"),
+                                F.lit("a b c").alias("text"))
+    assert _scan_fan_out(mem) is None
+    # scan wide enough on its own (simulated via a tiny split target)
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+        assert _scan_fan_out(docs) is None
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    # shingle output is identical with and without the fan-out exchange
+    got = {(r["_id"], tuple(r["_shingles"]))
+           for r in _doc_shingles(docs, "doc_id", "text", 3).collect()}
+    want = {(i, ("alpha beta gamma", "beta gamma delta")) for i in range(50)}
+    assert got == want

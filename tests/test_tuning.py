@@ -91,3 +91,45 @@ def test_suggest_for_stage_floors_at_cores_and_scales(spark, tmp_path):
     # 4 MiB x 65536 = 256 GiB -> 2048 partitions of 128 MiB
     assert suggest_for_stage(spark, str(f), expansion=65536.0) == 2048
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+
+
+def test_suggest_stream_state_partitions_no_cores_floor(spark, tmp_path):
+    """Streaming state partitions are byte-derived with NO cores floor:
+    a fixture-scale input gets the 8-partition minimum (few state-store
+    instances, low fixed commit overhead), and the count grows with the
+    footprint toward production scale. r12 diagnosis: 128 state-store
+    instances spent ~95% of a stream-join's wall in per-instance
+    commits over a 40k-row state."""
+    from datalake_project_spark.tuning import suggest_stream_state_partitions
+
+    f = tmp_path / "events.bin"
+    f.write_bytes(b"x" * (2 * 1024 * 1024))  # ~ sf0.1 events.parquet
+    cores = spark.sparkContext.defaultParallelism
+    n = suggest_stream_state_partitions(spark, str(f))
+    assert n == 8  # min, NOT 2x cores
+    assert n < 2 * cores or cores <= 4
+    # 2 MiB x 2^20 = 2 TiB, x4 expansion, 64 MiB target -> 131072
+    big = suggest_stream_state_partitions(spark, str(f),
+                                          expansion=4.0 * (1 << 20))
+    assert big == (2 * (1 << 20) * 4) // 64
+
+
+def test_run_available_now_scopes_state_partitions(spark, tmp_path):
+    """run_available_now(state_partitions=N) must freeze N into the
+    drain's stateful shuffle and RESTORE the session width afterwards,
+    so a later batch query in the same session is unaffected."""
+    import pyspark.sql.functions as F
+
+    from datalake_project_spark.streaming.ops import run_available_now
+
+    src = tmp_path / "src"
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"))
+    df.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_available_now(agg, "complete", state_partitions=3)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+    rows = {(r["k"], r["n"]) for r in out.collect()}
+    assert rows == {(k, 20) for k in range(5)}
