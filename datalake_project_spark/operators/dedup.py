@@ -18,7 +18,6 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-import os
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -38,53 +37,13 @@ def dedup_exact(df: DataFrame, keys: list[str], order_by: list[Column] | None = 
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
-def _parse_bytes(v: str) -> int:
-    """'134217728' / '128m' / '128MB' -> bytes (Spark conf size forms)."""
-    s = v.strip().lower().removesuffix("b")
-    mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if s.endswith(suf):
-            s, mult = s[:-1], m
-            break
-    return int(float(s) * mult)
-
-
 def _scan_fan_out(docs: DataFrame) -> int | None:
-    """Width to spread a CPU-heavy per-row pass over, or None when the
-    source scan already parallelizes.
-
-    Guide §2.5 input-skew case: a fixture-scale parquet arrives as ONE
-    input split (file bytes < maxPartitionBytes), so everything until
-    the first exchange — here the tokenize+shingle+hash pass, the most
-    CPU-expensive per-row work in the dedup family — runs on a single
-    core (r12 profile: 2 of 5.8 s warm wall in one 1-task stage). At
-    production scale the scan has >> cores splits and this returns
-    None, so no extra exchange of the text payload is ever introduced;
-    the fan-out only fires when the scan undershoots the cluster's
-    parallelism, and then the shuffled bytes are at most
-    cores x maxPartitionBytes."""
-    try:
-        files = docs.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    spark = docs.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    mpb = _parse_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    total = 0
-    splits = 0
-    for f in files:
-        p = f.removeprefix("file:")
-        if not os.path.exists(p):
-            return None  # non-local source: trust its split planning
-        sz = os.path.getsize(p)
-        total += sz
-        splits += max(1, -(-sz // mpb))
-    if splits >= cores:
-        return None
-    return 2 * cores
+    """Width to spread a CPU-heavy per-row pass when the source scan
+    has fewer splits than the cluster has cores — see
+    ``tuning.scan_fan_out_width`` (guide §2.5 input skew; None at
+    production scan widths, so no extra exchange is ever introduced)."""
+    from datalake_project_spark.tuning import scan_fan_out_width
+    return scan_fan_out_width(docs)
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -243,9 +202,17 @@ def winnow_fingerprint_rows(docs: DataFrame, id_col: str = "doc_id",
         char_fold_hash, span_list, tokens,
     )
 
-    spans = docs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(span_list(tokens(text_col), k)).alias("_pos", "_span"))
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_text"))
+    fan = _scan_fan_out(docs)
+    if fan is not None:
+        # single-split fixture scan: spread the span+hash pass (r12
+        # profile: a 2.8 s single-task stage; see _scan_fan_out)
+        base = base.repartition(fan, "_id")
+    spans = base.select(
+        "_id",
+        F.posexplode(span_list(tokens(F.col("_text")), k))
+        .alias("_pos", "_span"))
     hashed = spans.select(
         "_id", "_pos", char_fold_hash(F.col("_span")).alias("_h"),
         F.count(F.lit(1)).over(Window.partitionBy("_id")).alias("_n"))

@@ -95,6 +95,21 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side row list -> DataFrame in ONE partition.
+
+    Plain ``createDataFrame(list)`` slices the rows over
+    defaultParallelism pickled partitions, so the first action runs 32+
+    Python-worker tasks for a handful of rows — measured ~2 s warm on
+    local[32] for a 20-row frame vs ~0.7 s through this helper (r12).
+    Same pickle serialization and schema verification as the direct
+    call, so values and types are bit-identical; only the slicing
+    changes. For big data use the executor-parallel readers, never
+    driver-side lists."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module; return the registry in PRIORITY order."""
     from datalake_project_spark.queries import (  # noqa: F401

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 @register(
@@ -306,7 +306,7 @@ def q_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             actual = live.get(name, "missing")
             status = "ok" if actual == typ else "drift"
             rows.append((tbl, name, typ, actual, status))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "table_name string, col_name string, expected_type string, "
               "actual_type string, status string")
 
@@ -630,7 +630,7 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     P, M = 2147483647, 128
-    hp = spark.createDataFrame(
+    hp = local_df(spark, 
         [(0, 1103515245, 12345), (1, 69069, 362437), (2, 1664525, 1013904223)],
         "j int, a long, b long")
     dim = (c.table("supplier").where(F.col("s_nationkey") < 5)
@@ -779,7 +779,7 @@ def q_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the action that drives the scan; metrics land on the Observation
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(m["n_rows"], m["n_nonpositive_price"], m["n_null_custkey"],
           float(m["total_price"]), float(m["max_price"]))],
         "n_rows long, n_nonpositive_price long, n_null_custkey long, "

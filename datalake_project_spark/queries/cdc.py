@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.operators.diff import snapshot_diff
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 def _active_custkeys(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
@@ -190,7 +190,7 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = (part.select(F.input_file_name().alias("f")).distinct().count())
     agg = part.agg(F.count(F.lit(1)).alias("n_rows"),
                    F.round(F.sum("o_totalprice"), 2).alias("total_price")).first()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(before, after, agg["n_rows"], float(agg["total_price"]))],
         "files_before int, files_after int, n_rows long, total_price double")
 
@@ -548,7 +548,7 @@ def q_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = lake.read_usage("orders97", "1997-01-01")
     n_rows = part.count()
     kept_latest = remaining == [runs[-1]]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(before, len(expired), len(remaining), n_rows, kept_latest)],
         "runs_before int, n_expired int, runs_after int, n_rows long, "
         "kept_latest boolean")
@@ -636,7 +636,7 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = lake.read_usage("orders97", "1997-01-01", resolved)
     agg = part.agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.sum("o_totalprice"), 2).alias("t")).first()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(resolved, agg["n"], float(agg["t"]))],
         "resolved_run string, n_rows long, total_price double")
 
@@ -973,7 +973,7 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = lake.read_usage("orders_snap", "2000-01-01", latest)
     agg = part.agg(F.count(F.lit(1)).alias("n"),
                    F.round(F.sum("o_totalprice"), 2).alias("t")).first()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(agg["n"], float(agg["t"]), runs[1998], latest, len(all_runs))],
         "n_rows long, total_price double, restored_from string, "
         "latest_run string, n_runs int")
@@ -1037,7 +1037,7 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ingest(e.where(F.col("ts") < cut), 1)   # initial load up to the cut
     ingest(e, 2)                            # full source; delta via watermark
-    return spark.createDataFrame(
+    return local_df(spark, 
         results, "pass int, n_ingested long, n_total_after long")
 
 
@@ -1124,7 +1124,7 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup = (c.where(F.col("c_custkey") % 3 == 0)
               .select(F.col("c_name").alias("first_name"),
                       F.lit("female").alias("gender"))
-              .unionByName(spark.createDataFrame(
+              .unionByName(local_df(spark, 
                   [("customer", "mostly_male")],
                   "first_name string, gender string")))
 
@@ -1220,7 +1220,7 @@ def q_replica_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed = lake.read_usage("replica", "1997-01-01", "r")
     agg = fixed.agg(F.count(F.lit(1)).alias("n"),
                     F.round(F.sum("total_price"), 2).alias("t")).first()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(agg["n"], float(agg["t"]), n_repaired.count())],
         "n_rows long, total_price double, n_repaired long")
 
@@ -1300,7 +1300,7 @@ def q_lake_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans, missing = lake.orphan_files("orders_orphan")
     orphan_rows = (spark.read.parquet(*orphans).count() if orphans else 0)
     live_rows = lake.read_usage("orders_orphan", "1995-01-01", "r1").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(len(orphans), orphan_rows, len(missing), live_rows)],
         "n_orphan_files long, orphan_rows long, "
         "n_missing_files long, live_rows long")
@@ -1369,7 +1369,7 @@ def q_lake_crash_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept = lake.vacuum_orphans("orders_cr", min_age_seconds=0.0)
     orphans_after, missing_after = lake.orphan_files("orders_cr")
     live_rows = lake.read_usage("orders_cr", "1996-01-01", "r1").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(len(orphans), len(swept), len(orphans_after),
           len(missing) + len(missing_after), version, live_rows)],
         "n_orphans_found long, n_swept long, n_orphans_after long, "
@@ -1459,7 +1459,7 @@ def q_lake_cdf_between_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the update set is empty and no 'deleted' rows exist). Left-join
     # the aggregate onto a literal label frame so the empty category
     # surfaces as an explicit zero row on the Spark side too.
-    labels = spark.createDataFrame([("added",), ("deleted",)],
+    labels = local_df(spark, [("added",), ("deleted",)],
                                    "change string")
     return (labels.join(F.broadcast(agg), "change", "left")
             .select("change",
@@ -2019,7 +2019,7 @@ def q_lake_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                .where(F.col("c_custkey") % 97 == 3).count()
                if files else 0)
     versions_after = len(lake._versions("cust"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_total, n_erased, n_after, bool(absent_tbl),
           bool(on_disk == 0), versions_after)],
         "n_total long, n_erased long, n_after long, "
@@ -2270,7 +2270,7 @@ def q_lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
                   and cl_df.exceptAll(src_df).count() == 0)
     shared = (ml.referenced_files("clone")
               <= ml.referenced_files("src"))
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(src_df.count(), cl_df.count(), bool(rows_equal), bool(shared),
           copied)],
         "rows_source long, rows_clone long, rows_equal boolean, "

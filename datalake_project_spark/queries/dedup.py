@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.operators import dedup as D
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 _PAIRS_ORACLE = """
     WITH words AS (
@@ -207,7 +207,7 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["a_id", "b_id"])
     n_exact = exact_pairs.count()
     n_caught = caught.count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_exact, n_caught, bool(n_exact == n_caught))],
         "n_exact_pairs long, n_caught long, recall_is_1 boolean")
 
@@ -606,7 +606,7 @@ def q_dedup_dfcap_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles(tokens("text"), n=3)).alias("s"))
           .distinct())
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    caps = spark.createDataFrame([(c,) for c in DF_CAPS], "cap int")
+    caps = local_df(spark, [(c,) for c in DF_CAPS], "cap int")
     pairs = F.when(F.col("df") <= F.col("cap"),
                    (F.col("df") * (F.col("df") - 1) / 2).cast("long")) \
         .otherwise(F.lit(0))
@@ -862,7 +862,10 @@ def q_dedup_savings_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.join(s2, "doc_id", "left_semi")
 
     # stage 3: cross-document repeated-span coverage on what remains
-    sp = d2.select("doc_id", F.posexplode(
+    # (r12: fan out the single-split scan before the span pass — the
+    # broadcast semi-joins above preserve the scan's 1-partition shape)
+    from datalake_project_spark.tuning import fan_out_scan
+    sp = fan_out_scan(d2, "doc_id").select("doc_id", F.posexplode(
         T.span_list(T.tokens("text"), 8)).alias("pos", "span"))
     h = sp.withColumn("h", F.xxhash64("span")).localCheckpoint(eager=False)
     surv = (h.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.operators.joins import asof_join, range_join
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 @register(
@@ -2246,7 +2246,7 @@ def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).table("events")
     P, W = 2147483647, 64
-    hp = spark.createDataFrame(
+    hp = local_df(spark, 
         [(0, 1103515245, 12345), (1, 69069, 362437), (2, 1664525, 1013904223)],
         "j int, a long, b long")
     bucket = ((F.col("a") * F.col("user_id") + F.col("b")) % P) % W
@@ -2519,7 +2519,7 @@ def q_sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("cnt").alias("pcnt"))
     cum = (binned.join(F.broadcast(prior), F.col("pb") <= F.col("bucket"))
            .groupBy("bucket", "cnt").agg(F.sum("pcnt").alias("cum_n")))
-    targets = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    targets = local_df(spark, [(50,), (90,), (99,)], "pct int")
     k = F.ceil(F.col("pct") * F.col("n") / 100.0).cast("long")
     est = (targets.crossJoin(F.broadcast(bounds))
            .join(F.broadcast(cum), F.col("cum_n") >= k)
@@ -2681,7 +2681,7 @@ def q_events_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / 1000000).cast("long").alias("gap_s"))
          .where(F.col("gap_s").isNotNull())
          .localCheckpoint(eager=False))
-    th = spark.createDataFrame([(900,), (1800,), (3600,), (7200,)],
+    th = local_df(spark, [(900,), (1800,), (3600,), (7200,)],
                                "threshold_s int")
     nu = e.agg(F.countDistinct("user_id").alias("n_users"))
     m = (g.crossJoin(F.broadcast(th))
@@ -2817,7 +2817,7 @@ def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select((F.col("h") - F.col("lo")).alias("t"), "c")
          .localCheckpoint(eager=False))
     st = x.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
-    periods = spark.createDataFrame([(6,), (12,), (24,), (168,)],
+    periods = local_df(spark, [(6,), (12,), (24,), (168,)],
                                     "period_h int")
     ang = 2 * math.pi * F.col("t") / F.col("period_h")
     dev = F.col("c") - F.col("s").cast("double") / F.col("n")

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 # --------------------------------------------------------------------------
@@ -2157,7 +2157,7 @@ def q_stats_join_cardinality_audit(spark: SparkSession,
         stats_row("lineitem_x_part", li, p, "l_partkey", "p_partkey"),
         stats_row("lineitem_x_orders", li, o, "l_orderkey", "o_orderkey"),
     ]
-    return (spark.createDataFrame(
+    return (local_df(spark, 
         rows, "join_name string, n_left long, n_right long, ndv_max long, "
               "estimated_rows long, actual_rows long, q_error double")
         .orderBy("join_name"))

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 K_CLUSTERS = 4
 N_ITER = 2  # centroid updates; assignments reported under the final set
@@ -456,7 +456,7 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = upper.union(
         upper.where(F.col("i") < F.col("j"))
         .select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")))
-    v = spark.createDataFrame([(0, 1.0)], "dim int, val double")
+    v = local_df(spark, [(0, 1.0)], "dim int, val double")
     for _ in range(N_POWER):
         w = (full.join(F.broadcast(v), full.j == v.dim)
              .groupBy(F.col("i").alias("dim"))
@@ -653,7 +653,7 @@ def q_embed_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
         *[F.col("embedding")[i].cast("double").alias(f"x{i}")
           for i in range(LR_DIMS)])
-    w = spark.createDataFrame(
+    w = local_df(spark, 
         [(0.0,) * (LR_DIMS + 1)],
         ", ".join(["b double"] + [f"w{i} double" for i in range(LR_DIMS)]))
     for _ in range(LR_ITERS):
@@ -1052,7 +1052,7 @@ def q_embed_pca_explained_variance(spark: SparkSession,
     full = upper.union(
         upper.where(F.col("i") < F.col("j"))
         .select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("c")))
-    v = spark.createDataFrame([(0, 1.0)], "dim int, val double")
+    v = local_df(spark, [(0, 1.0)], "dim int, val double")
     for _ in range(N_POWER):
         w = (full.join(F.broadcast(v), full.j == v.dim)
              .groupBy(F.col("i").alias("dim"))
@@ -1722,7 +1722,7 @@ def q_classifier_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_recs_als_halfstep(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAM = 0.5
-    qf = spark.createDataFrame(
+    qf = local_df(spark, 
         [("click", 0.5, 0.25), ("view", 0.25, -0.5),
          ("purchase", 0.75, 0.5), ("signup", -0.25, 0.625),
          ("error", -0.5, -0.375)],
@@ -2175,7 +2175,7 @@ def q_classifier_f1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.when(F.col("label"), 1)).alias("pos"),
                  F.count(F.when(~F.col("label"), 1)).alias("neg"))
             .localCheckpoint(eager=False))
-    th = spark.createDataFrame(
+    th = local_df(spark, 
         [(0.3,), (0.4,), (0.5,), (0.6,), (0.7,)], "threshold double")
     cells = (hist.crossJoin(F.broadcast(th))
              .groupBy("threshold")
@@ -2423,7 +2423,7 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("c_custkey", "c_acctbal")
            .agg(F.when(F.coalesce(F.sum("o_totalprice"), F.lit(0))
                        >= 150000, 1).otherwise(0).alias("y")))
-    thr = spark.createDataFrame(
+    thr = local_df(spark, 
         [(float(t),) for t in range(-1000, 10500, 500)], "t double")
     left = F.col("c_acctbal") < F.col("t")
     split = (lab.crossJoin(F.broadcast(thr))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -349,7 +349,7 @@ def q_gender_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" Cust"), F.col("c_custkey").cast("string"),
         ).alias("full_name"),
     )
-    lookup = c.sparkSession.createDataFrame(_GENDER_LOOKUP, "first_name string, gender string")
+    lookup = local_df(c.sparkSession, _GENDER_LOOKUP, "first_name string, gender string")
     return enrich_gender_native(accounts, lookup).select(
         "c_custkey", "username", "full_name", "predicted_gender", "confidence")
 
@@ -395,7 +395,7 @@ def q_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = max(ranks["n"] - 1, 1)
     checks = [abs(ranks[f"r{i}"] / denom - q) <= 0.02
               for i, q in enumerate(qs)]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(len(qs), sum(checks))],
         "n_quantiles long, n_within_bound long")
 

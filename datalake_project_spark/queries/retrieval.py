@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.functions import text as T
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 # Query terms for the keyword ranker (fixture vocabulary is shared
 # across scale factors); BM25 constants are the Lucene defaults.
@@ -373,7 +373,7 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=lambda t: (-t[1], t[0]))
         picks.append((step, best[0], best[1]))
         chosen.append(best[0])
-    return spark.createDataFrame(
+    return local_df(spark, 
         picks, "step int, doc_id long, margin double")
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from datalake_project_spark.catalog import Catalog
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -206,7 +206,7 @@ def q_text_vocab_coverage_sharded(spark: SparkSession,
               .select("word", "c",
                       (F.col("off_n") + F.col("rn_intra")).alias("rnk"),
                       (F.col("off_c") + F.col("cum_intra")).alias("cum")))
-    thr = spark.createDataFrame(
+    thr = local_df(spark, 
         [(50,), (80,), (90,), (95,), (99,)], "threshold_pct int")
     return (ranked.crossJoin(F.broadcast(tot))
             .join(F.broadcast(thr),

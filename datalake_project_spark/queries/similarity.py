@@ -16,7 +16,7 @@ from datalake_project_spark.operators.similarity import (
     _arrow_knn, build_ivf_index, cosine_topk, cosine_topk_arrow,
     cosine_topk_lsh, ivf_probe,
 )
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 
 @register(
@@ -186,7 +186,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str, approx: DataFrame,
                       ["query_id", "neighbor_id"]).count()
     total = exact.count()
     recall = hits / total if total else 0.0
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(total // 5, float(floor), bool(recall >= floor))],
         "n_queries long, recall_floor double, meets_floor boolean")
 
@@ -514,7 +514,7 @@ def q_embed_farthest_point_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     radius = (dmin_to([v for _, v, _ in chosen])
               .agg(F.round(F.max("dmin"), 6).alias("radius")))
-    out = spark.createDataFrame(
+    out = local_df(spark, 
         chosen, "center_rank int, vec_id long, dist_at_selection double")
     return (out.crossJoin(F.broadcast(radius))
             .select("center_rank", "vec_id", "dist_at_selection",
@@ -709,7 +709,7 @@ def _portable_bits(spark: SparkSession, e: DataFrame,
           .select("vec_id", F.col("d").cast("long").alias("d"),
                   F.round(F.col("x").cast("double") * scale)
                   .cast("long").alias("qx")))
-    planes = spark.createDataFrame(
+    planes = local_df(spark, 
         [(j, d, 1 if (1103515245 * (j * dim + d) + 12345) % 2**31 < 2**30
           else -1)
          for j in range(n_planes) for d in range(dim)],
@@ -725,7 +725,7 @@ def _portable_band_codes(spark: SparkSession, bits: DataFrame,
     """(vec_id, band, code): pack each run of ``band_size`` sign bits
     into an integer band code (bit j contributes 2^(j mod band_size))."""
     n = 16
-    jt = spark.createDataFrame(
+    jt = local_df(spark, 
         [(j, j // band_size, 2 ** (j % band_size)) for j in range(n)],
         "j long, band long, p2 long")
     return (bits.join(F.broadcast(jt), "j")
@@ -882,7 +882,7 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _portable_band_codes(spark, bits) \
         .where(F.col("band") == 0) \
         .select("vec_id", F.col("code").alias("cell"))
-    cellbits = spark.createDataFrame(
+    cellbits = local_df(spark, 
         [(c, j, (c >> j) & 1) for c in range(16) for j in range(4)],
         "c long, j long, cbit long")
     wq = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("c"))
@@ -1204,7 +1204,7 @@ def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("band") == 0)
              .select(F.col("vec_id").alias("neighbor_id"),
                      F.col("code").alias("cell")))
-    cellbits = spark.createDataFrame(
+    cellbits = local_df(spark, 
         [(c, j, (c >> j) & 1) for c in range(16) for j in range(4)],
         "c long, j long, cbit long")
     prank = (bits.where((F.col("vec_id") < 10) & (F.col("j") < 4))
@@ -1215,7 +1215,7 @@ def q_ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("rnk", F.row_number().over(
                  Window.partitionBy("query_id").orderBy("d", "c")))
              .select("query_id", F.col("c").alias("cell"), "rnk"))
-    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)],
+    budgets = local_df(spark, [(1,), (2,), (4,), (8,)],
                                     "n_probe long")
     cand = (prank.join(F.broadcast(budgets),
                        F.col("rnk") <= F.col("n_probe"))

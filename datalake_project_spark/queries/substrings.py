@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.functions import text as T
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -63,7 +63,11 @@ SPAN_N = 8  # words per span for repeated-span mining
         "the query oracle-exact.",
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).table("documents")
+    from datalake_project_spark.tuning import fan_out_scan
+
+    # r12: spread the tokenize+span pass when the scan is single-split
+    # (guide §2.5; no-op at production scan widths)
+    d = fan_out_scan(Catalog(spark, sf_dir).table("documents"), "doc_id")
     sp = d.select(
         "doc_id", F.explode(T.span_list(T.tokens("text"), SPAN_N)).alias("span"))
     return (
@@ -104,7 +108,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "index (operators/dedup.py ngram_jaccard_pairs).",
 )
 def q_dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).table("documents")
+    from datalake_project_spark.tuning import fan_out_scan
+
+    # r12: spread the tokenize+span pass when the scan is single-split
+    d = fan_out_scan(Catalog(spark, sf_dir).table("documents"), "doc_id")
     sp = d.select(
         "doc_id", F.explode(T.span_list(T.tokens("text"), SPAN_N)).alias("span"))
     # the hashed span stream feeds the survivor index AND the re-verify
@@ -158,7 +165,10 @@ def q_dedup_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFram
         "slice-and-concat over this position set.",
 )
 def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = Catalog(spark, sf_dir).table("documents")
+    from datalake_project_spark.tuning import fan_out_scan
+
+    # r12: spread the tokenize+span pass when the scan is single-split
+    d = fan_out_scan(Catalog(spark, sf_dir).table("documents"), "doc_id")
     tok = d.select("doc_id", T.tokens("text").alias("ws"))
     sp = tok.select(
         "doc_id",
@@ -564,7 +574,7 @@ def _train_bpe_merges(spark: SparkSession, sf_dir: str,
 )
 def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_bpe_merges(spark, sf_dir, BPE_ROUNDS)
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges,
         "merge_round int, p1 string, p2 string, merged string, "
         "n_occurrences long")

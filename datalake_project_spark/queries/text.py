@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from datalake_project_spark.catalog import Catalog
 from datalake_project_spark.functions import text as T
-from datalake_project_spark.queries import register
+from datalake_project_spark.queries import local_df, register
 
 # Shared DuckDB fragments (same semantics as functions/text.py).
 _SQL_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1445,7 +1445,7 @@ def q_text_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             tf.orderBy(F.desc("c"), "term").limit(k)
             .agg(F.sum("c").alias(f"c{k}")))
 
-    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    ks = local_df(spark, [(10,), (100,), (1000,)], "k int")
     cov = (ks.crossJoin(headsum(10)).crossJoin(headsum(100))
            .crossJoin(headsum(1000)).crossJoin(F.broadcast(n_)))
     head = (F.when(F.col("k") == 10, F.col("c10"))

@@ -50,10 +50,28 @@ def ingest_records(spark: SparkSession, payload: Any,
     """Driver-side payload -> DataFrame with an explicit schema. Missing
     keys become NULL, extra keys are dropped (the reference's pandas
     projection, `scripts/script_api_apify_to_spark.py:154-157`)."""
+    import pandas as pd
+
     records = normalize_payload(payload)
     names = (StructType.fromDDL(schema) if isinstance(schema, str) else schema).fieldNames()
     rows = [tuple(r.get(c) for c in names) for r in records]
-    return spark.createDataFrame(rows, schema)
+    # Arrow driver transfer (guide §6) + row-count-derived partitioning:
+    # the plain-list createDataFrame pickles rows over
+    # defaultParallelism partitions, so at fixture scale every
+    # downstream pipeline stage ran 32-64 near-empty tasks, every lake
+    # write landed 32 tiny files (guide §6: small files hurt twice),
+    # and — measured — any task that coalesces those partitions pays a
+    # ~150 ms Python-worker handshake PER PARENT PARTITION (32 x 150 ms
+    # ~= 5 s of dead wall per single-task job). The pandas/Arrow path
+    # ships JVM-side Arrow batches (no Python workers downstream), and
+    # coalesce then sizes partitions from the row count (~500k records
+    # ~ 100 MB per output file); payloads big enough to exceed one
+    # partition here should be arriving via the executor-parallel
+    # readers (read_json_files / fetch_many) instead.
+    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    df = spark.createDataFrame(pdf, schema)
+    n_parts = max(1, -(-len(rows) // 500_000))
+    return df.coalesce(n_parts)  # no-op when already narrower
 
 
 def read_json_files(spark: SparkSession, path: str,

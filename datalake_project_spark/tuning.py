@@ -75,6 +75,63 @@ def apply_shuffle_sizing(spark, *paths: str,
     return n
 
 
+def _parse_size_bytes(v: str) -> int:
+    """'134217728' / '128m' / '128MB' -> bytes (Spark conf size forms)."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    return int(float(s) * mult)
+
+
+def scan_fan_out_width(df) -> int | None:
+    """Width to spread a CPU-heavy per-row pass over, or None when the
+    source scan already parallelizes.
+
+    Guide §2.5 input-skew case: a fixture-scale parquet arrives as ONE
+    input split (file bytes < maxPartitionBytes), so everything until
+    the first exchange — tokenize/shingle/span/hash passes, the most
+    CPU-expensive per-row work in the text and dedup families — runs on
+    a single core (r12 profiles: 1-task stages of 2-4 s inside 3-6 s
+    queries). At production scale the scan has >> cores splits and this
+    returns None, so no extra exchange of the text payload is ever
+    introduced; when the fan-out does fire, the shuffled bytes are at
+    most cores x maxPartitionBytes."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    mpb = _parse_size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        if not os.path.exists(p):
+            return None  # non-local source: trust its split planning
+        splits += max(1, -(-os.path.getsize(p) // mpb))
+    if splits >= cores:
+        return None
+    return 2 * cores
+
+
+def fan_out_scan(df, key: str):
+    """``df`` hash-repartitioned on ``key`` to the fan-out width when the
+    backing scan undershoots the cluster's parallelism; ``df`` unchanged
+    otherwise (see ``scan_fan_out_width``). Apply BEFORE CPU-heavy
+    per-row expressions so they run post-exchange."""
+    w = scan_fan_out_width(df)
+    if w is None:
+        return df
+    from pyspark.sql import functions as F
+    return df.repartition(w, F.col(key))
+
+
 def suggest_stream_state_partitions(spark, *paths: str,
                                     expansion: float = 4.0,
                                     target_partition_bytes: int = 64 << 20,
