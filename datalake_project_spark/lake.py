@@ -51,6 +51,15 @@ class Lake:
         sess = session or self.spark
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = sess.conf.get(key, None)
+        if prev is not None and prev.lower() == "dynamic":
+            # already dynamic (the engine session default): nothing to
+            # toggle — and a read-only path here makes concurrent lake
+            # writes from driver threads safe (r12: run_pipeline
+            # overlaps independent per-account writes, guide §2.6;
+            # a set/unset pair racing across threads could strip the
+            # conf mid-write)
+            yield
+            return
         sess.conf.set(key, "dynamic")
         try:
             yield

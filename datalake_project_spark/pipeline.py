@@ -54,13 +54,11 @@ def run_pipeline(spark: SparkSession, lake: Lake,
                  ) -> dict[str, DataFrame]:
     """One end-to-end run over all accounts. Returns the usage-layer
     outputs keyed by logical table name."""
-    per_account: dict[str, DataFrame] = {}
-    for account, payload in payloads.items():
+    def process_account(account: str, payload: Any) -> DataFrame:
         table = f"apify_instagram_data_{account}"
         enriched = enrich_gender_native(ingest_account(spark, payload), lookup)
         lake.write_formatted(enriched, table, ingest_date)
         lake.write_usage(enriched, table, ingest_date, run_ts)
-        per_account[account] = enriched
 
         # per-account diff vs the previous snapshot of the same day (J1+J2)
         prev_ts = lake.latest_run_before(table, ingest_date, run_ts)
@@ -70,6 +68,31 @@ def run_pipeline(spark: SparkSession, lake: Lake,
             cur = enriched.select("username", "full_name", "predicted_gender", "confidence")
             diff = snapshot_diff(cur, prev, keys=DIFF_KEYS)
             lake.write_usage(diff, f"comparatif_{table}", ingest_date, run_ts)
+        return enriched
+
+    # Accounts are INDEPENDENT chains of small jobs (different tables),
+    # and each chain's wall is dominated by per-job fixed cost, so run
+    # them through a small driver thread pool (guide §2.6: the
+    # scheduler happily overlaps jobs; a later job's tasks back-fill
+    # executors the earlier job's tail leaves idle). 2-3 in flight is
+    # plenty; Spark's conf/jobDescription are thread-local-safe here
+    # and the lake's dynamic-overwrite guard is read-only on the
+    # engine session (lake.py). Results keep payload order.
+    per_account: dict[str, DataFrame] = {}
+    if len(payloads) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+        with ThreadPoolExecutor(max_workers=min(3, len(payloads))) as pool:
+            futs = {account: pool.submit(
+                        inheritable_thread_target(process_account),
+                        account, payload)
+                    for account, payload in payloads.items()}
+            for account in payloads:
+                per_account[account] = futs[account].result()
+    else:
+        for account, payload in payloads.items():
+            per_account[account] = process_account(account, payload)
 
     # cross-account aggregate: ONE scan of every account's partition with
     # account provenance (U2 + P3) — no union fold, no glob in app code.
