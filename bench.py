@@ -3,10 +3,13 @@ on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE COMPACT JSON line (bounded size — the round-4 lesson: a
 111-entry per-query dict overflowed the driver's tail capture and round 4
-lost its canonical number to `"parsed": null`):
+lost its canonical number to `"parsed": null`; the round-12 lesson: even
+the CORE `trials` dict pushed the line past the driver's tail capture in
+r11, so since r13 stdout carries ONLY the headline summary and the
+`trials` detail lives in BENCHDETAIL.json):
   {"metric": "...", "value": <total_sec>, "unit": "sec", "core26": ...,
    "core26_trials": N, "queries": {<CORE suite only>: sec},
-   "trials": {<CORE>: [sec, ...]}, "n_queries": N, "sf": <sf>}
+   "n_queries": N, "sf": <sf>}
 
 Since r8 the CORE suite runs SPARK_GRAFT_BENCH_TRIALS (default 3) full
 passes and reports the per-query MIN — the host carries external
@@ -343,6 +346,20 @@ ADDITIONS = [
 HEADLINE = CORE + ADDITIONS
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat. This VM shares a
+    hypervisor with noisy neighbors: the r13 baseline capture saw 3-4 s
+    queries read 20-30 s with NOTHING else running in the VM — loadavg
+    only rises as a symptom (tasks pile up), while steal time measures
+    the theft directly. (0, 0) where /proc/stat is unavailable."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def _settle_load(threshold: float = 2.0, max_wait_s: float = 120.0,
                  poll_s: float = 5.0) -> dict:
     """Bounded wait for ambient load to settle before timing anything.
@@ -419,18 +436,51 @@ def main() -> None:
     # so a sustained load burst can't inflate one query's all three
     # trials while sparing its neighbors'.
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    # r13 (r12 verdict task #3): the settle gate only protects the START
+    # of the capture; BENCH receipts now carry the 1-min loadavg observed
+    # at the END of every individual measurement (CORE trials and tail
+    # sweep alike), so a contended reading is decidable from the file
+    # alone, and any query whose EVERY trial was captured above the
+    # threshold gets one extra trial (min-of-trials discipline unchanged).
+    rerun_load = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_LOAD", "6.0"))
+    rerun_steal = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_STEAL", "15.0"))
+    rerun_max = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_MAX", "60"))
     load_start = os.getloadavg()[0]
     trials: dict[str, list[float]] = {name: [] for name in CORE}
+    trial_load: dict[str, list[float]] = {name: [] for name in CORE}
+    trial_steal: dict[str, list[float]] = {name: [] for name in CORE}
+    last_steal = [0.0]  # steal%% over the most recent timed window
+
+    def timed(name: str, tag: str) -> float:
+        spec = registry[name]
+        s0, tk0 = _cpu_ticks()
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        s1, tk1 = _cpu_ticks()
+        last_steal[0] = round(100.0 * (s1 - s0) / max(tk1 - tk0, 1), 1)
+        print(f"# {tag}{name}: {dt:.3f}s ({n} rows, "
+              f"steal {last_steal[0]:.1f}%)", file=sys.stderr)
+        return dt
+
+    def contended(load: float, steal: float) -> bool:
+        return load > rerun_load or steal > rerun_steal
+
     for t in range(n_trials):
         for name in CORE:
-            spec = registry[name]
-            t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = timed(name, f"[trial {t + 1}/{n_trials}] ")
             trials[name].append(dt)
-            print(f"# [trial {t + 1}/{n_trials}] {name}: {dt:.3f}s "
-                  f"({n} rows)", file=sys.stderr)
+            trial_load[name].append(round(os.getloadavg()[0], 2))
+            trial_steal[name].append(last_steal[0])
     for name in CORE:
+        # contention re-run: EVERY trial of this query was captured
+        # under ambient contention (1-min loadavg above threshold, or
+        # hypervisor steal above threshold during the trial's window)
+        if all(contended(ld, st) for ld, st
+               in zip(trial_load[name], trial_steal[name])):
+            trials[name].append(timed(name, "[rerun] "))
+            trial_load[name].append(round(os.getloadavg()[0], 2))
+            trial_steal[name].append(last_steal[0])
         timings[name] = min(trials[name])
     # Load receipt (r9 verdict task #4): the committed number must be
     # distinguishable from a capture under background load. Spread is
@@ -459,12 +509,22 @@ def main() -> None:
         "last_trial_regress_frac": regress_frac,
         **settle_receipt,
     }
+    tail_load: dict[str, float] = {}
+    tail_steal: dict[str, float] = {}
     for name in ADDITIONS:
-        spec = registry[name]
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = timed(name, "")
+        tail_load[name] = round(os.getloadavg()[0], 2)
+        tail_steal[name] = last_steal[0]
+
+    reruns_left = rerun_max
+    for name in ADDITIONS:
+        if contended(tail_load[name], tail_steal[name]) and reruns_left > 0:
+            reruns_left -= 1
+            dt = timed(name, "[rerun] ")
+            if dt < timings[name]:
+                timings[name] = dt
+                tail_load[name] = round(os.getloadavg()[0], 2)
+                tail_steal[name] = last_steal[0]
 
     total = round(sum(timings.values()), 3)
     # The CORE suite is unchanged in content and order since round 2: its
@@ -472,10 +532,14 @@ def main() -> None:
     # append to ADDITIONS. Since r8 it is min-of-trials per query.
     core26 = round(sum(timings[n] for n in CORE), 3)
     # Stdout stays one BOUNDED line: summary + the frozen 26-entry CORE
-    # dict only (~1 KB) — never the full per-query dict. Printed BEFORE
-    # the full-registry tail sweep below so the canonical number is on
-    # stdout even if the process is killed mid-sweep (the round-4
-    # truncation lesson, generalized).
+    # dict only (~1 KB) — never the full per-query dict, and (since r13,
+    # r12 verdict task #2) never the per-trial lists either: BENCH_r11's
+    # line outgrew the driver's tail capture and the round lost its
+    # round-over-round comparison (PERF_r12 n_common: 0). `trials`,
+    # per-trial load, and the full sweep live in BENCHDETAIL.json.
+    # Printed BEFORE the full-registry tail sweep below so the canonical
+    # number is on stdout even if the process is killed mid-sweep (the
+    # round-4 truncation lesson, generalized).
     summary = {
         "metric": "headline_suite_total",
         "value": total,
@@ -483,7 +547,6 @@ def main() -> None:
         "core26": core26,
         "core26_trials": n_trials,
         "queries": {n: timings[n] for n in CORE},
-        "trials": {n: trials[n] for n in CORE},
         "load": load_receipt,
         "n_queries": len(timings),
         "sf": sf,
@@ -498,6 +561,7 @@ def main() -> None:
         for name, spec in registry.items():
             if name in timings:
                 continue
+            s0, tk0 = _cpu_ticks()
             t0 = time.perf_counter()
             try:
                 n = spec.fn(spark, sf_dir).count()
@@ -505,9 +569,35 @@ def main() -> None:
                 print(f"# {name}: ERR {type(e).__name__}: {e}",
                       file=sys.stderr)
                 continue
+            s1, tk1 = _cpu_ticks()
             timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)",
-                  file=sys.stderr)
+            tail_load[name] = round(os.getloadavg()[0], 2)
+            tail_steal[name] = round(100.0 * (s1 - s0)
+                                     / max(tk1 - tk0, 1), 1)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows, "
+                  f"steal {tail_steal[name]:.1f}%)", file=sys.stderr)
+        # contention re-runs for the single-pass sweep (r12 verdict task
+        # #3: the committed r12 sweep read q_stream_stream_join at 25.2 s
+        # under loadavg 8.2 — an artifact the settle gate can't prevent
+        # because load climbed DURING the 7-minute sweep). Worst
+        # offenders first, bounded by the shared re-run budget; the
+        # recorded load/steal is the reading that accompanies the kept
+        # time.
+        for name in sorted((n for n in tail_load
+                            if contended(tail_load[n], tail_steal[n]) and
+                            n not in CORE and n not in ADDITIONS),
+                           key=lambda n: -max(tail_load[n], tail_steal[n])):
+            if reruns_left <= 0:
+                break
+            reruns_left -= 1
+            try:
+                dt = timed(name, "[rerun] ")
+            except Exception:  # noqa: BLE001 - sweep must finish
+                continue
+            if dt < timings[name]:
+                timings[name] = dt
+                tail_load[name] = round(os.getloadavg()[0], 2)
+                tail_steal[name] = last_steal[0]
         # Re-print the identical summary line AFTER the sweep: the driver
         # captures the combined tail of the run, and the 400+ stderr lines
         # of the full-registry sweep scrolled the early print out of the
@@ -522,6 +612,8 @@ def main() -> None:
                    "unit": "sec", "core26": core26,
                    "core26_trials": n_trials,
                    "queries": timings, "trials": trials,
+                   "trial_load": trial_load, "trial_steal": trial_steal,
+                   "tail_load": tail_load, "tail_steal": tail_steal,
                    "load": load_receipt,
                    "n_queries": len(timings), "sf": sf}, fh, indent=1)
         fh.write("\n")

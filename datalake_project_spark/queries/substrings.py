@@ -1409,7 +1409,13 @@ def _lattice_kernel(lp_b, mode: str):
                         continue
                     pieces = ws.str.slice(j, j + k)
                     piece_np[(j, k)] = pieces.to_numpy()
-                    vals = pieces.map(lp).to_numpy(dtype=np.float64)
+                    # a piece absent from the model is an INVALID edge
+                    # (-inf), never NaN: .map() yields NaN on misses,
+                    # and NaN would corrupt every alpha/beta cell it
+                    # touches instead of zeroing the path (matters the
+                    # moment an EM round prunes vocabulary)
+                    vals = (pieces.map(lp).fillna(-np.inf)
+                            .to_numpy(dtype=np.float64))
                     elp[valid, j, k - 1] = vals[valid]
 
             with np.errstate(invalid="ignore", over="ignore"):

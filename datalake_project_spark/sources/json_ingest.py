@@ -54,7 +54,6 @@ def ingest_records(spark: SparkSession, payload: Any,
 
     records = normalize_payload(payload)
     names = (StructType.fromDDL(schema) if isinstance(schema, str) else schema).fieldNames()
-    rows = [tuple(r.get(c) for c in names) for r in records]
     # Arrow driver transfer (guide §6) + row-count-derived partitioning:
     # the plain-list createDataFrame pickles rows over
     # defaultParallelism partitions, so at fixture scale every
@@ -68,9 +67,12 @@ def ingest_records(spark: SparkSession, payload: Any,
     # ~ 100 MB per output file); payloads big enough to exceed one
     # partition here should be arriving via the executor-parallel
     # readers (read_json_files / fetch_many) instead.
-    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    # column-wise construction straight from the records (r12 ADVICE: the
+    # intermediate list-of-tuples was a second full driver-side copy)
+    pdf = pd.DataFrame({c: [r.get(c) for r in records] for c in names},
+                       columns=names, dtype=object)
     df = spark.createDataFrame(pdf, schema)
-    n_parts = max(1, -(-len(rows) // 500_000))
+    n_parts = max(1, -(-len(records) // 500_000))
     return df.coalesce(n_parts)  # no-op when already narrower
 
 

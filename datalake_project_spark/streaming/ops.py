@@ -17,6 +17,7 @@ backfills only.
 from __future__ import annotations
 
 import itertools
+import threading
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -28,6 +29,16 @@ from pyspark.sql.types import (
 )
 
 _query_seq = itertools.count()
+
+# Serializes the shuffle-width conf around each drain: the conf is
+# session-global, so two overlapping drains (or a drain overlapping a
+# batch query that reads the conf) could interleave save/restore and
+# leave the session at a drain's temporary width — the exact race the
+# r12 ADVICE flagged once run_pipeline introduced driver-thread
+# parallelism. Held for the WHOLE drain (set -> start -> await ->
+# restore), not just start(): the width is read at micro-batch planning
+# time, which happens during execution.
+_conf_lock = threading.Lock()
 
 
 def run_available_now(stream_df: DataFrame, output_mode: str,
@@ -49,17 +60,24 @@ def run_available_now(stream_df: DataFrame, output_mode: str,
     commits; see the tuning helper's docstring for numbers)."""
     spark = stream_df.sparkSession
     name = f"dlps_stream_sink_{next(_query_seq)}"
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    if state_partitions is None:
         q = (
             stream_df.writeStream.format("memory").queryName(name)
             .outputMode(output_mode).trigger(availableNow=True).start()
         )
         q.awaitTermination()
-    finally:
-        if state_partitions is not None:
+        return spark.table(name)
+    with _conf_lock:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("memory").queryName(name)
+                .outputMode(output_mode).trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+        finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 

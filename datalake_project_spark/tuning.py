@@ -98,7 +98,15 @@ def scan_fan_out_width(df) -> int | None:
     queries). At production scale the scan has >> cores splits and this
     returns None, so no extra exchange of the text payload is ever
     introduced; when the fan-out does fire, the shuffled bytes are at
-    most cores x maxPartitionBytes."""
+    most cores x maxPartitionBytes.
+
+    Width: one wave of core-count tasks, stretched toward 2x cores only
+    when the footprint carries at least ~1 MiB per extra partition. The
+    r12 flat 2x-cores width over-partitioned KB-scale fixtures — 64
+    near-empty tasks at 32 cores made q_dedup_ngram_jaccard FASTER at 8
+    cores than 32 (PERF_r12 scaling ratio 0.65); per-task fixed cost
+    dominates until partitions carry real data, and the 2x balance
+    cushion only pays once they do."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -110,14 +118,17 @@ def scan_fan_out_width(df) -> int | None:
     mpb = _parse_size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     splits = 0
+    total_bytes = 0
     for f in files:
         p = f.removeprefix("file:")
         if not os.path.exists(p):
             return None  # non-local source: trust its split planning
-        splits += max(1, -(-os.path.getsize(p) // mpb))
+        sz = os.path.getsize(p)
+        total_bytes += sz
+        splits += max(1, -(-sz // mpb))
     if splits >= cores:
         return None
-    return 2 * cores
+    return max(cores, min(2 * cores, -(-total_bytes // (1 << 20))))
 
 
 def fan_out_scan(df, key: str):

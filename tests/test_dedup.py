@@ -182,14 +182,16 @@ def test_scan_fan_out_fires_only_on_narrow_scans(spark, tmp_path):
     )
 
     cores = spark.sparkContext.defaultParallelism
-    # tiny parquet -> one split -> fan out to 2x cores
+    # tiny parquet -> one split -> fan out to ONE wave of core-count
+    # tasks (r13: the flat 2x-cores width over-partitioned KB-scale
+    # fixtures; 2x only unlocks at >= 1 MiB per extra partition)
     p = tmp_path / "docs"
     spark.range(50).coalesce(1) \
         .select(F.col("id").alias("doc_id"),
                 F.lit("alpha beta gamma delta").alias("text")) \
         .write.mode("overwrite").parquet(str(p))
     docs = spark.read.parquet(str(p))
-    assert _scan_fan_out(docs) == 2 * cores
+    assert _scan_fan_out(docs) == cores
     # in-memory frame: no input files -> no fan-out
     mem = spark.range(5).select(F.col("id").alias("doc_id"),
                                 F.lit("a b c").alias("text"))

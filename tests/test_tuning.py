@@ -133,3 +133,70 @@ def test_run_available_now_scopes_state_partitions(spark, tmp_path):
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
     rows = {(r["k"], r["n"]) for r in out.collect()}
     assert rows == {(k, 20) for k in range(5)}
+
+
+def test_run_available_now_concurrent_drains_each_get_their_width(
+        spark, tmp_path):
+    """Two drains submitted concurrently with DIFFERENT state_partitions
+    must each run at their own width (r12 ADVICE: the session-global
+    conf save/restore could interleave across threads; drains now
+    serialize the conf window under a module lock). Widths are observed
+    via StreamingQueryListener progress (numShufflePartitions of the
+    stateful operator)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyspark.sql.functions as F
+    from pyspark import inheritable_thread_target
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from datalake_project_spark.streaming.ops import run_available_now
+
+    src = tmp_path / "src"
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("k"))
+    df.write.mode("overwrite").parquet(str(src))
+
+    widths: dict[str, set] = {}
+
+    class Rec(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            for so in p.stateOperators:
+                widths.setdefault(p.name, set()).add(
+                    so.numShufflePartitions)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    rec = Rec()
+    spark.streams.addListener(rec)
+    try:
+        def drain(n_parts: int):
+            stream = spark.readStream.schema(df.schema).parquet(str(src))
+            agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+            out = run_available_now(agg, "complete",
+                                    state_partitions=n_parts)
+            return {(r["k"], r["n"]) for r in out.collect()}
+
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f3 = pool.submit(inheritable_thread_target(drain), 3)
+            f5 = pool.submit(inheritable_thread_target(drain), 5)
+            assert f3.result() == {(k, 20) for k in range(5)}
+            assert f5.result() == {(k, 20) for k in range(5)}
+        assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+        # listener events are async: wait for both queries' progress
+        deadline = time.time() + 30
+        while time.time() < deadline and len(widths) < 2:
+            time.sleep(0.2)
+        got = sorted(frozenset(s) for s in widths.values())
+        assert got == [frozenset({3}), frozenset({5})], widths
+    finally:
+        spark.streams.removeListener(rec)
