@@ -442,7 +442,10 @@ def main() -> None:
     # sweep alike), so a contended reading is decidable from the file
     # alone, and any query whose EVERY trial was captured above the
     # threshold gets one extra trial (min-of-trials discipline unchanged).
-    rerun_load = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_LOAD", "6.0"))
+    # steal%% is the primary re-run trigger (it measures ambient theft
+    # directly and is immune to the bench's own 32-core bursts);
+    # loadavg backs it up at a threshold above typical self-load
+    rerun_load = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_LOAD", "10.0"))
     rerun_steal = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_STEAL", "15.0"))
     rerun_max = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_MAX", "60"))
     load_start = os.getloadavg()[0]

@@ -374,7 +374,8 @@ def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB this is the arithmetic that keeps shuffle partitions "
         "near 128 MiB (AQE coalesces down but can never split a "
         "too-large non-skewed partition); at fixture scale the core "
-        "floor (2x parallelism) dominates. The oracle recomputes the "
+        "floor (one wave of core-count tasks) dominates. The oracle "
+        "recomputes the "
         "aggregate from the raw tables — sizing changes no values.",
 )
 def q_tuned_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:

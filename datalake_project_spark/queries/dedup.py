@@ -1190,19 +1190,28 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                expansion=48.0,
                                target_partition_bytes=8 << 20)
     sh = D._doc_shingles(d, "doc_id", "text", 3)
+    # sz rides the index rows from the source (_shingles is DISTINCT by
+    # construction, so |shingle set| = size of the array = COUNT(*) per
+    # doc of the exploded index) — r13: this deletes the count() window
+    # that previously re-scanned every doc partition just to recompute
+    # a number the array already knew (8 B/row through one exchange
+    # buys a full window pass)
     toks = (sh.select(F.col("_id").alias("doc_id"),
+                      F.size("_shingles").alias("sz"),
                       F.explode("_shingles").alias("tok"))
             .localCheckpoint(eager=False))
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # ONE tok exchange feeds df-count AND the rank join (r13, guide
+    # §2.4 share-the-exchange: the old shape exchanged the token stream
+    # by tok for the join, exchanged it AGAIN for the df groupBy, then
+    # re-widened the df table to match — the aggregate over the
+    # already-tok-partitioned rows and the join both reuse this single
+    # exchange, 3 token-stream exchanges -> 1)
+    tokw = toks.repartition(nparts, "tok")
+    dfreq = tokw.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    wall = Window.partitionBy("doc_id")
-    # doc size comes from count() OVER the same doc partition — one
-    # doc_id exchange for rank and size together, instead of a separate
-    # groupBy + join leg re-shuffling the token stream a second time
-    ranked = (toks.repartition(nparts, "tok").join(dfreq, "tok")
+    ranked = (tokw.join(dfreq, "tok")
               .repartition(nparts, "doc_id")
-              .select("doc_id", "tok",
-                      F.count(F.lit(1)).over(wall).alias("sz"),
+              .select("doc_id", "tok", "sz",
                       F.row_number().over(w).alias("tr")))
     pref = (ranked.where(F.col("tr") <= F.col("sz")
                          - F.ceil(0.5 * F.col("sz")) + 1)
@@ -1223,19 +1232,28 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    num_partitions=nparts)
              .select("a_id", "b_id").localCheckpoint(eager=False))
     missed = truth.join(cand_pref, ["a_id", "b_id"], "left_anti")
-    one = lambda df, nm: F.broadcast(
-        df.agg(F.count(F.lit(1)).cast("long").alias(nm)))
-    slots = F.broadcast(dfreq.agg(
-        F.sum(F.expr("df * (df - 1) DIV 2")).cast("long")
-        .alias("n_full_pair_slots")))
-    # docs with >= 1 shingle == distinct ids in the checkpointed index
-    # (r12: _doc_shingles no longer filters empties; counting off toks
-    # avoids a second corpus tokenize pass)
-    return (toks.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
-            .crossJoin(slots)
-            .crossJoin(one(cand_pref, "n_prefix_pairs"))
-            .crossJoin(one(truth, "n_true_pairs"))
-            .crossJoin(one(missed, "n_missed_true"))
+    # The five audit scalars assemble through ONE union-of-aggregates
+    # pass instead of a chain of five broadcast crossJoins (r13: each
+    # broadcast was its own build + exchange; the union's independent
+    # leaf stages still materialize concurrently, and the final pivot
+    # touches 5 rows). n_docs counts distinct ids off the checkpointed
+    # index (r12: _doc_shingles no longer filters empties; this avoids
+    # a second corpus tokenize pass).
+    cnt = F.count(F.lit(1)).cast("long")
+    leg = lambda df, k: df.agg(cnt.alias("v")).select(
+        F.lit(k).alias("k"), "v")
+    u = (toks.agg(F.count_distinct("doc_id").cast("long").alias("v"))
+         .select(F.lit("n_docs").alias("k"), "v")
+         .unionByName(dfreq.agg(F.sum(F.expr("df * (df - 1) DIV 2"))
+                                .cast("long").alias("v"))
+                      .select(F.lit("n_full_pair_slots").alias("k"), "v"))
+         .unionByName(leg(cand_pref, "n_prefix_pairs"))
+         .unionByName(leg(truth, "n_true_pairs"))
+         .unionByName(leg(missed, "n_missed_true")))
+    pick = lambda k: F.max(F.when(F.col("k") == k, F.col("v"))).alias(k)
+    return (u.agg(pick("n_docs"), pick("n_full_pair_slots"),
+                  pick("n_prefix_pairs"), pick("n_true_pairs"),
+                  pick("n_missed_true"))
             .select("n_docs", "n_full_pair_slots", "n_prefix_pairs",
                     "n_true_pairs", "n_missed_true",
                     (F.col("n_missed_true") == 0).alias("prefix_complete"),
@@ -1646,8 +1664,12 @@ def q_dedup_idf_weighted_jaccard(spark: SparkSession,
 )
 def q_dedup_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.functions.text import span_list, tokens
+    from datalake_project_spark.tuning import fan_out_scan
 
-    d = Catalog(spark, sf_dir).table("documents")
+    # r13: the tokenize+shingle+hash pass ran in a 1-task stage (1.2 s
+    # of the 4.8 s warm wall — single-split fixture scan, guide §2.5);
+    # the fan-out is a no-op at production scan widths
+    d = fan_out_scan(Catalog(spark, sf_dir).table("documents"), "doc_id")
     tf = (d.select("doc_id",
                    F.explode(span_list(tokens("text"), 3)).alias("s"))
           .select("doc_id", F.xxhash64("s").alias("s"))

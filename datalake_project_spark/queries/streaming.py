@@ -19,14 +19,33 @@ from datalake_project_spark.streaming import (
 )
 
 
-def _sparts(spark: SparkSession, sf_dir: str) -> int:
+def _sparts(spark: SparkSession, sf_dir: str, floor: int = 4) -> int:
     """Footprint-derived state-store partition count for every drain in
     this module (r12: the session's batch shuffle width gave 32-128
     state-store instances per stateful operator at fixture scale, and
     ~95% of stream-join wall went to per-instance commit overhead —
-    see tuning.suggest_stream_state_partitions)."""
+    see tuning.suggest_stream_state_partitions).
+
+    ``floor`` is the operator-SHAPE floor that binds only when the
+    byte-derived count is smaller (i.e. at bounded-backfill scale; at
+    production the byte count dominates and the floor is dead). r13
+    width sweep at sf0.1, warm min-of-3 wall / per-drain commitTimeMs
+    sum:
+
+    - symmetric-hash JOIN (4 state stores per partition, and the
+      watermark-finalize batch re-commits every instance): width 8 =
+      2.5 s / 6.4 s of commits; width 2 = 2.2 s / 0.65 s -> floor 2.
+    - pure-JVM stateful aggregate (1 store per partition): width 8 =
+      1.3 s / 0.9 s; width 4 = 1.0 s / 0.2 s; width 2 no better ->
+      floor 4 (the module default).
+    - PYTHON-stateful ops (applyInPandasWithState): compute is the
+      per-key Python fold, not commits — width 2 is ~40% SLOWER than
+      width 8 (3.0 s vs 2.2 s) because it serializes the fold -> the
+      call sites keep floor 8.
+    """
     from datalake_project_spark.tuning import suggest_stream_state_partitions
-    return suggest_stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    return suggest_stream_state_partitions(spark, f"{sf_dir}/events.parquet",
+                                           min_partitions=floor)
 
 
 @register(
@@ -223,8 +242,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(
         "l.signup_event_id", "r.err_event_id", F.col("l.user_id").alias("user_id"),
         (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts")).alias("lag_us"))
+    # 4-store join shape: floor 2 (see _sparts receipt)
     return run_available_now(out, "append",
-                             state_partitions=_sparts(spark, sf_dir))
+                             state_partitions=_sparts(spark, sf_dir,
+                                                      floor=2))
 
 
 @register(
@@ -245,9 +266,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated profile per active user.",
 )
 def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python-stateful shape: floor 8 (see _sparts receipt)
     return run_available_now(
         user_profile_stream(events_stream(spark, sf_dir)), "append",
-        state_partitions=_sparts(spark, sf_dir))
+        state_partitions=_sparts(spark, sf_dir, floor=8))
 
 
 @register(
@@ -315,7 +337,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (run_available_now(
         mg_candidate_stream(events_stream(spark, sf_dir),
                             n_shards=8, k=2 * PHI_INV), "update",
-        state_partitions=_sparts(spark, sf_dir))
+        # Python-stateful shape: floor 8 (see _sparts receipt)
+        state_partitions=_sparts(spark, sf_dir, floor=8))
         .select("user_id").distinct())
     e = Catalog(spark, sf_dir).table("events")
     tot = e.agg(F.count(F.lit(1)).alias("n_total"))
@@ -520,8 +543,10 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("l.user_id").alias("user_id"),
                    (F.unix_micros("r.e_ts") - F.unix_micros("l.s_ts"))
                    .alias("lag_us")))
+    # 4-store join shape: floor 2 (see _sparts receipt)
     return run_available_now(out, "append",
-                             state_partitions=_sparts(spark, sf_dir))
+                             state_partitions=_sparts(spark, sf_dir,
+                                                      floor=2))
 
 
 @register(
@@ -620,9 +645,10 @@ def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_project_spark.streaming.ops import rolling_median_stream
 
+    # Python-stateful shape: floor 8 (see _sparts receipt)
     drained = run_available_now(
         rolling_median_stream(events_stream(spark, sf_dir)), "append",
-        state_partitions=_sparts(spark, sf_dir))
+        state_partitions=_sparts(spark, sf_dir, floor=8))
     n = F.count(F.lit(1))
     return (drained.groupBy("event_type")
             .agg(n.alias("n_windows"),

@@ -26,8 +26,15 @@ def test_small_input_floors():
 
 
 def test_cores_floor_keeps_cluster_busy():
-    # tiny shuffle on a 1000-executor x 4-core cluster: 2x cores floor
-    assert suggest_shuffle_partitions(1 * GB, cluster_cores=4000) == 8000
+    # r13: the cores floor is capped by data density — it never splits
+    # the input below ~4 MiB per task (a 1 GB shuffle on a 4000-core
+    # cluster gets 256 tasks, not 4000 near-empty ones), and the byte
+    # term ramps the width past the core count once data justifies it
+    assert suggest_shuffle_partitions(1 * GB, cluster_cores=4000) == 256
+    # plenty of data: the full cores floor binds
+    assert suggest_shuffle_partitions(100 * GB, cluster_cores=4000) == 4000
+    # and the byte term keeps growing past it
+    assert suggest_shuffle_partitions(1024 * GB, cluster_cores=4000) == 8192
 
 
 def test_custom_target():
@@ -78,16 +85,17 @@ def test_observation_collects_inflight_metrics(spark):
 
 def test_suggest_for_stage_floors_at_cores_and_scales(spark, tmp_path):
     """suggest_for_stage = per-stage repartition width: footprint x
-    expansion / 128 MiB, floored at 2x the session's parallelism so
-    small fixtures stay fully parallel, and it must NOT mutate the
-    session conf (unlike apply_shuffle_sizing)."""
+    expansion / 128 MiB, with a density-capped cores floor (never
+    below ~4 MiB per task), and it must NOT mutate the session conf
+    (unlike apply_shuffle_sizing)."""
     from datalake_project_spark.tuning import suggest_for_stage
 
     f = tmp_path / "blob.bin"
     f.write_bytes(b"x" * (4 * 1024 * 1024))
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     cores = spark.sparkContext.defaultParallelism
-    assert suggest_for_stage(spark, str(f)) == 2 * cores  # floor
+    # 4 MiB input: density cap pins the floor at 1 -> MIN_PARTITIONS
+    assert suggest_for_stage(spark, str(f)) == 8
     # 4 MiB x 65536 = 256 GiB -> 2048 partitions of 128 MiB
     assert suggest_for_stage(spark, str(f), expansion=65536.0) == 2048
     assert spark.conf.get("spark.sql.shuffle.partitions") == saved
@@ -196,7 +204,7 @@ def test_run_available_now_concurrent_drains_each_get_their_width(
         deadline = time.time() + 30
         while time.time() < deadline and len(widths) < 2:
             time.sleep(0.2)
-        got = sorted(frozenset(s) for s in widths.values())
-        assert got == [frozenset({3}), frozenset({5})], widths
+        assert all(len(s) == 1 for s in widths.values()), widths
+        assert sorted(min(s) for s in widths.values()) == [3, 5], widths
     finally:
         spark.streams.removeListener(rec)
