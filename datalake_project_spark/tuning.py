@@ -163,6 +163,29 @@ def fan_out_scan(df, key: str):
     return df.repartition(w, F.col(key))
 
 
+def python_stage_width(spark, *paths: str, expansion: float = 1.0,
+                       **kwargs) -> int:
+    """Exchange width for a stage whose per-row/per-group cost is PYTHON
+    (grouped-map applyInPandas and friends), handed to an explicit keyed
+    ``repartition`` right before the groupBy.
+
+    Two ways the byte-based machinery misprices these stages: (a) the
+    density-capped cores floor (suggest_shuffle_partitions) assumes a
+    task under ~4 MiB is fixed-cost-dominated — false when every row
+    crosses the Arrow boundary and every group is a Python call; (b)
+    AQE's coalescing is also byte-based, so a KB-scale grouped-map
+    shuffle coalesces to ONE post-shuffle partition and serializes
+    every group's Python call in a single task (r13 measured
+    q_group_zscore: a 1-task stage, 3.9 s wall / 0.2 s JVM cpu — the
+    rest is one Python worker grinding 1500 groups). The explicit
+    repartition pins one full wave of workers; the byte term still
+    ramps the width past the core count at scale."""
+    total = int(sum(dir_bytes(p) for p in paths) * expansion)
+    cores = spark.sparkContext.defaultParallelism
+    need = suggest_shuffle_partitions(total, **kwargs)
+    return max(need, cores)
+
+
 def suggest_stream_state_partitions(spark, *paths: str,
                                     expansion: float = 4.0,
                                     target_partition_bytes: int = 64 << 20,

@@ -208,3 +208,20 @@ def test_run_available_now_concurrent_drains_each_get_their_width(
         assert sorted(min(s) for s in widths.values()) == [3, 5], widths
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_python_stage_width_keeps_cores_floor(spark, tmp_path):
+    """Python-cost stages (grouped-map applyInPandas) are priced by
+    rows/groups, not bytes: the width keeps the FULL cores floor even
+    for a KB-scale input (no density cap — r13 measured AQE coalescing
+    such a shuffle to ONE task that serialized 1500 Python group
+    calls), and still ramps with the byte term at scale."""
+    from datalake_project_spark.tuning import python_stage_width
+
+    f = tmp_path / "tiny.bin"
+    f.write_bytes(b"x" * 1024)
+    cores = spark.sparkContext.defaultParallelism
+    assert python_stage_width(spark, str(f)) == max(cores, 8)
+    # 1 KiB x 2^27 = 128 GiB -> 1024 partitions of 128 MiB > any floor
+    assert python_stage_width(spark, str(f), expansion=float(1 << 27)) \
+        == 1024
